@@ -1,0 +1,158 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Direction of an Expand (reference: ExpandDirection in
+  * crates/grafeo-engine/src/query/plan.rs:180-212).
+  */
+sealed trait Direction
+case object Out extends Direction
+case object In extends Direction
+case object Both extends Direction
+
+/** Labeled property graph over two DataFrames (SURVEY.md §1.3):
+  *
+  *   nodes: id: Long, labels: Array[String], <typed property columns>
+  *   edges: src: Long, dst: Long, rel: String, <typed property columns>
+  *
+  * This is the property-table encoding: label filters and property predicates
+  * reach the parquet scan as pushed filters; adjacency is an equi-join that
+  * Spark executes as broadcast/shuffled hash join — the distributed stand-in
+  * for the reference's CSR adjacency index
+  * (crates/grafeo-core/src/index/adjacency.rs).
+  *
+  * Scale notes (100 TB): every operator here is a declarative DataFrame plan —
+  * no driver-side materialization. Iterative operators (varLengthExpand, bfs)
+  * persist each frontier and prune eagerly so the per-iteration shuffle stays
+  * proportional to the frontier, not the graph.
+  */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+
+  def nodesWithLabel(label: String): DataFrame =
+    nodes.filter(array_contains(col("labels"), label))
+
+  def edgesOfType(rel: String): DataFrame = edges.filter(col("rel") === rel)
+
+  private def edgeSel(rel: Option[String]): DataFrame =
+    rel.map(edgesOfType).getOrElse(edges)
+
+  /** Expand (plan.rs:180-212; ExpandOperator expand.rs:14): 1-hop neighbor
+    * traversal from `rows.idCol` along `rel`, binding the neighbor id as
+    * `dstAs`. `Both` is the union of the two directed expansions (matching
+    * the reference's both-direction adjacency merge).
+    */
+  def expand(rows: DataFrame, idCol: String, rel: Option[String],
+      dir: Direction, dstAs: String): DataFrame = {
+    def step(from: String, to: String): DataFrame = {
+      val e = edgeSel(rel).select(col(from).as("__from"), col(to).as(dstAs))
+      rows.join(e, col(idCol) === col("__from")).drop("__from")
+    }
+    dir match {
+      case Out  => step("src", "dst")
+      case In   => step("dst", "src")
+      case Both => step("src", "dst").unionByName(step("dst", "src"))
+    }
+  }
+
+  /** VariableLengthExpand (plan.rs:180-212 min/max hops;
+    * VariableLengthExpandOperator variable_length_expand.rs:15): walks of
+    * length min..max following `rel`, bag semantics (one row per walk, the
+    * openCypher contract). Returns (srcCol, dst, hops).
+    *
+    * Distributed shape: a bounded iterative join loop; each frontier is
+    * persisted so iteration i+1 reads a materialized frontier instead of
+    * recomputing the whole prefix (lineage truncation), and unpersisted as
+    * soon as its successor exists.
+    */
+  def varLengthExpand(sources: DataFrame, srcCol: String, rel: Option[String],
+      minHops: Int, maxHops: Int, dir: Direction = Out): DataFrame = {
+    require(minHops >= 1 && maxHops >= minHops, "need 1 <= minHops <= maxHops")
+    val e0 = edgeSel(rel)
+    val e = (dir match {
+      case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
+      case In   => e0.select(col("dst").as("__s"), col("src").as("__d"))
+      case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
+        .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
+    })
+    var frontier = sources.select(col(srcCol).as("__origin"), col(srcCol).as("__cur"))
+    var acc: Option[DataFrame] = None
+    var prev: Option[DataFrame] = None
+    var i = 1
+    var exhausted = false
+    while (i <= maxHops && !exhausted) {
+      frontier = frontier.join(e, col("__cur") === col("__s"))
+        .select(col("__origin"), col("__d").as("__cur"))
+        .persist()
+      if (frontier.isEmpty) { exhausted = true }
+      else {
+        val step = frontier.withColumn("hops", lit(i))
+        if (i >= minHops) acc = Some(acc.map(_.unionByName(step)).getOrElse(step))
+      }
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(frontier)
+      i += 1
+    }
+    acc.map(_.select(col("__origin").as(srcCol), col("__cur").as("dst"), col("hops")))
+      .getOrElse(sources.sparkSession.emptyDataFrame
+        .withColumn(srcCol, lit(0L)).withColumn("dst", lit(0L)).withColumn("hops", lit(0)))
+  }
+
+  /** ShortestPath (plan.rs:579-598; ShortestPathOperator shortest_path.rs:18):
+    * unweighted BFS from each source, returning (srcCol, dst, dist) with the
+    * minimal hop count, dist >= 1. `filterNodes` optionally restricts the
+    * reachable node set (mirrors the reference's bound-endpoint pruning).
+    *
+    * Frontier BFS with a visited set: per iteration one join + one anti-join,
+    * both on the (origin, node) key — the classic distributed BFS. Frontiers
+    * are persisted; visited grows monotonically and is re-persisted per level.
+    */
+  def bfs(sources: DataFrame, srcCol: String, rel: Option[String],
+      maxDepth: Int, dir: Direction = Out,
+      filterNodes: Option[Column] = None): DataFrame = {
+    val e0 = edgeSel(rel)
+    val e = (dir match {
+      case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
+      case In   => e0.select(col("dst").as("__s"), col("src").as("__d"))
+      case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
+        .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
+    })
+    var visited = sources
+      .select(col(srcCol).as("__origin"), col(srcCol).as("__node"), lit(0).as("dist"))
+      .persist()
+    var frontier = visited
+    var i = 1
+    var done = false
+    while (i <= maxDepth && !done) {
+      var next = frontier.join(e, col("__node") === col("__s"))
+        .select(col("__origin"), col("__d").as("__node"))
+        .distinct()
+      filterNodes.foreach(p => next = next.filter(p))
+      val fresh = next
+        .join(visited.select("__origin", "__node"), Seq("__origin", "__node"), "left_anti")
+        .withColumn("dist", lit(i))
+        .persist()
+      if (fresh.isEmpty) done = true
+      else {
+        visited = visited.unionByName(fresh).persist()
+        frontier = fresh
+      }
+      i += 1
+    }
+    visited.filter(col("dist") >= 1)
+      .select(col("__origin").as(srcCol), col("__node").as("dst"), col("dist"))
+  }
+
+  /** Degree centrality (reference algorithms/centrality.rs:49): in/out/total
+    * degree per node — one aggregation per direction, no join against nodes
+    * until the caller asks.
+    */
+  def degrees: DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** RDF triple model (SURVEY.md §1.4; reference RdfStore
+  * crates/grafeo-core/src/graph/rdf/store.rs:58-71).
+  *
+  * One `triples(s, p, o)` DataFrame. The reference's SPO/POS/OSP hash indexes
+  * are replaced by predicate pushdown on the scan — at scale, partitioning by
+  * `p` (vertical partitioning) keeps each BGP leg a pruned scan.
+  */
+sealed trait Term
+final case class V(name: String) extends Term    // variable
+final case class L(value: String) extends Term   // literal / IRI
+
+final case class TriplePattern(s: Term, p: Term, o: Term)
+
+final case class TripleGraph(triples: DataFrame) {
+
+  /** Basic graph pattern matching (TripleScan plan.rs:480-503 + the RDF
+    * planner's BGP joins, planner_rdf.rs): each pattern filters the triple
+    * table on its bound components; patterns are chained with natural joins
+    * on shared variables (cross join when disjoint). Output: one column per
+    * distinct variable.
+    */
+  def bgp(patterns: Seq[TriplePattern]): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    def leg(pat: TriplePattern): DataFrame = {
+      val bound = Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o)
+      val filtered = bound.foldLeft(triples) {
+        case (df, (c, L(v))) => df.filter(col(c) === v)
+        case (df, _)         => df
+      }
+      // project variables; a variable repeated inside one pattern adds an
+      // equality filter rather than a duplicate column
+      val varCols = bound.collect { case (c, V(n)) => (c, n) }
+      val dup = varCols.groupBy(_._2).filter(_._2.size > 1)
+      val eq = dup.values.flatMap(g => g.tail.map(t => col(g.head._1) === col(t._1)))
+      val f2 = eq.foldLeft(filtered)(_ filter _)
+      f2.select(varCols.map(_._2).distinct.map(n =>
+        col(varCols.find(_._2 == n).get._1).as(n)): _*)
+    }
+    patterns.map(leg).reduceLeft { (acc, next) =>
+      val shared = acc.columns.intersect(next.columns).toSeq
+      if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
+    }
+  }
+}
+
+/** Deterministic triple view of the TPC-H tables (oracle-friendly: every
+  * derived triple is a plain SQL projection of a base table).
+  */
+object TpchRdf {
+  def apply(spark: SparkSession, dir: String): TripleGraph = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    def t(df: DataFrame, s: Column, p: String, o: Column): DataFrame =
+      df.select(s.cast("string").as("s"), lit(p).as("p"), o.cast("string").as("o"))
+    val triples =
+      t(c, concat(lit("c:"), col("c_custkey")), "name", col("c_name"))
+        .unionByName(t(c, concat(lit("c:"), col("c_custkey")), "segment", col("c_mktsegment")))
+        .unionByName(t(c, concat(lit("c:"), col("c_custkey")), "inNation", concat(lit("n:"), col("c_nationkey"))))
+        .unionByName(t(n, concat(lit("n:"), col("n_nationkey")), "name", col("n_name")))
+    TripleGraph(triples)
+  }
+}

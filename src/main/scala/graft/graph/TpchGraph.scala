@@ -1,0 +1,88 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Deterministic property graph derived from the driver's TPC-H-ish tables —
+  * the fixture graph for the operator catalog (every query over it has a
+  * plain-SQL oracle over the base tables).
+  *
+  * Node ids are globally unique via a 10^12 tag stride, so the scheme holds
+  * at any scale factor (keys stay far below 10^12 even at 100 TB).
+  */
+object TpchGraph {
+  val Stride = 1000000000000L
+  val RegionTag = 1L
+  val NationTag = 2L
+  val SupplierTag = 3L
+  val CustomerTag = 4L
+  val PartTag = 5L
+  val OrderTag = 6L
+
+  def gid(tag: Long, key: Column): Column = lit(tag * Stride) + key.cast("long")
+  def key(id: Column): Column = id % Stride
+
+  /** Heterogeneous LPG: Region/Nation/Supplier/Customer/Part/Order nodes with
+    * IN_REGION / FROM_NATION / PLACED_BY / CONTAINS / SUPPLIES edges.
+    */
+  def apply(spark: SparkSession, dir: String): PropertyGraph = {
+    def n(df: DataFrame, tag: Long, keyCol: String, label: String,
+        name: Column, acctbal: Column, extra: Column): DataFrame =
+      df.select(
+        gid(tag, col(keyCol)).as("id"),
+        array(lit(label)).as("labels"),
+        name.as("name"),
+        acctbal.cast("double").as("acctbal"),
+        extra.cast("string").as("category"))
+
+    val nodes =
+      n(Tables.region(spark, dir), RegionTag, "r_regionkey", "Region", col("r_name"), lit(null), lit(null))
+        .unionByName(n(Tables.nation(spark, dir), NationTag, "n_nationkey", "Nation", col("n_name"), lit(null), lit(null)))
+        .unionByName(n(Tables.supplier(spark, dir), SupplierTag, "s_suppkey", "Supplier", col("s_name"), col("s_acctbal"), lit(null)))
+        .unionByName(n(Tables.customer(spark, dir), CustomerTag, "c_custkey", "Customer", col("c_name"), col("c_acctbal"), col("c_mktsegment")))
+        .unionByName(n(Tables.part(spark, dir), PartTag, "p_partkey", "Part", col("p_name"), lit(null), col("p_brand")))
+        .unionByName(n(Tables.orders(spark, dir), OrderTag, "o_orderkey", "Order", col("o_orderkey").cast("string"), col("o_totalprice"), col("o_orderstatus")))
+
+    def e(df: DataFrame, srcTag: Long, srcKey: String, dstTag: Long, dstKey: String,
+        rel: String, weight: Column): DataFrame =
+      df.select(
+        gid(srcTag, col(srcKey)).as("src"),
+        gid(dstTag, col(dstKey)).as("dst"),
+        lit(rel).as("rel"),
+        weight.cast("double").as("weight"))
+
+    val li = Tables.lineitem(spark, dir)
+    val edges =
+      e(Tables.nation(spark, dir), NationTag, "n_nationkey", RegionTag, "n_regionkey", "IN_REGION", lit(1.0))
+        .unionByName(e(Tables.customer(spark, dir), CustomerTag, "c_custkey", NationTag, "c_nationkey", "FROM_NATION", lit(1.0)))
+        .unionByName(e(Tables.supplier(spark, dir), SupplierTag, "s_suppkey", NationTag, "s_nationkey", "FROM_NATION", lit(1.0)))
+        .unionByName(e(Tables.orders(spark, dir), OrderTag, "o_orderkey", CustomerTag, "o_custkey", "PLACED_BY", lit(1.0)))
+        .unionByName(e(li, OrderTag, "l_orderkey", PartTag, "l_partkey", "CONTAINS", col("l_quantity")))
+        .unionByName(e(li.select("l_suppkey", "l_partkey").distinct(),
+          SupplierTag, "l_suppkey", PartTag, "l_partkey", "SUPPLIES", lit(1.0)))
+
+    PropertyGraph(nodes, edges)
+  }
+
+  /** Homogeneous DAG over part keys for path operators: edges k → 2k and
+    * k → 2k+1 (binary tree, k >= 1) plus k → k+1 (chain), so multiple routes
+    * exist between most pairs — exercises min-distance semantics. dst > src
+    * always, hence acyclic; derivable in plain SQL for the oracle.
+    */
+  def partDag(spark: SparkSession, dir: String): PropertyGraph = {
+    val p = Tables.part(spark, dir).select(col("p_partkey").as("k"))
+    val dst = p.select(col("k").as("k2"))
+    def join(cond: Column): DataFrame =
+      p.join(dst, cond).select(col("k").as("src"), col("k2").as("dst"),
+        lit("LINK").as("rel"), lit(1.0).as("weight"))
+    val edges =
+      join(col("k2") === col("k") * 2 && col("k") >= 1)
+        .unionByName(join(col("k2") === col("k") * 2 + 1 && col("k") >= 1))
+        .unionByName(join(col("k2") === col("k") + 1))
+    val nodes = p.select(col("k").as("id"), array(lit("Part")).as("labels"),
+      col("k").cast("string").as("name"), lit(null).cast("double").as("acctbal"),
+      lit(null).cast("string").as("category"))
+    PropertyGraph(nodes, edges)
+  }
+}

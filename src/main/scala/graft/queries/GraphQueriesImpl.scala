@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.graph.{Both, In, L, Out, TpchGraph, TpchRdf, TriplePattern, V}
+
+/** Graph operator coverage (SURVEY.md §2.1 graph ops) over the deterministic
+  * TPC-H-derived property graph — every query has a plain-SQL oracle on the
+  * base tables.
+  */
+object GraphQueriesImpl {
+
+  /** The part DAG (TpchGraph.partDag) as a DuckDB CTE. */
+  private val DagSql =
+    """dag AS (
+      |  SELECT a.p_partkey AS src, b.p_partkey AS dst
+      |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+      |  UNION ALL
+      |  SELECT a.p_partkey, b.p_partkey
+      |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+      |  UNION ALL
+      |  SELECT a.p_partkey, b.p_partkey
+      |  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+      |)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Expand, 1 hop out (plan.rs:180-212): Customer -FROM_NATION-> Nation.
+    QueryDef(
+      "q_expand_1hop",
+      """SELECT c_name AS cust, n_name AS nat
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 7000.0
+        |ORDER BY cust NULLS FIRST""".stripMargin) { (s, dir) =>
+      val g = TpchGraph(s, dir)
+      val rows = g.nodesWithLabel("Customer")
+        .filter(col("acctbal") > 7000.0)
+        .select(col("id").as("cid"), col("name").as("cust"))
+      val expanded = g.expand(rows, "cid", Some("FROM_NATION"), Out, "nid")
+      expanded.join(g.nodes.select(col("id").as("nid"), col("name").as("nat")), "nid")
+        .select("cust", "nat")
+        .orderBy("cust")
+    },
+
+    // Expand chain, 2 hops (ExpandOperator chained; the reference's 2-hop
+    // bench shape performance.md:68): Customer -> Nation -> Region.
+    QueryDef(
+      "q_expand_2hop",
+      """SELECT c_name AS cust, r_name AS reg
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_custkey < 50
+        |ORDER BY cust NULLS FIRST""".stripMargin) { (s, dir) =>
+      val g = TpchGraph(s, dir)
+      val rows = g.nodesWithLabel("Customer")
+        .filter(TpchGraph.key(col("id")) < 50)
+        .select(col("id").as("cid"), col("name").as("cust"))
+      val h1 = g.expand(rows, "cid", Some("FROM_NATION"), Out, "nid")
+      val h2 = g.expand(h1, "nid", Some("IN_REGION"), Out, "rid")
+      h2.join(g.nodes.select(col("id").as("rid"), col("name").as("reg")), "rid")
+        .select("cust", "reg")
+        .orderBy("cust")
+    },
+
+    // Expand, direction Both (plan.rs:188-199): neighbor count per nation =
+    // out (region) + in (customers + suppliers).
+    QueryDef(
+      "q_expand_both",
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |       CAST(1 + (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+        |              + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)
+        |            AS BIGINT) AS nb
+        |FROM nation
+        |ORDER BY k NULLS FIRST""".stripMargin) { (s, dir) =>
+      val g = TpchGraph(s, dir)
+      val nations = g.nodesWithLabel("Nation").select(col("id").as("nid"))
+      g.expand(nations, "nid", None, Both, "nb_id")
+        .groupBy(TpchGraph.key(col("nid")).as("k"))
+        .agg(count(lit(1)).as("nb"))
+        .orderBy("k")
+    },
+
+    // VariableLengthExpand (plan.rs:180-212 min/max hops;
+    // variable_length_expand.rs): walks 1..3 from part roots 1..3, bag
+    // semantics — one row per walk, counted per (src, dst, hops).
+    QueryDef(
+      "q_varlen_paths",
+      s"""WITH RECURSIVE $DagSql,
+        |walk(src, dst, hops) AS (
+        |  SELECT src, dst, 1 FROM dag WHERE src BETWEEN 1 AND 3
+        |  UNION ALL
+        |  SELECT w.src, d.dst, w.hops + 1 FROM walk w JOIN dag d ON d.src = w.dst
+        |  WHERE w.hops < 3
+        |)
+        |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, hops,
+        |       count(*) AS n_walks
+        |FROM walk GROUP BY src, dst, hops
+        |ORDER BY src NULLS FIRST, dst NULLS FIRST, hops NULLS FIRST""".stripMargin) { (s, dir) =>
+      val g = TpchGraph.partDag(s, dir)
+      val sources = g.nodes.filter(col("id").between(1, 3)).select(col("id").as("src"))
+      g.varLengthExpand(sources, "src", Some("LINK"), 1, 3)
+        .groupBy("src", "dst", "hops")
+        .agg(count(lit(1)).as("n_walks"))
+        .orderBy("src", "dst", "hops")
+    },
+
+    // ShortestPath (plan.rs:579-598; shortest_path.rs BFS): min-hop distance
+    // from part 1 to every node <= 200 within 6 hops.
+    QueryDef(
+      "q_shortest_path",
+      s"""WITH RECURSIVE $DagSql,
+        |walk(dst, hops) AS (
+        |  SELECT dst, 1 FROM dag WHERE src = 1 AND dst <= 200
+        |  UNION ALL
+        |  SELECT d.dst, w.hops + 1 FROM walk w JOIN dag d ON d.src = w.dst
+        |  WHERE w.hops < 6 AND d.dst <= 200
+        |)
+        |SELECT CAST(dst AS BIGINT) AS dst, CAST(min(hops) AS INTEGER) AS dist
+        |FROM walk GROUP BY dst
+        |ORDER BY dst NULLS FIRST""".stripMargin) { (s, dir) =>
+      val g = TpchGraph.partDag(s, dir)
+      val sources = g.nodes.filter(col("id") === 1).select(col("id").as("root"))
+      g.bfs(sources, "root", Some("LINK"), maxDepth = 6,
+          filterNodes = Some(col("__node") <= 200))
+        .select(col("dst"), col("dist"))
+        .orderBy("dst")
+    },
+
+    // Degree centrality (algorithms/centrality.rs:49) on the heterogeneous
+    // graph, reported for Nation nodes.
+    QueryDef(
+      "q_degree",
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |       CAST(1 AS BIGINT) AS outdeg,
+        |       CAST((SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+        |          + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)
+        |            AS BIGINT) AS indeg
+        |FROM nation
+        |ORDER BY k NULLS FIRST""".stripMargin) { (s, dir) =>
+      val g = TpchGraph(s, dir)
+      g.degrees
+        .filter((col("id") / TpchGraph.Stride).cast("long") === TpchGraph.NationTag)
+        .select(TpchGraph.key(col("id")).as("k"), col("outdeg"), col("indeg"))
+        .orderBy("k")
+    },
+
+    // Edge-property aggregation over the graph (CONTAINS carries l_quantity
+    // as weight): total shipped quantity per part.
+    QueryDef(
+      "q_edge_props",
+      """SELECT CAST(l_partkey AS BIGINT) AS pk,
+        |       round(sum(l_quantity), 2) AS qty, count(*) AS n
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY pk NULLS FIRST""".stripMargin) { (s, dir) =>
+      val g = TpchGraph(s, dir)
+      g.edgesOfType("CONTAINS")
+        .groupBy(TpchGraph.key(col("dst")).as("pk"))
+        .agg(round(sum(col("weight")), 2).as("qty"), count(lit(1)).as("n"))
+        .orderBy("pk")
+    },
+
+    // TripleScan + BGP self-joins (plan.rs:480-503; SPARQL planner BGP):
+    // ?c inNation ?n . ?n name 'NATION_3' . ?c segment 'BUILDING'
+    QueryDef(
+      "q_rdf_bgp",
+      """SELECT 'c:' || c_custkey AS c
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3' AND c_mktsegment = 'BUILDING'
+        |ORDER BY c NULLS FIRST""".stripMargin) { (s, dir) =>
+      val rdf = TpchRdf(s, dir)
+      rdf.bgp(Seq(
+          TriplePattern(V("c"), L("inNation"), V("n")),
+          TriplePattern(V("n"), L("name"), L("NATION_3")),
+          TriplePattern(V("c"), L("segment"), L("BUILDING"))))
+        .select("c")
+        .orderBy("c")
+    },
+  )
+}
