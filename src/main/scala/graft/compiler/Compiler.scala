@@ -1,0 +1,222 @@
+package graft.compiler
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+import graft.ir.{Expr, Op}
+
+/** Lowers the shared IR (graft.ir) to a declarative DataFrame plan — the
+  * Spark-native replacement for the reference's physical planner
+  * (crates/grafeo-engine/src/query/planner.rs). All optimization (pushdown,
+  * join selection, reorder, AQE) is delegated to Catalyst: we emit the most
+  * declarative plan we can and never materialize on the driver.
+  *
+  * Binding encoding: one DataFrame column per bound variable. A node variable
+  * `n` occupies column `n` (the node id) plus `n__<prop>` columns for its
+  * properties (the property-table layout of SURVEY §1.3) — so property
+  * access is a plain column reference that prunes down to the parquet scan.
+  */
+final class Compiler(spark: SparkSession, graph: PropertyGraph) {
+
+  private val propCols: Seq[String] = graph.nodes.columns.filterNot(_ == "id").toSeq
+
+  private def nodeFor(v: String, label: Option[String]): DataFrame = {
+    val base = label.map(graph.nodesWithLabel).getOrElse(graph.nodes)
+    base.select(col("id").as(v) +: propCols.map(c => col(c).as(s"${v}__$c")): _*)
+  }
+
+  def compile(op: Op.T): DataFrame = op match {
+    case Op.NodeScan(v, label) => nodeFor(v, label)
+
+    case Op.Expand(in, from, rel, to, dir, targetLabel) =>
+      val df = graph.expand(compile(in), from, rel, dir, to)
+      df.join(nodeFor(to, targetLabel).withColumnRenamed(to, "__tid"),
+          col(to) === col("__tid"))
+        .drop("__tid")
+
+    case Op.VarExpand(in, from, rel, to, dir, min, max, targetLabel) =>
+      val df = compile(in)
+      val pairs = graph
+        .varLengthExpand(df.select(col(from)).distinct(), from, rel, min, max, dir)
+        .withColumnRenamed("dst", to)
+        .drop("hops")
+      df.join(pairs, from)
+        .join(nodeFor(to, targetLabel).withColumnRenamed(to, "__tid"),
+          col(to) === col("__tid"))
+        .drop("__tid")
+
+    case Op.Filter(in, pred) => compile(in).filter(expr(pred))
+
+    case Op.Project(in, items) =>
+      compile(in).select(items.map { case (e, n) => expr(e).as(n) }: _*)
+
+    case Op.Aggregate(in, keys, aggs) =>
+      val df = compile(in)
+      val aggCols = aggs.map { case (e, n) => aggExpr(e).as(n) }
+      if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(keys.map { case (e, n) => expr(e).as(n) }: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+
+    case Op.Sort(in, keys) =>
+      compile(in).orderBy(keys.map { case (e, asc) =>
+        if (asc) expr(e).asc_nulls_first else expr(e).desc_nulls_last }: _*)
+
+    case Op.Limit(in, n)  => compile(in).limit(n.toInt)
+    case Op.Skip(in, n)   => compile(in).offset(n.toInt)
+    case Op.Distinct(in)  => compile(in).distinct()
+    case Op.UnionAll(l, r) => compile(l).unionByName(compile(r))
+
+    case Op.NaturalJoin(l, r) =>
+      val (dl, dr) = (compile(l), compile(r))
+      val shared = dl.columns.intersect(dr.columns).toSeq
+      if (shared.nonEmpty) dl.join(dr, shared) else dl.crossJoin(dr)
+
+    case Op.Unwind(in, list, as) =>
+      val base = in match {
+        case Op.OneRow => oneRow
+        case other     => compile(other)
+      }
+      base.withColumn(as, explode(expr(list)))
+
+    case Op.OneRow => oneRow
+  }
+
+  private def oneRow: DataFrame = spark.range(1).select(lit(1).as("__one"))
+
+  /** LogicalExpression → Column, scalar context (plan.rs:862-968). */
+  def expr(e: Expr.E): Column = comp(e, expr)
+
+  /** Aggregate-context expression (plan.rs:285-308): aggregate calls become
+    * Spark aggregate Columns; scalar wrappers (round(avg(x),2)) compose on
+    * top; anything else compiles as scalar (a grouping key reference).
+    */
+  def aggExpr(e: Expr.E): Column = e match {
+    case Expr.Func(name, args, distinct)
+        if Expr.aggregateFns.contains(name.toLowerCase) =>
+      val n = name.toLowerCase
+      def a0 = expr(args.head)
+      n match {
+        case "count" =>
+          if (args.isEmpty || args.head == Expr.Lit("*")) count(lit(1))
+          else if (distinct) countDistinct(a0) else count(a0)
+        case "sum" => if (distinct) sum_distinct(a0) else sum(a0)
+        case "avg" => avg(a0)
+        case "min" => min(a0)
+        case "max" => max(a0)
+        case "collect" => if (distinct) collect_set(a0) else collect_list(a0)
+        case "stdev" => stddev_samp(a0)
+        case "stdevp" => stddev_pop(a0)
+        case "percentilecont" => expr(args(1)) match {
+          case p => percentile_approx(a0, p, lit(1000000))
+        }
+        case "percentiledisc" => percentile_approx(a0, expr(args(1)), lit(1000000))
+      }
+    case other => comp(other, aggExpr)
+  }
+
+  /** Shared structural compile; `rec` chooses scalar vs aggregate context
+    * for child expressions.
+    */
+  private def comp(e: Expr.E, rec: Expr.E => Column): Column = e match {
+    case Expr.Lit(null)      => lit(null)
+    case Expr.Lit(v)         => lit(v)
+    case Expr.Var(n)         => col(n)
+    case Expr.Prop(v, k)     => col(s"${v}__$k")
+    case Expr.Neg(x)         => -rec(x)
+    case Expr.Not(x)         => !rec(x)
+    case Expr.IsNull(x, neg) => if (neg) rec(x).isNotNull else rec(x).isNull
+    case Expr.ListLit(items) => array(items.map(rec): _*)
+    case Expr.Param(n) =>
+      throw new IllegalArgumentException(s"unbound parameter: $$$n")
+    case Expr.CaseW(branches, orElse) =>
+      val first = when(rec(branches.head._1), rec(branches.head._2))
+      val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
+        acc.when(rec(c), rec(v)) }
+      orElse.map(o => chained.otherwise(rec(o))).getOrElse(chained)
+    case Expr.Bin(op, l, r) => binOp(op, rec(l), rec(r), r)
+    case Expr.Func(name, args, _) => scalarFn(name.toLowerCase, args.map(rec), args)
+  }
+
+  /** BinaryOp table (plan.rs:972-1021 → Catalyst equivalents). */
+  private def binOp(op: String, cl: Column, cr: Column, rRaw: Expr.E): Column =
+    op match {
+      case "+"  => cl + cr
+      case "-"  => cl - cr
+      case "*"  => cl * cr
+      case "/"  => cl / cr
+      case "%"  => cl % cr
+      case "^"  => pow(cl, cr)
+      case "="  => cl === cr
+      case "<>" => cl =!= cr
+      case "<"  => cl < cr
+      case "<=" => cl <= cr
+      case ">"  => cl > cr
+      case ">=" => cl >= cr
+      case "and" => cl && cr
+      case "or"  => cl || cr
+      case "xor" => cl =!= cr
+      case "startswith" => cl.startsWith(cr)
+      case "endswith"   => cl.endsWith(cr)
+      case "contains"   => cl.contains(cr)
+      case "in" => rRaw match {
+        case Expr.ListLit(items) if items.forall(_.isInstanceOf[Expr.Lit]) =>
+          cl.isin(items.collect { case Expr.Lit(v) => v }: _*)
+        case _ => array_contains(cr, cl)
+      }
+      case "=~" => rRaw match {
+        case Expr.Lit(s: String) => cl.rlike(s)
+        case _ => throw new IllegalArgumentException("regex pattern must be a string literal")
+      }
+      case other => throw new IllegalArgumentException(s"unknown operator $other")
+    }
+
+  /** Scalar function table (filter.rs:759-1050 eval_function;
+    * planner_rdf.rs:1927-2350 — SURVEY §2.4/2.5). `size` is the list/array
+    * form, `length`/`strlen` the string form.
+    */
+  private def scalarFn(name: String, cols: Seq[Column], raw: Seq[Expr.E]): Column = {
+    def a0 = cols(0)
+    def a1 = cols(1)
+    def litStr(i: Int): String = raw(i) match {
+      case Expr.Lit(s) => s.toString
+      case other => throw new IllegalArgumentException(s"$name() arg $i must be a literal, got $other")
+    }
+    name match {
+      case "id" => a0 // node/edge variables hold their id column
+      case "labels" => raw.head match {
+        case Expr.Var(v) => col(s"${v}__labels")
+        case _ => throw new IllegalArgumentException("labels() needs a variable")
+      }
+      case "size"              => size(a0)
+      case "length" | "strlen" => length(a0)
+      case "coalesce"  => coalesce(cols: _*)
+      case "tostring"  => a0.cast("string")
+      case "tointeger" | "toint" => a0.cast("long")
+      case "tofloat"   => a0.cast("double")
+      case "toboolean" => a0.cast("boolean")
+      case "head"      => element_at(a0, 1)
+      case "last"      => element_at(a0, -1)
+      case "tail"      => slice(a0, lit(2), greatest(size(a0) - 1, lit(0)))
+      case "reverse"   => reverse(a0)
+      case "abs"       => abs(a0)
+      case "round"     => if (cols.size > 1) round(a0, litStr(1).toInt) else round(a0)
+      case "ceil"      => ceil(a0)
+      case "floor"     => floor(a0)
+      case "sqrt"      => sqrt(a0)
+      case "toupper" | "upper" | "ucase" => upper(a0)
+      case "tolower" | "lower" | "lcase" => lower(a0)
+      case "trim"      => trim(a0)
+      case "ltrim"     => ltrim(a0)
+      case "rtrim"     => rtrim(a0)
+      case "substring" | "substr" =>
+        if (cols.size > 2) substring(a0, litStr(1).toInt, litStr(2).toInt)
+        else a0.substr(a1, length(a0))
+      case "left"      => substring(a0, 1, litStr(1).toInt)
+      case "right"     => a0.substr(length(a0) - litStr(1).toInt + 1, lit(litStr(1).toInt))
+      case "split"     => split(a0, java.util.regex.Pattern.quote(litStr(1)))
+      case "replace"   => regexp_replace(a0, java.util.regex.Pattern.quote(litStr(1)), litStr(2))
+      case "range"     => sequence(a0, a1, if (cols.size > 2) cols(2) else lit(1L))
+      case other => throw new IllegalArgumentException(s"unknown function $other()")
+    }
+  }
+}

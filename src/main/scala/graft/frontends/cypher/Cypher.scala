@@ -1,0 +1,466 @@
+package graft.frontends.cypher
+
+import graft.graph.{Both, Direction, In, Out}
+import graft.ir.{Expr, Op}
+
+/** openCypher front-end (SURVEY §2.8; reference
+  * crates/grafeo-adapters/src/query/cypher/ — parser + cypher_translator.rs).
+  * Hand-rolled lexer + recursive-descent parser over the supported subset:
+  *
+  *   [MATCH path(, path)* [WHERE e]] [UNWIND e AS x] [WITH items …]
+  *   RETURN [DISTINCT] items [ORDER BY k [ASC|DESC], …] [SKIP n] [LIMIT n]
+  *
+  * Patterns: (v:Label {k: lit, …}) -[r:TYPE*min..max]-> with <- / undirected.
+  * Output is the shared IR (graft.ir), compiled by graft.compiler.Compiler.
+  */
+object CypherLexer {
+  sealed trait Tok
+  final case class Ident(s: String) extends Tok
+  final case class Kw(s: String) extends Tok // uppercased keyword
+  final case class NumLit(s: String) extends Tok
+  final case class StrLit(s: String) extends Tok
+  final case class Sym(s: String) extends Tok
+
+  private val keywords = Set("MATCH", "WHERE", "RETURN", "WITH", "UNWIND",
+    "AS", "ORDER", "BY", "ASC", "DESC", "SKIP", "LIMIT", "DISTINCT", "AND",
+    "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS", "IS", "NULL",
+    "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL",
+    "OPTIONAL")
+
+  def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        val w = q.substring(start, i)
+        if (keywords.contains(w.toUpperCase)) out += Kw(w.toUpperCase)
+        else out += Ident(w)
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (q(i).isDigit || q(i) == '.') &&
+          !(q(i) == '.' && i + 1 < n && q(i + 1) == '.')) i += 1
+        out += NumLit(q.substring(start, i))
+      } else if (c == '\'' || c == '"') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && q(i) != quote) {
+          if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+          else { sb += q(i); i += 1 }
+        }
+        i += 1
+        out += StrLit(sb.toString)
+      } else {
+        val two = if (i + 1 < n) q.substring(i, i + 2) else ""
+        if (Set("->", "<-", "<=", ">=", "<>", "..", "=~").contains(two)) {
+          out += Sym(two); i += 2
+        } else { out += Sym(c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+}
+
+object Ast {
+  final case class NodePat(v: Option[String], label: Option[String],
+      props: Seq[(String, Expr.E)])
+  final case class RelPat(v: Option[String], relType: Option[String],
+      dir: Direction, range: Option[(Int, Int)])
+  final case class PathPat(head: NodePat, tail: Seq[(RelPat, NodePat)])
+  sealed trait Clause
+  final case class MatchClause(paths: Seq[PathPat], where: Option[Expr.E]) extends Clause
+  final case class UnwindClause(list: Expr.E, as: String) extends Clause
+  final case class WithRet(items: Seq[(Expr.E, Option[String])],
+      distinct: Boolean, where: Option[Expr.E], orderBy: Seq[(Expr.E, Boolean)],
+      skip: Option[Long], limit: Option[Long], isReturn: Boolean) extends Clause
+  final case class Query(clauses: Seq[Clause])
+}
+
+final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
+  import CypherLexer._
+  import Ast._
+
+  private var pos = 0
+  private def peek: Option[Tok] = if (pos < tokens.length) Some(tokens(pos)) else None
+  private def next(): Tok = {
+    if (pos >= tokens.length) fail("unexpected end of query")
+    val t = tokens(pos); pos += 1; t
+  }
+  private def at(t: Tok): Boolean = peek.contains(t)
+  private def eat(t: Tok): Boolean = if (at(t)) { pos += 1; true } else false
+  private def expect(t: Tok): Unit =
+    if (!eat(t)) fail(s"expected $t, found ${peek.getOrElse("<eof>")}")
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"cypher parse error at token $pos: $msg")
+
+  private var anonCounter = 0
+  private def fresh(): String = { anonCounter += 1; s"__anon$anonCounter" }
+
+  def parseQuery(): Query = {
+    val clauses = Seq.newBuilder[Clause]
+    var done = false
+    while (!done) {
+      peek match {
+        case Some(Kw("MATCH"))  => next(); clauses += parseMatch()
+        case Some(Kw("UNWIND")) => next(); clauses += parseUnwind()
+        case Some(Kw("WITH"))   => next(); clauses += parseWithRet(isReturn = false)
+        case Some(Kw("RETURN")) => next(); clauses += parseWithRet(isReturn = true); done = true
+        case other => fail(s"unexpected $other")
+      }
+    }
+    if (pos < tokens.length) fail(s"trailing tokens from ${tokens(pos)}")
+    Query(clauses.result())
+  }
+
+  private def parseMatch(): MatchClause = {
+    val paths = Seq.newBuilder[PathPat]
+    paths += parsePath()
+    while (eat(Sym(","))) paths += parsePath()
+    val where = if (eat(Kw("WHERE"))) Some(parseExpr()) else None
+    MatchClause(paths.result(), where)
+  }
+
+  private def parsePath(): PathPat = {
+    val head = parseNodePat()
+    val tail = Seq.newBuilder[(RelPat, NodePat)]
+    var go = true
+    while (go) {
+      peek match {
+        case Some(Sym("-")) | Some(Sym("<-")) =>
+          val rel = parseRelPat()
+          val node = parseNodePat()
+          tail += ((rel, node))
+        case _ => go = false
+      }
+    }
+    PathPat(head, tail.result())
+  }
+
+  private def parseNodePat(): NodePat = {
+    expect(Sym("("))
+    val v = peek match {
+      case Some(Ident(name)) => next(); Some(name)
+      case _ => None
+    }
+    val label = if (eat(Sym(":"))) peek match {
+      case Some(Ident(l)) => next(); Some(l)
+      case _ => fail("expected label")
+    } else None
+    val props = Seq.newBuilder[(String, Expr.E)]
+    if (eat(Sym("{"))) {
+      var go = !at(Sym("}"))
+      while (go) {
+        val k = next() match {
+          case Ident(s) => s
+          case other => fail(s"expected property key, got $other")
+        }
+        expect(Sym(":"))
+        props += ((k, parseExpr()))
+        go = eat(Sym(","))
+      }
+      expect(Sym("}"))
+    }
+    expect(Sym(")"))
+    NodePat(v, label, props.result())
+  }
+
+  private def parseRelPat(): RelPat = {
+    // '-' or '<-' … then optional [v:TYPE*a..b] … then '->' or '-'
+    val leftArrow = peek match {
+      case Some(Sym("<-")) => next(); true
+      case Some(Sym("-"))  => next(); false
+      case other => fail(s"expected relationship, got $other")
+    }
+    var v: Option[String] = None
+    var relType: Option[String] = None
+    var range: Option[(Int, Int)] = None
+    if (eat(Sym("["))) {
+      peek match {
+        case Some(Ident(name)) => next(); v = Some(name)
+        case _ =>
+      }
+      if (eat(Sym(":"))) peek match {
+        case Some(Ident(t)) => next(); relType = Some(t)
+        case _ => fail("expected relationship type")
+      }
+      if (eat(Sym("*"))) {
+        var lo = 1
+        var hi = -1
+        peek match {
+          case Some(NumLit(s2)) => next(); lo = s2.toInt; hi = lo
+          case _ =>
+        }
+        if (eat(Sym(".."))) {
+          hi = peek match {
+            case Some(NumLit(s2)) => next(); s2.toInt
+            case _ => fail("open-ended var-length needs an upper bound")
+          }
+        } else if (hi == -1) fail("unbounded * not supported; use *min..max")
+        range = Some((lo, hi))
+      }
+      expect(Sym("]"))
+    }
+    val rightArrow = peek match {
+      case Some(Sym("->")) => next(); true
+      case Some(Sym("-"))  => next(); false
+      case other => fail(s"expected -> or -, got $other")
+    }
+    val dir =
+      if (leftArrow && !rightArrow) In
+      else if (!leftArrow && rightArrow) Out
+      else if (!leftArrow && !rightArrow) Both
+      else fail("<- … -> is not a valid relationship")
+    RelPat(v, relType, dir, range)
+  }
+
+  private def parseUnwind(): UnwindClause = {
+    val e = parseExpr()
+    expect(Kw("AS"))
+    val as = next() match {
+      case Ident(s) => s
+      case other => fail(s"expected identifier, got $other")
+    }
+    UnwindClause(e, as)
+  }
+
+  private def parseWithRet(isReturn: Boolean): WithRet = {
+    val distinct = eat(Kw("DISTINCT"))
+    val items = Seq.newBuilder[(Expr.E, Option[String])]
+    def item(): Unit = {
+      val e = parseExpr()
+      val alias = if (eat(Kw("AS"))) next() match {
+        case Ident(s) => Some(s)
+        case other => fail(s"expected alias, got $other")
+      } else None
+      items += ((e, alias))
+    }
+    item()
+    while (eat(Sym(","))) item()
+    val where = if (eat(Kw("WHERE"))) Some(parseExpr()) else None
+    val orderBy = Seq.newBuilder[(Expr.E, Boolean)]
+    if (eat(Kw("ORDER"))) {
+      expect(Kw("BY"))
+      def key(): Unit = {
+        val e = parseExpr()
+        val asc = if (eat(Kw("DESC"))) false else { eat(Kw("ASC")); true }
+        orderBy += ((e, asc))
+      }
+      key()
+      while (eat(Sym(","))) key()
+    }
+    val skip = if (eat(Kw("SKIP"))) Some(parseNum()) else None
+    val limit = if (eat(Kw("LIMIT"))) Some(parseNum()) else None
+    WithRet(items.result(), distinct, where, orderBy.result(), skip, limit, isReturn)
+  }
+
+  private def parseNum(): Long = next() match {
+    case NumLit(s) => s.toLong
+    case other => fail(s"expected number, got $other")
+  }
+
+  // ---- expressions ----
+  def parseExpr(): Expr.E = parseOr()
+
+  private def parseOr(): Expr.E = {
+    var e = parseXor()
+    while (eat(Kw("OR"))) e = Expr.Bin("or", e, parseXor())
+    e
+  }
+  private def parseXor(): Expr.E = {
+    var e = parseAnd()
+    while (eat(Kw("XOR"))) e = Expr.Bin("xor", e, parseAnd())
+    e
+  }
+  private def parseAnd(): Expr.E = {
+    var e = parseNot()
+    while (eat(Kw("AND"))) e = Expr.Bin("and", e, parseNot())
+    e
+  }
+  private def parseNot(): Expr.E =
+    if (eat(Kw("NOT"))) Expr.Not(parseNot()) else parseCmp()
+
+  private def parseCmp(): Expr.E = {
+    var e = parseAdd()
+    var go = true
+    while (go) {
+      peek match {
+        case Some(Sym(op @ ("=" | "<>" | "<" | "<=" | ">" | ">=" | "=~"))) =>
+          next(); e = Expr.Bin(op, e, parseAdd())
+        case Some(Kw("IN")) =>
+          next(); e = Expr.Bin("in", e, parseAdd())
+        case Some(Kw("STARTS")) =>
+          next(); expect(Kw("WITH")); e = Expr.Bin("startswith", e, parseAdd())
+        case Some(Kw("ENDS")) =>
+          next(); expect(Kw("WITH")); e = Expr.Bin("endswith", e, parseAdd())
+        case Some(Kw("CONTAINS")) =>
+          next(); e = Expr.Bin("contains", e, parseAdd())
+        case Some(Kw("IS")) =>
+          next()
+          val negated = eat(Kw("NOT"))
+          expect(Kw("NULL"))
+          e = Expr.IsNull(e, negated)
+        case _ => go = false
+      }
+    }
+    e
+  }
+
+  private def parseAdd(): Expr.E = {
+    var e = parseMul()
+    var go = true
+    while (go) {
+      peek match {
+        case Some(Sym(op @ ("+" | "-"))) => next(); e = Expr.Bin(op, e, parseMul())
+        case _ => go = false
+      }
+    }
+    e
+  }
+  private def parseMul(): Expr.E = {
+    var e = parseUnary()
+    var go = true
+    while (go) {
+      peek match {
+        case Some(Sym(op @ ("*" | "/" | "%" | "^"))) => next(); e = Expr.Bin(op, e, parseUnary())
+        case _ => go = false
+      }
+    }
+    e
+  }
+  private def parseUnary(): Expr.E =
+    if (eat(Sym("-"))) Expr.Neg(parseUnary()) else parseAtom()
+
+  private def parseAtom(): Expr.E = next() match {
+    case NumLit(s) =>
+      if (s.contains('.')) Expr.Lit(s.toDouble) else Expr.Lit(s.toLong)
+    case StrLit(s) => Expr.Lit(s)
+    case Kw("TRUE") => Expr.Lit(true)
+    case Kw("FALSE") => Expr.Lit(false)
+    case Kw("NULL") => Expr.Lit(null)
+    case Sym("$") => next() match {
+      case Ident(s) => Expr.Param(s)
+      case other => fail(s"expected parameter name, got $other")
+    }
+    case Sym("(") =>
+      val e = parseExpr(); expect(Sym(")")); e
+    case Sym("[") =>
+      val items = Seq.newBuilder[Expr.E]
+      if (!at(Sym("]"))) { items += parseExpr(); while (eat(Sym(","))) items += parseExpr() }
+      expect(Sym("]"))
+      Expr.ListLit(items.result())
+    case Kw("CASE") =>
+      val branches = Seq.newBuilder[(Expr.E, Expr.E)]
+      // searched CASE only (simple CASE desugars to searched upstream)
+      while (eat(Kw("WHEN"))) {
+        val c = parseExpr(); expect(Kw("THEN")); val v = parseExpr()
+        branches += ((c, v))
+      }
+      val orElse = if (eat(Kw("ELSE"))) Some(parseExpr()) else None
+      expect(Kw("END"))
+      Expr.CaseW(branches.result(), orElse)
+    case Ident(name) =>
+      peek match {
+        case Some(Sym("(")) =>
+          next()
+          val distinct = eat(Kw("DISTINCT"))
+          val args = Seq.newBuilder[Expr.E]
+          if (!at(Sym(")"))) {
+            if (eat(Sym("*"))) args += Expr.Lit("*")
+            else { args += parseExpr(); while (eat(Sym(","))) args += parseExpr() }
+          }
+          expect(Sym(")"))
+          Expr.Func(name, args.result(), distinct)
+        case Some(Sym(".")) =>
+          next()
+          next() match {
+            case Ident(k) => Expr.Prop(name, k)
+            case other => fail(s"expected property name, got $other")
+          }
+        case _ => Expr.Var(name)
+      }
+    case other => fail(s"unexpected token $other")
+  }
+}
+
+/** AST → shared IR, mirroring the reference's cypher_translator.rs. */
+object CypherFrontend {
+  import Ast._
+
+  def parse(q: String): Query =
+    new CypherParser(CypherLexer.lex(q)).parseQuery()
+
+  def translate(q: Query): Op.T = {
+    var cur: Op.T = Op.OneRow
+    var anon = 0
+    def fresh(): String = { anon += 1; s"__n$anon" }
+
+    for (clause <- q.clauses) clause match {
+      case MatchClause(paths, where) =>
+        for (path <- paths) {
+          val headVar = path.head.v.getOrElse(fresh())
+          var pathOp: Op.T = Op.NodeScan(headVar, path.head.label)
+          pathOp = propFilters(pathOp, headVar, path.head.props)
+          var fromVar = headVar
+          for ((rel, node) <- path.tail) {
+            val toVar = node.v.getOrElse(fresh())
+            pathOp = rel.range match {
+              case Some((lo, hi)) =>
+                Op.VarExpand(pathOp, fromVar, rel.relType, toVar, rel.dir, lo, hi, node.label)
+              case None =>
+                Op.Expand(pathOp, fromVar, rel.relType, toVar, rel.dir, node.label)
+            }
+            pathOp = propFilters(pathOp, toVar, node.props)
+            fromVar = toVar
+          }
+          cur = if (cur == Op.OneRow) pathOp else Op.NaturalJoin(cur, pathOp)
+        }
+        where.foreach(w => cur = Op.Filter(cur, w))
+
+      case UnwindClause(list, as) =>
+        cur = Op.Unwind(cur, list, as)
+
+      case WithRet(items, distinct, where, orderBy, skip, limit, _) =>
+        val named = items.map { case (e, alias) =>
+          (e, alias.getOrElse(defaultName(e)))
+        }
+        val hasAgg = named.exists { case (e, _) => Expr.containsAggregate(e) }
+        cur =
+          if (hasAgg) {
+            val (aggs, keys) = named.partition { case (e, _) => Expr.containsAggregate(e) }
+            val agg = Op.Aggregate(cur, keys, aggs)
+            // restore the declared column order
+            Op.Project(agg, named.map { case (_, n) => (Expr.Var(n): Expr.E, n) })
+          } else Op.Project(cur, named)
+        where.foreach(w => cur = Op.Filter(cur, w))
+        if (distinct) cur = Op.Distinct(cur)
+        if (orderBy.nonEmpty) {
+          // resolve ORDER BY expressions that textually match a returned item
+          val resolved = orderBy.map { case (e, asc) =>
+            named.find(_._1 == e).map { case (_, n) => (Expr.Var(n): Expr.E, asc) }
+              .getOrElse((e, asc))
+          }
+          cur = Op.Sort(cur, resolved)
+        }
+        skip.foreach(n => cur = Op.Skip(cur, n))
+        limit.foreach(n => cur = Op.Limit(cur, n))
+    }
+    cur
+  }
+
+  private def propFilters(op: Op.T, v: String, props: Seq[(String, Expr.E)]): Op.T =
+    props.foldLeft(op) { case (acc, (k, value)) =>
+      Op.Filter(acc, Expr.Bin("=", Expr.Prop(v, k), value))
+    }
+
+  private def defaultName(e: Expr.E): String = e match {
+    case Expr.Var(n)     => n
+    case Expr.Prop(v, k) => s"${v}_$k"
+    case Expr.Func(n, _, _) => n.toLowerCase
+    case _ => "expr"
+  }
+}

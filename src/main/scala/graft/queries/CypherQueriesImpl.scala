@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.GraftSession
+import graft.graph.TpchGraph
+
+/** End-to-end front-end coverage: Cypher text → parser → IR → compiler →
+  * DataFrame, verified against the same plain-SQL oracles as the direct
+  * DataFrame queries (the reference's cross-language equivalence pattern,
+  * SURVEY §5.3).
+  */
+object CypherQueriesImpl {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_cypher_match",
+      """SELECT c_name AS cust, n_name AS nat
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 7000.0
+        |ORDER BY cust NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+          |WHERE c.acctbal > 7000.0
+          |RETURN c.name AS cust, n.name AS nat
+          |ORDER BY cust""".stripMargin)
+    },
+
+    QueryDef(
+      "q_cypher_agg",
+      """SELECT n_name AS nat, count(*) AS cnt, round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY nat NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+          |RETURN n.name AS nat, count(*) AS cnt, round(avg(c.acctbal), 2) AS avg_bal
+          |ORDER BY nat""".stripMargin)
+    },
+
+    QueryDef(
+      "q_cypher_filter_props",
+      """SELECT c_custkey AS ck
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND (c_acctbal > 8000.0 OR c_acctbal < 100.0)
+        |ORDER BY ck NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (c:Customer {category: 'BUILDING'})
+          |WHERE c.acctbal > 8000.0 OR c.acctbal < 100.0
+          |RETURN id(c) - 4000000000000 AS ck
+          |ORDER BY ck""".stripMargin)
+    },
+
+    QueryDef(
+      "q_cypher_varlen",
+      """WITH RECURSIVE dag AS (
+        |  SELECT a.p_partkey AS src, b.p_partkey AS dst
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |),
+        |walk(src, dst, hops) AS (
+        |  SELECT src, dst, 1 FROM dag WHERE src BETWEEN 1 AND 3
+        |  UNION ALL
+        |  SELECT w.src, d.dst, w.hops + 1 FROM walk w JOIN dag d ON d.src = w.dst
+        |  WHERE w.hops < 2
+        |)
+        |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+        |       count(*) AS n_walks
+        |FROM walk GROUP BY src, dst
+        |ORDER BY src NULLS FIRST, dst NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph.partDag(s, dir)).cypher(
+        """MATCH (a:Part)-[:LINK*1..2]->(b:Part)
+          |WHERE id(a) >= 1 AND id(a) <= 3
+          |RETURN id(a) AS src, id(b) AS dst, count(*) AS n_walks
+          |ORDER BY src, dst""".stripMargin)
+    },
+
+    QueryDef(
+      "q_cypher_unwind",
+      """SELECT y FROM (SELECT 2 * unnest([1, 2, 3, 4, 5]) AS y) ORDER BY y NULLS FIRST""") { (s, dir) =>
+      new GraftSession(s, TpchGraph.partDag(s, dir)).cypher(
+        "UNWIND [1, 2, 3, 4, 5] AS x RETURN 2 * x AS y ORDER BY y")
+    },
+
+    QueryDef(
+      "q_cypher_distinct_limit",
+      """SELECT DISTINCT c_mktsegment AS seg FROM customer
+        |ORDER BY seg NULLS FIRST LIMIT 3""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (c:Customer)
+          |RETURN DISTINCT c.category AS seg
+          |ORDER BY seg LIMIT 3""".stripMargin)
+    },
+  )
+}

@@ -5,4 +5,4 @@ object GraphQueries { def defs: Seq[QueryDef] = GraphQueriesImpl.defs }
 object VectorQueries { def defs: Seq[QueryDef] = Seq.empty }
 object PipelineQueries { def defs: Seq[QueryDef] = Seq.empty }
 object AlgoQueries { def defs: Seq[QueryDef] = Seq.empty }
-object CypherQueries { def defs: Seq[QueryDef] = Seq.empty }
+object CypherQueries { def defs: Seq[QueryDef] = CypherQueriesImpl.defs }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.frontends.cypher.{Ast, CypherFrontend}
+import graft.graph.{Out, PropertyGraph, TpchGraph}
+import graft.ir.{Expr, Op}
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+}
+
+class CypherParserSpec extends AnyFunSuite {
+
+  test("parses node pattern with label and props") {
+    val q = CypherFrontend.parse("MATCH (c:Customer {category: 'BUILDING'}) RETURN c.name AS n")
+    val m = q.clauses.head.asInstanceOf[Ast.MatchClause]
+    assert(m.paths.head.head.v.contains("c"))
+    assert(m.paths.head.head.label.contains("Customer"))
+    assert(m.paths.head.head.props == Seq(("category", Expr.Lit("BUILDING"))))
+  }
+
+  test("parses relationship direction and var-length range") {
+    val q = CypherFrontend.parse("MATCH (a)-[:LINK*2..4]->(b) RETURN id(a) AS x")
+    val m = q.clauses.head.asInstanceOf[Ast.MatchClause]
+    val (rel, _) = m.paths.head.tail.head
+    assert(rel.relType.contains("LINK"))
+    assert(rel.range.contains((2, 4)))
+    assert(rel.dir == Out)
+  }
+
+  test("parses operator precedence") {
+    val q = CypherFrontend.parse("RETURN 1 + 2 * 3 AS x")
+    val r = q.clauses.head.asInstanceOf[Ast.WithRet]
+    assert(r.items.head._1 ==
+      Expr.Bin("+", Expr.Lit(1L), Expr.Bin("*", Expr.Lit(2L), Expr.Lit(3L))))
+  }
+
+  test("parses WHERE with AND/OR/NOT, IN, STARTS WITH") {
+    val q = CypherFrontend.parse(
+      "MATCH (c) WHERE (c.a > 1 AND NOT c.b = 2) OR c.s STARTS WITH 'x' OR c.k IN [1,2] RETURN c.a AS a")
+    assert(q.clauses.head.asInstanceOf[Ast.MatchClause].where.isDefined)
+  }
+
+  test("translate produces aggregate for RETURN with count") {
+    val op = CypherFrontend.translate(
+      CypherFrontend.parse("MATCH (c:Customer) RETURN c.category AS seg, count(*) AS n"))
+    def hasAgg(t: Op.T): Boolean = t match {
+      case Op.Aggregate(_, keys, aggs) => keys.nonEmpty && aggs.nonEmpty
+      case Op.Project(in, _) => hasAgg(in)
+      case _ => false
+    }
+    assert(hasAgg(op))
+  }
+
+  test("rejects malformed queries") {
+    assertThrows[IllegalArgumentException](CypherFrontend.parse("MATCH (a RETURN a"))
+    assertThrows[IllegalArgumentException](CypherFrontend.parse("RETURN"))
+    assertThrows[IllegalArgumentException](CypherFrontend.parse("MATCH (a)-[*]->(b) RETURN a"))
+  }
+}
+
+class CypherEndToEndSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val session = new GraftSession(spark, TpchGraph(spark, sf))
+
+  test("simple match + filter + return") {
+    val rows = session.cypher(
+      "MATCH (c:Customer) WHERE c.acctbal > 9000.0 RETURN c.name AS n ORDER BY n")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+  }
+
+  test("expand matches SQL join") {
+    val got = session.cypher(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |RETURN n.name AS nat, count(*) AS cnt ORDER BY nat""".stripMargin).collect()
+    val exp = spark.read.parquet(s"$sf/customer.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        org.apache.spark.sql.functions.col("c_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .groupBy("n_name").count().orderBy("n_name").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      exp.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("unwind with arithmetic") {
+    val rows = session.cypher("UNWIND [1,2,3] AS x RETURN x * 10 AS y ORDER BY y").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("distinct + skip + limit") {
+    val rows = session.cypher(
+      "MATCH (c:Customer) RETURN DISTINCT c.category AS seg ORDER BY seg SKIP 1 LIMIT 2").collect()
+    assert(rows.length == 2)
+  }
+
+  test("case expression") {
+    val rows = session.cypher(
+      """MATCH (c:Customer) RETURN c.name AS n,
+        |CASE WHEN c.acctbal > 5000.0 THEN 'hi' ELSE 'lo' END AS band
+        |ORDER BY n LIMIT 5""".stripMargin).collect()
+    assert(rows.forall(r => Set("hi", "lo").contains(r.getString(1))))
+  }
+}
+
+class GraphOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  lazy val dag: PropertyGraph = TpchGraph.partDag(spark, sf)
+
+  test("varLengthExpand bag semantics counts all walks") {
+    val src = dag.nodes.filter(col("id") === 1).select(col("id").as("s"))
+    val walks = dag.varLengthExpand(src, "s", Some("LINK"), 1, 2).collect()
+    // from 1: hop1 = {2 (tree), 3 (tree), 2 (chain)} → 2 appears twice
+    val hop1 = walks.filter(_.getInt(2) == 1).map(_.getLong(1)).sorted
+    assert(hop1.toSeq == Seq(2L, 2L, 3L))
+  }
+
+  test("bfs returns minimal distances") {
+    val src = dag.nodes.filter(col("id") === 1).select(col("id").as("s"))
+    val d = dag.bfs(src, "s", Some("LINK"), maxDepth = 3).collect()
+      .map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(d(2) == 1) // direct (both chain and tree edge)
+    assert(d(3) == 1)
+    assert(d(4) == 2) // 1→2→4
+    assert(d(7) == 2) // 1→3→7
+  }
+
+  test("degrees sums in and out") {
+    val g = TpchGraph(spark, sf)
+    val deg = g.degrees.filter(col("id") === TpchGraph.RegionTag * TpchGraph.Stride)
+      .collect().head
+    assert(deg.getLong(1) == 0L) // region 0 has no out-edges
+    assert(deg.getLong(2) > 0L)  // nations point at it
+  }
+}
