@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Everything is shaped for scale: shingling
+  * and signatures are per-row column expressions (codegen, no explode of the
+  * shingle set), candidate generation is an equi-join on band keys, and only
+  * candidates are verified.
+  */
+object Dedup {
+
+  /** Exact dedup (hash group-by): one row per duplicate group with the
+    * canonical (minimum) id and the group size.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep"), count(lit(1)).as("n"))
+
+  /** Word n-gram shingles as a distinct array (empty when too few words). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    array_distinct(
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+        .otherwise(array()))
+  }
+
+  /** Exact Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  // Seeded universal-hash parameters for MinHash: h_i(x) = (a_i·x + b_i) mod p.
+  private val P = 2147483647L // 2^31 - 1 (prime)
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
+      rnd.nextInt(Int.MaxValue).toLong).map { case (a, b) => (a, b) }
+  }
+
+  /** MinHash signature (length numHashes) over word n-gram shingles.
+    * Base hash is Spark's xxhash64 (deterministic, codegen'd); each h_i is a
+    * universal-hash permutation estimate. Entirely per-row expressions —
+    * no shuffle to build signatures.
+    */
+  def minHashSignature(text: Column, n: Int, numHashes: Int,
+      seed: Long = 42L): Column = {
+    val grams = shingles(text, n)
+    val hs = transform(grams, g => pmod(xxhash64(g), lit(P)))
+    val mins = hashParams(numHashes, seed).map { case (a, b) =>
+      when(size(hs) > 0,
+        array_min(transform(hs, h => pmod(h * a + b, lit(P))))).otherwise(lit(P))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH band keys: the signature cut into `bands` bands of rows hashed to
+    * one key each; two docs collide if any band matches.
+    */
+  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    array((0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, bIdx * r + 1, r), _.cast("string")))).as("key"))
+    }: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs: signature → band keys → band-key
+    * equi-join for candidates → exact Jaccard verification at `threshold`.
+    * Returns (id1, id2, jac) with id1 < id2.
+    *
+    * Scale shape: the only shuffles are the band-key self-join (candidates,
+    * not all pairs) and the final distinct; verification re-joins the two
+    * shingle arrays by id.
+    */
+  def minHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val withSig = df.select(
+      col(idCol).as("__id"),
+      shingles(col(textCol), n).as("__grams"),
+      minHashSignature(col(textCol), n, numHashes, seed).as("__sig"))
+    val banded = withSig.select(col("__id"),
+      explode(bandKeys(col("__sig"), numHashes, bands)).as("__bk"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), col("l.__bk") === col("r.__bk") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
+      .distinct()
+    val g1 = withSig.select(col("__id").as("id1"), col("__grams").as("__g1"))
+    val g2 = withSig.select(col("__id").as("id2"), col("__grams").as("__g2"))
+    candidates.join(g1, "id1").join(g2, "id2")
+      .select(col("id1"), col("id2"),
+        round(jaccard(col("__g1"), col("__g2")), 6).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** 64-bit SimHash over words: bit i of the fingerprint is the sign of the
+    * sum over words of ±1 according to bit i of xxhash64(word).
+    */
+  def simHash64(text: Column): Column = {
+    val hs = transform(split(text, " "), w => xxhash64(w))
+    (0 until 64).map { i =>
+      val bitSum = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bitSum >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

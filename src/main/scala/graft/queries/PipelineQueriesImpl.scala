@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Training-data pipeline operator coverage: dedup (exact / MinHash-LSH /
+  * n-gram Jaccard), text analysis (tokens, quality, language ID,
+  * fingerprint). Formulas are written identically in Spark and the oracle.
+  */
+object PipelineQueriesImpl {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: the corpus unioned with a shifted copy of itself must
+    // collapse back to one row per text with the minimum id kept.
+    QueryDef(
+      "q_dedup_exact",
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |)
+        |SELECT min(doc_id) AS keep, count(*) AS n
+        |FROM d GROUP BY text
+        |ORDER BY keep NULLS FIRST""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exact(doubled, Seq("text"), "doc_id")
+        .select("keep", "n")
+        .orderBy("keep")
+    },
+
+    // Word-set (unigram) Jaccard similarity join >= 0.8.
+    QueryDef(
+      "q_word_jaccard",
+      """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents WHERE doc_id < 40),
+        |s AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n
+        |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT d1, d2, round(n * 1.0 / (x.sz + y.sz - n), 6) AS jac
+        |FROM i JOIN s x ON i.d1 = x.doc_id JOIN s y ON i.d2 = y.doc_id
+        |WHERE n * 1.0 / (x.sz + y.sz - n) >= 0.8
+        |ORDER BY d1 NULLS FIRST, d2 NULLS FIRST""".stripMargin) { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .distinct()
+      val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = words.as("a")
+        .join(words.as("b"),
+          col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .withColumn("jacRaw",
+          col("n") * lit(1.0) / (col("sz1") + col("sz2") - col("n")))
+        .filter(col("jacRaw") >= 0.8)
+        .select(col("d1"), col("d2"), round(col("jacRaw"), 6).as("jac"))
+        .orderBy("d1", "d2")
+    },
+
+    // Corpus statistics per (lang, source).
+    QueryDef(
+      "q_doc_stats",
+      """SELECT lang, source, count(*) AS n,
+        |       round(avg(n_chars), 4) AS avg_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy("lang", "source")
+    },
+
+    // Per-document quality metrics (token count, mean word length, stopword
+    // ratio, composite score).
+    QueryDef(
+      "q_text_quality",
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS tokens,
+        |       round(list_sum(list_transform(string_split(text, ' '), w -> length(w))) * 1.0
+        |             / greatest(len(string_split(text, ' ')), 1), 6) AS awl,
+        |       round(list_sum(list_transform(string_split(text, ' '),
+        |             w -> CASE WHEN w IN ('the','a','of','and','to','in','is','it','for','on') THEN 1 ELSE 0 END)) * 1.0
+        |             / greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio,
+        |       round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+        |             + (list_sum(list_transform(string_split(text, ' '),
+        |                w -> CASE WHEN w IN ('the','a','of','and','to','in','is','it','for','on') THEN 1 ELSE 0 END)) * 1.0
+        |                / greatest(len(string_split(text, ' ')), 1)) * 0.3
+        |             + least((list_sum(list_transform(string_split(text, ' '), w -> length(w))) * 1.0
+        |                / greatest(len(string_split(text, ' ')), 1)) / 10.0, 1.0) * 0.2, 6) AS quality
+        |FROM documents
+        |WHERE doc_id < 60
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("tokens"),
+          round(TextAnalysis.avgWordLen(col("text")), 6).as("awl"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Heuristic language ID via marker lexicons, cross-tabbed against the
+    // dataset's own lang column.
+    QueryDef(
+      "q_langid",
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    list_sum(list_transform(string_split(text,' '), w -> CASE WHEN w IN ('the','and','for','with') THEN 1 ELSE 0 END)) AS c_en,
+        |    list_sum(list_transform(string_split(text,' '), w -> CASE WHEN w IN ('der','und','das','ein') THEN 1 ELSE 0 END)) AS c_de,
+        |    list_sum(list_transform(string_split(text,' '), w -> CASE WHEN w IN ('el','los','que','una') THEN 1 ELSE 0 END)) AS c_es,
+        |    list_sum(list_transform(string_split(text,' '), w -> CASE WHEN w IN ('le','les','des','une') THEN 1 ELSE 0 END)) AS c_fr
+        |  FROM documents WHERE doc_id < 80)
+        |SELECT doc_id, lang,
+        |  CASE WHEN c_en >= greatest(c_en, c_de, c_es, c_fr) AND c_en > 0 THEN 'en'
+        |       WHEN c_de >= greatest(c_en, c_de, c_es, c_fr) AND c_de > 0 THEN 'de'
+        |       WHEN c_es >= greatest(c_en, c_de, c_es, c_fr) AND c_es > 0 THEN 'es'
+        |       WHEN c_fr >= greatest(c_en, c_de, c_es, c_fr) AND c_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS guessed
+        |FROM scored
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 80)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("guessed"))
+        .orderBy("doc_id")
+    },
+
+    // Order-sensitive document fingerprint (rolling-hash style).
+    QueryDef(
+      "q_fingerprint",
+      """SELECT doc_id,
+        |       CAST(list_sum(list_transform(range(len(string_split(text, ' '))),
+        |         i -> (i + 1) * length(string_split(text, ' ')[i + 1]) * (1 + (i * 7) % 13)))
+        |         % 2147483647 AS BIGINT) AS fp
+        |FROM documents
+        |WHERE doc_id < 60
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // MinHash-LSH near-duplicates: approximate candidate generation → exact
+    // Jaccard verify. The signature/banding step is engine-specific (xxhash64)
+    // so the driver check is rows-only; DedupSpec asserts planted-dup recall
+    // and candidate⊆verified soundness.
+    QueryDef.noOracle("q_minhash_neardup") { (s, dir) =>
+      Dedup.minHashNearDuplicates(
+          Tables.documents(s, dir).filter(col("doc_id") < 200),
+          "doc_id", "text", n = 2, numHashes = 16, bands = 8, threshold = 0.5)
+        .orderBy("id1", "id2")
+    },
+  )
+}

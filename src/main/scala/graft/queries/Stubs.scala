@@ -2,7 +2,7 @@ package graft.queries
 
 /** Area stubs — filled in as their operators land (SURVEY.md §7.4). */
 object GraphQueries { def defs: Seq[QueryDef] = GraphQueriesImpl.defs }
-object VectorQueries { def defs: Seq[QueryDef] = Seq.empty }
-object PipelineQueries { def defs: Seq[QueryDef] = Seq.empty }
+object VectorQueries { def defs: Seq[QueryDef] = VectorQueriesImpl.defs }
+object PipelineQueries { def defs: Seq[QueryDef] = PipelineQueriesImpl.defs }
 object AlgoQueries { def defs: Seq[QueryDef] = Seq.empty }
 object CypherQueries { def defs: Seq[QueryDef] = CypherQueriesImpl.defs }

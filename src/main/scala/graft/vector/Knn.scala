@@ -1,0 +1,148 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** k-NN over an embedding column (SURVEY §2.7; reference VectorScan /
+  * VectorJoin plan.rs:752-838, scan_vector.rs, vector_join.rs, HNSW in
+  * index/vector/hnsw.rs).
+  *
+  * Spark has no ANN built-in; the parity path is brute force (the reference's
+  * own fallback) with a 100-TB-shaped plan, plus an LSH-bucketed approximate
+  * variant as the scale path.
+  */
+object Knn {
+
+  sealed trait Metric
+  case object Cosine extends Metric
+  case object Euclidean extends Metric
+  case object Dot extends Metric
+  case object Manhattan extends Metric
+
+  def score(metric: Metric, a: Column, b: Column): Column = metric match {
+    case Cosine    => cosineSimilarity(a, b)
+    case Euclidean => -euclideanDistance(a, b) // higher = closer, uniformly
+    case Dot       => dotProduct(a, b)
+    case Manhattan => -manhattanDistance(a, b)
+  }
+
+  /** Bounded top-k accumulator: keeps the k best (score desc, id asc) pairs.
+    * As a Spark `Aggregator` it gets map-side partial aggregation for free —
+    * each task ships at most k rows per group to the shuffle, which is what
+    * makes brute-force k-NN viable on a large corpus (the shuffle is
+    * O(queries × k), not O(queries × corpus)).
+    */
+  final class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def prune(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (sc, id) => (-sc, id) }.take(k)
+    def zero: Seq[(Double, Long)] = Seq.empty
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      if (b.size >= k && b.last._1 > a._1) b else prune(b :+ a)
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      prune(x ++ y)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = prune(r)
+    def bufferEncoder = ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder = ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** VectorJoin (plan.rs:809-838): for every row of `queries`, the top-k
+    * corpus neighbors by `metric`. Queries are broadcast (the small side);
+    * the corpus streams; the per-query candidate set is pruned map-side by
+    * TopKAgg before the single shuffle on qid.
+    *
+    * Scores are rounded to 6 decimals *before* ranking so the (score, id)
+    * order is reproducible across engines; ties break on ascending id.
+    * Returns (qid, nid, score, rank).
+    */
+  def bruteForceTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, metric: Metric = Cosine, excludeSelf: Boolean = true): DataFrame = {
+    val topk = udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
+    val q = queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"))
+    val c = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nvec"))
+    val pairs = c.crossJoin(broadcast(q))
+    val filtered = if (excludeSelf) pairs.filter(col("__qid") =!= col("__nid")) else pairs
+    filtered
+      .select(col("__qid"), col("__nid"),
+        round(score(metric, col("__qvec"), col("__nvec")), 6).as("__score"))
+      .groupBy("__qid")
+      .agg(topk(col("__score"), col("__nid")).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
+      .select(
+        col("__qid").as("qid"), col("__sn._2").as("nid"),
+        col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+  }
+
+  /** Random-hyperplane LSH bucketing (the scale path; stands in for the
+    * reference's HNSW index at cluster scale). Deterministic hyperplanes from
+    * a fixed seed; vectors land in `tables` buckets of `bits`-bit signatures;
+    * neighbor search only scores within-bucket candidates.
+    */
+  def lshBuckets(df: DataFrame, vecCol: String, dim: Int,
+      bits: Int = 12, tables: Int = 3, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Seq[Double]]] = // [table][bit][dim]
+      Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
+    val sigs = planes.zipWithIndex.map { case (tbl, t) =>
+      val bitCols = tbl.map { plane =>
+        val planeCol = array(plane.map(lit): _*)
+        (aggregate(zip_with(col(vecCol), planeCol, (x, p) => x.cast("double") * p),
+          lit(0.0), _ + _) >= 0).cast("int")
+      }
+      val sig = bitCols.zipWithIndex
+        .map { case (b, i) => b * lit(1 << i) }
+        .reduce(_ + _)
+      struct(lit(t).as("table"), sig.as("sig"))
+    }
+    df.withColumn("__buckets", array(sigs: _*))
+  }
+
+  /** Approximate top-k: bucket both sides with the same hyperplanes, score
+    * only bucket-colliding pairs (any of `tables` tables), then global
+    * per-query top-k. Recall < 1; throughput at scale is
+    * O(collisions) instead of O(|q|·|corpus|).
+    */
+  def lshTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, metric: Metric = Cosine,
+      bits: Int = 12, tables: Int = 3, seed: Long = 42L): DataFrame = {
+    val qb = lshBuckets(
+      queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec")),
+      "__qvec", dim, bits, tables, seed)
+      .select(col("__qid"), col("__qvec"), explode(col("__buckets")).as("__b"))
+    val cb = lshBuckets(
+      corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nvec")),
+      "__nvec", dim, bits, tables, seed)
+      .select(col("__nid"), col("__nvec"), explode(col("__buckets")).as("__b"))
+    val topk = udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
+    cb.join(broadcast(qb), Seq("__b"))
+      .filter(col("__qid") =!= col("__nid"))
+      .select(col("__qid"), col("__nid"),
+        round(score(metric, col("__qvec"), col("__nvec")), 6).as("__score"))
+      .distinct() // a pair may collide in several tables
+      .groupBy("__qid")
+      .agg(topk(col("__score"), col("__nid")).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
+      .select(
+        col("__qid").as("qid"), col("__sn._2").as("nid"),
+        col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs (cosine >= threshold, id1 < id2) — the
+    * embedding-based dedup primitive.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("__v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("__v2"))
+    a.crossJoin(b)
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosineSimilarity(col("__v1"), col("__v2")), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Dedup, Multimodal, TextAnalysis}
+import graft.vector.Knn
+
+class KnnSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("TopKAgg keeps k best with deterministic tie-break") {
+    val df = Seq((1L, 0.9, 10L), (1L, 0.9, 5L), (1L, 0.5, 7L), (1L, 0.99, 2L))
+      .toDF("q", "s", "id")
+    val topk = udaf(new Knn.TopKAgg(2),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val out = df.groupBy("q")
+      .agg(topk($"s", $"id").as("t"))
+      .select(explode($"t")).collect()
+      .map(r => (r.getStruct(0).getDouble(0), r.getStruct(0).getLong(1)))
+    assert(out.toSeq == Seq((0.99, 2L), (0.9, 5L)))
+  }
+
+  test("brute-force knn is self-consistent and ranked") {
+    val res = Knn.bruteForceTopK(
+      emb.filter($"vec_id" < 3), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 4).collect()
+    assert(res.length == 12)
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse, "scores descend with rank")
+    }
+  }
+
+  test("lsh knn recall vs brute force is reasonable") {
+    val brute = Knn.bruteForceTopK(emb.filter($"vec_id" < 10), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Knn.lshTopK(emb.filter($"vec_id" < 10), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, dim = 64, bits = 4, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("minhash finds planted near-duplicate") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("pi", "phi")), // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "completely different words entirely unrelated content here now")
+    ).toDF("id", "text")
+    val pairs = Dedup.minHashNearDuplicates(docs, "id", "text",
+      n = 2, numHashes = 16, bands = 8, threshold = 0.3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(1) == 4L || r.getLong(0) == 4L))
+  }
+
+  test("minhash jaccard matches exact jaccard formula") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("id", "text")
+    val pairs = Dedup.minHashNearDuplicates(docs, "id", "text",
+      n = 2, numHashes = 16, bands = 16, threshold = 0.0).collect()
+    // 2-gram sets: {ab,bc,cd,de,ef} vs {ab,bc,cd,de,eg}: |∩|=4, |∪|=6
+    assert(pairs.length == 1)
+    assert(math.abs(pairs.head.getDouble(2) - 4.0 / 6.0) < 1e-6)
+  }
+
+  test("simhash of near-identical texts has small hamming distance") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "entirely unrelated vocabulary describing something else wholly")
+    ).toDF("id", "text")
+    val hashed = docs.select($"id", Dedup.simHash64($"text").as("h"))
+    val m = hashed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+    assert(ham(m(1L), m(2L)) <= 16)
+  }
+
+  test("exact dedup keeps min id") {
+    val df = Seq((5L, "x"), (3L, "x"), (9L, "y")).toDF("id", "t")
+    val out = Dedup.exact(df, Seq("t"), "id").orderBy("keep").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((3L, 2L), (9L, 1L)))
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("token metrics on a known sentence") {
+    val df = Seq((1L, "the cat sat on a mat")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.avgWordLen($"text"),
+      TextAnalysis.stopwordRatio($"text")).collect().head
+    assert(r.getInt(0) == 6)
+    assert(math.abs(r.getDouble(1) - 15.0 / 6) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 3.0 / 6) < 1e-9) // the, on, a
+  }
+
+  test("langId picks marker language, und when none") {
+    val df = Seq(
+      (1L, "der hund und das haus"),
+      (2L, "the house and the dog"),
+      (3L, "zzz qqq www")).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.langId($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "de")
+    assert(out(2L) == "en")
+    assert(out(3L) == "und")
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq((1L, "aa bbb c"), (2L, "c bbb aa")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("feature extraction is deterministic with fixed dim") {
+    val media = Multimodal.documentsAsMedia(spark, sf).limit(10)
+    val f1 = Multimodal.extractFeatures(media, 16).collect().sortBy(_.id)
+    val f2 = Multimodal.extractFeatures(media, 16).collect().sortBy(_.id)
+    assert(f1.length == 10)
+    assert(f1.forall(_.features.length == 16))
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+  }
+
+  test("frame sampling slices payload") {
+    val media = Multimodal.documentsAsMedia(spark, sf).limit(3).toDF()
+    val frames = Multimodal.sampleFrames(media, "id", "bytes", frameSize = 16, everyN = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getInt(1) % 2 == 0))
+  }
+}
