@@ -1,0 +1,139 @@
+package graft.algos
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.graphx.lib.{LabelPropagation, ShortestPaths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** Graph algorithms (SURVEY §2.6; reference
+  * crates/grafeo-adapters/src/plugins/algorithms/) over the property graph —
+  * GraphX/Pregel for the iterative ones, plain DataFrame loops where a
+  * deterministic, oracle-checkable fixed-iteration form is wanted.
+  *
+  * Scale notes: GraphX partitions edges across the cluster (Pregel is the
+  * reference's morsel loop, distributed); the DataFrame variants persist each
+  * iteration's state and never materialize on the driver.
+  */
+object Algos {
+
+  /** PropertyGraph → GraphX graph (vertex attr = 1.0, edge attr = weight). */
+  def toGraphX(g: PropertyGraph): Graph[Double, Double] = {
+    val vertices = g.nodes.select(col("id")).rdd
+      .map(r => (r.getLong(0): VertexId, 1.0))
+    val edges = g.edges.select(col("src"), col("dst"),
+        coalesce(col("weight"), lit(1.0)).cast("double")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Graph(vertices, edges)
+  }
+
+  /** PageRank, GraphX built-in (reference centrality.rs:135). */
+  def pageRankX(spark: SparkSession, g: PropertyGraph, iters: Int,
+      resetProb: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    toGraphX(g).staticPageRank(iters, resetProb)
+      .vertices.map { case (id, r) => (id, r) }.toDF("id", "rank")
+  }
+
+  /** PageRank as a deterministic fixed-iteration DataFrame loop —
+    * r_{t+1}(v) = reset + damping · Σ_{u→v} r_t(u)/outdeg(u) — the form the
+    * DuckDB oracle mirrors with an unrolled CTE chain. Out-degrees are
+    * computed once and re-joined per iteration (one shuffle per iteration,
+    * the minimum for topology-changing aggregation).
+    */
+  def pageRankDF(g: PropertyGraph, iters: Int, damping: Double = 0.85): DataFrame = {
+    val nodes = g.nodes.select(col("id")).distinct().persist()
+    val edges = g.edges.select(col("src"), col("dst")).persist()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("d")).as("c"))
+      ranks = nodes.join(contribs, Seq("id"), "left_outer")
+        .groupBy("id")
+        .agg((lit(1.0 - damping) + lit(damping) * coalesce(sum(col("c")), lit(0.0))).as("rank"))
+        .localCheckpoint() // truncate lineage: plan depth stays O(1) per iteration
+    }
+    ranks
+  }
+
+  /** Connected components via GraphX (reference components.rs:95) —
+    * small-star/large-star style label convergence; returns the minimum
+    * vertex id per component (GraphX contract).
+    */
+  def connectedComponents(spark: SparkSession, g: PropertyGraph): DataFrame = {
+    import spark.implicits._
+    toGraphX(g).connectedComponents()
+      .vertices.map { case (id, c) => (id, c) }.toDF("id", "component")
+  }
+
+  /** Triangle counts per vertex via GraphX (reference clustering.rs:130). */
+  def triangleCounts(spark: SparkSession, g: PropertyGraph): DataFrame = {
+    import spark.implicits._
+    toGraphX(g).partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+      .triangleCount()
+      .vertices.map { case (id, n) => (id, n.toLong) }.toDF("id", "triangles")
+  }
+
+  /** Label propagation (reference community.rs:39). Synchronous LPA; label
+    * oscillation possible on bipartite-ish structure — callers treat the
+    * output as community hints, not stable ids (same caveat as the
+    * reference).
+    */
+  def labelPropagation(spark: SparkSession, g: PropertyGraph, iters: Int): DataFrame = {
+    import spark.implicits._
+    LabelPropagation.run(toGraphX(g), iters)
+      .vertices.map { case (id, l) => (id, l) }.toDF("id", "label")
+  }
+
+  /** Single-source shortest paths with edge weights, bounded Bellman-Ford
+    * via GraphX Pregel (reference shortest_path.rs:99 Dijkstra /
+    * :346 Bellman-Ford). `maxHops` bounds path length (and Pregel
+    * supersteps); the oracle enumerates the same bounded walk space.
+    */
+  def sssp(spark: SparkSession, g: PropertyGraph, source: Long,
+      maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val graph = toGraphX(g).mapVertices((id, _) =>
+      if (id == source) 0.0 else Double.PositiveInfinity)
+    val result = graph.pregel(Double.PositiveInfinity, maxIterations = maxHops)(
+      (_, dist, msg) => math.min(dist, msg),
+      triplet =>
+        if (triplet.srcAttr + triplet.attr < triplet.dstAttr)
+          Iterator((triplet.dstId, triplet.srcAttr + triplet.attr))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    result.vertices
+      .filter { case (_, d) => !d.isInfinite }
+      .map { case (id, d) => (id, d) }.toDF("id", "dist")
+  }
+
+  /** k-core decomposition (reference structure.rs:282): iteratively drop
+    * vertices with undirected degree < k until fixpoint. DataFrame loop;
+    * each iteration is one aggregation + one semi-join.
+    */
+  def kCore(g: PropertyGraph, k: Int, maxIters: Int = 100): DataFrame = {
+    val und = g.edges.select(col("src"), col("dst"))
+      .unionByName(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var alive = und.select(col("src").as("id")).distinct().localCheckpoint()
+    var changed = true
+    var i = 0
+    while (changed && i < maxIters) {
+      val e = und
+        .join(alive.withColumnRenamed("id", "src"), "src")
+        .join(alive.select(col("id").as("dst")), "dst")
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("id"))
+        .localCheckpoint() // lineage truncation (see PropertyGraph notes)
+      val nKeep = keep.count()
+      changed = nKeep != alive.count()
+      alive = keep
+      i += 1
+    }
+    alive
+  }
+}

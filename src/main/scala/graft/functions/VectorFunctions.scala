@@ -13,22 +13,19 @@ import org.apache.spark.sql.functions._
   * CAST(… AS DOUBLE[]) semantics.
   */
 object VectorFunctions {
+  import VectorExpressions.{vecDot, vecL1, vecL2Sq}
 
-  private def toD(c: Column): Column = transform(c, _.cast("double"))
+  /** Σ aᵢ·bᵢ — left-to-right accumulation in double (native codegen loop,
+    * see VectorExpressions).
+    */
+  def dotProduct(a: Column, b: Column): Column = vecDot(a, b)
 
-  /** Σ aᵢ·bᵢ — left-to-right accumulation in double. */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(toD(a), toD(b), _ * _), lit(0.0), _ + _)
-
-  def norm(a: Column): Column = sqrt(dotProduct(a, a))
+  def norm(a: Column): Column = sqrt(vecDot(a, a))
 
   def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (norm(a) * norm(b))
+    vecDot(a, b) / (norm(a) * norm(b))
 
-  def euclideanDistance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(toD(a), toD(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), _ + _))
+  def euclideanDistance(a: Column, b: Column): Column = sqrt(vecL2Sq(a, b))
 
-  def manhattanDistance(a: Column, b: Column): Column =
-    aggregate(zip_with(toD(a), toD(b), (x, y) => abs(x - y)), lit(0.0), _ + _)
+  def manhattanDistance(a: Column, b: Column): Column = vecL1(a, b)
 }

@@ -75,22 +75,24 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
         .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
     })
+    val ep = e.persist()
     var frontier = sources.select(col(srcCol).as("__origin"), col(srcCol).as("__cur"))
     var acc: Option[DataFrame] = None
-    var prev: Option[DataFrame] = None
     var i = 1
     var exhausted = false
     while (i <= maxHops && !exhausted) {
-      frontier = frontier.join(e, col("__cur") === col("__s"))
+      // localCheckpoint truncates the logical plan: without it the plan (and
+      // driver-side analysis time) grows exponentially with the hop count.
+      // On a multi-node cluster prefer reliable checkpoint() for fault
+      // tolerance; the shape is identical.
+      frontier = frontier.join(ep, col("__cur") === col("__s"))
         .select(col("__origin"), col("__d").as("__cur"))
-        .persist()
+        .localCheckpoint()
       if (frontier.isEmpty) { exhausted = true }
       else {
         val step = frontier.withColumn("hops", lit(i))
         if (i >= minHops) acc = Some(acc.map(_.unionByName(step)).getOrElse(step))
       }
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(frontier)
       i += 1
     }
     acc.map(_.select(col("__origin").as(srcCol), col("__cur").as("dst"), col("hops")))
@@ -117,24 +119,26 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
         .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
     })
+    val ep = e.persist()
     var visited = sources
       .select(col(srcCol).as("__origin"), col(srcCol).as("__node"), lit(0).as("dist"))
-      .persist()
+      .localCheckpoint()
     var frontier = visited
     var i = 1
     var done = false
     while (i <= maxDepth && !done) {
-      var next = frontier.join(e, col("__node") === col("__s"))
+      var next = frontier.join(ep, col("__node") === col("__s"))
         .select(col("__origin"), col("__d").as("__node"))
         .distinct()
       filterNodes.foreach(p => next = next.filter(p))
+      // lineage truncation per level — see varLengthExpand note
       val fresh = next
         .join(visited.select("__origin", "__node"), Seq("__origin", "__node"), "left_anti")
         .withColumn("dist", lit(i))
-        .persist()
+        .localCheckpoint()
       if (fresh.isEmpty) done = true
       else {
-        visited = visited.unionByName(fresh).persist()
+        visited = visited.unionByName(fresh).localCheckpoint()
         frontier = fresh
       }
       i += 1

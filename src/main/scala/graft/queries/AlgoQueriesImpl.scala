@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.algos.Algos
+import graft.core.Tables
+import graft.graph.{PropertyGraph, TpchGraph}
+
+/** Graph-algorithm coverage (SURVEY §2.6) with deterministic SQL oracles:
+  * PageRank via an unrolled fixed-iteration CTE, connected components via
+  * the gaps-and-islands trick on a chain graph, triangles via 3-way
+  * self-join, bounded weighted SSSP via walk enumeration.
+  */
+object AlgoQueriesImpl {
+
+  private val DagSql =
+    """dag AS (
+      |  SELECT a.p_partkey AS src, b.p_partkey AS dst
+      |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+      |  UNION ALL
+      |  SELECT a.p_partkey, b.p_partkey
+      |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+      |  UNION ALL
+      |  SELECT a.p_partkey, b.p_partkey
+      |  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+      |)""".stripMargin
+
+  /** One PageRank iteration as SQL, from table `prev` to the select list. */
+  private def prIter(prev: String): String =
+    s"""SELECT n.id AS id,
+       |       0.15 + 0.85 * coalesce(sum($prev.rank / o.d), 0) AS rank
+       |FROM nodes n
+       |LEFT JOIN dag e ON e.dst = n.id
+       |LEFT JOIN $prev ON $prev.id = e.src
+       |LEFT JOIN outdeg o ON o.src = e.src
+       |GROUP BY n.id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // PageRank, 3 fixed iterations (reference centrality.rs:135; bench
+    // baseline performance.md:93). DataFrame loop ≡ unrolled CTE chain.
+    QueryDef(
+      "q_pagerank",
+      s"""WITH $DagSql,
+        |nodes AS (SELECT CAST(p_partkey AS BIGINT) AS id FROM part),
+        |outdeg AS (SELECT src, count(*) AS d FROM dag GROUP BY src),
+        |r0 AS (SELECT id, 1.0 AS rank FROM nodes),
+        |r1 AS (${prIter("r0")}),
+        |r2 AS (${prIter("r1")}),
+        |r3 AS (${prIter("r2")})
+        |SELECT id, round(rank, 6) AS rank FROM r3
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      Algos.pageRankDF(TpchGraph.partDag(s, dir), iters = 3)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
+    },
+
+    // Connected components (components.rs:95) on the same-brand chain graph;
+    // oracle = gaps-and-islands (component = min key of each consecutive
+    // same-brand run).
+    QueryDef(
+      "q_connected_components",
+      """SELECT CAST(p_partkey AS BIGINT) AS id,
+        |       CAST(min(p_partkey) OVER (PARTITION BY p_brand, p_partkey - rn) AS BIGINT) AS component
+        |FROM (SELECT p_partkey, p_brand,
+        |             row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn
+        |      FROM part)
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_brand").as("brand"))
+      val nxt = p.select(col("k").as("k2"), col("brand").as("brand2"))
+      val edges = p.join(nxt, col("k2") === col("k") + 1 && col("brand2") === col("brand"))
+        .select(col("k").as("src"), col("k2").as("dst"), lit("SAME_BRAND").as("rel"),
+          lit(1.0).as("weight"))
+      val nodes = p.select(col("k").as("id"), array(lit("Part")).as("labels"))
+      Algos.connectedComponents(s, PropertyGraph(nodes, edges))
+        .orderBy("id")
+    },
+
+    // Per-vertex triangle counts (clustering.rs:130) on the undirected part
+    // DAG; vertices in >= 1 triangle.
+    QueryDef(
+      "q_triangles",
+      s"""WITH $DagSql,
+        |ud AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dag),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM ud e1 JOIN ud e2 ON e2.a = e1.b
+        |        JOIN ud e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT CAST(v AS BIGINT) AS id, count(*) AS triangles
+        |FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |GROUP BY v
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      Algos.triangleCounts(s, TpchGraph.partDag(s, dir))
+        .filter(col("triangles") > 0)
+        .orderBy("id")
+    },
+
+    // Bounded weighted SSSP (shortest_path.rs:99/:346): Pregel Bellman-Ford,
+    // <= 8 hops, weight = (dst % 7) + 1. Oracle enumerates the bounded walk
+    // space and takes the min.
+    QueryDef(
+      "q_sssp",
+      """WITH RECURSIVE dag AS (
+        |  SELECT a.p_partkey AS src, b.p_partkey AS dst,
+        |         (b.p_partkey % 7) + 1.0 AS w
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey, (b.p_partkey % 7) + 1.0
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey, (b.p_partkey % 7) + 1.0
+        |  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |),
+        |walk(dst, d, hops) AS (
+        |  SELECT dst, w, 1 FROM dag WHERE src = 1 AND dst <= 200
+        |  UNION ALL
+        |  SELECT g.dst, walk.d + g.w, walk.hops + 1
+        |  FROM walk JOIN dag g ON g.src = walk.dst
+        |  WHERE walk.hops < 8 AND g.dst <= 200
+        |)
+        |SELECT dst AS id, round(min(d), 2) AS dist
+        |FROM walk GROUP BY dst
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val base = TpchGraph.partDag(s, dir)
+      val weighted = PropertyGraph(base.nodes,
+        base.edges.withColumn("weight", (col("dst") % 7 + 1).cast("double")))
+      Algos.sssp(s, weighted, source = 1L, maxHops = 8)
+        .filter(col("id") =!= 1 && col("id") <= 200)
+        .select(col("id"), round(col("dist"), 2).as("dist"))
+        .orderBy("id")
+    },
+
+    // k-core (structure.rs:282): iterative pruning to the 2-core of the
+    // undirected part DAG. Fixpoint iteration count is data-dependent →
+    // rows-only driver check; AlgosSpec pins exact semantics on a known graph.
+    QueryDef.noOracle("q_kcore") { (s, dir) =>
+      Algos.kCore(TpchGraph.partDag(s, dir), k = 2).orderBy("id")
+    },
+
+    // Label propagation (community.rs:39), 3 synchronous rounds on the
+    // same-brand chain graph. Label dynamics are engine-specific → rows-only.
+    QueryDef.noOracle("q_label_prop") { (s, dir) =>
+      val p = Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_brand").as("brand"))
+      val nxt = p.select(col("k").as("k2"), col("brand").as("brand2"))
+      val edges = p.join(nxt, col("k2") === col("k") + 1 && col("brand2") === col("brand"))
+        .select(col("k").as("src"), col("k2").as("dst"), lit("SAME_BRAND").as("rel"),
+          lit(1.0).as("weight"))
+      val nodes = p.select(col("k").as("id"), array(lit("Part")).as("labels"))
+      Algos.labelPropagation(s, PropertyGraph(nodes, edges), iters = 3)
+        .orderBy("id")
+    },
+  )
+}

@@ -4,5 +4,5 @@ package graft.queries
 object GraphQueries { def defs: Seq[QueryDef] = GraphQueriesImpl.defs }
 object VectorQueries { def defs: Seq[QueryDef] = VectorQueriesImpl.defs }
 object PipelineQueries { def defs: Seq[QueryDef] = PipelineQueriesImpl.defs }
-object AlgoQueries { def defs: Seq[QueryDef] = Seq.empty }
+object AlgoQueries { def defs: Seq[QueryDef] = AlgoQueriesImpl.defs }
 object CypherQueries { def defs: Seq[QueryDef] = CypherQueriesImpl.defs }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algos.Algos
+import graft.graph.{PropertyGraph, TpchGraph}
+
+class AlgosSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def mkGraph(edges: Seq[(Long, Long)]): PropertyGraph = {
+    val e = edges.toDF("src", "dst")
+      .withColumn("rel", lit("E")).withColumn("weight", lit(1.0))
+    val n = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id")
+      .withColumn("labels", array(lit("N")))
+    PropertyGraph(n, e)
+  }
+
+  test("pageRankDF matches an independent in-memory reference") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    // textbook recurrence, driver-side
+    var ref = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 5) {
+      val outdeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val contribs = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => ref(u) / outdeg(u) }.sum).toMap
+      ref = nodes.map(n => n -> (0.15 + 0.85 * contribs.getOrElse(n, 0.0))).toMap
+    }
+    val got = Algos.pageRankDF(mkGraph(edges), iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nodes.foreach { n =>
+      assert(math.abs(got(n) - ref(n)) < 1e-12, s"vertex $n: ${got(n)} vs ${ref(n)}")
+    }
+  }
+
+  // GraphX staticPageRank keeps sourceless vertices at their previous rank
+  // when no messages arrive (upstream quirk), so no exact cross-check here.
+  test("pageRankX runs and ranks are positive") {
+    val pr = Algos.pageRankX(spark, TpchGraph.partDag(spark, sf), iters = 3).collect()
+    assert(pr.nonEmpty && pr.forall(_.getDouble(1) > 0))
+  }
+
+  test("connected components on two disjoint chains") {
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    val cc = Algos.connectedComponents(spark, g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == cc(2L) && cc(2L) == cc(3L))
+    assert(cc(10L) == cc(11L))
+    assert(cc(1L) != cc(10L))
+  }
+
+  test("triangle count on a known triangle") {
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    val tc = Algos.triangleCounts(spark, g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc(1L) == 1 && tc(2L) == 1 && tc(3L) == 1)
+    assert(tc(4L) == 0)
+  }
+
+  test("sssp takes the lighter 2-hop path over the heavy direct edge") {
+    val e = Seq((1L, 2L, 10.0), (1L, 3L, 1.0), (3L, 2L, 1.0))
+      .toDF("src", "dst", "weight").withColumn("rel", lit("E"))
+    val n = Seq(1L, 2L, 3L).toDF("id").withColumn("labels", array(lit("N")))
+    val d = Algos.sssp(spark, PropertyGraph(n, e), source = 1L, maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(2L) == 2.0)
+    assert(d(3L) == 1.0)
+  }
+
+  test("kCore retains the clique, drops the tail") {
+    // 4-clique with a pendant chain: 3-core = the clique only
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val g = mkGraph(clique ++ Seq((4L, 5L), (5L, 6L)))
+    val core = Algos.kCore(g, k = 3).collect().map(_.getLong(0)).toSet
+    assert(core == Set(1L, 2L, 3L, 4L))
+  }
+}
