@@ -1,0 +1,113 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LPG mutations (reference plan.rs:393-475 CreateNode/CreateEdge/DeleteNode/
+  * DeleteEdge/SetProperty/AddLabel/RemoveLabel and plan.rs:558-576 Merge;
+  * physical operators mutation.rs, merge.rs).
+  *
+  * Spark-native shape: mutations are *functional* — each returns a new
+  * PropertyGraph whose nodes/edges DataFrames are declarative transformations
+  * of the old ones. Persistence is a plain parquet/Delta write of the
+  * resulting tables (the reference's WAL+snapshot collapses into the table
+  * commit); MVCC snapshots collapse into "the old DataFrame is still valid".
+  * Nothing here materializes on the driver, so a mutation over 10^11 rows is
+  * still one distributed job.
+  */
+object Mutations {
+
+  /** CreateNode (plan.rs:393-403): append rows; missing property columns are
+    * null-filled, unknown ones rejected (schema is the contract).
+    */
+  def createNodes(g: PropertyGraph, newNodes: DataFrame): PropertyGraph = {
+    val extra = newNodes.columns.toSet -- g.nodes.columns.toSet
+    require(extra.isEmpty, s"unknown node columns: ${extra.mkString(",")}")
+    val aligned = g.nodes.columns.foldLeft(newNodes) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(g.nodes.schema(c).dataType))
+    }.select(g.nodes.columns.map(col): _*)
+    g.copy(nodes = g.nodes.unionByName(aligned))
+  }
+
+  /** CreateEdge (plan.rs:406-420). */
+  def createEdges(g: PropertyGraph, newEdges: DataFrame): PropertyGraph = {
+    val aligned = g.edges.columns.foldLeft(newEdges) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(g.edges.schema(c).dataType))
+    }.select(g.edges.columns.map(col): _*)
+    g.copy(edges = g.edges.unionByName(aligned))
+  }
+
+  /** SetProperty (plan.rs:445-455): set `prop` to `value` on nodes matching
+    * `cond` (all others untouched).
+    */
+  def setNodeProperty(g: PropertyGraph, cond: Column, prop: String,
+      value: Column): PropertyGraph =
+    g.copy(nodes = g.nodes.withColumn(prop,
+      when(cond, value).otherwise(col(prop))))
+
+  /** AddLabel / RemoveLabel (plan.rs:458-475): labels is an array column;
+    * add = distinct append, remove = filter out.
+    */
+  def addLabel(g: PropertyGraph, cond: Column, label: String): PropertyGraph =
+    g.copy(nodes = g.nodes.withColumn("labels",
+      when(cond && !array_contains(col("labels"), label),
+        array_append(col("labels"), label)).otherwise(col("labels"))))
+
+  def removeLabel(g: PropertyGraph, cond: Column, label: String): PropertyGraph =
+    g.copy(nodes = g.nodes.withColumn("labels",
+      when(cond, array_remove(col("labels"), label)).otherwise(col("labels"))))
+
+  /** DeleteNode (plan.rs:423-434): `detach = true` drops incident edges
+    * (DETACH DELETE); otherwise nodes with incident edges are kept, matching
+    * the reference's constraint error semantics as a soft skip.
+    */
+  def deleteNodes(g: PropertyGraph, cond: Column, detach: Boolean): PropertyGraph = {
+    val doomed = g.nodes.filter(cond).select(col("id"))
+    if (detach) {
+      val edges2 = g.edges
+        .join(doomed.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(doomed.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        .select(g.edges.columns.map(col): _*)
+      PropertyGraph(g.nodes.filter(!coalesce(cond, lit(false))), edges2)
+    } else {
+      val attached = g.edges.select(col("src").as("id"))
+        .unionByName(g.edges.select(col("dst").as("id"))).distinct()
+      val deletable = doomed.join(attached, Seq("id"), "left_anti")
+      g.copy(nodes = g.nodes.join(deletable, Seq("id"), "left_anti"))
+    }
+  }
+
+  /** DeleteEdge (plan.rs:437-442). */
+  def deleteEdges(g: PropertyGraph, cond: Column): PropertyGraph =
+    g.copy(edges = g.edges.filter(!coalesce(cond, lit(false))))
+
+  /** Merge (plan.rs:558-576; merge.rs): match-or-create by a key column, with
+    * ON MATCH / ON CREATE property updates — the MERGE INTO shape. `incoming`
+    * must carry the node schema's columns (or a subset + nulls).
+    *
+    * Returns the graph where for each incoming row: if a node with the same
+    * `keyCol` exists, `onMatchSet` columns are applied; otherwise the row is
+    * inserted with `onCreateSet` applied.
+    */
+  def mergeNodes(g: PropertyGraph, incoming: DataFrame, keyCol: String,
+      onMatchSet: Map[String, Column] = Map.empty,
+      onCreateSet: Map[String, Column] = Map.empty): PropertyGraph = {
+    val inKeys = incoming.select(col(keyCol)).distinct()
+    val matchedKeys = g.nodes.select(col(keyCol)).distinct()
+      .join(inKeys, Seq(keyCol), "left_semi")
+    // apply ON MATCH via semi-join flag
+    val flagged = g.nodes.join(
+      matchedKeys.withColumn("__matched", lit(true)), Seq(keyCol), "left_outer")
+    val updated = onMatchSet.foldLeft(flagged) { case (df, (p, v)) =>
+      df.withColumn(p, when(col("__matched"), v).otherwise(col(p)))
+    }.drop("__matched")
+    val toCreate0 = incoming.join(g.nodes.select(col(keyCol)).distinct(),
+      Seq(keyCol), "left_anti")
+    val toCreate = onCreateSet.foldLeft(toCreate0) { case (df, (p, v)) =>
+      df.withColumn(p, v)
+    }
+    createNodes(g.copy(nodes = updated.select(g.nodes.columns.map(col): _*)), toCreate)
+  }
+}

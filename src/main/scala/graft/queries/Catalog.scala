@@ -34,6 +34,7 @@ object Catalog {
     PipelineQueries.defs,
     AlgoQueries.defs,
     CypherQueries.defs,
+    MutationQueries.defs,
   )
 
   lazy val defs: Seq[QueryDef] = {

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.graph.{Mutations, TpchGraph}
+
+/** Mutation operator coverage (plan.rs:393-475, 558-576): each query applies
+  * a functional mutation to the TPC-H graph and projects a result the oracle
+  * reconstructs in plain SQL over the base tables.
+  */
+object MutationQueriesImpl {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // SetProperty: +10% balance for BUILDING customers, others untouched.
+    QueryDef(
+      "q_mut_set_property",
+      """SELECT c_custkey AS k,
+        |       round(CASE WHEN c_mktsegment = 'BUILDING'
+        |                  THEN c_acctbal * 1.1 ELSE c_acctbal END, 4) AS bal
+        |FROM customer
+        |ORDER BY k NULLS FIRST""".stripMargin) { (s, dir) =>
+      val g = TpchGraph(s, dir)
+      val g2 = Mutations.setNodeProperty(g,
+        array_contains(col("labels"), "Customer") && col("category") === "BUILDING",
+        "acctbal", col("acctbal") * 1.1)
+      g2.nodesWithLabel("Customer")
+        .select(TpchGraph.key(col("id")).as("k"), round(col("acctbal"), 4).as("bal"))
+        .orderBy("k")
+    },
+
+    // CreateNode + CreateEdge: one synthetic hub node linked to every region;
+    // result = the new out-degree distribution of hub + regions.
+    QueryDef(
+      "q_mut_create",
+      """SELECT k, outdeg FROM (
+        |  SELECT CAST(999 AS BIGINT) AS k,
+        |         (SELECT count(*) FROM region) AS outdeg
+        |  UNION ALL
+        |  SELECT CAST(r_regionkey AS BIGINT), CAST(0 AS BIGINT) FROM region
+        |)
+        |ORDER BY k NULLS FIRST""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val g = TpchGraph(s, dir)
+      val hubId = 999L // plain id outside every tag stride
+      val g2 = Mutations.createNodes(g,
+        Seq((hubId, Seq("Hub"), "hub")).toDF("id", "labels", "name"))
+      val g3 = Mutations.createEdges(g2,
+        g.nodesWithLabel("Region").select(
+          lit(hubId).as("src"), col("id").as("dst"), lit("LINKS").as("rel")))
+      val regionIds = g3.nodesWithLabel("Region").select(col("id"))
+        .unionByName(g3.nodesWithLabel("Hub").select(col("id")))
+      regionIds
+        .join(g3.edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
+          Seq("id"), "left_outer")
+        .select(
+          when(col("id") === hubId, lit(hubId))
+            .otherwise(TpchGraph.key(col("id"))).as("k"),
+          coalesce(col("deg"), lit(0L)).as("outdeg"))
+        .orderBy("k")
+    },
+
+    // AddLabel/RemoveLabel: tag rich customers, untag BUILDING ones; count by
+    // final label membership.
+    QueryDef(
+      "q_mut_labels",
+      """SELECT count(*) AS n_rich
+        |FROM customer
+        |WHERE c_acctbal > 5000.0 AND c_mktsegment <> 'BUILDING'""".stripMargin) { (s, dir) =>
+      val g = TpchGraph(s, dir)
+      val tagged = Mutations.addLabel(g,
+        array_contains(col("labels"), "Customer") && col("acctbal") > 5000.0, "Rich")
+      val untagged = Mutations.removeLabel(tagged, col("category") === "BUILDING", "Rich")
+      untagged.nodesWithLabel("Rich").agg(count(lit(1)).as("n_rich"))
+    },
+
+    // DETACH DELETE: drop all Order nodes; CONTAINS/PLACED_BY edges must go
+    // with them, SUPPLIES/FROM_NATION/IN_REGION survive.
+    QueryDef(
+      "q_mut_detach_delete",
+      """SELECT 'FROM_NATION' AS rel,
+        |       (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS n
+        |UNION ALL
+        |SELECT 'IN_REGION', (SELECT count(*) FROM nation)
+        |UNION ALL
+        |SELECT 'SUPPLIES',
+        |       (SELECT count(*) FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem))
+        |ORDER BY rel NULLS FIRST""".stripMargin) { (s, dir) =>
+      val g = TpchGraph(s, dir)
+      val g2 = Mutations.deleteNodes(g, array_contains(col("labels"), "Order"),
+        detach = true)
+      g2.edges.groupBy("rel").agg(count(lit(1)).as("n")).orderBy("rel")
+    },
+
+    // MERGE (match-or-create with ON MATCH / ON CREATE): merge a mixed batch
+    // of existing + new region names.
+    QueryDef(
+      "q_mut_merge",
+      """SELECT name, tag FROM (
+        |  SELECT r_name AS name,
+        |         CASE WHEN r_name IN ('ASIA', 'EUROPE') THEN 'matched' ELSE NULL END AS tag
+        |  FROM region
+        |  UNION ALL
+        |  SELECT 'ATLANTIS', 'created'
+        |)
+        |ORDER BY name NULLS FIRST""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val g0 = TpchGraph(s, dir)
+      val regions = g0.nodesWithLabel("Region")
+      val incoming = Seq("ASIA", "EUROPE", "ATLANTIS").toDF("name")
+        .withColumn("id", lit(998L))
+        .withColumn("labels", array(lit("Region")))
+      val merged = Mutations.mergeNodes(
+        g0.copy(nodes = regions), incoming, keyCol = "name",
+        onMatchSet = Map("category" -> lit("matched")),
+        onCreateSet = Map("category" -> lit("created")))
+      merged.nodes.select(col("name"), col("category").as("tag")).orderBy("name")
+    },
+  )
+}

@@ -6,3 +6,4 @@ object VectorQueries { def defs: Seq[QueryDef] = VectorQueriesImpl.defs }
 object PipelineQueries { def defs: Seq[QueryDef] = PipelineQueriesImpl.defs }
 object AlgoQueries { def defs: Seq[QueryDef] = AlgoQueriesImpl.defs }
 object CypherQueries { def defs: Seq[QueryDef] = CypherQueriesImpl.defs }
+object MutationQueries { def defs: Seq[QueryDef] = MutationQueriesImpl.defs }
