@@ -1,0 +1,470 @@
+package graft.frontends.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.graph.{L, Term, TripleGraph, TriplePattern, V}
+import graft.ir.Expr
+
+/** SPARQL 1.1 front-end (SURVEY §2.8; reference
+  * crates/grafeo-adapters/src/query/sparql_translator.rs + RDF planning
+  * planner_rdf.rs). Supported subset:
+  *
+  *   SELECT [DISTINCT] ?v … (AGG(?v) AS ?alias) …
+  *   WHERE { triples . FILTER(e) OPTIONAL{…} {…} UNION {…} MINUS{…}
+  *           BIND(e AS ?v) }
+  *   [GROUP BY ?v …] [ORDER BY [ASC|DESC](?v) …] [OFFSET n] [LIMIT n]
+  *
+  * Terms: ?var, <iri>, 'literal' / "literal", bare prefixed names (our
+  * triple store holds plain strings). Compiles to DataFrame algebra over the
+  * triples table: BGP = filtered self-joins, OPTIONAL = left outer join,
+  * UNION = unionByName(allowMissing), MINUS = left anti join — one column
+  * per variable throughout.
+  */
+object SparqlLexer {
+  sealed trait Tok
+  final case class VarT(name: String) extends Tok
+  final case class Word(s: String) extends Tok    // bare name / prefixed name
+  final case class Kw(s: String) extends Tok      // reserved, uppercased
+  final case class StrT(s: String) extends Tok
+  final case class NumT(s: String) extends Tok
+  final case class Sym(s: String) extends Tok
+
+  private val keywords = Set("SELECT", "WHERE", "DISTINCT", "FILTER",
+    "OPTIONAL", "UNION", "MINUS", "BIND", "AS", "GROUP", "BY", "ORDER",
+    "ASC", "DESC", "LIMIT", "OFFSET", "COUNT", "SUM", "AVG", "MIN", "MAX",
+    "A", "TRUE", "FALSE")
+
+  def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '?' || c == '$') {
+        val start = i + 1
+        i += 1
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        out += VarT(q.substring(start, i))
+      } else if (c == '<') {
+        val end = q.indexOf('>', i)
+        require(end > 0, s"unterminated IRI at $i")
+        out += Word(q.substring(i + 1, end))
+        i = end + 1
+      } else if (c == '\'' || c == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && q(i) != c) {
+          if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+          else { sb += q(i); i += 1 }
+        }
+        i += 1
+        out += StrT(sb.toString)
+      } else if (c.isDigit || (c == '-' && i + 1 < n && q(i + 1).isDigit)) {
+        val start = i
+        i += 1
+        while (i < n && (q(i).isDigit || q(i) == '.')) i += 1
+        out += NumT(q.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_' || q(i) == ':')) i += 1
+        val w = q.substring(start, i)
+        if (keywords.contains(w.toUpperCase) && !w.contains(':')) out += Kw(w.toUpperCase)
+        else out += Word(w)
+      } else {
+        val two = if (i + 1 < n) q.substring(i, i + 2) else ""
+        if (Set("<=", ">=", "!=", "&&", "||").contains(two)) { out += Sym(two); i += 2 }
+        else { out += Sym(c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+}
+
+object SparqlAst {
+  sealed trait Pattern
+  final case class Bgp(triples: Seq[TriplePattern]) extends Pattern
+  final case class Join(l: Pattern, r: Pattern) extends Pattern
+  final case class LeftJoin(l: Pattern, r: Pattern) extends Pattern
+  final case class UnionP(l: Pattern, r: Pattern) extends Pattern
+  final case class MinusP(l: Pattern, r: Pattern) extends Pattern
+  final case class FilterP(p: Pattern, e: Expr.E) extends Pattern
+  final case class BindP(p: Pattern, e: Expr.E, as: String) extends Pattern
+
+  final case class Query(
+      items: Seq[(Expr.E, String)],     // projection in declared order
+      distinct: Boolean,
+      where: Pattern,
+      groupBy: Seq[String],
+      orderBy: Seq[(String, Boolean)],
+      offset: Option[Long],
+      limit: Option[Long])
+}
+
+final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
+  import SparqlAst._
+  import SparqlLexer._
+
+  private var pos = 0
+  private def peek: Option[Tok] = if (pos < tokens.length) Some(tokens(pos)) else None
+  private def next(): Tok = {
+    if (pos >= tokens.length) fail("unexpected end of query")
+    val t = tokens(pos); pos += 1; t
+  }
+  private def at(t: Tok): Boolean = peek.contains(t)
+  private def eat(t: Tok): Boolean = if (at(t)) { pos += 1; true } else false
+  private def expect(t: Tok): Unit =
+    if (!eat(t)) fail(s"expected $t, found ${peek.getOrElse("<eof>")}")
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"sparql parse error at token $pos: $msg")
+
+  def parseQuery(): Query = {
+    expect(Kw("SELECT"))
+    val distinct = eat(Kw("DISTINCT"))
+    val items = Seq.newBuilder[(Expr.E, String)]
+    var go = true
+    while (go) peek match {
+      case Some(VarT(v)) => next(); items += ((Expr.Var(v), v))
+      case Some(Sym("*")) => next() // * = all vars; resolved at compile
+      case Some(Sym("(")) =>
+        next()
+        val e = parseExpr()
+        expect(Kw("AS"))
+        val alias = next() match {
+          case VarT(v) => v
+          case other => fail(s"expected ?alias, got $other")
+        }
+        expect(Sym(")"))
+        items += ((e, alias))
+      case _ => go = false
+    }
+    expect(Kw("WHERE"))
+    val where = parseGroup()
+    val groupBy = Seq.newBuilder[String]
+    if (eat(Kw("GROUP"))) {
+      expect(Kw("BY"))
+      var g2 = true
+      while (g2) peek match {
+        case Some(VarT(v)) => next(); groupBy += v
+        case _ => g2 = false
+      }
+    }
+    val orderBy = Seq.newBuilder[(String, Boolean)]
+    if (eat(Kw("ORDER"))) {
+      expect(Kw("BY"))
+      var g3 = true
+      while (g3) peek match {
+        case Some(VarT(v)) => next(); orderBy += ((v, true))
+        case Some(Kw(d @ ("ASC" | "DESC"))) =>
+          next(); expect(Sym("("))
+          val v = next() match {
+            case VarT(x) => x
+            case other => fail(s"expected var, got $other")
+          }
+          expect(Sym(")"))
+          orderBy += ((v, d == "ASC"))
+        case _ => g3 = false
+      }
+    }
+    var offset: Option[Long] = None
+    var limit: Option[Long] = None
+    var more = true
+    while (more) peek match {
+      case Some(Kw("OFFSET")) => next(); offset = Some(parseNum())
+      case Some(Kw("LIMIT"))  => next(); limit = Some(parseNum())
+      case None => more = false
+      case other => fail(s"trailing tokens: $other")
+    }
+    Query(items.result(), distinct, where, groupBy.result(), orderBy.result(),
+      offset, limit)
+  }
+
+  private def parseNum(): Long = next() match {
+    case NumT(s) => s.toLong
+    case other => fail(s"expected number, got $other")
+  }
+
+  private def parseGroup(): Pattern = {
+    expect(Sym("{"))
+    var acc: Option[Pattern] = None
+    var bgp = Seq.newBuilder[TriplePattern]
+    def flushBgp(): Unit = {
+      val ts = bgp.result()
+      if (ts.nonEmpty) {
+        acc = Some(acc.map(a => Join(a, Bgp(ts))).getOrElse(Bgp(ts)))
+        bgp = Seq.newBuilder[TriplePattern]
+      }
+    }
+    while (!at(Sym("}"))) {
+      peek match {
+        case Some(Kw("FILTER")) =>
+          next(); flushBgp()
+          val e = if (at(Sym("("))) { next(); val x = parseExpr(); expect(Sym(")")); x }
+          else parseExpr() // bare function call form: FILTER f(args)
+          acc = Some(FilterP(acc.getOrElse(Bgp(Nil)), e))
+        case Some(Kw("OPTIONAL")) =>
+          next(); flushBgp()
+          val r = parseGroup()
+          acc = Some(LeftJoin(acc.getOrElse(Bgp(Nil)), r))
+        case Some(Kw("MINUS")) =>
+          next(); flushBgp()
+          val r = parseGroup()
+          acc = Some(MinusP(acc.getOrElse(Bgp(Nil)), r))
+        case Some(Kw("BIND")) =>
+          next(); flushBgp()
+          expect(Sym("("))
+          val e = parseExpr()
+          expect(Kw("AS"))
+          val v = next() match {
+            case VarT(x) => x
+            case other => fail(s"expected ?var, got $other")
+          }
+          expect(Sym(")"))
+          acc = Some(BindP(acc.getOrElse(Bgp(Nil)), e, v))
+        case Some(Sym("{")) =>
+          flushBgp()
+          var g = parseGroup()
+          while (eat(Kw("UNION"))) g = UnionP(g, parseGroup())
+          acc = Some(acc.map(a => Join(a, g)).getOrElse(g))
+        case Some(Sym(".")) => next()
+        case _ =>
+          val s = parseTerm()
+          val p = parseTerm()
+          val o = parseTerm()
+          bgp += TriplePattern(s, p, o)
+      }
+    }
+    expect(Sym("}"))
+    flushBgp()
+    acc.getOrElse(Bgp(Nil))
+  }
+
+  private def parseTerm(): Term = next() match {
+    case VarT(v)  => V(v)
+    case Word(w)  => L(w)
+    case StrT(s2) => L(s2)
+    case NumT(s2) => L(s2)
+    case other => fail(s"expected term, got $other")
+  }
+
+  // ---- FILTER / BIND expressions ----
+  def parseExpr(): Expr.E = parseOr()
+  private def parseOr(): Expr.E = {
+    var e = parseAnd()
+    while (eat(SparqlLexer.Sym("||"))) e = Expr.Bin("or", e, parseAnd())
+    e
+  }
+  private def parseAnd(): Expr.E = {
+    var e = parseNot()
+    while (eat(SparqlLexer.Sym("&&"))) e = Expr.Bin("and", e, parseNot())
+    e
+  }
+  private def parseNot(): Expr.E =
+    if (eat(SparqlLexer.Sym("!"))) Expr.Not(parseNot()) else parseCmp()
+  private def parseCmp(): Expr.E = {
+    var e = parseAdd()
+    peek match {
+      case Some(Sym(op @ ("=" | "!=" | "<" | "<=" | ">" | ">="))) =>
+        next()
+        val norm = if (op == "!=") "<>" else op
+        e = Expr.Bin(norm, e, parseAdd())
+      case _ =>
+    }
+    e
+  }
+  private def parseAdd(): Expr.E = {
+    var e = parseMul()
+    var go = true
+    while (go) peek match {
+      case Some(Sym(op @ ("+" | "-"))) => next(); e = Expr.Bin(op, e, parseMul())
+      case _ => go = false
+    }
+    e
+  }
+  private def parseMul(): Expr.E = {
+    var e = parseAtom()
+    var go = true
+    while (go) peek match {
+      case Some(Sym(op @ ("*" | "/"))) => next(); e = Expr.Bin(op, e, parseAtom())
+      case _ => go = false
+    }
+    e
+  }
+  private def parseAtom(): Expr.E = next() match {
+    case VarT(v)  => Expr.Var(v)
+    case StrT(s2) => Expr.Lit(s2)
+    case NumT(s2) =>
+      if (s2.contains('.')) Expr.Lit(s2.toDouble) else Expr.Lit(s2.toLong)
+    case Kw("TRUE")  => Expr.Lit(true)
+    case Kw("FALSE") => Expr.Lit(false)
+    case Sym("(") => val e = parseExpr(); expect(Sym(")")); e
+    case Word(f) if at(Sym("(")) =>
+      next()
+      val args = Seq.newBuilder[Expr.E]
+      if (!at(Sym(")"))) { args += parseExpr(); while (eat(Sym(","))) args += parseExpr() }
+      expect(Sym(")"))
+      Expr.Func(f, args.result())
+    case Kw(agg @ ("COUNT" | "SUM" | "AVG" | "MIN" | "MAX")) =>
+      expect(Sym("("))
+      val distinct = eat(Kw("DISTINCT"))
+      val arg = if (eat(Sym("*"))) Expr.Lit("*") else parseExpr()
+      expect(Sym(")"))
+      Expr.Func(agg.toLowerCase, Seq(arg), distinct)
+    case Word(w) => Expr.Lit(w)
+    case other => fail(s"unexpected token in expression: $other")
+  }
+}
+
+/** Pattern algebra + expression compiler over the triples DataFrame. */
+final class SparqlCompiler(graph: TripleGraph) {
+  import SparqlAst._
+
+  def compile(q: Query): DataFrame = {
+    var df = compilePattern(q.where)
+    val items = if (q.items.isEmpty) df.columns.toSeq.map(c => (Expr.Var(c): Expr.E, c))
+      else q.items
+    val hasAgg = items.exists { case (e, _) => Expr.containsAggregate(e) }
+    df =
+      if (hasAgg || q.groupBy.nonEmpty) {
+        val keys = q.groupBy.map(v => col(v))
+        val aggs = items.filter { case (e, _) => Expr.containsAggregate(e) }
+          .map { case (e, n) => aggExpr(e).as(n) }
+        val grouped =
+          if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+          else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        grouped.select(items.map { case (_, n) => col(n) }: _*)
+      } else df.select(items.map { case (e, n) => expr(e).as(n) }: _*)
+    if (q.distinct) df = df.distinct()
+    if (q.orderBy.nonEmpty)
+      df = df.orderBy(q.orderBy.map { case (v, asc) =>
+        if (asc) col(v).asc_nulls_first else col(v).desc_nulls_last }: _*)
+    q.offset.foreach(n => df = df.offset(n.toInt))
+    q.limit.foreach(n => df = df.limit(n.toInt))
+    df
+  }
+
+  def compilePattern(p: Pattern): DataFrame = p match {
+    case Bgp(Nil)     => graph.triples.sparkSession.range(1).select(lit(1).as("__one"))
+    case Bgp(ts)      => graph.bgp(ts)
+    case Join(l, r)   => natJoin(compilePattern(l), compilePattern(r), "inner")
+    case LeftJoin(l, r) => natJoin(compilePattern(l), compilePattern(r), "left_outer")
+    case UnionP(l, r) =>
+      val (dl, dr) = (compilePattern(l), compilePattern(r))
+      dl.unionByName(dr, allowMissingColumns = true)
+    case MinusP(l, r) =>
+      val (dl, dr) = (compilePattern(l), compilePattern(r))
+      val shared = dl.columns.intersect(dr.columns).toSeq
+      if (shared.isEmpty) dl else dl.join(dr.select(shared.map(col): _*).distinct(),
+        shared, "left_anti")
+    case FilterP(in, e) => compilePattern(in).filter(expr(e))
+    case BindP(in, e, v) => compilePattern(in).withColumn(v, expr(e))
+  }
+
+  private def natJoin(l: DataFrame, r: DataFrame, how: String): DataFrame = {
+    val shared = l.columns.intersect(r.columns).toSeq
+    if (shared.nonEmpty) l.join(r, shared, how)
+    else if (how == "inner") l.crossJoin(r)
+    else l.crossJoin(r) // OPTIONAL with no shared vars = cross (always matches)
+  }
+
+  /** SPARQL built-ins (SURVEY §2.5; reference planner_rdf.rs:1927-2350). */
+  def expr(e: Expr.E): Column = e match {
+    case Expr.Lit(null) => lit(null)
+    case Expr.Lit(v)    => lit(v)
+    case Expr.Var(n)    => col(n)
+    case Expr.Not(x)    => !expr(x)
+    case Expr.Neg(x)    => -expr(x)
+    case Expr.IsNull(x, neg) => if (neg) expr(x).isNotNull else expr(x).isNull
+    case Expr.Bin(op, l, r) =>
+      val (cl, cr) = (expr(l), expr(r))
+      op match {
+        case "+" => cl + cr
+        case "-" => cl - cr
+        case "*" => cl * cr
+        case "/" => cl / cr
+        case "=" => cl === cr
+        case "<>" => cl =!= cr
+        case "<" => cl < cr
+        case "<=" => cl <= cr
+        case ">" => cl > cr
+        case ">=" => cl >= cr
+        case "and" => cl && cr
+        case "or" => cl || cr
+        case other => throw new IllegalArgumentException(s"sparql op $other")
+      }
+    case Expr.Func(name, args, _) =>
+      def a0 = expr(args(0))
+      def a1 = expr(args(1))
+      name.toUpperCase match {
+        case "CONCAT"  => concat(args.map(expr): _*)
+        case "REPLACE" => regexp_replace(a0, litString(args(1)), litString(args(2)))
+        case "STRLEN"  => length(a0)
+        case "UCASE" | "UPPER" => upper(a0)
+        case "LCASE" | "LOWER" => lower(a0)
+        case "SUBSTR" =>
+          if (args.size > 2) substring(a0, litString(args(1)).toInt, litString(args(2)).toInt)
+          else a0.substr(a1, length(a0))
+        case "STRSTARTS" => a0.startsWith(a1)
+        case "STRENDS"   => a0.endsWith(a1)
+        case "CONTAINS"  => a0.contains(a1)
+        case "STRBEFORE" =>
+          when(locate_(a1, a0) > 0, substring(a0, lit(1), locate_(a1, a0) - 1))
+            .otherwise(lit(""))
+        case "STRAFTER" =>
+          when(locate_(a1, a0) > 0,
+            a0.substr(locate_(a1, a0) + length(a1), length(a0)))
+            .otherwise(lit(""))
+        case "ENCODE_FOR_URI" =>
+          // url_encode is form-encoding: '+' for space; SPARQL wants %20
+          regexp_replace(url_encode(a0), "\\+", "%20")
+        case "ABS"   => abs(a0.cast("double"))
+        case "CEIL"  => ceil(a0.cast("double"))
+        case "FLOOR" => floor(a0.cast("double"))
+        case "ROUND" => round(a0.cast("double"))
+        case "IF"    => when(a0, a1).otherwise(expr(args(2)))
+        case "COALESCE" => coalesce(args.map(expr): _*)
+        case "BOUND" => a0.isNotNull
+        case "STR"   => a0.cast("string")
+        case "ISNUMERIC" => a0.cast("double").isNotNull
+        case "ISIRI" | "ISURI" => a0.rlike("^[a-z]+:")
+        case "ISBLANK" => a0.startsWith("_:")
+        case "ISLITERAL" => !a0.rlike("^[a-z]+:")
+        case other => throw new IllegalArgumentException(s"sparql function $other")
+      }
+    case other => throw new IllegalArgumentException(s"unsupported sparql expr $other")
+  }
+
+  private def locate_(sub: Column, in: Column): Column =
+    expr_locate(sub, in)
+  private def expr_locate(sub: Column, in: Column): Column =
+    call_function("locate", sub, in)
+
+  private def aggExpr(e: Expr.E): Column = e match {
+    case Expr.Func(n, args, distinct)
+        if Expr.aggregateFns.contains(n.toLowerCase) =>
+      def a0 = expr(args.head)
+      n.toLowerCase match {
+        case "count" =>
+          if (args.head == Expr.Lit("*")) count(lit(1))
+          else if (distinct) countDistinct(a0) else count(a0)
+        case "sum" => sum(a0.cast("double"))
+        case "avg" => avg(a0.cast("double"))
+        case "min" => min(a0)
+        case "max" => max(a0)
+      }
+    case other => expr(other)
+  }
+
+  private def litString(e: Expr.E): String = e match {
+    case Expr.Lit(s) => s.toString
+    case other => throw new IllegalArgumentException(s"expected literal, got $other")
+  }
+}
+
+object SparqlFrontend {
+  def parse(q: String): SparqlAst.Query =
+    new SparqlParser(SparqlLexer.lex(q)).parseQuery()
+
+  def run(graph: TripleGraph, query: String): DataFrame =
+    new SparqlCompiler(graph).compile(parse(query))
+}

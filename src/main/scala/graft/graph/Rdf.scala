@@ -56,6 +56,7 @@ object TpchRdf {
   def apply(spark: SparkSession, dir: String): TripleGraph = {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
+    val sup = Tables.supplier(spark, dir)
     def t(df: DataFrame, s: Column, p: String, o: Column): DataFrame =
       df.select(s.cast("string").as("s"), lit(p).as("p"), o.cast("string").as("o"))
     val triples =
@@ -63,6 +64,8 @@ object TpchRdf {
         .unionByName(t(c, concat(lit("c:"), col("c_custkey")), "segment", col("c_mktsegment")))
         .unionByName(t(c, concat(lit("c:"), col("c_custkey")), "inNation", concat(lit("n:"), col("c_nationkey"))))
         .unionByName(t(n, concat(lit("n:"), col("n_nationkey")), "name", col("n_name")))
+        .unionByName(t(sup, concat(lit("s:"), col("s_suppkey")), "name", col("s_name")))
+        .unionByName(t(sup, concat(lit("s:"), col("s_suppkey")), "inNation", concat(lit("n:"), col("s_nationkey"))))
     TripleGraph(triples)
   }
 }

@@ -35,6 +35,7 @@ object Catalog {
     AlgoQueries.defs,
     CypherQueries.defs,
     MutationQueries.defs,
+    SparqlQueries.defs,
   )
 
   lazy val defs: Seq[QueryDef] = {

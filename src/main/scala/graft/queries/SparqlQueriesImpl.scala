@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.frontends.sparql.SparqlFrontend
+import graft.graph.TpchRdf
+
+/** SPARQL front-end coverage: text → parser → pattern algebra → DataFrame,
+  * against plain-SQL oracles over the base tables (the triple view TpchRdf
+  * is itself a deterministic projection of those tables).
+  */
+object SparqlQueriesImpl {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // BGP + FILTER (TripleScan plan.rs:480-503; FILTER planner_rdf.rs).
+    QueryDef(
+      "q_sparql_select",
+      """SELECT 'c:' || c_custkey AS c, c_name AS cn
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7' AND c_name LIKE 'Customer#0000001%'
+        |ORDER BY c NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        """SELECT ?c ?cn WHERE {
+          |  ?c inNation ?nat .
+          |  ?nat name 'NATION_7' .
+          |  ?c name ?cn .
+          |  FILTER(STRSTARTS(?cn, 'Customer#0000001'))
+          |} ORDER BY ?c""".stripMargin)
+    },
+
+    // OPTIONAL → left outer join (plan.rs:513-521): nations with their
+    // suppliers, null-extended where none exist.
+    QueryDef(
+      "q_sparql_optional",
+      """SELECT n_name AS nn, s_name AS sn
+        |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |ORDER BY nn NULLS FIRST, sn NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        """SELECT ?nn ?sn WHERE {
+          |  ?nat name ?nn .
+          |  FILTER(STRSTARTS(?nat, 'n:'))
+          |  OPTIONAL { ?s inNation ?nat . ?s name ?sn . FILTER(STRSTARTS(?s, 's:')) }
+          |} ORDER BY ?nn ?sn""".stripMargin)
+    },
+
+    // UNION (plan.rs:506-510): nation names ∪ customer segments.
+    QueryDef(
+      "q_sparql_union",
+      """SELECT x FROM (
+        |  SELECT n_name AS x FROM nation
+        |  UNION ALL
+        |  SELECT c_mktsegment FROM customer
+        |)
+        |ORDER BY x NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        """SELECT ?x WHERE {
+          |  { ?n name ?x . FILTER(STRSTARTS(?n, 'n:')) }
+          |  UNION
+          |  { ?c segment ?x }
+          |} ORDER BY ?x""".stripMargin)
+    },
+
+    // MINUS → anti join (plan.rs:524-530): customers minus BUILDING ones.
+    QueryDef(
+      "q_sparql_minus",
+      """SELECT 'c:' || c_custkey AS c
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |ORDER BY c NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        """SELECT ?c WHERE {
+          |  ?c inNation ?n .
+          |  FILTER(STRSTARTS(?c, 'c:'))
+          |  MINUS { ?c segment 'BUILDING' }
+          |} ORDER BY ?c""".stripMargin)
+    },
+
+    // BIND + string builtins (plan.rs:533-541; §2.5 function surface).
+    QueryDef(
+      "q_sparql_bind",
+      """SELECT n_name AS nn, upper(n_name) AS un, length(n_name) AS ln,
+        |       substr(n_name, 1, 6) AS pre,
+        |       concat(n_name, '!') AS bang
+        |FROM nation
+        |ORDER BY nn NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        """SELECT ?nn ?un ?ln ?pre ?bang WHERE {
+          |  ?nat name ?nn .
+          |  FILTER(STRSTARTS(?nat, 'n:'))
+          |  BIND(UCASE(?nn) AS ?un)
+          |  BIND(STRLEN(?nn) AS ?ln)
+          |  BIND(SUBSTR(?nn, 1, 6) AS ?pre)
+          |  BIND(CONCAT(?nn, '!') AS ?bang)
+          |} ORDER BY ?nn""".stripMargin)
+    },
+
+    // Aggregation + GROUP BY (SPARQL 1.1; RDF aggregate planning).
+    QueryDef(
+      "q_sparql_agg",
+      """SELECT n_name AS nn, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY nn NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        """SELECT ?nn (COUNT(?c) AS ?cnt) WHERE {
+          |  ?c inNation ?nat .
+          |  ?nat name ?nn .
+          |  FILTER(STRSTARTS(?c, 'c:'))
+          |} GROUP BY ?nn ORDER BY ?nn""".stripMargin)
+    },
+  )
+}

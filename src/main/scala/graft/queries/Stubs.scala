@@ -7,3 +7,4 @@ object PipelineQueries { def defs: Seq[QueryDef] = PipelineQueriesImpl.defs }
 object AlgoQueries { def defs: Seq[QueryDef] = AlgoQueriesImpl.defs }
 object CypherQueries { def defs: Seq[QueryDef] = CypherQueriesImpl.defs }
 object MutationQueries { def defs: Seq[QueryDef] = MutationQueriesImpl.defs }
+object SparqlQueries { def defs: Seq[QueryDef] = SparqlQueriesImpl.defs }
