@@ -19,4 +19,21 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     */
   def cypher(query: String): DataFrame =
     compiler.compile(CypherFrontend.translate(CypherFrontend.parse(query)))
+
+  /** GQL entry point (reference GrafeoDB::execute, database.rs:327). The ISO
+    * GQL core pattern surface (MATCH/WHERE/RETURN/ORDER BY/LIMIT…) coincides
+    * with the supported openCypher subset, so both languages share one
+    * grammar here — the reference keeps two translators for the same IR
+    * (gql_translator.rs vs cypher_translator.rs); divergent clauses can fork
+    * later without touching the IR or compiler.
+    */
+  def gql(query: String): DataFrame = cypher(query)
+
+  /** Gremlin entry point (reference processor.rs:282-291). */
+  def gremlin(query: String): DataFrame =
+    compiler.compile(graft.frontends.gremlin.GremlinFrontend.translate(query))
+
+  /** GraphQL entry point (reference graphql_translator.rs). */
+  def graphql(query: String): DataFrame =
+    compiler.compile(graft.frontends.graphql.GraphQLFrontend.translate(query))
 }

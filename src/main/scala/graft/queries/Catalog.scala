@@ -36,6 +36,7 @@ object Catalog {
     CypherQueries.defs,
     MutationQueries.defs,
     SparqlQueries.defs,
+    LangQueries.defs,
   )
 
   lazy val defs: Seq[QueryDef] = {

@@ -8,3 +8,4 @@ object AlgoQueries { def defs: Seq[QueryDef] = AlgoQueriesImpl.defs }
 object CypherQueries { def defs: Seq[QueryDef] = CypherQueriesImpl.defs }
 object MutationQueries { def defs: Seq[QueryDef] = MutationQueriesImpl.defs }
 object SparqlQueries { def defs: Seq[QueryDef] = SparqlQueriesImpl.defs }
+object LangQueries { def defs: Seq[QueryDef] = LangQueriesImpl.defs }
