@@ -37,6 +37,7 @@ object Catalog {
     MutationQueries.defs,
     SparqlQueries.defs,
     LangQueries.defs,
+    StreamQueries.defs,
   )
 
   lazy val defs: Seq[QueryDef] = {

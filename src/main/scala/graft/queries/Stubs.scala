@@ -9,3 +9,4 @@ object CypherQueries { def defs: Seq[QueryDef] = CypherQueriesImpl.defs }
 object MutationQueries { def defs: Seq[QueryDef] = MutationQueriesImpl.defs }
 object SparqlQueries { def defs: Seq[QueryDef] = SparqlQueriesImpl.defs }
 object LangQueries { def defs: Seq[QueryDef] = LangQueriesImpl.defs }
+object StreamQueries { def defs: Seq[QueryDef] = StreamQueriesImpl.defs }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming windowed counts equal batch windowed counts") {
+    val batch = EventStreams
+      .windowedCounts(Tables.events(spark, sf), withWatermark = false)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // complete mode: append would withhold windows newer than the watermark
+    // (max ts - 2h) at end-of-stream, so equality only holds in complete.
+    val streamed = EventStreams.runOnce(spark, sf, "win_out",
+      df => EventStreams.windowedCounts(df, withWatermark = true), "complete")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup keeps one row per event_id") {
+    val out = EventStreams.runOnce(spark, sf, "dedup_out",
+      EventStreams.dedupStream, "append")
+    assert(out.count() == Tables.events(spark, sf).select("event_id").distinct().count())
+  }
+
+  test("flatMapGroupsWithState accumulates per-user totals") {
+    val out = EventStreams.runOnce(spark, sf, "state_out",
+      EventStreams.runningUserStats, "update")
+    // last update per user must equal the batch aggregate
+    val finalStats = out.groupBy("user_id").agg(max(col("n")).as("n"))
+    val batch = Tables.events(spark, sf).groupBy("user_id").agg(count(lit(1)).as("n"))
+    val mismatches = finalStats.join(batch, "user_id")
+      .filter(finalStats("n") =!= batch("n")).count()
+    assert(mismatches == 0)
+  }
+}
