@@ -110,6 +110,57 @@ object Algos {
       .map { case (id, d) => (id, d) }.toDF("id", "dist")
   }
 
+  /** Strongly connected components via GraphX (reference components.rs:171).
+    * Returns the lowest vertex id per SCC.
+    */
+  def stronglyConnectedComponents(spark: SparkSession, g: PropertyGraph,
+      maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    toGraphX(g).stronglyConnectedComponents(maxIters)
+      .vertices.map { case (id, c) => (id, c) }.toDF("id", "component")
+  }
+
+  /** Topological levels (reference components.rs:302 topo sort, recast for
+    * scale): level(v) = length of the longest incoming path — a total
+    * topological *grading* rather than an inherently sequential total order.
+    * Iterative longest-path propagation; `maxIters` bounds DAG depth.
+    */
+  def topoLevels(g: PropertyGraph, maxIters: Int = 64): DataFrame = {
+    val edges = g.edges.select(col("src"), col("dst")).persist()
+    val nodes = g.nodes.select(col("id")).distinct()
+    var levels = nodes.withColumn("level", lit(0))
+    var changed = true
+    var i = 0
+    while (changed && i < maxIters) {
+      val next = levels
+        .join(edges.withColumnRenamed("src", "id"), "id")
+        .groupBy(col("dst").as("id"))
+        .agg((max(col("level")) + 1).as("lvl2"))
+      val updated = levels.join(next, Seq("id"), "left_outer")
+        .select(col("id"),
+          greatest(col("level"), coalesce(col("lvl2"), lit(0))).as("level"))
+        .localCheckpoint()
+      changed = updated.join(levels.withColumnRenamed("level", "old"), "id")
+        .filter(col("level") =!= col("old")).limit(1).count() > 0
+      levels = updated
+      i += 1
+    }
+    levels
+  }
+
+  /** Closeness centrality over a bounded neighborhood (reference
+    * centrality.rs:350): closeness(v) = reached / Σ dist within `maxDepth`
+    * hops. Exact all-pairs closeness is O(V·E); the bounded form is the
+    * shape that survives 100 TB (sampled sources × bounded BFS).
+    */
+  def boundedCloseness(g: PropertyGraph, sources: DataFrame, srcCol: String,
+      rel: Option[String], maxDepth: Int): DataFrame = {
+    g.bfs(sources, srcCol, rel, maxDepth)
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("reached"),
+        round(count(lit(1)).cast("double") / sum(col("dist")), 6).as("closeness"))
+  }
+
   /** k-core decomposition (reference structure.rs:282): iteratively drop
     * vertices with undirected degree < k until fixpoint. DataFrame loop;
     * each iteration is one aggregation + one semi-join.

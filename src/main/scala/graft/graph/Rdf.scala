@@ -47,6 +47,53 @@ final case class TripleGraph(triples: DataFrame) {
       if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
     }
   }
+
+  /** SPARQL INSERT DATA (plan.rs:603-614): RDF graphs are sets — union +
+    * dedup against the existing store.
+    */
+  def insertData(rows: DataFrame): TripleGraph =
+    TripleGraph(triples.unionByName(rows.select("s", "p", "o")).distinct())
+
+  /** SPARQL DELETE WHERE with a single pattern (plan.rs:617-628): remove
+    * every triple matching the bound components.
+    */
+  def deleteWhere(pattern: TriplePattern): TripleGraph = {
+    val cond = Seq("s" -> pattern.s, "p" -> pattern.p, "o" -> pattern.o)
+      .collect { case (c, L(v)) => col(c) === v }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    TripleGraph(triples.filter(!cond))
+  }
+
+  /** SPARQL Modify — DELETE … INSERT … WHERE … (plan.rs:631-663): the WHERE
+    * bindings are evaluated ONCE, then both templates are instantiated from
+    * the same binding set (delete first, then insert — the reference's
+    * documented order).
+    */
+  def modify(where: Seq[TriplePattern], deleteTpl: Seq[TriplePattern],
+      insertTpl: Seq[TriplePattern]): TripleGraph = {
+    val bindings = bgp(where).persist()
+    def instantiate(tpl: TriplePattern): DataFrame = {
+      def term(t: Term): Column = t match {
+        case V(n) => col(n).cast("string")
+        case L(v) => lit(v)
+      }
+      bindings.select(term(tpl.s).as("s"), term(tpl.p).as("p"), term(tpl.o).as("o"))
+    }
+    val toDelete = deleteTpl.map(instantiate).reduceOption(_ unionByName _)
+      .map(_.distinct())
+    val toInsert = insertTpl.map(instantiate).reduceOption(_ unionByName _)
+      .map(_.distinct())
+    val afterDelete = toDelete match {
+      case Some(d) => triples.join(d, Seq("s", "p", "o"), "left_anti")
+      case None => triples
+    }
+    val after = toInsert match {
+      case Some(ins) => afterDelete.unionByName(ins).distinct()
+      case None => afterDelete
+    }
+    TripleGraph(after)
+  }
 }
 
 /** Deterministic triple view of the TPC-H tables (oracle-friendly: every

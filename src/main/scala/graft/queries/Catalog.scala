@@ -38,6 +38,7 @@ object Catalog {
     SparqlQueries.defs,
     LangQueries.defs,
     StreamQueries.defs,
+    ExtraQueries.defs,
   )
 
   lazy val defs: Seq[QueryDef] = {

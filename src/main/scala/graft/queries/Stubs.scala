@@ -10,3 +10,4 @@ object MutationQueries { def defs: Seq[QueryDef] = MutationQueriesImpl.defs }
 object SparqlQueries { def defs: Seq[QueryDef] = SparqlQueriesImpl.defs }
 object LangQueries { def defs: Seq[QueryDef] = LangQueriesImpl.defs }
 object StreamQueries { def defs: Seq[QueryDef] = StreamQueriesImpl.defs }
+object ExtraQueries { def defs: Seq[QueryDef] = ExtraQueriesImpl.defs }
