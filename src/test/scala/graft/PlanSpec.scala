@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Catalog
+
+/** Plan-shape assertions — the 100 TB contract: filters and projections must
+  * reach the parquet scan, small dimensions must broadcast, ordered limits
+  * must not global-sort. These guard against regressions that correctness
+  * checks cannot see.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    Catalog.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter and projection push down to the parquet scan") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters:"), "expected parquet PushedFilters")
+    assert(p.contains("c_mktsegment"), "segment filter should reach the scan")
+    // column pruning: the untouched column must not be read
+    assert(p.contains("ReadSchema"))
+    assert(!p.split("ReadSchema")(1).split("\n")(0).contains("c_nationkey"),
+      "pruned column c_nationkey must not be in ReadSchema")
+  }
+
+  test("dimension joins broadcast") {
+    val p = plan("q_join_inner")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$p")
+    assert(!p.contains("SortMergeJoin"), "small dims must not sort-merge")
+  }
+
+  test("ordered limit uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_sort_limit_skip")
+    assert(p.contains("TakeOrderedAndProject"), s"got:\n$p")
+  }
+
+  test("aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"))
+    assert(p.toLowerCase.contains("partial"),
+      "expected partial aggregation before exchange")
+  }
+
+  test("expand compiles to joins with the filter pushed below") {
+    val p = plan("q_expand_1hop")
+    assert(p.contains("PushedFilters") || p.contains("Filter"))
+    assert(!p.contains("CartesianProduct"), "expand must never cross-join")
+  }
+
+  test("whole-stage codegen covers the relational pipeline") {
+    // AQE prints the final (codegen'd) stages only after execution
+    val df = Catalog.queries("q_project_expr")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), s"got:\n$p")
+  }
+}
