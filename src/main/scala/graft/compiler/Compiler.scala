@@ -67,9 +67,13 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
     case Op.UnionAll(l, r) => compile(l).unionByName(compile(r))
 
     case Op.NaturalJoin(l, r) =>
-      val (dl, dr) = (compile(l), compile(r))
-      val shared = dl.columns.intersect(dr.columns).toSeq
-      if (shared.nonEmpty) dl.join(dr, shared) else dl.crossJoin(dr)
+      val (left, right, keys) = natJoinSides(compile(l), compile(r))
+      if (keys.nonEmpty) left.join(right, keys) else left.crossJoin(right)
+
+    case Op.LeftNaturalJoin(l, r) =>
+      val (left, right, keys) = natJoinSides(compile(l), compile(r))
+      require(keys.nonEmpty, "OPTIONAL MATCH must share a variable with the prior pattern")
+      left.join(right, keys, "left_outer")
 
     case Op.Unwind(in, list, as) =>
       val base = in match {
@@ -82,6 +86,18 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
   }
 
   private def oneRow: DataFrame = spark.range(1).select(lit(1).as("__one"))
+
+  /** Natural joins bind on shared *variable* columns only: the `v__prop`
+    * columns are functionally dependent on the id, and joining on them
+    * would wrongly treat NULL props as non-matching (NULL = NULL is false).
+    * The right side drops its duplicate prop columns.
+    */
+  private def natJoinSides(dl: DataFrame, dr: DataFrame): (DataFrame, DataFrame, Seq[String]) = {
+    val shared = dl.columns.intersect(dr.columns).toSeq
+    val keys = shared.filterNot(_.contains("__"))
+    if (keys.isEmpty) (dl, dr, shared)
+    else (dl, shared.filter(_.contains("__")).foldLeft(dr)(_ drop _), keys)
+  }
 
   /** LogicalExpression → Column, scalar context (plan.rs:862-968). */
   def expr(e: Expr.E): Column = comp(e, expr)

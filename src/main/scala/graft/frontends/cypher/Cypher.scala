@@ -73,7 +73,8 @@ object Ast {
       dir: Direction, range: Option[(Int, Int)])
   final case class PathPat(head: NodePat, tail: Seq[(RelPat, NodePat)])
   sealed trait Clause
-  final case class MatchClause(paths: Seq[PathPat], where: Option[Expr.E]) extends Clause
+  final case class MatchClause(paths: Seq[PathPat], where: Option[Expr.E],
+      optional: Boolean = false) extends Clause
   final case class UnwindClause(list: Expr.E, as: String) extends Clause
   final case class WithRet(items: Seq[(Expr.E, Option[String])],
       distinct: Boolean, where: Option[Expr.E], orderBy: Seq[(Expr.E, Boolean)],
@@ -106,6 +107,8 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     var done = false
     while (!done) {
       peek match {
+        case Some(Kw("OPTIONAL")) =>
+          next(); expect(Kw("MATCH")); clauses += parseMatch(optional = true)
         case Some(Kw("MATCH"))  => next(); clauses += parseMatch()
         case Some(Kw("UNWIND")) => next(); clauses += parseUnwind()
         case Some(Kw("WITH"))   => next(); clauses += parseWithRet(isReturn = false)
@@ -117,12 +120,12 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     Query(clauses.result())
   }
 
-  private def parseMatch(): MatchClause = {
+  private def parseMatch(optional: Boolean = false): MatchClause = {
     val paths = Seq.newBuilder[PathPat]
     paths += parsePath()
     while (eat(Sym(","))) paths += parsePath()
     val where = if (eat(Kw("WHERE"))) Some(parseExpr()) else None
-    MatchClause(paths.result(), where)
+    MatchClause(paths.result(), where, optional)
   }
 
   private def parsePath(): PathPat = {
@@ -400,7 +403,8 @@ object CypherFrontend {
     def fresh(): String = { anon += 1; s"__n$anon" }
 
     for (clause <- q.clauses) clause match {
-      case MatchClause(paths, where) =>
+      case MatchClause(paths, where, optional) =>
+        var matchOp: Option[Op.T] = None
         for (path <- paths) {
           val headVar = path.head.v.getOrElse(fresh())
           var pathOp: Op.T = Op.NodeScan(headVar, path.head.label)
@@ -417,9 +421,17 @@ object CypherFrontend {
             pathOp = propFilters(pathOp, toVar, node.props)
             fromVar = toVar
           }
-          cur = if (cur == Op.OneRow) pathOp else Op.NaturalJoin(cur, pathOp)
+          matchOp = Some(matchOp.map(Op.NaturalJoin(_, pathOp)).getOrElse(pathOp))
         }
-        where.foreach(w => cur = Op.Filter(cur, w))
+        // WHERE inside OPTIONAL MATCH applies before the left join (openCypher)
+        var rhs = matchOp.get
+        if (optional) {
+          where.foreach(w => rhs = Op.Filter(rhs, w))
+          cur = if (cur == Op.OneRow) rhs else Op.LeftNaturalJoin(cur, rhs)
+        } else {
+          cur = if (cur == Op.OneRow) rhs else Op.NaturalJoin(cur, rhs)
+          where.foreach(w => cur = Op.Filter(cur, w))
+        }
 
       case UnwindClause(list, as) =>
         cur = Op.Unwind(cur, list, as)

@@ -29,7 +29,7 @@ object SparqlLexer {
   final case class NumT(s: String) extends Tok
   final case class Sym(s: String) extends Tok
 
-  private val keywords = Set("SELECT", "WHERE", "DISTINCT", "FILTER",
+  private val keywords = Set("SELECT", "ASK", "CONSTRUCT", "WHERE", "DISTINCT", "FILTER",
     "OPTIONAL", "UNION", "MINUS", "BIND", "AS", "GROUP", "BY", "ORDER",
     "ASC", "DESC", "LIMIT", "OFFSET", "COUNT", "SUM", "AVG", "MIN", "MAX",
     "A", "TRUE", "FALSE")
@@ -92,7 +92,9 @@ object SparqlAst {
   final case class BindP(p: Pattern, e: Expr.E, as: String) extends Pattern
 
   final case class Query(
+      kind: String,                     // select | ask | construct
       items: Seq[(Expr.E, String)],     // projection in declared order
+      constructTpl: Seq[TriplePattern], // for CONSTRUCT
       distinct: Boolean,
       where: Pattern,
       groupBy: Seq[String],
@@ -119,10 +121,24 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
     throw new IllegalArgumentException(s"sparql parse error at token $pos: $msg")
 
   def parseQuery(): Query = {
-    expect(Kw("SELECT"))
-    val distinct = eat(Kw("DISTINCT"))
+    val kind = next() match {
+      case Kw("SELECT") => "select"
+      case Kw("ASK") => "ask"
+      case Kw("CONSTRUCT") => "construct"
+      case other => fail(s"expected SELECT/ASK/CONSTRUCT, got $other")
+    }
+    val constructTpl = Seq.newBuilder[TriplePattern]
+    if (kind == "construct") {
+      expect(Sym("{"))
+      while (!at(Sym("}"))) {
+        if (at(Sym("."))) { next() }
+        else constructTpl += TriplePattern(parseTerm(), parseTerm(), parseTerm())
+      }
+      expect(Sym("}"))
+    }
+    val distinct = kind == "select" && eat(Kw("DISTINCT"))
     val items = Seq.newBuilder[(Expr.E, String)]
-    var go = true
+    var go = kind == "select"
     while (go) peek match {
       case Some(VarT(v)) => next(); items += ((Expr.Var(v), v))
       case Some(Sym("*")) => next() // * = all vars; resolved at compile
@@ -175,8 +191,8 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
       case None => more = false
       case other => fail(s"trailing tokens: $other")
     }
-    Query(items.result(), distinct, where, groupBy.result(), orderBy.result(),
-      offset, limit)
+    Query(kind, items.result(), constructTpl.result(), distinct, where,
+      groupBy.result(), orderBy.result(), offset, limit)
   }
 
   private def parseNum(): Long = next() match {
@@ -320,6 +336,22 @@ final class SparqlCompiler(graph: TripleGraph) {
   import SparqlAst._
 
   def compile(q: Query): DataFrame = {
+    if (q.kind == "ask") {
+      // ASK: any solution exists (plan.rs ask handling in planner_rdf)
+      return compilePattern(q.where).limit(1)
+        .agg((count(lit(1)) > 0).as("ask"))
+    }
+    if (q.kind == "construct") {
+      val bindings = compilePattern(q.where)
+      def term(t: graft.graph.Term): org.apache.spark.sql.Column = t match {
+        case graft.graph.V(n) => col(n).cast("string")
+        case graft.graph.L(v) => lit(v)
+      }
+      return q.constructTpl
+        .map(t => bindings.select(term(t.s).as("s"), term(t.p).as("p"), term(t.o).as("o")))
+        .reduce(_ unionByName _)
+        .distinct()
+    }
     var df = compilePattern(q.where)
     val items = if (q.items.isEmpty) df.columns.toSeq.map(c => (Expr.Var(c): Expr.E, c))
       else q.items

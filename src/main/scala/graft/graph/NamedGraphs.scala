@@ -1,0 +1,63 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Named-graph management (reference plan.rs:666-734: ClearGraph/CreateGraph/
+  * DropGraph/CopyGraph/MoveGraph/AddGraph) over a quads DataFrame
+  * (g, s, p, o) — every operation is a partition-wise transformation on the
+  * `g` column, which is exactly how it scales: with the quads table
+  * partitioned by `g`, each op touches only the named partitions.
+  */
+final case class QuadStore(quads: DataFrame) {
+
+  def graphNames: DataFrame = quads.select(col("g")).distinct()
+
+  def graph(name: String): TripleGraph =
+    TripleGraph(quads.filter(col("g") === name).select("s", "p", "o"))
+
+  /** CLEAR GRAPH g (plan.rs:666-675): drop its triples, keep others. */
+  def clear(name: String): QuadStore =
+    QuadStore(quads.filter(col("g") =!= name))
+
+  /** DROP GRAPH = clear (graph existence is extensional here). */
+  def drop(name: String): QuadStore = clear(name)
+
+  /** ADD src TO dst (plan.rs:723-734): union src's triples into dst (set
+    * semantics).
+    */
+  def add(src: String, dst: String): QuadStore = {
+    val moved = quads.filter(col("g") === src)
+      .select(lit(dst).as("g"), col("s"), col("p"), col("o"))
+    QuadStore(quads.unionByName(moved).distinct())
+  }
+
+  /** COPY src TO dst (plan.rs:700-711): dst becomes an exact copy of src. */
+  def copy(src: String, dst: String): QuadStore = {
+    val copied = quads.filter(col("g") === src)
+      .select(lit(dst).as("g"), col("s"), col("p"), col("o"))
+    QuadStore(quads.filter(col("g") =!= dst).unionByName(copied))
+  }
+
+  /** MOVE src TO dst (plan.rs:712-722): copy then drop src. */
+  def move(src: String, dst: String): QuadStore = copy(src, dst).drop(src)
+
+  /** INSERT DATA into a named graph. */
+  def insert(name: String, triples: DataFrame): QuadStore =
+    QuadStore(quads.unionByName(
+      triples.select(lit(name).as("g"), col("s"), col("p"), col("o"))).distinct())
+}
+
+object QuadStore {
+  /** Deterministic quads view: documents keyed by their source as the named
+    * graph — (g=source, s=doc:id, p, o).
+    */
+  def fromDocuments(spark: SparkSession, dir: String): QuadStore = {
+    val d = graft.core.Tables.documents(spark, dir)
+    def q(p: String, o: org.apache.spark.sql.Column): DataFrame =
+      d.select(col("source").as("g"),
+        concat(lit("doc:"), col("doc_id")).as("s"), lit(p).as("p"),
+        o.cast("string").as("o"))
+    QuadStore(q("lang", col("lang")).unionByName(q("nchars", col("n_chars"))))
+  }
+}

@@ -86,6 +86,9 @@ object Op {
   /** Natural join on shared variable columns (multi-MATCH / multi-path). */
   final case class NaturalJoin(l: T, r: T) extends T
 
+  /** Left outer natural join (OPTIONAL MATCH; plan.rs:513-521). */
+  final case class LeftNaturalJoin(l: T, r: T) extends T
+
   /** plan.rs:544-555 — list to rows. */
   final case class Unwind(input: T, list: E, as: String) extends T
 

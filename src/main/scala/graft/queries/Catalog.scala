@@ -39,6 +39,7 @@ object Catalog {
     LangQueries.defs,
     StreamQueries.defs,
     ExtraQueries.defs,
+    Extra2Queries.defs,
   )
 
   lazy val defs: Seq[QueryDef] = {

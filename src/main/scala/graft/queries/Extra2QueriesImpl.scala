@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.frontends.sparql.SparqlFrontend
+import graft.graph.{QuadStore, TpchGraph, TpchRdf}
+
+/** Third-wave coverage: named-graph management, SPARQL ASK/CONSTRUCT,
+  * Cypher OPTIONAL MATCH.
+  */
+object Extra2QueriesImpl {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Named-graph management (plan.rs:666-734): COPY src0→tmp, ADD src1→tmp,
+    // CLEAR src2; count triples per remaining graph.
+    QueryDef(
+      "q_named_graphs",
+      """WITH q AS (
+        |  SELECT source AS g, 'doc:' || doc_id AS s, 'lang' AS p, lang AS o FROM documents
+        |  UNION ALL
+        |  SELECT source, 'doc:' || doc_id, 'nchars', CAST(n_chars AS VARCHAR) FROM documents
+        |),
+        |after AS (
+        |  SELECT g, s, p, o FROM q WHERE g <> 'src2'
+        |  UNION ALL
+        |  SELECT 'tmp', s, p, o FROM q WHERE g = 'src0'
+        |  UNION ALL
+        |  SELECT 'tmp', s, p, o FROM q WHERE g = 'src1'
+        |)
+        |SELECT g, count(*) AS n FROM (SELECT DISTINCT g, s, p, o FROM after)
+        |GROUP BY g
+        |ORDER BY g NULLS FIRST""".stripMargin) { (s, dir) =>
+      val store = QuadStore.fromDocuments(s, dir)
+      val mutated = store.copy("src0", "tmp").add("src1", "tmp").clear("src2")
+      mutated.quads.groupBy("g").agg(count(lit(1)).as("n")).orderBy("g")
+    },
+
+    // SPARQL ASK (sparql_translator.rs ASK handling): positive + negative.
+    QueryDef(
+      "q_sparql_ask",
+      """SELECT EXISTS(SELECT 1 FROM nation WHERE n_name = 'NATION_3') AS ask""") { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        "ASK WHERE { ?n name 'NATION_3' . }")
+    },
+
+    // SPARQL CONSTRUCT (sparql_translator.rs CONSTRUCT): derive new triples
+    // from a template over the bindings.
+    QueryDef(
+      "q_sparql_construct",
+      """SELECT DISTINCT 'n:' || c_nationkey AS s, 'hasCustomer' AS p,
+        |       'c:' || c_custkey AS o
+        |FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY s NULLS FIRST, p NULLS FIRST, o NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        """CONSTRUCT { ?n hasCustomer ?c }
+          |WHERE { ?c inNation ?n . ?c segment 'MACHINERY' . }""".stripMargin)
+        .orderBy("s", "p", "o")
+    },
+
+    // Cypher OPTIONAL MATCH (plan.rs:513-521 through the LPG front-end):
+    // regions with their suppliers' nations, null-extended.
+    QueryDef(
+      "q_cypher_optional",
+      """SELECT n_name AS nat, s_name AS sup
+        |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |ORDER BY nat NULLS FIRST, sup NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (n:Nation)
+          |OPTIONAL MATCH (sp:Supplier)-[:FROM_NATION]->(n)
+          |RETURN n.name AS nat, sp.name AS sup
+          |ORDER BY nat, sup""".stripMargin)
+    },
+  )
+}

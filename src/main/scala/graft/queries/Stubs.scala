@@ -11,3 +11,4 @@ object SparqlQueries { def defs: Seq[QueryDef] = SparqlQueriesImpl.defs }
 object LangQueries { def defs: Seq[QueryDef] = LangQueriesImpl.defs }
 object StreamQueries { def defs: Seq[QueryDef] = StreamQueriesImpl.defs }
 object ExtraQueries { def defs: Seq[QueryDef] = ExtraQueriesImpl.defs }
+object Extra2Queries { def defs: Seq[QueryDef] = Extra2QueriesImpl.defs }
