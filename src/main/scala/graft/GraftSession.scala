@@ -29,6 +29,14 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     */
   def gql(query: String): DataFrame = cypher(query)
 
+  /** Cypher update queries (CREATE/SET/DELETE/DETACH DELETE/MERGE/REMOVE
+    * after an optional MATCH prefix) — returns the mutated graph (functional
+    * semantics; reads in the same query see the input snapshot, matching the
+    * reference's MVCC view).
+    */
+  def cypherUpdate(query: String): graft.graph.PropertyGraph =
+    graft.frontends.cypher.CypherUpdates.run(spark, graph, query)
+
   /** Gremlin entry point (reference processor.rs:282-291). */
   def gremlin(query: String): DataFrame =
     compiler.compile(graft.frontends.gremlin.GremlinFrontend.translate(query))

@@ -16,7 +16,7 @@ import graft.ir.{Expr, Op}
 object CypherLexer {
   sealed trait Tok
   final case class Ident(s: String) extends Tok
-  final case class Kw(s: String) extends Tok // uppercased keyword
+  final case class Kw(s: String)(val raw: String) extends Tok // uppercased keyword (raw = source spelling)
   final case class NumLit(s: String) extends Tok
   final case class StrLit(s: String) extends Tok
   final case class Sym(s: String) extends Tok
@@ -25,7 +25,7 @@ object CypherLexer {
     "AS", "ORDER", "BY", "ASC", "DESC", "SKIP", "LIMIT", "DISTINCT", "AND",
     "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS", "IS", "NULL",
     "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL",
-    "OPTIONAL")
+    "OPTIONAL", "CREATE", "SET", "DELETE", "DETACH", "MERGE", "REMOVE")
 
   def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -38,7 +38,7 @@ object CypherLexer {
         val start = i
         while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
         val w = q.substring(start, i)
-        if (keywords.contains(w.toUpperCase)) out += Kw(w.toUpperCase)
+        if (keywords.contains(w.toUpperCase)) out += Kw(w.toUpperCase)(w)
         else out += Ident(w)
       } else if (c.isDigit) {
         val start = i
@@ -76,6 +76,11 @@ object Ast {
   final case class MatchClause(paths: Seq[PathPat], where: Option[Expr.E],
       optional: Boolean = false) extends Clause
   final case class UnwindClause(list: Expr.E, as: String) extends Clause
+  final case class CreateClause(path: PathPat) extends Clause
+  final case class SetClause(items: Seq[(Expr.Prop, Expr.E)]) extends Clause
+  final case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
+  final case class MergeClause(node: NodePat) extends Clause
+  final case class RemoveClause(v: String, label: String) extends Clause
   final case class WithRet(items: Seq[(Expr.E, Option[String])],
       distinct: Boolean, where: Option[Expr.E], orderBy: Seq[(Expr.E, Boolean)],
       skip: Option[Long], limit: Option[Long], isReturn: Boolean) extends Clause
@@ -105,26 +110,79 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
   def parseQuery(): Query = {
     val clauses = Seq.newBuilder[Clause]
     var done = false
-    while (!done) {
+    while (!done && pos < tokens.length) {
       peek match {
         case Some(Kw("OPTIONAL")) =>
-          next(); expect(Kw("MATCH")); clauses += parseMatch(optional = true)
+          next(); expect(Kw("MATCH")("")); clauses += parseMatch(optional = true)
         case Some(Kw("MATCH"))  => next(); clauses += parseMatch()
         case Some(Kw("UNWIND")) => next(); clauses += parseUnwind()
         case Some(Kw("WITH"))   => next(); clauses += parseWithRet(isReturn = false)
         case Some(Kw("RETURN")) => next(); clauses += parseWithRet(isReturn = true); done = true
+        case Some(Kw("CREATE")) => next(); clauses += CreateClause(parsePath())
+        case Some(Kw("MERGE"))  => next(); clauses += MergeClause(parseNodePat())
+        case Some(Kw("SET"))    => next(); clauses += parseSet()
+        case Some(Kw("DETACH")) =>
+          next(); expect(Kw("DELETE")("")); clauses += parseDelete(detach = true)
+        case Some(Kw("DELETE")) => next(); clauses += parseDelete(detach = false)
+        case Some(Kw("REMOVE")) => next(); clauses += parseRemove()
         case other => fail(s"unexpected $other")
       }
     }
     if (pos < tokens.length) fail(s"trailing tokens from ${tokens(pos)}")
-    Query(clauses.result())
+    val cs = clauses.result()
+    require(cs.nonEmpty, "empty query")
+    Query(cs)
+  }
+
+  private def parseSet(): SetClause = {
+    val items = Seq.newBuilder[(Expr.Prop, Expr.E)]
+    def one(): Unit = {
+      val v = next() match {
+        case Ident(x) => x
+        case other => fail(s"SET expects var.prop, got $other")
+      }
+      expect(Sym("."))
+      val k = next() match {
+        case Ident(x) => x
+        case other => fail(s"SET expects var.prop, got $other")
+      }
+      expect(Sym("="))
+      items += ((Expr.Prop(v, k), parseExpr()))
+    }
+    one()
+    while (eat(Sym(","))) one()
+    SetClause(items.result())
+  }
+
+  private def parseDelete(detach: Boolean): DeleteClause = {
+    val vars = Seq.newBuilder[String]
+    def one(): Unit = next() match {
+      case Ident(v) => vars += v
+      case other => fail(s"DELETE expects variables, got $other")
+    }
+    one()
+    while (eat(Sym(","))) one()
+    DeleteClause(vars.result(), detach)
+  }
+
+  private def parseRemove(): RemoveClause = {
+    val v = next() match {
+      case Ident(x) => x
+      case other => fail(s"REMOVE expects var:Label, got $other")
+    }
+    expect(Sym(":"))
+    val label = next() match {
+      case Ident(l) => l
+      case other => fail(s"expected label, got $other")
+    }
+    RemoveClause(v, label)
   }
 
   private def parseMatch(optional: Boolean = false): MatchClause = {
     val paths = Seq.newBuilder[PathPat]
     paths += parsePath()
     while (eat(Sym(","))) paths += parsePath()
-    val where = if (eat(Kw("WHERE"))) Some(parseExpr()) else None
+    val where = if (eat(Kw("WHERE")(""))) Some(parseExpr()) else None
     MatchClause(paths.result(), where, optional)
   }
 
@@ -148,10 +206,12 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     expect(Sym("("))
     val v = peek match {
       case Some(Ident(name)) => next(); Some(name)
+      case Some(k: Kw) if !at(Sym(":")) && k.raw.nonEmpty => next(); Some(k.raw)
       case _ => None
     }
     val label = if (eat(Sym(":"))) peek match {
       case Some(Ident(l)) => next(); Some(l)
+      case Some(k: Kw) if k.raw.nonEmpty => next(); Some(k.raw)
       case _ => fail("expected label")
     } else None
     val props = Seq.newBuilder[(String, Expr.E)]
@@ -160,6 +220,7 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       while (go) {
         val k = next() match {
           case Ident(s) => s
+          case kk: Kw if kk.raw.nonEmpty => kk.raw
           case other => fail(s"expected property key, got $other")
         }
         expect(Sym(":"))
@@ -189,6 +250,7 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       }
       if (eat(Sym(":"))) peek match {
         case Some(Ident(t)) => next(); relType = Some(t)
+        case Some(k: Kw) if k.raw.nonEmpty => next(); relType = Some(k.raw)
         case _ => fail("expected relationship type")
       }
       if (eat(Sym("*"))) {
@@ -223,7 +285,7 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
 
   private def parseUnwind(): UnwindClause = {
     val e = parseExpr()
-    expect(Kw("AS"))
+    expect(Kw("AS")(""))
     val as = next() match {
       case Ident(s) => s
       case other => fail(s"expected identifier, got $other")
@@ -232,11 +294,11 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
   }
 
   private def parseWithRet(isReturn: Boolean): WithRet = {
-    val distinct = eat(Kw("DISTINCT"))
+    val distinct = eat(Kw("DISTINCT")(""))
     val items = Seq.newBuilder[(Expr.E, Option[String])]
     def item(): Unit = {
       val e = parseExpr()
-      val alias = if (eat(Kw("AS"))) next() match {
+      val alias = if (eat(Kw("AS")(""))) next() match {
         case Ident(s) => Some(s)
         case other => fail(s"expected alias, got $other")
       } else None
@@ -244,20 +306,20 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     }
     item()
     while (eat(Sym(","))) item()
-    val where = if (eat(Kw("WHERE"))) Some(parseExpr()) else None
+    val where = if (eat(Kw("WHERE")(""))) Some(parseExpr()) else None
     val orderBy = Seq.newBuilder[(Expr.E, Boolean)]
-    if (eat(Kw("ORDER"))) {
-      expect(Kw("BY"))
+    if (eat(Kw("ORDER")(""))) {
+      expect(Kw("BY")(""))
       def key(): Unit = {
         val e = parseExpr()
-        val asc = if (eat(Kw("DESC"))) false else { eat(Kw("ASC")); true }
+        val asc = if (eat(Kw("DESC")(""))) false else { eat(Kw("ASC")("")); true }
         orderBy += ((e, asc))
       }
       key()
       while (eat(Sym(","))) key()
     }
-    val skip = if (eat(Kw("SKIP"))) Some(parseNum()) else None
-    val limit = if (eat(Kw("LIMIT"))) Some(parseNum()) else None
+    val skip = if (eat(Kw("SKIP")(""))) Some(parseNum()) else None
+    val limit = if (eat(Kw("LIMIT")(""))) Some(parseNum()) else None
     WithRet(items.result(), distinct, where, orderBy.result(), skip, limit, isReturn)
   }
 
@@ -271,21 +333,21 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
 
   private def parseOr(): Expr.E = {
     var e = parseXor()
-    while (eat(Kw("OR"))) e = Expr.Bin("or", e, parseXor())
+    while (eat(Kw("OR")(""))) e = Expr.Bin("or", e, parseXor())
     e
   }
   private def parseXor(): Expr.E = {
     var e = parseAnd()
-    while (eat(Kw("XOR"))) e = Expr.Bin("xor", e, parseAnd())
+    while (eat(Kw("XOR")(""))) e = Expr.Bin("xor", e, parseAnd())
     e
   }
   private def parseAnd(): Expr.E = {
     var e = parseNot()
-    while (eat(Kw("AND"))) e = Expr.Bin("and", e, parseNot())
+    while (eat(Kw("AND")(""))) e = Expr.Bin("and", e, parseNot())
     e
   }
   private def parseNot(): Expr.E =
-    if (eat(Kw("NOT"))) Expr.Not(parseNot()) else parseCmp()
+    if (eat(Kw("NOT")(""))) Expr.Not(parseNot()) else parseCmp()
 
   private def parseCmp(): Expr.E = {
     var e = parseAdd()
@@ -297,15 +359,15 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
         case Some(Kw("IN")) =>
           next(); e = Expr.Bin("in", e, parseAdd())
         case Some(Kw("STARTS")) =>
-          next(); expect(Kw("WITH")); e = Expr.Bin("startswith", e, parseAdd())
+          next(); expect(Kw("WITH")("")); e = Expr.Bin("startswith", e, parseAdd())
         case Some(Kw("ENDS")) =>
-          next(); expect(Kw("WITH")); e = Expr.Bin("endswith", e, parseAdd())
+          next(); expect(Kw("WITH")("")); e = Expr.Bin("endswith", e, parseAdd())
         case Some(Kw("CONTAINS")) =>
           next(); e = Expr.Bin("contains", e, parseAdd())
         case Some(Kw("IS")) =>
           next()
-          val negated = eat(Kw("NOT"))
-          expect(Kw("NULL"))
+          val negated = eat(Kw("NOT")(""))
+          expect(Kw("NULL")(""))
           e = Expr.IsNull(e, negated)
         case _ => go = false
       }
@@ -359,18 +421,18 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     case Kw("CASE") =>
       val branches = Seq.newBuilder[(Expr.E, Expr.E)]
       // searched CASE only (simple CASE desugars to searched upstream)
-      while (eat(Kw("WHEN"))) {
-        val c = parseExpr(); expect(Kw("THEN")); val v = parseExpr()
+      while (eat(Kw("WHEN")(""))) {
+        val c = parseExpr(); expect(Kw("THEN")("")); val v = parseExpr()
         branches += ((c, v))
       }
-      val orElse = if (eat(Kw("ELSE"))) Some(parseExpr()) else None
-      expect(Kw("END"))
+      val orElse = if (eat(Kw("ELSE")(""))) Some(parseExpr()) else None
+      expect(Kw("END")(""))
       Expr.CaseW(branches.result(), orElse)
     case Ident(name) =>
       peek match {
         case Some(Sym("(")) =>
           next()
-          val distinct = eat(Kw("DISTINCT"))
+          val distinct = eat(Kw("DISTINCT")(""))
           val args = Seq.newBuilder[Expr.E]
           if (!at(Sym(")"))) {
             if (eat(Sym("*"))) args += Expr.Lit("*")
@@ -435,6 +497,11 @@ object CypherFrontend {
 
       case UnwindClause(list, as) =>
         cur = Op.Unwind(cur, list, as)
+
+      case _: CreateClause | _: SetClause | _: DeleteClause | _: MergeClause |
+          _: RemoveClause =>
+        throw new IllegalArgumentException(
+          "mutation clauses run through GraftSession.cypherUpdate, not cypher()")
 
       case WithRet(items, distinct, where, orderBy, skip, limit, _) =>
         val named = items.map { case (e, alias) =>

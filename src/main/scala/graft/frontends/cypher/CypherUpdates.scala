@@ -1,0 +1,145 @@
+package graft.frontends.cypher
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.compiler.Compiler
+import graft.graph.{Mutations, PropertyGraph}
+import graft.ir.Expr
+
+/** Executes Cypher update queries (reference cypher mutation clauses →
+  * CreateNode/CreateEdge/SetProperty/Delete/Merge plan ops,
+  * plan.rs:393-475/558-576): the reading prefix (MATCH/WHERE/…) binds rows
+  * against the *input* graph snapshot, then mutation clauses apply in order
+  * through the functional graft.graph.Mutations API.
+  */
+object CypherUpdates {
+  import Ast._
+
+  def run(spark: SparkSession, graph: PropertyGraph, query: String): PropertyGraph = {
+    val q = CypherFrontend.parse(query)
+    val (readPrefix, actions) = q.clauses.span {
+      case _: CreateClause | _: SetClause | _: DeleteClause | _: MergeClause |
+          _: RemoveClause => false
+      case _ => true
+    }
+    require(actions.nonEmpty, "no mutation clause; use cypher() for reads")
+    require(actions.forall {
+      case _: CreateClause | _: SetClause | _: DeleteClause | _: MergeClause |
+          _: RemoveClause => true
+      case _ => false
+    }, "mutation clauses must come last")
+
+    val compiler = new Compiler(spark, graph)
+    lazy val bindings: DataFrame = {
+      require(readPrefix.nonEmpty, "this mutation needs a MATCH prefix")
+      compiler.compile(CypherFrontend.translate(Query(readPrefix)))
+    }
+
+    actions.foldLeft(graph)((g, a) => apply(spark, g, bindings, a))
+  }
+
+  /** Expression → Column in node-table context (SET values may reference the
+    * node's own properties).
+    */
+  private def nodeExpr(e: Expr.E): Column = e match {
+    case Expr.Lit(v)     => lit(v)
+    case Expr.Prop(_, k) => col(k)
+    case Expr.Var(_)     => col("id")
+    case Expr.Bin(op, l, r) =>
+      val (cl, cr) = (nodeExpr(l), nodeExpr(r))
+      op match {
+        case "+" => cl + cr
+        case "-" => cl - cr
+        case "*" => cl * cr
+        case "/" => cl / cr
+        case "%" => cl % cr
+        case other => throw new IllegalArgumentException(s"SET operator $other")
+      }
+    case Expr.Func(n, args, _) => n.toLowerCase match {
+      case "toupper" | "upper" => upper(nodeExpr(args.head))
+      case "tolower" | "lower" => lower(nodeExpr(args.head))
+      case "coalesce" => coalesce(args.map(nodeExpr): _*)
+      case other => throw new IllegalArgumentException(s"SET function $other()")
+    }
+    case other => throw new IllegalArgumentException(s"unsupported SET expression $other")
+  }
+
+  private def litValue(e: Expr.E): Any = e match {
+    case Expr.Lit(v) => v
+    case other => throw new IllegalArgumentException(s"expected literal, got $other")
+  }
+
+  private def apply(spark: SparkSession, g: PropertyGraph, bindings: => DataFrame,
+      clause: Clause): PropertyGraph = clause match {
+
+    case CreateClause(path) if path.tail.isEmpty =>
+      // standalone CREATE (n:Label {id: …, …}) — id is required (the
+      // distributed engine does not invent ids; callers own the id space)
+      val node = path.head
+      val label = node.label.getOrElse(
+        throw new IllegalArgumentException("CREATE needs a label"))
+      val props = node.props.map { case (k, v) => k -> litValue(v) }.toMap
+      require(props.contains("id"), "CREATE needs an explicit id property")
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val id = props("id") match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => throw new IllegalArgumentException(s"id must be integer, got $other")
+      }
+      var row = spark.createDataFrame(
+        java.util.List.of(Row(id)),
+        StructType(Seq(StructField("id", LongType))))
+        .withColumn("labels", array(lit(label)))
+      for ((k, v) <- props if k != "id") row = row.withColumn(k, lit(v))
+      Mutations.createNodes(g, row)
+
+    case CreateClause(path) =>
+      // CREATE (a)-[:T {…}]->(b) with a, b bound by the MATCH prefix
+      require(path.tail.size == 1, "CREATE supports a single relationship")
+      val (rel, dstPat) = path.tail.head
+      val relType = rel.relType.getOrElse(
+        throw new IllegalArgumentException("CREATE relationship needs a type"))
+      val (srcVar, dstVar) = (path.head.v.get, dstPat.v.get)
+      val edges = bindings.select(col(srcVar).as("src"), col(dstVar).as("dst"))
+        .distinct()
+        .withColumn("rel", lit(relType))
+      Mutations.createEdges(g, edges)
+
+    case SetClause(items) =>
+      items.foldLeft(g) { case (acc, (Expr.Prop(v, key), value)) =>
+        Mutations.setNodePropertyByIds(acc, bindings.select(col(v)), key,
+          nodeExpr(value))
+      }
+
+    case DeleteClause(vars, detach) =>
+      vars.foldLeft(g)((acc, v) =>
+        Mutations.deleteNodesByIds(acc, bindings.select(col(v)), detach))
+
+    case RemoveClause(v, label) =>
+      Mutations.removeLabelByIds(g, bindings.select(col(v)), label)
+
+    case MergeClause(node) =>
+      val label = node.label.getOrElse(
+        throw new IllegalArgumentException("MERGE needs a label"))
+      val props = node.props.map { case (k, v) => k -> litValue(v) }
+      require(props.nonEmpty, "MERGE needs at least one property")
+      val keyCol = props.head._1
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      require(props.exists(_._1 == "id"), "MERGE needs an id property for the create path")
+      val id = props.find(_._1 == "id").get._2 match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => throw new IllegalArgumentException(s"id must be integer, got $other")
+      }
+      var incoming = spark.createDataFrame(
+        java.util.List.of(Row(id)),
+        StructType(Seq(StructField("id", LongType))))
+        .withColumn("labels", array(lit(label)))
+      for ((k, v) <- props if k != "id") incoming = incoming.withColumn(k, lit(v))
+      Mutations.mergeNodes(g, incoming, keyCol)
+
+    case other => throw new IllegalArgumentException(s"not a mutation clause: $other")
+  }
+}

@@ -83,6 +83,50 @@ object Mutations {
   def deleteEdges(g: PropertyGraph, cond: Column): PropertyGraph =
     g.copy(edges = g.edges.filter(!coalesce(cond, lit(false))))
 
+  // ---- binding-driven variants (id sets come from a matched pattern; a
+  // join-based update is the scalable form of "WHERE id IN (…)") ----
+
+  private def flagByIds(g: PropertyGraph, ids: DataFrame): DataFrame =
+    g.nodes.join(
+      ids.select(col(ids.columns.head).as("id")).distinct()
+        .withColumn("__hit", lit(true)),
+      Seq("id"), "left_outer")
+
+  def setNodePropertyByIds(g: PropertyGraph, ids: DataFrame, prop: String,
+      value: Column): PropertyGraph =
+    g.copy(nodes = flagByIds(g, ids)
+      .withColumn(prop, when(col("__hit"), value).otherwise(col(prop)))
+      .drop("__hit"))
+
+  def addLabelByIds(g: PropertyGraph, ids: DataFrame, label: String): PropertyGraph =
+    g.copy(nodes = flagByIds(g, ids)
+      .withColumn("labels",
+        when(col("__hit") && !array_contains(col("labels"), label),
+          array_append(col("labels"), label)).otherwise(col("labels")))
+      .drop("__hit"))
+
+  def removeLabelByIds(g: PropertyGraph, ids: DataFrame, label: String): PropertyGraph =
+    g.copy(nodes = flagByIds(g, ids)
+      .withColumn("labels",
+        when(col("__hit"), array_remove(col("labels"), label)).otherwise(col("labels")))
+      .drop("__hit"))
+
+  def deleteNodesByIds(g: PropertyGraph, ids: DataFrame, detach: Boolean): PropertyGraph = {
+    val doomed = ids.select(col(ids.columns.head).as("id")).distinct()
+    if (detach) {
+      val edges2 = g.edges
+        .join(doomed.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(doomed.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        .select(g.edges.columns.map(col): _*)
+      PropertyGraph(g.nodes.join(doomed, Seq("id"), "left_anti"), edges2)
+    } else {
+      val attached = g.edges.select(col("src").as("id"))
+        .unionByName(g.edges.select(col("dst").as("id"))).distinct()
+      val deletable = doomed.join(attached, Seq("id"), "left_anti")
+      g.copy(nodes = g.nodes.join(deletable, Seq("id"), "left_anti"))
+    }
+  }
+
   /** Merge (plan.rs:558-576; merge.rs): match-or-create by a key column, with
     * ON MATCH / ON CREATE property updates — the MERGE INTO shape. `incoming`
     * must carry the node schema's columns (or a subset + nulls).

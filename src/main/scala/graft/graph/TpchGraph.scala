@@ -23,10 +23,22 @@ object TpchGraph {
   def gid(tag: Long, key: Column): Column = lit(tag * Stride) + key.cast("long")
   def key(id: Column): Column = id % Stride
 
+  // Fixture graphs are rebuilt by many catalog queries in one session; cache
+  // the (persisted) DataFrames per directory. At cluster scale this is the
+  // "dimension tables stay cached" pattern — nodes/edges here are derived
+  // views, small relative to the facts they index.
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
+
+  def apply(spark: SparkSession, dir: String): PropertyGraph =
+    cache.getOrElseUpdate(s"lpg:$dir", {
+      val g = build(spark, dir)
+      PropertyGraph(g.nodes.persist(), g.edges.persist())
+    })
+
   /** Heterogeneous LPG: Region/Nation/Supplier/Customer/Part/Order nodes with
     * IN_REGION / FROM_NATION / PLACED_BY / CONTAINS / SUPPLIES edges.
     */
-  def apply(spark: SparkSession, dir: String): PropertyGraph = {
+  def build(spark: SparkSession, dir: String): PropertyGraph = {
     def n(df: DataFrame, tag: Long, keyCol: String, label: String,
         name: Column, acctbal: Column, extra: Column): DataFrame =
       df.select(
@@ -70,7 +82,13 @@ object TpchGraph {
     * exist between most pairs — exercises min-distance semantics. dst > src
     * always, hence acyclic; derivable in plain SQL for the oracle.
     */
-  def partDag(spark: SparkSession, dir: String): PropertyGraph = {
+  def partDag(spark: SparkSession, dir: String): PropertyGraph =
+    cache.getOrElseUpdate(s"dag:$dir", {
+      val g = buildPartDag(spark, dir)
+      PropertyGraph(g.nodes.persist(), g.edges.persist())
+    })
+
+  def buildPartDag(spark: SparkSession, dir: String): PropertyGraph = {
     val p = Tables.part(spark, dir).select(col("p_partkey").as("k"))
     val dst = p.select(col("k").as("k2"))
     def join(cond: Column): DataFrame =

@@ -12,6 +12,23 @@ object Extra2QueriesImpl {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // Cypher update clauses end-to-end (plan.rs:393-475 via the front-end):
+    // MATCH … SET, then query the mutated snapshot.
+    QueryDef(
+      "q_cypher_update",
+      """SELECT c_custkey AS k,
+        |       CASE WHEN c_acctbal < 0.0 THEN 'debtor' ELSE c_mktsegment END AS seg
+        |FROM customer
+        |ORDER BY k NULLS FIRST""".stripMargin) { (s, dir) =>
+      val session = new GraftSession(s, TpchGraph(s, dir))
+      val mutated = session.cypherUpdate(
+        "MATCH (c:Customer) WHERE c.acctbal < 0.0 SET c.category = 'debtor'")
+      new GraftSession(s, mutated).cypher(
+        """MATCH (c:Customer)
+          |RETURN id(c) - 4000000000000 AS k, c.category AS seg
+          |ORDER BY k""".stripMargin)
+    },
+
     // Named-graph management (plan.rs:666-734): COPY src0→tmp, ADD src1→tmp,
     // CLEAR src2; count triples per remaining graph.
     QueryDef(

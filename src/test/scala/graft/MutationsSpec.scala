@@ -43,3 +43,44 @@ class MutationsSpec extends AnyFunSuite {
     assert(g2.nodes.count() == 4)
   }
 }
+
+class CypherUpdateSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.graph.TpchGraph
+
+  lazy val session = new GraftSession(spark, TpchGraph(spark, sf))
+
+  test("CREATE node then MERGE is idempotent on the key") {
+    val g1 = session.cypherUpdate("CREATE (h:Hub {id: 777, name: 'hub'})")
+    assert(g1.nodesWithLabel("Hub").count() == 1)
+    val g2 = new GraftSession(spark, g1)
+      .cypherUpdate("MERGE (h:Hub {name: 'hub', id: 777})")
+    assert(g2.nodesWithLabel("Hub").count() == 1)
+  }
+
+  test("MATCH … CREATE relationship from bindings") {
+    val g1 = session.cypherUpdate(
+      """MATCH (s:Supplier)-[:FROM_NATION]->(n:Nation)
+        |CREATE (n)-[:HAS_SUPPLIER]->(s)""".stripMargin)
+    val nEdges = g1.edgesOfType("HAS_SUPPLIER").count()
+    assert(nEdges == spark.read.parquet(s"$sf/supplier.parquet").count())
+  }
+
+  test("DETACH DELETE removes nodes and incident edges") {
+    val g1 = session.cypherUpdate("MATCH (o:Order) DETACH DELETE o")
+    assert(g1.nodesWithLabel("Order").count() == 0)
+    assert(g1.edgesOfType("PLACED_BY").count() == 0)
+    assert(g1.edgesOfType("IN_REGION").count() > 0)
+  }
+
+  test("REMOVE label") {
+    val g1 = session.cypherUpdate("MATCH (r:Region) REMOVE r:Region")
+    assert(g1.nodesWithLabel("Region").count() == 0)
+    assert(g1.nodes.count() == session.graph.nodes.count())
+  }
+
+  test("read-only query through cypherUpdate is rejected") {
+    assertThrows[IllegalArgumentException](
+      session.cypherUpdate("MATCH (n:Region) RETURN n.name AS x"))
+  }
+}
