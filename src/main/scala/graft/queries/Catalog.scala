@@ -40,6 +40,7 @@ object Catalog {
     StreamQueries.defs,
     ExtraQueries.defs,
     Extra2Queries.defs,
+    Algo2Queries.defs,
   )
 
   lazy val defs: Seq[QueryDef] = {

@@ -12,3 +12,4 @@ object LangQueries { def defs: Seq[QueryDef] = LangQueriesImpl.defs }
 object StreamQueries { def defs: Seq[QueryDef] = StreamQueriesImpl.defs }
 object ExtraQueries { def defs: Seq[QueryDef] = ExtraQueriesImpl.defs }
 object Extra2Queries { def defs: Seq[QueryDef] = Extra2QueriesImpl.defs }
+object Algo2Queries { def defs: Seq[QueryDef] = Algo2QueriesImpl.defs }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algos.{BoundedAlgos, Louvain}
+import graft.graph.PropertyGraph
+
+class Algos2Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def mkGraph(edges: Seq[(Long, Long)], w: Long => Double = _ => 1.0): PropertyGraph = {
+    val e = edges.zipWithIndex.map { case ((s, d), i) => (s, d, w(i)) }
+      .toDF("src", "dst", "weight").withColumn("rel", lit("E"))
+    val n = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id")
+      .withColumn("labels", array(lit("N")))
+    PropertyGraph(n, e)
+  }
+
+  test("louvain separates two cliques joined by one edge") {
+    val cliqueA = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cliqueB = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val g = mkGraph(cliqueA ++ cliqueB ++ Seq((4L, 11L)))
+    val comm = Louvain.run(g, maxIters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).map(comm).toSet.size == 1, s"clique A split: $comm")
+    assert((11L to 14L).map(comm).toSet.size == 1, s"clique B split: $comm")
+    assert(comm(1L) != comm(11L), s"cliques merged: $comm")
+  }
+
+  test("brandes betweenness on a path graph") {
+    // 1-2-3-4-5: exact betweenness = 0, 3, 4, 3, 0
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val bc = BoundedAlgos.betweenness(spark, g, lit(true)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc(1L) == 0.0 && bc(5L) == 0.0)
+    assert(bc(2L) == 3.0 && bc(4L) == 3.0)
+    assert(bc(3L) == 4.0)
+  }
+
+  test("kruskal picks the light edges") {
+    // triangle with one heavy edge → MST drops it
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L)),
+      w = i => if (i == 2) 10.0 else 1.0)
+    val mst = BoundedAlgos.mstKruskal(spark, g, lit(true)).collect()
+    assert(mst.length == 2)
+    assert(mst.map(_.getDouble(2)).sum == 2.0)
+  }
+
+  test("max-flow on the classic two-path network") {
+    // s(1) → 2 → t(4), s → 3 → t, each capacity 1 → flow 2
+    val g = mkGraph(Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L)))
+    assert(BoundedAlgos.maxFlow(g, lit(true), 1L, 4L) == 2.0)
+  }
+
+  test("bounded algos refuse oversized subgraphs") {
+    val g = mkGraph((1L to 50L).map(i => (i, i + 1)))
+    assertThrows[IllegalArgumentException](
+      BoundedAlgos.betweenness(spark, g, lit(true), maxNodes = 10))
+  }
+}
