@@ -125,7 +125,8 @@ object Algos {
     * topological *grading* rather than an inherently sequential total order.
     * Iterative longest-path propagation; `maxIters` bounds DAG depth.
     */
-  def topoLevels(g: PropertyGraph, maxIters: Int = 64): DataFrame = {
+  def topoLevels(g: PropertyGraph, maxIters: Int = 64,
+      checkConvergence: Boolean = true): DataFrame = {
     val edges = g.edges.select(col("src"), col("dst")).persist()
     val nodes = g.nodes.select(col("id")).distinct()
     var levels = nodes.withColumn("level", lit(0))
@@ -140,8 +141,9 @@ object Algos {
         .select(col("id"),
           greatest(col("level"), coalesce(col("lvl2"), lit(0))).as("level"))
         .localCheckpoint()
-      changed = updated.join(levels.withColumnRenamed("level", "old"), "id")
-        .filter(col("level") =!= col("old")).limit(1).count() > 0
+      changed = !checkConvergence ||
+        updated.join(levels.withColumnRenamed("level", "old"), "id")
+          .filter(col("level") =!= col("old")).limit(1).count() > 0
       levels = updated
       i += 1
     }

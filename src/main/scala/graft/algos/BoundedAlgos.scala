@@ -102,6 +102,41 @@ object BoundedAlgos {
     chosen.toSeq.toDF("src", "dst", "w")
   }
 
+  /** Articulation points + bridges via Tarjan low-link (structure.rs:36,
+    * :150) on the bounded induced subgraph (undirected). Returns
+    * (articulation point ids, bridge edges (min,max)).
+    */
+  def articulation(g: PropertyGraph, nodeFilter: org.apache.spark.sql.Column,
+      maxNodes: Int = 2000): (Set[Long], Set[(Long, Long)]) = {
+    val (ids, edges) = collectSubgraph(g, nodeFilter, maxNodes)
+    val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    edges.foreach { case (s, d, _) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+      adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
+    }
+    val disc = mutable.Map.empty[Long, Int]
+    val low = mutable.Map.empty[Long, Int]
+    val aps = mutable.Set.empty[Long]
+    val bridges = mutable.Set.empty[(Long, Long)]
+    var timer = 0
+    def dfs(u: Long, parent: Long): Unit = {
+      disc(u) = timer; low(u) = timer; timer += 1
+      var children = 0
+      for (v <- adj.getOrElse(u, Nil)) {
+        if (!disc.contains(v)) {
+          children += 1
+          dfs(v, u)
+          low(u) = math.min(low(u), low(v))
+          if (parent != -1L && low(v) >= disc(u)) aps += u
+          if (low(v) > disc(u)) bridges += ((math.min(u, v), math.max(u, v)))
+        } else if (v != parent) low(u) = math.min(low(u), disc(v))
+      }
+      if (parent == -1L && children > 1) aps += u
+    }
+    for (id <- ids if !disc.contains(id)) dfs(id, -1L)
+    (aps.toSet, bridges.toSet)
+  }
+
   /** Edmonds–Karp max-flow (flow.rs:88) between two nodes of the bounded
     * induced subgraph; edge capacities = weight. Returns the flow value.
     */

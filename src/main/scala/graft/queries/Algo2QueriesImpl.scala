@@ -40,6 +40,39 @@ object Algo2QueriesImpl {
         .orderBy("id")
     },
 
+    // Articulation points (structure.rs:36) on the chain subgraph < 500 —
+    // on a path every interior node is an articulation point.
+    QueryDef(
+      "q_articulation",
+      """SELECT CAST(p_partkey AS BIGINT) AS id
+        |FROM (SELECT p_partkey,
+        |             row_number() OVER (PARTITION BY p_brand, p_partkey - rn0 ORDER BY p_partkey) AS rn,
+        |             count(*) OVER (PARTITION BY p_brand, p_partkey - rn0) AS len
+        |      FROM (SELECT p_partkey, p_brand,
+        |                   row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn0
+        |            FROM part WHERE p_partkey < 500))
+        |WHERE rn > 1 AND rn < len
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (aps, _) = BoundedAlgos.articulation(brandChain(s, dir), col("id") < 500,
+        maxNodes = 500)
+      aps.toSeq.sorted.toDF("id")
+    },
+
+    // Bridges (structure.rs:150): every edge of a path is a bridge.
+    QueryDef(
+      "q_bridges",
+      """SELECT CAST(a.p_partkey AS BIGINT) AS s, CAST(b.p_partkey AS BIGINT) AS d
+        |FROM part a JOIN part b
+        |  ON b.p_partkey = a.p_partkey + 1 AND b.p_brand = a.p_brand
+        |WHERE a.p_partkey < 500 AND b.p_partkey < 500
+        |ORDER BY s NULLS FIRST""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (_, bridges) = BoundedAlgos.articulation(brandChain(s, dir), col("id") < 500,
+        maxNodes = 500)
+      bridges.toSeq.sorted.toDF("s", "d").orderBy("s")
+    },
+
     // Louvain phase-1 (community.rs:157) on the undirected brand chains —
     // deterministic synchronous rounds, but the community split of a chain is
     // algorithm-specific → rows-only; Algos2Spec pins planted-clique behavior.

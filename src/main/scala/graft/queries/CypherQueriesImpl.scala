@@ -27,13 +27,20 @@ object CypherQueriesImpl {
 
     QueryDef(
       "q_cypher_agg",
-      """SELECT n_name AS nat, count(*) AS cnt, round(avg(c_acctbal), 2) AS avg_bal
+      // avg over money values: divide the stably-rounded sum (a sum of
+      // 2-decimal values is never near a 3rd-decimal rounding boundary) so
+      // both engines feed bit-identical doubles into the final round —
+      // round(avg(x), 2) itself can land exactly on a half-cent tie where
+      // summation-order ulp noise flips the result.
+      """SELECT n_name AS nat, count(*) AS cnt,
+        |       round(round(sum(c_acctbal), 2) / count(*), 6) AS avg_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY nat NULLS FIRST""".stripMargin) { (s, dir) =>
       new GraftSession(s, TpchGraph(s, dir)).cypher(
         """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
-          |RETURN n.name AS nat, count(*) AS cnt, round(avg(c.acctbal), 2) AS avg_bal
+          |RETURN n.name AS nat, count(*) AS cnt,
+          |       round(round(sum(c.acctbal), 2) / count(*), 6) AS avg_bal
           |ORDER BY nat""".stripMargin)
     },
 

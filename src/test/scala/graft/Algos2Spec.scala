@@ -59,3 +59,21 @@ class Algos2Spec extends AnyFunSuite {
       BoundedAlgos.betweenness(spark, g, lit(true), maxNodes = 10))
   }
 }
+
+class ArticulationSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("articulation points and bridges on a barbell graph") {
+    // triangle 1-2-3 + bridge 3-4 + triangle 4-5-6
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val e = edges.toDF("src", "dst").withColumn("rel", lit("E")).withColumn("weight", lit(1.0))
+    val n = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id")
+      .withColumn("labels", array(lit("N")))
+    val (aps, bridges) = graft.algos.BoundedAlgos.articulation(
+      graft.graph.PropertyGraph(n, e), lit(true))
+    assert(aps == Set(3L, 4L))
+    assert(bridges == Set((3L, 4L)))
+  }
+}
