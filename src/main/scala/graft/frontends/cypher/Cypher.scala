@@ -25,7 +25,7 @@ object CypherLexer {
     "AS", "ORDER", "BY", "ASC", "DESC", "SKIP", "LIMIT", "DISTINCT", "AND",
     "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS", "IS", "NULL",
     "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL",
-    "OPTIONAL", "CREATE", "SET", "DELETE", "DETACH", "MERGE", "REMOVE")
+    "OPTIONAL", "CREATE", "SET", "DELETE", "DETACH", "MERGE", "REMOVE", "ON")
 
   def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -79,7 +79,9 @@ object Ast {
   final case class CreateClause(path: PathPat) extends Clause
   final case class SetClause(items: Seq[(Expr.Prop, Expr.E)]) extends Clause
   final case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
-  final case class MergeClause(node: NodePat) extends Clause
+  final case class MergeClause(node: NodePat,
+      onCreate: Seq[(Expr.Prop, Expr.E)] = Seq.empty,
+      onMatch: Seq[(Expr.Prop, Expr.E)] = Seq.empty) extends Clause
   final case class RemoveClause(v: String, label: String) extends Clause
   final case class WithRet(items: Seq[(Expr.E, Option[String])],
       distinct: Boolean, where: Option[Expr.E], orderBy: Seq[(Expr.E, Boolean)],
@@ -119,7 +121,7 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
         case Some(Kw("WITH"))   => next(); clauses += parseWithRet(isReturn = false)
         case Some(Kw("RETURN")) => next(); clauses += parseWithRet(isReturn = true); done = true
         case Some(Kw("CREATE")) => next(); clauses += CreateClause(parsePath())
-        case Some(Kw("MERGE"))  => next(); clauses += MergeClause(parseNodePat())
+        case Some(Kw("MERGE"))  => next(); clauses += parseMerge()
         case Some(Kw("SET"))    => next(); clauses += parseSet()
         case Some(Kw("DETACH")) =>
           next(); expect(Kw("DELETE")("")); clauses += parseDelete(detach = true)
@@ -132,6 +134,24 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     val cs = clauses.result()
     require(cs.nonEmpty, "empty query")
     Query(cs)
+  }
+
+  private def parseMerge(): MergeClause = {
+    val node = parseNodePat()
+    var onCreate = Seq.empty[(Expr.Prop, Expr.E)]
+    var onMatch = Seq.empty[(Expr.Prop, Expr.E)]
+    while (at(Kw("ON")("")) ) {
+      next()
+      val isCreate = peek match {
+        case Some(Kw("CREATE")) => next(); true
+        case Some(Kw("MATCH"))  => next(); false
+        case other => fail(s"expected CREATE or MATCH after ON, got $other")
+      }
+      expect(Kw("SET")(""))
+      val items = parseSet().items
+      if (isCreate) onCreate = onCreate ++ items else onMatch = onMatch ++ items
+    }
+    MergeClause(node, onCreate, onMatch)
   }
 
   private def parseSet(): SetClause = {

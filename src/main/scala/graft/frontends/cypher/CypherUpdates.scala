@@ -119,7 +119,7 @@ object CypherUpdates {
     case RemoveClause(v, label) =>
       Mutations.removeLabelByIds(g, bindings.select(col(v)), label)
 
-    case MergeClause(node) =>
+    case MergeClause(node, onCreate, onMatch) =>
       val label = node.label.getOrElse(
         throw new IllegalArgumentException("MERGE needs a label"))
       val props = node.props.map { case (k, v) => k -> litValue(v) }
@@ -138,7 +138,9 @@ object CypherUpdates {
         StructType(Seq(StructField("id", LongType))))
         .withColumn("labels", array(lit(label)))
       for ((k, v) <- props if k != "id") incoming = incoming.withColumn(k, lit(v))
-      Mutations.mergeNodes(g, incoming, keyCol)
+      Mutations.mergeNodes(g, incoming, keyCol,
+        onMatchSet = onMatch.map { case (p2, v) => p2.key -> nodeExpr(v) }.toMap,
+        onCreateSet = onCreate.map { case (p2, v) => p2.key -> nodeExpr(v) }.toMap)
 
     case other => throw new IllegalArgumentException(s"not a mutation clause: $other")
   }

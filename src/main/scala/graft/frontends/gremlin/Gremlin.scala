@@ -11,7 +11,7 @@ import graft.ir.{Expr, Op}
   *
   * Supported steps: V, hasLabel, has(k,v|pred), out/in/both(rel), values,
   * id, dedup, limit, skip, range, order().by(k[, decr]), count, sum, mean,
-  * min, max, groupCount().by(k).
+  * min, max, groupCount().by(k), as(name), select(a,b,…).by(prop)…, path().
   * Predicates: eq, neq, gt, gte, lt, lte, within.
   */
 object GremlinFrontend {
@@ -109,9 +109,13 @@ object GremlinFrontend {
     def fresh(): String = { anon += 1; s"__g$anon" }
     var cur = fresh()
     var op: Op.T = Op.NodeScan(cur, None)
+
     var valueCol: Option[String] = None // set once values()/id() projected
     var pendingOrder = false
     var consumedBy = -1 // index of a by() already folded into groupCount()
+    val consumedBys = scala.collection.mutable.Set.empty[Int] // by()s folded into select()
+    val aliases = scala.collection.mutable.Map.empty[String, String] // as-name -> IR var
+    val visited = scala.collection.mutable.ArrayBuffer.empty[String] // traverser path
 
     def predExpr(colE: Expr.E, v: Any): Expr.E = v match {
       case Pred("eq", vs)  => Expr.Bin("=", colE, Expr.Lit(vs.head))
@@ -128,6 +132,7 @@ object GremlinFrontend {
     for ((s, idx) <- steps.zipWithIndex) s.name match {
       case "V" =>
         require(idx == 0, "V() only at the start")
+        visited += cur
       case "hasLabel" =>
         op = Op.Filter(op, Expr.Bin("in", Expr.Lit(s.args.head),
           Expr.Func("labels", Seq(Expr.Var(cur)))))
@@ -144,6 +149,7 @@ object GremlinFrontend {
         op = Op.Expand(op, cur, s.args.headOption.map(_.asInstanceOf[String]),
           to, dir, None)
         cur = to
+        visited += to
       case "values" =>
         val key = s.args.head.asInstanceOf[String]
         op = Op.Project(op, Seq((Expr.Prop(cur, key), key)))
@@ -157,8 +163,33 @@ object GremlinFrontend {
       case "range" =>
         val (lo, hi) = (s.args(0).asInstanceOf[Long], s.args(1).asInstanceOf[Long])
         op = Op.Limit(Op.Skip(op, lo), hi - lo)
+      case "as" =>
+        aliases(s.args.head.asInstanceOf[String]) = cur
+      case "select" =>
+        // select('a','b').by('p1').by('p2'): project named traverser
+        // positions; each trailing by() supplies the i-th projection key
+        val names = s.args.map(_.asInstanceOf[String])
+        val bys = Iterator.from(idx + 1)
+          .takeWhile(j => steps.lift(j).exists(_.name == "by"))
+          .map(j => { consumedBys += j; steps(j).args.head.asInstanceOf[String] })
+          .toSeq
+        val items = names.zipWithIndex.map { case (nm, i) =>
+          val v = aliases.getOrElse(nm,
+            throw new IllegalArgumentException(s"select('$nm') has no as('$nm')"))
+          val e: Expr.E = bys.lift(i) match {
+            case Some(k) => Expr.Prop(v, k)
+            case None => Expr.Var(v)
+          }
+          (e, nm)
+        }
+        op = Op.Project(op, items)
+        valueCol = Some(names.head)
+      case "path" =>
+        op = Op.Project(op, Seq(
+          (Expr.ListLit(visited.toSeq.map(Expr.Var(_))), "path")))
+        valueCol = Some("path")
       case "order" => pendingOrder = true
-      case "by" if idx == consumedBy => () // folded into groupCount()
+      case "by" if idx == consumedBy || consumedBys.contains(idx) => () // folded into groupCount()/select()
       case "by" =>
         require(pendingOrder, "by() only after order()")
         val key = s.args.headOption.map(_.asInstanceOf[String])

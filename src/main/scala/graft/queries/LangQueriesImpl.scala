@@ -49,6 +49,30 @@ object LangQueriesImpl {
         "g.V().hasLabel('Nation').values('name').dedup().order().by().range(5, 15)")
     },
 
+    // Gremlin as/select with by() modulators.
+    QueryDef(
+      "q_gremlin_select",
+      """SELECT c_name AS c, n_name AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c NULLS FIRST""".stripMargin) { (s, dir) =>
+      session(s, dir).gremlin(
+        "g.V().hasLabel('Customer').has('category', 'BUILDING').as('c')" +
+          ".out('FROM_NATION').as('n').select('c', 'n').by('name').by('name')")
+        .orderBy("c")
+    },
+
+    // Gremlin path(): the traverser id sequence as an array column.
+    QueryDef(
+      "q_gremlin_path",
+      """SELECT [2000000000000 + n_nationkey, 1000000000000 + n_regionkey] AS path
+        |FROM nation
+        |ORDER BY path NULLS FIRST""".stripMargin) { (s, dir) =>
+      session(s, dir)
+        .gremlin("g.V().hasLabel('Nation').out('IN_REGION').path()")
+        .orderBy("path")
+    },
+
     // GraphQL: root label scan + arg filter + nested expand.
     QueryDef(
       "q_graphql_nested",

@@ -45,3 +45,51 @@ class LangSpec extends AnyFunSuite {
     assert(a.map(_.getString(0)).toSeq == b.map(_.getString(0)).toSeq)
   }
 }
+
+class GremlinSelectSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val session = new GraftSession(spark, TpchGraph(spark, sf))
+
+  test("select without by returns ids; with by returns props") {
+    val withBy = session.gremlin(
+      "g.V().hasLabel('Supplier').as('s').out('FROM_NATION').as('n')" +
+        ".select('s', 'n').by('name').by('name')").collect()
+    assert(withBy.nonEmpty)
+    assert(withBy.head.getString(0).startsWith("Supplier#"))
+    val ids = session.gremlin(
+      "g.V().hasLabel('Supplier').as('s').out('FROM_NATION').as('n').select('s', 'n')")
+      .collect()
+    assert(ids.head.getLong(0) >= 3000000000000L)
+  }
+
+  test("path length equals hop count + 1") {
+    val rows = session.gremlin(
+      "g.V().hasLabel('Customer').out('FROM_NATION').out('IN_REGION').path()").collect()
+    assert(rows.forall(_.getSeq[Long](0).length == 3))
+  }
+
+  test("select of unknown alias fails") {
+    assertThrows[IllegalArgumentException](
+      session.gremlin("g.V().hasLabel('Nation').select('zz')"))
+  }
+}
+
+class MergeOnSetSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val session = new GraftSession(spark, TpchGraph(spark, sf))
+
+  test("ON CREATE SET applies only to created, ON MATCH SET only to matched") {
+    val g1 = session.cypherUpdate(
+      "MERGE (r:Region {name: 'ASIA', id: 555}) ON CREATE SET r.category = 'new' ON MATCH SET r.category = 'seen'")
+    val asia = g1.nodes.filter(org.apache.spark.sql.functions.col("name") === "ASIA")
+      .collect().head
+    assert(asia.getAs[String]("category") == "seen")
+    val g2 = session.cypherUpdate(
+      "MERGE (r:Region {name: 'ATLANTIS', id: 556}) ON CREATE SET r.category = 'new' ON MATCH SET r.category = 'seen'")
+    val atl = g2.nodes.filter(org.apache.spark.sql.functions.col("name") === "ATLANTIS")
+      .collect().head
+    assert(atl.getAs[String]("category") == "new")
+  }
+}
