@@ -41,6 +41,7 @@ object Catalog {
     ExtraQueries.defs,
     Extra2Queries.defs,
     Algo2Queries.defs,
+    WindowQueries.defs,
   )
 
   lazy val defs: Seq[QueryDef] = {

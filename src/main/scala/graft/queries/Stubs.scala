@@ -13,3 +13,4 @@ object StreamQueries { def defs: Seq[QueryDef] = StreamQueriesImpl.defs }
 object ExtraQueries { def defs: Seq[QueryDef] = ExtraQueriesImpl.defs }
 object Extra2Queries { def defs: Seq[QueryDef] = Extra2QueriesImpl.defs }
 object Algo2Queries { def defs: Seq[QueryDef] = Algo2QueriesImpl.defs }
+object WindowQueries { def defs: Seq[QueryDef] = WindowQueriesImpl.defs }

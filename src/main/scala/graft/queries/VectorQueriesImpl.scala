@@ -73,6 +73,17 @@ object VectorQueriesImpl {
         .orderBy("id1", "id2")
     },
 
+    // IVF approximate k-NN (k-means coarse quantizer + probe lists) — the
+    // other scale path; recall asserted in KnnSpec.
+    QueryDef.noOracle("q_knn_ivf") { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val model = graft.vector.Ivf.fit(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      graft.vector.Ivf.topK(model,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5, nprobe = 3)
+        .orderBy("qid", "rank")
+    },
+
     // LSH-bucketed approximate k-NN — the 100 TB scale path. Approximate by
     // construction → rows-only driver check; recall vs brute force is
     // asserted in KnnSpec.

@@ -148,3 +148,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.getInt(1) % 2 == 0))
   }
 }
+
+class IvfSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("ivf recall vs brute force is reasonable") {
+    val brute = Knn.bruteForceTopK(emb.filter($"vec_id" < 10), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = graft.vector.Ivf.fit(emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    val approx = graft.vector.Ivf.topK(model,
+      emb.filter($"vec_id" < 10), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
+  test("ivf is deterministic") {
+    val m1 = graft.vector.Ivf.fit(emb, "vec_id", "embedding", nlist = 4, iters = 2)
+    val m2 = graft.vector.Ivf.fit(emb, "vec_id", "embedding", nlist = 4, iters = 2)
+    assert(m1.centroids == m2.centroids)
+  }
+}
