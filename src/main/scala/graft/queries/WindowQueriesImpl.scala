@@ -48,7 +48,7 @@ object WindowQueriesImpl {
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 21600 THEN 1
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1
         |              ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -62,8 +62,11 @@ object WindowQueriesImpl {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
+          // exact microsecond gap on both sides: unix_timestamp truncates to
+          // seconds while DuckDB's epoch() keeps fractions — ns-precision
+          // events land on different sides of the threshold otherwise
           when(lag(col("ts"), 1).over(w).isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > 21600, 1L)
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 21600000000L, 1L)
             .otherwise(0L).as("new_session"))
         .select(col("user_id"),
           sum(col("new_session"))
