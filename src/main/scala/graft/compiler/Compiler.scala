@@ -28,8 +28,8 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
   def compile(op: Op.T): DataFrame = op match {
     case Op.NodeScan(v, label) => nodeFor(v, label)
 
-    case Op.Expand(in, from, rel, to, dir, targetLabel) =>
-      val df = graph.expand(compile(in), from, rel, dir, to)
+    case Op.Expand(in, from, rel, to, dir, targetLabel, edgeVar) =>
+      val df = graph.expand(compile(in), from, rel, dir, to, edgeVar)
       df.join(nodeFor(to, targetLabel).withColumnRenamed(to, "__tid"),
           col(to) === col("__tid"))
         .drop("__tid")
@@ -199,6 +199,10 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
     }
     name match {
       case "id" => a0 // node/edge variables hold their id column
+      case "type" => raw.head match {
+        case Expr.Var(v) => col(s"${v}__rel") // edge variable binding
+        case _ => throw new IllegalArgumentException("type() needs an edge variable")
+      }
       case "labels" => raw.head match {
         case Expr.Var(v) => col(s"${v}__labels")
         case _ => throw new IllegalArgumentException("labels() needs a variable")

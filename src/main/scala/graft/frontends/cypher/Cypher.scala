@@ -498,7 +498,8 @@ object CypherFrontend {
               case Some((lo, hi)) =>
                 Op.VarExpand(pathOp, fromVar, rel.relType, toVar, rel.dir, lo, hi, node.label)
               case None =>
-                Op.Expand(pathOp, fromVar, rel.relType, toVar, rel.dir, node.label)
+                Op.Expand(pathOp, fromVar, rel.relType, toVar, rel.dir, node.label,
+                  rel.v)
             }
             pathOp = propFilters(pathOp, toVar, node.props)
             fromVar = toVar

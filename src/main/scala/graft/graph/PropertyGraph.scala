@@ -43,9 +43,16 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * the reference's both-direction adjacency merge).
     */
   def expand(rows: DataFrame, idCol: String, rel: Option[String],
-      dir: Direction, dstAs: String): DataFrame = {
+      dir: Direction, dstAs: String,
+      edgeAs: Option[String] = None): DataFrame = {
     def step(from: String, to: String): DataFrame = {
-      val e = edgeSel(rel).select(col(from).as("__from"), col(to).as(dstAs))
+      val base = edgeSel(rel)
+      val edgeCols = edgeAs.toSeq.flatMap { v =>
+        base.columns.filterNot(c => c == "src" || c == "dst")
+          .map(c => col(c).as(s"${v}__$c"))
+      }
+      val e = base.select(
+        Seq(col(from).as("__from"), col(to).as(dstAs)) ++ edgeCols: _*)
       rows.join(e, col(idCol) === col("__from")).drop("__from")
     }
     dir match {

@@ -51,9 +51,12 @@ object Op {
   /** plan.rs:157-166 — scan nodes, optional label filter. */
   final case class NodeScan(v: String, label: Option[String]) extends T
 
-  /** plan.rs:180-212 — 1-hop traversal; targetLabel prunes the far side. */
+  /** plan.rs:180-212 — 1-hop traversal; targetLabel prunes the far side;
+    * edgeVar (when bound) exposes the edge's type/properties as columns.
+    */
   final case class Expand(input: T, from: String, relType: Option[String],
-      to: String, dir: Direction, targetLabel: Option[String]) extends T
+      to: String, dir: Direction, targetLabel: Option[String],
+      edgeVar: Option[String] = None) extends T
 
   /** plan.rs:180-212 with min/max hops (variable_length_expand.rs). */
   final case class VarExpand(input: T, from: String, relType: Option[String],

@@ -86,6 +86,24 @@ object CypherQueriesImpl {
           |ORDER BY src, dst""".stripMargin)
     },
 
+    // Edge variable binding: type(l) and edge property access l.weight
+    // (plan.rs Type/Property projections on edges).
+    QueryDef(
+      "q_cypher_edge_props",
+      """SELECT CAST(l_partkey AS BIGINT) AS pk, 'CONTAINS' AS t,
+        |       round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |WHERE l_partkey < 50
+        |GROUP BY l_partkey
+        |ORDER BY pk NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+          |WHERE id(p) - 5000000000000 < 50
+          |RETURN id(p) - 5000000000000 AS pk, type(l) AS t,
+          |       round(sum(l.weight), 2) AS qty
+          |ORDER BY pk""".stripMargin)
+    },
+
     QueryDef(
       "q_cypher_unwind",
       """SELECT y FROM (SELECT 2 * unnest([1, 2, 3, 4, 5]) AS y) ORDER BY y NULLS FIRST""") { (s, dir) =>

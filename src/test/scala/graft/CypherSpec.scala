@@ -144,3 +144,19 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(deg.getLong(2) > 0L)  // nations point at it
   }
 }
+
+class EdgeVarSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val session = new GraftSession(spark, TpchGraph(spark, sf))
+
+  test("type(r) and edge property access") {
+    val rows = session.cypher(
+      """MATCH (s:Supplier)-[r:FROM_NATION]->(n:Nation)
+        |RETURN s.name AS sup, type(r) AS t, r.weight AS w
+        |ORDER BY sup LIMIT 3""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(1) == "FROM_NATION"))
+    assert(rows.forall(_.getDouble(2) == 1.0))
+  }
+}
