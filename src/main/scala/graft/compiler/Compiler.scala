@@ -199,7 +199,8 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
     }
     name match {
       case "id" => a0 // node/edge variables hold their id column
-      case "type" => raw.head match {
+      case "type" => raw.headOption.getOrElse(
+        throw new IllegalArgumentException("type() needs an edge variable")) match {
         case Expr.Var(v) => col(s"${v}__rel") // edge variable binding
         case _ => throw new IllegalArgumentException("type() needs an edge variable")
       }

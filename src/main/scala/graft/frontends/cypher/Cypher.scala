@@ -484,10 +484,21 @@ object CypherFrontend {
     var anon = 0
     def fresh(): String = { anon += 1; s"__n$anon" }
 
+    val boundVars = scala.collection.mutable.Set.empty[String]
     for (clause <- q.clauses) clause match {
       case MatchClause(paths, where, optional) =>
         var matchOp: Option[Op.T] = None
         for (path <- paths) {
+          // edge variables are single-binding in this subset: reuse across
+          // patterns (openCypher edge-identity semantics) and collisions with
+          // node variables are rejected rather than silently mis-joined
+          val nodeVars = (path.head.v.toSeq ++ path.tail.flatMap(_._2.v)).toSet
+          path.tail.flatMap(_._1.v).foreach { ev =>
+            require(!boundVars.contains(ev) && !nodeVars.contains(ev),
+              s"relationship variable '$ev' is already bound; edge identity across patterns is not supported")
+            boundVars += ev
+          }
+          nodeVars.foreach(boundVars += _)
           val headVar = path.head.v.getOrElse(fresh())
           var pathOp: Op.T = Op.NodeScan(headVar, path.head.label)
           pathOp = propFilters(pathOp, headVar, path.head.props)
@@ -496,6 +507,8 @@ object CypherFrontend {
             val toVar = node.v.getOrElse(fresh())
             pathOp = rel.range match {
               case Some((lo, hi)) =>
+                require(rel.v.isEmpty,
+                  "edge variables on var-length patterns are not supported (the walk has no single edge)")
                 Op.VarExpand(pathOp, fromVar, rel.relType, toVar, rel.dir, lo, hi, node.label)
               case None =>
                 Op.Expand(pathOp, fromVar, rel.relType, toVar, rel.dir, node.label,

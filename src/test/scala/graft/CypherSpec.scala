@@ -160,3 +160,28 @@ class EdgeVarSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) == 1.0))
   }
 }
+
+class EdgeVarGuardSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val session = new GraftSession(spark, TpchGraph(spark, sf))
+
+  test("reused relationship variable is rejected") {
+    assertThrows[IllegalArgumentException](session.cypher(
+      """MATCH (a:Order)-[r:CONTAINS]->(b:Part)
+        |MATCH (c:Order)-[r:CONTAINS]->(d:Part)
+        |RETURN r.weight AS w LIMIT 1""".stripMargin))
+  }
+
+  test("edge variable on var-length pattern is rejected with a clear error") {
+    val e = intercept[IllegalArgumentException](session.cypher(
+      "MATCH (a:Part)-[r:LINK*1..2]->(b:Part) RETURN type(r) AS t LIMIT 1"))
+    assert(e.getMessage.contains("var-length"))
+  }
+
+  test("type() without arguments is a clear error") {
+    val e = intercept[IllegalArgumentException](
+      session.cypher("MATCH (a:Region) RETURN type() AS t"))
+    assert(e.getMessage.contains("type()"))
+  }
+}
