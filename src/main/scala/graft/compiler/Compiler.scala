@@ -199,6 +199,14 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
     }
     name match {
       case "id" => a0 // node/edge variables hold their id column
+      case "properties" => raw.head match {
+        // map of the variable's property columns (schemaless Value view,
+        // SURVEY §1.3 map-column fallback) — keys sorted for determinism
+        case Expr.Var(v) =>
+          val props = propCols.filterNot(_ == "labels").sorted
+          map(props.flatMap(p2 => Seq(lit(p2), col(s"${v}__$p2").cast("string"))): _*)
+        case _ => throw new IllegalArgumentException("properties() needs a variable")
+      }
       case "type" => raw.headOption.getOrElse(
         throw new IllegalArgumentException("type() needs an edge variable")) match {
         case Expr.Var(v) => col(s"${v}__rel") // edge variable binding

@@ -11,7 +11,8 @@ import graft.ir.{Expr, Op}
   *
   * Supported steps: V, hasLabel, has(k,v|pred), out/in/both(rel), values,
   * id, dedup, limit, skip, range, order().by(k[, decr]), count, sum, mean,
-  * min, max, groupCount().by(k), as(name), select(a,b,…).by(prop)…, path().
+  * min, max, groupCount().by(k), as(name), select(a,b,…).by(prop)…, path(),
+  * outE/inE(rel) + inV/outV (edge-position traversal), valueMap(k…).
   * Predicates: eq, neq, gt, gte, lt, lte, within.
   */
 object GremlinFrontend {
@@ -116,6 +117,7 @@ object GremlinFrontend {
     val consumedBys = scala.collection.mutable.Set.empty[Int] // by()s folded into select()
     val aliases = scala.collection.mutable.Map.empty[String, String] // as-name -> IR var
     val visited = scala.collection.mutable.ArrayBuffer.empty[String] // traverser path
+    var edgeCur: Option[(String, String)] = None // (edge var, pending dst var) after outE/inE
 
     def predExpr(colE: Expr.E, v: Any): Expr.E = v match {
       case Pred("eq", vs)  => Expr.Bin("=", colE, Expr.Lit(vs.head))
@@ -150,10 +152,32 @@ object GremlinFrontend {
           to, dir, None)
         cur = to
         visited += to
+      case "outE" | "inE" =>
+        // traverser moves onto the edge: bind edge var now, node var pending
+        val dir = if (s.name == "outE") Out else In
+        val to = fresh()
+        val ev = fresh()
+        op = Op.Expand(op, cur, s.args.headOption.map(_.asInstanceOf[String]),
+          to, dir, None, Some(ev))
+        edgeCur = Some((ev, to))
+      case "inV" | "outV" =>
+        val (_, pendingDst) = edgeCur.getOrElse(
+          throw new IllegalArgumentException(s"${s.name}() only after outE()/inE()"))
+        cur = pendingDst
+        visited += cur
+        edgeCur = None
       case "values" =>
         val key = s.args.head.asInstanceOf[String]
-        op = Op.Project(op, Seq((Expr.Prop(cur, key), key)))
+        val owner = edgeCur.map(_._1).getOrElse(cur) // edge position reads edge props
+        op = Op.Project(op, Seq((Expr.Prop(owner, key), key)))
         valueCol = Some(key)
+      case "label" =>
+        val owner = edgeCur.map(_._1).getOrElse(cur)
+        val e: Expr.E =
+          if (edgeCur.isDefined) Expr.Func("type", Seq(Expr.Var(owner)))
+          else Expr.Func("labels", Seq(Expr.Var(owner)))
+        op = Op.Project(op, Seq((e, "label")))
+        valueCol = Some("label")
       case "id" =>
         op = Op.Project(op, Seq((Expr.Var(cur), "id")))
         valueCol = Some("id")

@@ -93,3 +93,46 @@ class MergeOnSetSpec extends AnyFunSuite {
     assert(atl.getAs[String]("category") == "new")
   }
 }
+
+class GremlinEdgeStepSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val session = new GraftSession(spark, TpchGraph(spark, sf))
+
+  test("outE + values reads edge properties") {
+    val rows = session.gremlin(
+      "g.V().hasLabel('Supplier').outE('FROM_NATION').values('weight')").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(0) == 1.0))
+  }
+
+  test("outE + label returns the edge type") {
+    val rows = session.gremlin(
+      "g.V().hasLabel('Supplier').outE('FROM_NATION').label().dedup()").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("FROM_NATION"))
+  }
+
+  test("outE + inV continues to the target node") {
+    val got = session.gremlin(
+      "g.V().hasLabel('Supplier').outE('FROM_NATION').inV().values('name').dedup().order().by()")
+      .collect().map(_.getString(0)).toSet
+    val direct = session.gremlin(
+      "g.V().hasLabel('Supplier').out('FROM_NATION').values('name').dedup()")
+      .collect().map(_.getString(0)).toSet
+    assert(got == direct)
+  }
+
+  test("inV before outE is rejected") {
+    assertThrows[IllegalArgumentException](
+      session.gremlin("g.V().hasLabel('Supplier').inV()"))
+  }
+
+  test("cypher properties() returns a sorted property map") {
+    val row = session.cypher(
+      "MATCH (r:Region) RETURN r.name AS n, properties(r) AS p ORDER BY n LIMIT 1")
+      .collect().head
+    val m = row.getMap[String, String](1)
+    assert(m.keys.toSeq == m.keys.toSeq.sorted)
+    assert(m("name") == row.getString(0))
+  }
+}
