@@ -245,8 +245,12 @@ object GremlinFrontend {
         op = Op.Aggregate(op, Seq((Expr.Prop(cur, key), key)),
           Seq((Expr.Func("count", Seq(Expr.Lit("*"))), "count")))
         consumedBy = idx + 1
-      case "valueMap" | "elementMap" =>
-        throw new IllegalArgumentException(s"step ${s.name} not supported yet")
+      case "valueMap" =>
+        op = Op.Project(op, Seq(
+          (Expr.Func("properties", Seq(Expr.Var(cur))), "valueMap")))
+        valueCol = Some("valueMap")
+      case "elementMap" =>
+        throw new IllegalArgumentException("step elementMap not supported yet")
       case other =>
         throw new IllegalArgumentException(s"unknown gremlin step $other()")
     }

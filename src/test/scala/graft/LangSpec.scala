@@ -136,3 +136,15 @@ class GremlinEdgeStepSpec extends AnyFunSuite {
     assert(m("name") == row.getString(0))
   }
 }
+
+class ValueMapSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("valueMap returns the property map") {
+    val session = new GraftSession(spark, TpchGraph(spark, sf))
+    val row = session.gremlin("g.V().hasLabel('Region').valueMap().limit(1)")
+      .collect().head
+    val m = row.getMap[String, String](0)
+    assert(m.contains("name"))
+  }
+}
