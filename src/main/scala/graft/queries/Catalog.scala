@@ -42,6 +42,7 @@ object Catalog {
     Extra2Queries.defs,
     Algo2Queries.defs,
     WindowQueries.defs,
+    TpchQueries.defs,
   )
 
   lazy val defs: Seq[QueryDef] = {

@@ -14,3 +14,4 @@ object ExtraQueries { def defs: Seq[QueryDef] = ExtraQueriesImpl.defs }
 object Extra2Queries { def defs: Seq[QueryDef] = Extra2QueriesImpl.defs }
 object Algo2Queries { def defs: Seq[QueryDef] = Algo2QueriesImpl.defs }
 object WindowQueries { def defs: Seq[QueryDef] = WindowQueriesImpl.defs }
+object TpchQueries { def defs: Seq[QueryDef] = TpchQueriesImpl.defs }
