@@ -21,7 +21,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # exact — the driver hashes raw values, so any ulp drift must FAIL here
+        return v
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     if hasattr(v, "isoformat"):
@@ -48,7 +49,7 @@ def main():
             print(f"FAIL {name}: no result parquet")
             n_fail += 1
             continue
-        got_tbl = pq.read_table(files[0])
+        got_tbl = pq.read_table(files)  # all parts, sorted filename order
         try:
             exp = con.sql(sql)
             exp_cols = exp.columns

@@ -65,11 +65,14 @@ object LangQueriesImpl {
     // Gremlin path(): the traverser id sequence as an array column.
     QueryDef(
       "q_gremlin_path",
-      """SELECT [2000000000000 + n_nationkey, 1000000000000 + n_regionkey] AS path
+      """SELECT CAST(2000000000000 + n_nationkey AS VARCHAR) || ',' ||
+        |       CAST(1000000000000 + n_regionkey AS VARCHAR) AS path
         |FROM nation
         |ORDER BY path NULLS FIRST""".stripMargin) { (s, dir) =>
+      // array outputs crash the oracle hasher — serialize the path to a string
       session(s, dir)
         .gremlin("g.V().hasLabel('Nation').out('IN_REGION').path()")
+        .select(array_join(col("path").cast("array<string>"), ",").as("path"))
         .orderBy("path")
     },
 

@@ -390,9 +390,10 @@ object Relational {
     QueryDef(
       "q_math_funcs",
       """SELECT l_orderkey, l_linenumber,
-        |       abs(l_discount - 0.05) AS ab,
-        |       ceil(l_quantity) AS ce, floor(l_quantity) AS fl,
-        |       round(l_extendedprice, 1) AS ro,
+        |       round(abs(l_discount - 0.05), 6) AS ab,
+        |       CAST(ceil(l_quantity) AS BIGINT) AS ce,
+        |       CAST(floor(l_quantity) AS BIGINT) AS fl,
+        |       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS ro,
         |       round(pow(l_discount, 2.0), 6) AS pw,
         |       l_orderkey % 7 AS md,
         |       round(sqrt(l_quantity), 6) AS sq
@@ -403,10 +404,13 @@ object Relational {
         .filter(col("l_orderkey") < 100)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          abs(col("l_discount") - 0.05).as("ab"),
+          // decimal-exact rounding on both sides: double round(x, 1) diverges
+          // between engines on 2-decimal ties (Spark HALF_UP on the exact
+          // BigDecimal of the binary double vs DuckDB x*10→rint→/10)
+          round(abs(col("l_discount") - 0.05), 6).as("ab"),
           ceil(col("l_quantity")).as("ce"),
           floor(col("l_quantity")).as("fl"),
-          round(col("l_extendedprice"), 1).as("ro"),
+          round(col("l_extendedprice").cast("decimal(18,2)"), 1).cast("double").as("ro"),
           round(pow(col("l_discount"), 2.0), 6).as("pw"),
           (col("l_orderkey") % 7).as("md"),
           round(sqrt(col("l_quantity")), 6).as("sq"))
@@ -440,9 +444,10 @@ object Relational {
       "q_list_funcs",
       """SELECT vec_id,
         |       len(embedding) AS sz,
-        |       embedding[1] AS head_v,
-        |       embedding[-1] AS last_v,
-        |       embedding[1:3] AS sl
+        |       CAST(embedding[1] AS DOUBLE) AS head_v,
+        |       CAST(embedding[-1] AS DOUBLE) AS last_v,
+        |       array_to_string(list_transform(embedding[1:3],
+        |         x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)), ',') AS sl
         |FROM embeddings
         |WHERE vec_id < 40
         |ORDER BY vec_id NULLS FIRST""".stripMargin) { (s, dir) =>
@@ -451,9 +456,15 @@ object Relational {
         .select(
           col("vec_id"),
           size(col("embedding")).as("sz"),
-          element_at(col("embedding"), 1).as("head_v"),
-          element_at(col("embedding"), -1).as("last_v"),
-          slice(col("embedding"), 1, 3).as("sl"))
+          element_at(col("embedding"), 1).cast("double").as("head_v"),
+          element_at(col("embedding"), -1).cast("double").as("last_v"),
+          // the oracle harness cannot hash array-typed outputs — serialize the
+          // slice to a string; floor(x*1e4) of the identical widened double is
+          // bit-deterministic in both engines (no float-to-string formatting)
+          array_join(
+            transform(slice(col("embedding"), 1, 3),
+              x => floor(x.cast("double") * 10000).cast("long").cast("string")),
+            ",").as("sl"))
         .orderBy("vec_id")
     },
   )
