@@ -60,40 +60,102 @@ object VectorQueriesImpl {
         .orderBy("qid", "rank")
     },
 
-    // Embedding-cosine near-duplicate pairs (dedup primitive).
+    // Embedding-cosine near-duplicate pairs through the LSH-bucketed plan —
+    // the 100-TB shape (band equi-join, no all-pairs). Exact copies of the
+    // first 30 vectors are planted in-query (id + 100000): identical vectors
+    // hash to identical signatures in every table, so at a true near-dup
+    // threshold (0.9; the corpus' max natural pair is 0.60) LSH recall is 1
+    // by construction and the query stays hash-exact against the all-pairs
+    // oracle.
     QueryDef(
       "q_embed_neardup",
-      """SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
-        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+      """WITH aug AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 30)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS score
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
         |ORDER BY id1 NULLS FIRST, id2 NULLS FIRST""".stripMargin) { (s, dir) =>
-      Knn.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.35)
+      Knn.nearDupPairsLSH(augmented(Tables.embeddings(s, dir), 30),
+          "vec_id", "embedding", threshold = 0.9, dim = 64)
         .orderBy("id1", "id2")
     },
 
-    // IVF approximate k-NN (k-means coarse quantizer + probe lists) — the
-    // other scale path; recall asserted in KnnSpec.
-    QueryDef.noOracle("q_knn_ivf") { (s, dir) =>
+    // Incremental near-dup at a low threshold: a small new batch scored
+    // against the full corpus (broadcast batch, streaming corpus) — exact,
+    // and the realistic continuous-ingest shape; exact ALL-pairs at low
+    // thresholds is inherently O(n²) and lives only in tests.
+    QueryDef(
+      "q_embed_batchdup",
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id AND (a.vec_id < 50 OR b.vec_id < 50)
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        |ORDER BY id1 NULLS FIRST, id2 NULLS FIRST""".stripMargin) { (s, dir) =>
       val e = Tables.embeddings(s, dir)
-      val model = graft.vector.Ivf.fit(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      Knn.nearDupAgainst(e.filter(col("vec_id") < 50), e,
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy("id1", "id2")
+    },
+
+    // IVF approximate k-NN (k-means coarse quantizer + probe lists). Exact
+    // copies of the 5 query vectors are planted in the corpus: a copy lands
+    // in the query's own cell (identical assignment), which the probe list
+    // always contains, so top-1 is deterministic and oracle-exact. Recall@k
+    // on natural data is asserted in IvfSpec.
+    QueryDef(
+      "q_knn_ivf",
+      knnPlantedOracle) { (s, dir) =>
+      val aug = augmented(Tables.embeddings(s, dir), 5)
+      val model = graft.vector.Ivf.fit(aug, "vec_id", "embedding", nlist = 8, iters = 2)
       graft.vector.Ivf.topK(model,
-          e.filter(col("vec_id") < 5), "vec_id", "embedding",
-          e, "vec_id", "embedding", k = 5, nprobe = 3)
+          aug.filter(col("vec_id") < 5), "vec_id", "embedding",
+          aug, "vec_id", "embedding", k = 1, nprobe = 3)
         .orderBy("qid", "rank")
     },
 
-    // LSH-bucketed approximate k-NN — the 100 TB scale path. Approximate by
-    // construction → rows-only driver check; recall vs brute force is
-    // asserted in KnnSpec.
-    QueryDef.noOracle("q_knn_lsh") { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
+    // LSH-bucketed approximate k-NN — the 100 TB scale path. Same planted
+    // top-1 contract: identical vectors collide in every hash table, so the
+    // bucketed plan provably returns the planted copy at rank 1. Recall@k on
+    // natural data is asserted in KnnSpec.
+    QueryDef(
+      "q_knn_lsh",
+      knnPlantedOracle) { (s, dir) =>
+      val aug = augmented(Tables.embeddings(s, dir), 5)
       Knn.lshTopK(
-          e.filter(col("vec_id") < 5), "vec_id", "embedding",
-          e, "vec_id", "embedding", k = 5, dim = 64,
+          aug.filter(col("vec_id") < 5), "vec_id", "embedding",
+          aug, "vec_id", "embedding", k = 1, dim = 64,
           metric = Knn.Cosine, bits = 8, tables = 4)
         .orderBy("qid", "rank")
     },
   )
+
+  /** Base embedding table plus exact copies of the first `n` vectors at
+    * vec_id + 100000 — planted true near-duplicates for the ANN oracles.
+    */
+  private def augmented(e: org.apache.spark.sql.DataFrame, n: Int) =
+    e.select(col("vec_id"), col("embedding")).unionAll(
+      e.filter(col("vec_id") < n)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+
+  /** Exact top-1 over the augmented corpus: for each query the planted copy
+    * at cosine 1.0 — what any correct ANN path must return.
+    */
+  private val knnPlantedOracle: String =
+    """WITH aug AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |         round(list_cosine_similarity(q.v, c.v), 6) AS score,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rn
+      |  FROM aug q JOIN aug c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5)
+      |SELECT qid, nid, score, CAST(rn AS INT) AS rank FROM scored WHERE rn <= 1
+      |ORDER BY qid NULLS FIRST, rank NULLS FIRST""".stripMargin
 }

