@@ -29,16 +29,29 @@ object Bench {
       catch { case _: Throwable => }
     }
 
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        // a crashing query must not masquerade as a fast one
+        errors += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (errors.lastOption.contains(name)) -sec else sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2.abs).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // the JSON line inside sbt output failed driver parsing in round 1 —
+    // also write it to a known file
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), line)
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

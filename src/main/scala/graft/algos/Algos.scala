@@ -56,6 +56,8 @@ object Algos {
         .agg((lit(1.0 - damping) + lit(damping) * coalesce(sum(col("c")), lit(0.0))).as("rank"))
         .localCheckpoint() // truncate lineage: plan depth stays O(1) per iteration
     }
+    // ranks is checkpoint-materialized; release the loop-invariant caches
+    Seq(nodes, edges, outdeg).foreach(_.unpersist(blocking = false))
     ranks
   }
 
@@ -147,6 +149,7 @@ object Algos {
       levels = updated
       i += 1
     }
+    edges.unpersist(blocking = false) // levels is checkpoint-materialized
     levels
   }
 
@@ -172,6 +175,7 @@ object Algos {
       .unionByName(g.edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     var alive = und.select(col("src").as("id")).distinct().localCheckpoint()
+    var aliveCount = alive.count()
     var changed = true
     var i = 0
     while (changed && i < maxIters) {
@@ -183,7 +187,8 @@ object Algos {
         .select(col("src").as("id"))
         .localCheckpoint() // lineage truncation (see PropertyGraph notes)
       val nKeep = keep.count()
-      changed = nKeep != alive.count()
+      changed = nKeep != aliveCount // one action per iteration, not two
+      aliveCount = nKeep
       alive = keep
       i += 1
     }

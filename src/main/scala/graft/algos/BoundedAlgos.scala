@@ -25,12 +25,17 @@ object BoundedAlgos {
     require(n <= maxNodes,
       s"induced subgraph has $n nodes > bound $maxNodes — refusing driver-side run")
     val ids = nodes.collect().map(_.getLong(0))
-    val idSet = ids.toSet
+    // induce edges DISTRIBUTIVELY before collecting: semi-join both endpoints
+    // against the bounded node set (broadcast — it is <= maxNodes by the
+    // guard above); collecting the full edge table would OOM the driver on a
+    // large graph regardless of the node bound
+    val idDf = nodes.select(col("id"))
     val edges = g.edges
       .select(col("src"), col("dst"), coalesce(col("weight"), lit(1.0)).as("w"))
+      .join(broadcast(idDf), col("src") === col("id"), "left_semi")
+      .join(broadcast(idDf), col("dst") === col("id"), "left_semi")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .filter { case (s, d, _) => idSet.contains(s) && idSet.contains(d) }
     (ids, edges)
   }
 

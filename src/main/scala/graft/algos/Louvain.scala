@@ -54,6 +54,8 @@ object Louvain {
       comm = next
       i += 1
     }
+    // comm is checkpoint-materialized; release the loop-invariant caches
+    Seq(und, degrees).foreach(_.unpersist(blocking = false))
     comm
   }
 }

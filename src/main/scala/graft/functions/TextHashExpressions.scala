@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass MinHash / SimHash signatures (reference MinHash LSH,
+  * crates/grafeo-engine/src/index/text/minhash.rs shape).
+  *
+  * The column-expression formulation (`transform` + `array_min` per hash
+  * function) evaluates numHashes interpreted lambdas per row
+  * (CodegenFallback) and re-traverses the shingle array numHashes times.
+  * These expressions make ONE pass over the input array in generated code:
+  * hash each element once with xxHash64 (identical to Spark's `xxhash64`,
+  * seed 42), then fold every universal-hash permutation minimum (MinHash) or
+  * every bit counter (SimHash) inside the same loop.
+  */
+
+/** MinHash signature over an array<string> of shingles: for each seeded
+  * universal hash h_i(x) = (a_i·x + b_i) mod P over x = xxhash64(shingle)
+  * mod P, the minimum across the array; P for empty arrays. Output
+  * array<long> of length numHashes — value-identical to the HOF
+  * formulation it replaces (asserted in DedupSpec).
+  */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  private val P = 2147483647L // 2^31 - 1 (prime)
+
+  // same parameter derivation as Dedup.hashParams — signatures must not drift
+  @transient private lazy val params: (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val ab = Array.fill(numHashes)(
+      (1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
+    (ab.map(_._1), ab.map(_._2))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private def pmod(x: Long): Long = { val m = x % P; if (m < 0) m + P else m }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val (as, bs) = params
+    val mins = Array.fill(numHashes)(P)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h = pmod(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L))
+      var j = 0
+      while (j < numHashes) {
+        val v = pmod(h * as(j) + bs(j))
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val (asArr, bsArr) = params
+      val as = ctx.addReferenceObj("minhashA", asArr, "long[]")
+      val bs = ctx.addReferenceObj("minhashB", bsArr, "long[]")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, ${P}L);
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  UTF8String $s = $arr.getUTF8String($i);
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L) % ${P}L;
+         |  if ($h < 0) $h += ${P}L;
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $v = ($h * $as[$j] + $bs[$j]) % ${P}L;
+         |    if ($v < 0) $v += ${P}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over an array<string> of words: bit i of the output is set
+  * iff Σ_words (±1 by bit i of xxhash64(word)) >= 0. One pass, one 64-slot
+  * counter array — value-identical to the aggregate-lambda formulation.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        counts(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $counts = new long[64];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  UTF8String $s = $arr.getUTF8String($i);
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $counts[$b] += ((($h >>> $b) & 1L) == 1L) ? 1L : -1L;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($counts[$b] >= 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextHashExpressions {
+  import GraftColumnBridge.{toColumn, toExpression}
+  def minHashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    toColumn(MinHashSig(toExpression(shingles), numHashes, seed))
+  def simHash64(words: Column): Column =
+    toColumn(SimHash64Expr(toExpression(words)))
+}

@@ -102,6 +102,9 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       }
       i += 1
     }
+    // every frontier (and thus acc) is localCheckpoint-materialized, so the
+    // cached edge projection can be released immediately
+    ep.unpersist(blocking = false)
     acc.map(_.select(col("__origin").as(srcCol), col("__cur").as("dst"), col("hops")))
       .getOrElse(sources.sparkSession.emptyDataFrame
         .withColumn(srcCol, lit(0L)).withColumn("dst", lit(0L)).withColumn("hops", lit(0)))
@@ -150,6 +153,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       }
       i += 1
     }
+    ep.unpersist(blocking = false) // visited is checkpoint-materialized
     visited.filter(col("dist") >= 1)
       .select(col("__origin").as(srcCol), col("__node").as("dst"), col("dist"))
   }

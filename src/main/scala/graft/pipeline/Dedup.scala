@@ -42,11 +42,19 @@ object Dedup {
   }
 
   /** MinHash signature (length numHashes) over word n-gram shingles.
-    * Base hash is Spark's xxhash64 (deterministic, codegen'd); each h_i is a
-    * universal-hash permutation estimate. Entirely per-row expressions —
-    * no shuffle to build signatures.
+    * Single-pass native codegen expression (graft.functions.MinHashSig) —
+    * the HOF formulation (transform + array_min per hash) was interpreted
+    * CodegenFallback and dominated the LSH hot path. No shuffle to build
+    * signatures. The HOF-equivalence is pinned in DedupSpec.
     */
   def minHashSignature(text: Column, n: Int, numHashes: Int,
+      seed: Long = 42L): Column =
+    graft.functions.TextHashExpressions.minHashSig(shingles(text, n), numHashes, seed)
+
+  /** The pre-native HOF formulation of [[minHashSignature]] — kept only as
+    * the independent cross-check for DedupSpec's signature-parity test.
+    */
+  private[graft] def minHashSignatureHOF(text: Column, n: Int, numHashes: Int,
       seed: Long = 42L): Column = {
     val grams = shingles(text, n)
     val hs = transform(grams, g => pmod(xxhash64(g), lit(P)))
@@ -101,9 +109,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash over words: bit i of the fingerprint is the sign of the
-    * sum over words of ±1 according to bit i of xxhash64(word).
+    * sum over words of ±1 according to bit i of xxhash64(word). Single-pass
+    * native codegen expression (graft.functions.SimHash64Expr).
     */
-  def simHash64(text: Column): Column = {
+  def simHash64(text: Column): Column =
+    graft.functions.TextHashExpressions.simHash64(split(text, " "))
+
+  /** Pre-native HOF formulation of [[simHash64]] — DedupSpec parity only. */
+  private[graft] def simHash64HOF(text: Column): Column = {
     val hs = transform(split(text, " "), w => xxhash64(w))
     (0 until 64).map { i =>
       val bitSum = aggregate(hs, lit(0L),

@@ -87,6 +87,28 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(m(1L), m(2L)) <= 16)
   }
 
+  test("native minhash signature is value-identical to the HOF formulation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(50)
+    val both = docs.select(
+      Dedup.minHashSignature($"text", 3, 16).as("nat"),
+      Dedup.minHashSignatureHOF($"text", 3, 16).as("hof"))
+    assert(both.filter($"nat" =!= $"hof").isEmpty, "signature drift vs HOF")
+    // and empty/short texts fall back to the P sentinel identically
+    val edge = Seq((1L, ""), (2L, "one two")).toDF("id", "text")
+    val e = edge.select(Dedup.minHashSignature($"text", 3, 8).as("nat"),
+      Dedup.minHashSignatureHOF($"text", 3, 8).as("hof"))
+    assert(e.filter($"nat" =!= $"hof").isEmpty)
+  }
+
+  test("native simhash is value-identical to the HOF formulation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(50)
+    val both = docs.select(Dedup.simHash64($"text").as("nat"),
+      Dedup.simHash64HOF($"text").as("hof"))
+    assert(both.filter($"nat" =!= $"hof").isEmpty, "simhash drift vs HOF")
+  }
+
   test("exact dedup keeps min id") {
     val df = Seq((5L, "x"), (3L, "x"), (9L, "y")).toDF("id", "t")
     val out = Dedup.exact(df, Seq("t"), "id").orderBy("keep").collect()
