@@ -80,9 +80,19 @@ object Algo2QueriesImpl {
       Louvain.run(brandChain(s, dir), maxIters = 5).orderBy("id")
     },
 
-    // Kruskal MST (mst.rs:87) with unique weights (deterministic forest) on
-    // the part DAG below 300 — rows-only; Algos2Spec pins exact semantics.
-    QueryDef.noOracle("q_mst") { (s, dir) =>
+    // Kruskal MST (mst.rs:87) with unique weights w = src·1e5 + dst on the
+    // part DAG below 300. Kruskal scans edges in ascending (src, dst); when
+    // src = k is reached every node ≤ 2(k-1)+1 is already connected, so the
+    // chosen edges are exactly the parent links (1 → 0 via the chain edge,
+    // 2,3 → 1, m ≥ 4 → ⌊m/2⌋) — the closed form the oracle enumerates
+    // (cross-checked against an independent union-find).
+    QueryDef(
+      "q_mst",
+      """SELECT CAST(CASE WHEN m = 1 THEN 0 WHEN m <= 3 THEN 1 ELSE m // 2 END AS BIGINT) AS src,
+        |       CAST(m AS BIGINT) AS dst,
+        |       CAST((CASE WHEN m = 1 THEN 0 WHEN m <= 3 THEN 1 ELSE m // 2 END) * 100000 + m AS DOUBLE) AS w
+        |FROM (SELECT p_partkey AS m FROM part WHERE p_partkey BETWEEN 1 AND 299)
+        |ORDER BY src NULLS FIRST, dst NULLS FIRST""".stripMargin) { (s, dir) =>
       val base = graft.graph.TpchGraph.partDag(s, dir)
       val weighted = base.copy(edges = base.edges
         .withColumn("weight", (col("src") * 100000 + col("dst")).cast("double")))
@@ -91,8 +101,13 @@ object Algo2QueriesImpl {
     },
 
     // Edmonds-Karp max-flow (flow.rs:88) from part 1 to part 50, capacities
-    // (dst % 7) + 1, subgraph < 100 — rows-only scalar; spec pins semantics.
-    QueryDef.noOracle("q_maxflow") { (s, dir) =>
+    // (dst % 7) + 1, subgraph < 100. The fixture is SF-independent (keys
+    // 1..99 exist at every SF) and the sink's in-cut is 49→50 (cap 2) +
+    // 25→50 (cap 2) = 4, which the source side saturates — verified with an
+    // independent BFS augmenting-path implementation.
+    QueryDef(
+      "q_maxflow",
+      "SELECT CAST(4.0 AS DOUBLE) AS maxflow") { (s, dir) =>
       import s.implicits._
       val base = graft.graph.TpchGraph.partDag(s, dir)
       val weighted = base.copy(edges = base.edges

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.algos.Algos
 import graft.core.Tables
@@ -128,11 +129,26 @@ object AlgoQueriesImpl {
         .orderBy("id")
     },
 
-    // k-core (structure.rs:282): iterative pruning to the 2-core of the
-    // undirected part DAG. Fixpoint iteration count is data-dependent →
-    // rows-only driver check; AlgosSpec pins exact semantics on a known graph.
-    QueryDef.noOracle("q_kcore") { (s, dir) =>
-      Algos.kCore(TpchGraph.partDag(s, dir), k = 2).orderBy("id")
+    // k-core (structure.rs:282): iterative peeling to the 2-core of a ring
+    // (parts 1..150 cyclically chained) with 50 pendant spokes — the pendants
+    // peel away, the ring survives, so the 2-core is exactly parts 1..150.
+    // AlgosSpec additionally pins kCore semantics on the part DAG.
+    QueryDef(
+      "q_kcore",
+      """SELECT CAST(p_partkey AS BIGINT) AS id FROM part
+        |WHERE p_partkey BETWEEN 1 AND 150
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey").cast("long").as("k"))
+        .filter(col("k").between(1, 150))
+      def e(src: Column, dst: Column) =
+        p.select(src.as("src"), dst.as("dst"), lit("RING").as("rel"), lit(1.0).as("weight"))
+      val ring = e(col("k"), when(col("k") === 150, lit(1L)).otherwise(col("k") + 1))
+      val spokes = p.filter(col("k") <= 50)
+        .select(col("k").as("src"), (col("k") + 10000).as("dst"),
+          lit("SPOKE").as("rel"), lit(1.0).as("weight"))
+      val nodes = p.select(col("k").as("id"), array(lit("Part")).as("labels"))
+      Algos.kCore(PropertyGraph(nodes, ring.unionByName(spokes)), k = 2).orderBy("id")
     },
 
     // Label propagation (community.rs:39), 3 synchronous rounds on the

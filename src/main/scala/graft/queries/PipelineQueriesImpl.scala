@@ -164,5 +164,36 @@ object PipelineQueriesImpl {
           "doc_id", "text", n = 2, numHashes = 16, bands = 8, threshold = 0.5)
         .orderBy("id1", "id2")
     },
+
+    // MinHash-LSH at threshold 1.0 IS oracle-exact: jaccard = 1 means equal
+    // shingle sets, equal sets hash to identical signatures and bands, so
+    // every qualifying pair collides with probability 1 and verification
+    // keeps exactly the equal-set pairs. Exact copies are planted by
+    // doubling the table (same pattern as q_dedup_exact); the oracle finds
+    // equal 3-gram sets directly.
+    QueryDef(
+      "q_minhash_exactdup",
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+        |sig AS (
+        |  SELECT doc_id, len(w) AS nw,
+        |         array_to_string(list_sort(list_distinct(list_transform(
+        |           range(1, greatest(len(w) - 1, 1)),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))), chr(31)) AS s
+        |  FROM ws)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(1.0 AS DOUBLE) AS jac
+        |FROM sig a JOIN sig b ON a.s = b.s AND a.doc_id < b.doc_id
+        |WHERE a.nw >= 3
+        |ORDER BY id1 NULLS FIRST, id2 NULLS FIRST""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.minHashNearDuplicates(doubled, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 8, threshold = 1.0)
+        .orderBy("id1", "id2")
+    },
   )
 }
