@@ -20,6 +20,15 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   def cypher(query: String): DataFrame =
     compiler.compile(CypherFrontend.translate(CypherFrontend.parse(query)))
 
+  /** Parameterized openCypher: `$name` placeholders bind to `params` at
+    * translate time (reference processor.rs:417-600), so Catalyst receives
+    * plain literals — filter pushdown and constant folding apply as if the
+    * values were inlined.
+    */
+  def cypher(query: String, params: Map[String, Any]): DataFrame =
+    compiler.compile(CypherFrontend.bindParams(
+      CypherFrontend.translate(CypherFrontend.parse(query)), params))
+
   /** GQL entry point (reference GrafeoDB::execute, database.rs:327). The ISO
     * GQL core pattern surface (MATCH/WHERE/RETURN/ORDER BY/LIMIT…) coincides
     * with the supported openCypher subset, so both languages share one
@@ -28,6 +37,10 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     * later without touching the IR or compiler.
     */
   def gql(query: String): DataFrame = cypher(query)
+
+  /** Parameterized GQL (same binding path as [[cypher]]). */
+  def gql(query: String, params: Map[String, Any]): DataFrame =
+    cypher(query, params)
 
   /** Cypher update queries (CREATE/SET/DELETE/DETACH DELETE/MERGE/REMOVE
     * after an optional MATCH prefix) — returns the mutated graph (functional

@@ -45,6 +45,22 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
           col(to) === col("__tid"))
         .drop("__tid")
 
+    case Op.ShortestPath(in, from, rel, to, dir, maxHops, targetLabel, lenAs) =>
+      val df = compile(in)
+      // distributed frontier BFS from the bound sources; dist is minimal by
+      // construction (level-synchronous visited-set BFS)
+      val paths = graph
+        .bfs(df.select(col(from)).distinct(), from, rel, maxHops, dir)
+        .withColumnRenamed("dst", to)
+      val withLen = lenAs match {
+        case Some(n) => paths.withColumnRenamed("dist", n)
+        case None    => paths.drop("dist")
+      }
+      df.join(withLen, from)
+        .join(nodeFor(to, targetLabel).withColumnRenamed(to, "__tid"),
+          col(to) === col("__tid"))
+        .drop("__tid")
+
     case Op.Filter(in, pred) => compile(in).filter(expr(pred))
 
     case Op.Project(in, items) =>

@@ -71,7 +71,12 @@ object Ast {
       props: Seq[(String, Expr.E)])
   final case class RelPat(v: Option[String], relType: Option[String],
       dir: Direction, range: Option[(Int, Int)])
-  final case class PathPat(head: NodePat, tail: Seq[(RelPat, NodePat)])
+  /** `shortest`: Some(pathVarOpt) when the pattern is wrapped in
+    * shortestPath()/allShortestPaths() (both bind minimal-hop reachability
+    * here — we bind endpoints + length, not path lists).
+    */
+  final case class PathPat(head: NodePat, tail: Seq[(RelPat, NodePat)],
+      shortest: Option[Option[String]] = None)
   sealed trait Clause
   final case class MatchClause(paths: Seq[PathPat], where: Option[Expr.E],
       optional: Boolean = false) extends Clause
@@ -207,6 +212,22 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
   }
 
   private def parsePath(): PathPat = {
+    // `p = shortestPath((a)-[:T*..k]->(b))` / `allShortestPaths(...)`
+    // (cypher/ast.rs:86-99); general path-variable binding is not supported.
+    val pathVar = (peek, tokens.lift(pos + 1)) match {
+      case (Some(Ident(pv)), Some(Sym("="))) => pos += 2; Some(pv)
+      case _ => None
+    }
+    val isShortest = peek match {
+      case Some(Ident(fn))
+          if fn.equalsIgnoreCase("shortestPath") ||
+            fn.equalsIgnoreCase("allShortestPaths") => next(); true
+      case _ =>
+        if (pathVar.isDefined)
+          fail("path variables are supported only on shortestPath()/allShortestPaths()")
+        false
+    }
+    if (isShortest) expect(Sym("("))
     val head = parseNodePat()
     val tail = Seq.newBuilder[(RelPat, NodePat)]
     var go = true
@@ -219,7 +240,8 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
         case _ => go = false
       }
     }
-    PathPat(head, tail.result())
+    if (isShortest) expect(Sym(")"))
+    PathPat(head, tail.result(), if (isShortest) Some(pathVar) else None)
   }
 
   private def parseNodePat(): NodePat = {
@@ -485,10 +507,37 @@ object CypherFrontend {
     def fresh(): String = { anon += 1; s"__n$anon" }
 
     val boundVars = scala.collection.mutable.Set.empty[String]
+    // path variable -> bound length column (length(p) resolves to it)
+    val pathLenCols = scala.collection.mutable.Map.empty[String, String]
     for (clause <- q.clauses) clause match {
       case MatchClause(paths, where, optional) =>
         var matchOp: Option[Op.T] = None
-        for (path <- paths) {
+        for (path <- paths if path.shortest.isDefined) {
+          require(path.tail.size == 1,
+            "shortestPath() takes a single (a)-[*..max]-(b) relationship pattern")
+          val (rel, node) = path.tail.head
+          val (lo, hi) = rel.range.getOrElse(
+            throw new IllegalArgumentException(
+              "shortestPath() needs a var-length pattern, e.g. [:T*1..5]"))
+          val headVar = path.head.v.getOrElse(fresh())
+          val toVar = node.v.getOrElse(fresh())
+          val lenCol = path.shortest.get.map { pv =>
+            val c = s"__plen_$pv"; pathLenCols(pv) = c; c
+          }
+          var pathOp: Op.T = Op.NodeScan(headVar, path.head.label)
+          pathOp = propFilters(pathOp, headVar, path.head.props)
+          pathOp = Op.ShortestPath(pathOp, headVar, rel.relType, toVar,
+            rel.dir, hi, node.label, lenCol)
+          if (lo > 1) pathOp = Op.Filter(pathOp,
+            Expr.Bin(">=", Expr.Var(lenCol.getOrElse(
+              throw new IllegalArgumentException(
+                "shortestPath() with min hops > 1 needs a path variable"))),
+              Expr.Lit(lo.toLong)))
+          pathOp = propFilters(pathOp, toVar, node.props)
+          (path.head.v.toSeq ++ node.v.toSeq).foreach(boundVars += _)
+          matchOp = Some(matchOp.map(Op.NaturalJoin(_, pathOp)).getOrElse(pathOp))
+        }
+        for (path <- paths if path.shortest.isEmpty) {
           // edge variables are single-binding in this subset: reuse across
           // patterns (openCypher edge-identity semantics) and collisions with
           // node variables are rejected rather than silently mis-joined
@@ -562,8 +611,26 @@ object CypherFrontend {
         skip.foreach(n => cur = Op.Skip(cur, n))
         limit.foreach(n => cur = Op.Limit(cur, n))
     }
-    cur
+    if (pathLenCols.isEmpty) cur
+    else Op.rewriteExprs(cur) {
+      case Expr.Func(n, Seq(Expr.Var(pv)), _)
+          if n.equalsIgnoreCase("length") && pathLenCols.contains(pv) =>
+        Expr.Var(pathLenCols(pv))
+      case e => e
+    }
   }
+
+  /** Bind `$name` parameters to literal values (reference
+    * processor.rs:417-600 — substitution before planning, so Catalyst sees
+    * plain literals and constant-folds/pushes them down).
+    */
+  def bindParams(op: Op.T, params: Map[String, Any]): Op.T =
+    Op.rewriteExprs(op) {
+      case Expr.Param(n) =>
+        Expr.Lit(params.getOrElse(n,
+          throw new IllegalArgumentException(s"missing parameter: $$$n")))
+      case e => e
+    }
 
   private def propFilters(op: Op.T, v: String, props: Seq[(String, Expr.E)]): Op.T =
     props.foldLeft(op) { case (acc, (k, value)) =>

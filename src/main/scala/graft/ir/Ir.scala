@@ -28,6 +28,24 @@ object Expr {
     Set("count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
       "percentilecont", "percentiledisc")
 
+  /** Bottom-up expression rewrite (parameter substitution, path-length
+    * resolution). `f` sees each node after its children were rewritten.
+    */
+  def rewrite(e: E)(f: E => E): E = {
+    val r: E = e match {
+      case Func(n, args, d)  => Func(n, args.map(rewrite(_)(f)), d)
+      case Bin(op, l, rr)    => Bin(op, rewrite(l)(f), rewrite(rr)(f))
+      case Not(x)            => Not(rewrite(x)(f))
+      case Neg(x)            => Neg(rewrite(x)(f))
+      case IsNull(x, ng)     => IsNull(rewrite(x)(f), ng)
+      case ListLit(items)    => ListLit(items.map(rewrite(_)(f)))
+      case CaseW(bs, oe)     => CaseW(bs.map { case (c, v) =>
+        (rewrite(c)(f), rewrite(v)(f)) }, oe.map(rewrite(_)(f)))
+      case leaf => leaf
+    }
+    f(r)
+  }
+
   def containsAggregate(e: E): Boolean = e match {
     case Func(n, args, _) =>
       aggregateFns.contains(n.toLowerCase) || args.exists(containsAggregate)
@@ -95,6 +113,45 @@ object Op {
   /** plan.rs:544-555 — list to rows. */
   final case class Unwind(input: T, list: E, as: String) extends T
 
+  /** ShortestPath (plan.rs:579-598; shortest_path.rs:18): for each binding
+    * of `from`, the minimal-hop distance (1..maxHops) to every reachable
+    * `to`; `lenAs` optionally binds the path length (Cypher `length(p)`).
+    */
+  final case class ShortestPath(input: T, from: String, relType: Option[String],
+      to: String, dir: Direction, maxHops: Int, targetLabel: Option[String],
+      lenAs: Option[String]) extends T
+
   /** SingleRowOperator (single_row.rs:18) — standalone RETURN/UNWIND. */
   case object OneRow extends T
+
+  /** Rewrite every expression embedded in the plan with [[Expr.rewrite]] —
+    * how parameters bind at translate time (reference processor.rs:417-600
+    * substitutes params before planning).
+    */
+  def rewriteExprs(t: T)(f: Expr.E => Expr.E): T = {
+    def rx(e: E): E = Expr.rewrite(e)(f)
+    t match {
+      case NodeScan(_, _) | OneRow => t
+      case e: Expand       => e.copy(input = rewriteExprs(e.input)(f))
+      case e: VarExpand    => e.copy(input = rewriteExprs(e.input)(f))
+      case e: ShortestPath => e.copy(input = rewriteExprs(e.input)(f))
+      case Filter(in, p)   => Filter(rewriteExprs(in)(f), rx(p))
+      case Project(in, items) =>
+        Project(rewriteExprs(in)(f), items.map { case (e, n) => (rx(e), n) })
+      case Aggregate(in, ks, as2) =>
+        Aggregate(rewriteExprs(in)(f),
+          ks.map { case (e, n) => (rx(e), n) },
+          as2.map { case (e, n) => (rx(e), n) })
+      case Sort(in, ks) =>
+        Sort(rewriteExprs(in)(f), ks.map { case (e, a) => (rx(e), a) })
+      case Limit(in, n)    => Limit(rewriteExprs(in)(f), n)
+      case Skip(in, n)     => Skip(rewriteExprs(in)(f), n)
+      case Distinct(in)    => Distinct(rewriteExprs(in)(f))
+      case UnionAll(l, r)  => UnionAll(rewriteExprs(l)(f), rewriteExprs(r)(f))
+      case NaturalJoin(l, r) => NaturalJoin(rewriteExprs(l)(f), rewriteExprs(r)(f))
+      case LeftNaturalJoin(l, r) =>
+        LeftNaturalJoin(rewriteExprs(l)(f), rewriteExprs(r)(f))
+      case Unwind(in, l, a) => Unwind(rewriteExprs(in)(f), rx(l), a)
+    }
+  }
 }
