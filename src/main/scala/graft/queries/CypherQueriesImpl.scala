@@ -104,6 +104,38 @@ object CypherQueriesImpl {
           |ORDER BY pk""".stripMargin)
     },
 
+    // shortestPath() + length(p): minimal hop counts from one source on the
+    // part DAG vs a recursive-CTE min-hop oracle (reference shortest-path
+    // query tests; shortest_path.rs:18 BFS semantics). The source is bound
+    // via node-pattern props so the filter applies BEFORE the BFS — at scale
+    // this is the difference between one frontier and |V| frontiers.
+    QueryDef(
+      "q_cypher_shortest",
+      """WITH RECURSIVE dag AS (
+        |  SELECT a.p_partkey AS src, b.p_partkey AS dst
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |),
+        |walk(dst, hops) AS (
+        |  SELECT dst, 1 FROM dag WHERE src = 1
+        |  UNION ALL
+        |  SELECT d.dst, w.hops + 1 FROM walk w JOIN dag d ON d.src = w.dst
+        |  WHERE w.hops < 6
+        |)
+        |SELECT CAST(dst AS BIGINT) AS dst, CAST(min(hops) AS INT) AS len
+        |FROM walk GROUP BY dst
+        |ORDER BY dst NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph.partDag(s, dir)).cypher(
+        """MATCH p = shortestPath((a:Part {name: '1'})-[:LINK*1..6]->(b:Part))
+          |RETURN id(b) AS dst, length(p) AS len
+          |ORDER BY dst""".stripMargin)
+    },
+
     QueryDef(
       "q_cypher_unwind",
       """SELECT y FROM (SELECT 2 * unnest([1, 2, 3, 4, 5]) AS y) ORDER BY y NULLS FIRST""") { (s, dir) =>

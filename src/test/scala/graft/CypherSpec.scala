@@ -161,6 +161,92 @@ class EdgeVarSpec extends AnyFunSuite {
   }
 }
 
+class ShortestPathCypherSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val dagSession = new GraftSession(spark, TpchGraph.partDag(spark, sf))
+
+  // part DAG from node 1: edges k→2k, k→2k+1, k→k+1, so
+  // dist(2)=dist(3)=1, dist(4)=dist(5)=dist(6)=dist(7)=2
+  test("shortestPath binds minimal hop count via length(p)") {
+    val d = dagSession.cypher(
+      """MATCH p = shortestPath((a:Part {name: '1'})-[:LINK*1..3]->(b:Part))
+        |RETURN id(b) AS dst, length(p) AS len ORDER BY dst""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d(2) == 1 && d(3) == 1)
+    assert(d(4) == 2 && d(7) == 2)
+  }
+
+  test("allShortestPaths binds the same endpoint+length set") {
+    val a = dagSession.cypher(
+      """MATCH p = allShortestPaths((a:Part {name: '1'})-[:LINK*1..3]->(b:Part))
+        |RETURN id(b) AS dst, length(p) AS len ORDER BY dst""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val s = dagSession.cypher(
+      """MATCH p = shortestPath((a:Part {name: '1'})-[:LINK*1..3]->(b:Part))
+        |RETURN id(b) AS dst, length(p) AS len ORDER BY dst""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(a == s && a.nonEmpty)
+  }
+
+  test("min-hops *2..3 drops nodes whose shortest distance is 1") {
+    val d = dagSession.cypher(
+      """MATCH p = shortestPath((a:Part {name: '1'})-[:LINK*2..3]->(b:Part))
+        |RETURN id(b) AS dst, length(p) AS len ORDER BY dst""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(!d.contains(2) && !d.contains(3)) // 1-hop neighbors excluded
+    assert(d(4) == 2 && d.values.forall(_ >= 2))
+  }
+
+  test("shortestPath without a var-length pattern is a clear error") {
+    val e = intercept[IllegalArgumentException](dagSession.cypher(
+      "MATCH p = shortestPath((a:Part)-[:LINK]->(b:Part)) RETURN id(b) AS d"))
+    assert(e.getMessage.contains("var-length"))
+  }
+
+  test("min hops > 1 without a path variable is a clear error") {
+    val e = intercept[IllegalArgumentException](dagSession.cypher(
+      "MATCH shortestPath((a:Part {name: '1'})-[:LINK*2..3]->(b:Part)) RETURN id(b) AS d"))
+    assert(e.getMessage.contains("path variable"))
+  }
+}
+
+class ParamBindingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val session = new GraftSession(spark, TpchGraph(spark, sf))
+
+  test("bound parameters behave as inlined literals") {
+    val got = session.cypher(
+      "MATCH (c:Customer) WHERE c.acctbal > $min RETURN c.name AS n ORDER BY n",
+      Map("min" -> 9000.0)).collect().map(_.getString(0)).toSeq
+    val exp = session.cypher(
+      "MATCH (c:Customer) WHERE c.acctbal > 9000.0 RETURN c.name AS n ORDER BY n")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("string and list parameters bind") {
+    val rows = session.cypher(
+      "MATCH (c:Customer) WHERE c.category = $seg AND c.acctbal > $lo RETURN c.name AS n ORDER BY n LIMIT 3",
+      Map("seg" -> "BUILDING", "lo" -> 0.0)).collect()
+    assert(rows.length == 3)
+  }
+
+  test("missing parameter is a clear error") {
+    val e = intercept[IllegalArgumentException](session.cypher(
+      "MATCH (c:Customer) WHERE c.acctbal > $min RETURN c.name AS n",
+      Map.empty[String, Any]))
+    assert(e.getMessage.contains("missing parameter"))
+  }
+
+  test("unbound parameter without params map is a clear error") {
+    val e = intercept[IllegalArgumentException](session.cypher(
+      "MATCH (c:Customer) WHERE c.acctbal > $min RETURN c.name AS n").collect())
+    assert(e.getMessage.contains("parameter"))
+  }
+}
+
 class EdgeVarGuardSpec extends AnyFunSuite {
   import TestSpark._
 
