@@ -552,8 +552,15 @@ object CypherFrontend {
           var pathOp: Op.T = Op.NodeScan(headVar, path.head.label)
           pathOp = propFilters(pathOp, headVar, path.head.props)
           var fromVar = headVar
+          // cyclic patterns: a node var reused later in the SAME path (e.g.
+          // MATCH (a)-[:X]->(b)-[:Y]->(a)) expands into a fresh column plus a
+          // join-back equality filter — correct cycle semantics instead of a
+          // duplicate-column AnalysisException (ref cypher_translator.rs
+          // rebinds through its binding table).
+          val seenInPath = scala.collection.mutable.Set(headVar)
           for ((rel, node) <- path.tail) {
-            val toVar = node.v.getOrElse(fresh())
+            val rebindOf = node.v.filter(seenInPath.contains)
+            val toVar = if (rebindOf.isDefined) fresh() else node.v.getOrElse(fresh())
             pathOp = rel.range match {
               case Some((lo, hi)) =>
                 require(rel.v.isEmpty,
@@ -563,7 +570,10 @@ object CypherFrontend {
                 Op.Expand(pathOp, fromVar, rel.relType, toVar, rel.dir, node.label,
                   rel.v)
             }
+            rebindOf.foreach(orig => pathOp = Op.Filter(pathOp,
+              Expr.Bin("=", Expr.Var(toVar), Expr.Var(orig))))
             pathOp = propFilters(pathOp, toVar, node.props)
+            seenInPath += toVar
             fromVar = toVar
           }
           matchOp = Some(matchOp.map(Op.NaturalJoin(_, pathOp)).getOrElse(pathOp))

@@ -104,6 +104,28 @@ object CypherQueriesImpl {
           |ORDER BY pk""".stripMargin)
     },
 
+    // Cyclic pattern in a single path: the closing `(o)-[:CONTAINS]->(p)`
+    // re-binds p, which the translator turns into a fresh column + join-back
+    // equality filter (cycle semantics). TPC-H Q5's local-supplier shape.
+    QueryDef(
+      "q_cypher_triangle",
+      """SELECT n_name AS nat, count(*) AS cnt
+        |FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem) sp
+        |JOIN supplier ON s_suppkey = sp.sk
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem l2 ON l2.l_orderkey = o_orderkey AND l2.l_partkey = sp.pk
+        |WHERE sp.pk < 50
+        |GROUP BY n_name
+        |ORDER BY nat NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (p:Part)<-[:SUPPLIES]-(s:Supplier)-[:FROM_NATION]->(n:Nation)<-[:FROM_NATION]-(c:Customer)<-[:PLACED_BY]-(o:Order)-[:CONTAINS]->(p)
+          |WHERE id(p) - 5000000000000 < 50
+          |RETURN n.name AS nat, count(*) AS cnt
+          |ORDER BY nat""".stripMargin)
+    },
+
     // shortestPath() + length(p): minimal hop counts from one source on the
     // part DAG vs a recursive-CTE min-hop oracle (reference shortest-path
     // query tests; shortest_path.rs:18 BFS semantics). The source is bound

@@ -211,6 +211,34 @@ class ShortestPathCypherSpec extends AnyFunSuite {
   }
 }
 
+class CyclicPatternSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val session = new GraftSession(spark, TpchGraph(spark, sf))
+  lazy val dagSession = new GraftSession(spark, TpchGraph.partDag(spark, sf))
+
+  test("re-bound node var closes the cycle instead of throwing") {
+    // (o)-[:CONTAINS]->(p)<-[:CONTAINS]-(o) — 2-cycle via the same edge type
+    // is satisfiable exactly when an order contains the part (any walk back)
+    val got = session.cypher(
+      """MATCH (o:Order)-[:CONTAINS]->(p:Part)<-[:CONTAINS]-(o)
+        |RETURN count(*) AS c""".stripMargin).collect().head.getLong(0)
+    // oracle: pairs of lineitems of the same order & part (incl. self-pairs)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val exp = li.groupBy("l_orderkey", "l_partkey")
+      .count().selectExpr("sum(count * count)").collect().head.getLong(0)
+    assert(got == exp && got > 0)
+  }
+
+  test("cycle on an acyclic graph matches nothing") {
+    val c = dagSession.cypher(
+      "MATCH (a:Part)-[:LINK]->(b:Part)-[:LINK]->(a) RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(c == 0L)
+  }
+}
+
 class ParamBindingSpec extends AnyFunSuite {
   import TestSpark._
 
