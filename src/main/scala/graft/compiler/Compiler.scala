@@ -91,6 +91,25 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
       require(keys.nonEmpty, "OPTIONAL MATCH must share a variable with the prior pattern")
       left.join(right, keys, "left_outer")
 
+    case Op.SemiNaturalJoin(l, r) =>
+      val (left, right, keys) = natJoinSides(compile(l), compile(r))
+      require(keys.nonEmpty, "EXISTS { } subquery must share a variable with the outer query")
+      left.join(right, keys, "left_semi")
+
+    case Op.AntiNaturalJoin(l, r) =>
+      val (left, right, keys) = natJoinSides(compile(l), compile(r))
+      require(keys.nonEmpty, "NOT EXISTS { } subquery must share a variable with the outer query")
+      left.join(right, keys, "left_anti")
+
+    case Op.CorrelatedCount(in, sub, as) =>
+      val left = compile(in)
+      val right = compile(sub)
+      val keys = left.columns.intersect(right.columns).filterNot(_.contains("__")).toSeq
+      require(keys.nonEmpty, "COUNT { } subquery must share a variable with the outer query")
+      // partial counts shuffle O(distinct keys); rows without a match get 0
+      val counts = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
+      left.join(counts, keys, "left_outer").na.fill(0L, Seq(as))
+
     case Op.Unwind(in, list, as) =>
       val base = in match {
         case Op.OneRow => oneRow
@@ -115,18 +134,24 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
     else (dl, shared.filter(_.contains("__")).foldLeft(dr)(_ drop _), keys)
   }
 
-  /** LogicalExpression → Column, scalar context (plan.rs:862-968). */
-  def expr(e: Expr.E): Column = comp(e, expr)
+  /** LogicalExpression → Column, scalar context (plan.rs:862-968). `env`
+    * carries lambda-bound variables (list comprehensions) that shadow
+    * DataFrame columns.
+    */
+  def expr(e: Expr.E): Column = expr(e, Map.empty)
+  private def expr(e: Expr.E, env: Map[String, Column]): Column =
+    comp(e, expr(_, _), env)
 
   /** Aggregate-context expression (plan.rs:285-308): aggregate calls become
     * Spark aggregate Columns; scalar wrappers (round(avg(x),2)) compose on
     * top; anything else compiles as scalar (a grouping key reference).
     */
-  def aggExpr(e: Expr.E): Column = e match {
+  def aggExpr(e: Expr.E): Column = aggExpr(e, Map.empty)
+  private def aggExpr(e: Expr.E, env: Map[String, Column]): Column = e match {
     case Expr.Func(name, args, distinct)
         if Expr.aggregateFns.contains(name.toLowerCase) =>
       val n = name.toLowerCase
-      def a0 = expr(args.head)
+      def a0 = expr(args.head, env)
       n match {
         case "count" =>
           if (args.isEmpty || args.head == Expr.Lit("*")) count(lit(1))
@@ -138,35 +163,62 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
         case "collect" => if (distinct) collect_set(a0) else collect_list(a0)
         case "stdev" => stddev_samp(a0)
         case "stdevp" => stddev_pop(a0)
-        case "percentilecont" => expr(args(1)) match {
+        case "percentilecont" => expr(args(1), env) match {
           case p => percentile_approx(a0, p, lit(1000000))
         }
-        case "percentiledisc" => percentile_approx(a0, expr(args(1)), lit(1000000))
+        case "percentiledisc" => percentile_approx(a0, expr(args(1), env), lit(1000000))
       }
-    case other => comp(other, aggExpr)
+    case other => comp(other, aggExpr(_, _), env)
   }
 
   /** Shared structural compile; `rec` chooses scalar vs aggregate context
-    * for child expressions.
+    * for child expressions and threads the lambda environment.
     */
-  private def comp(e: Expr.E, rec: Expr.E => Column): Column = e match {
-    case Expr.Lit(null)      => lit(null)
-    case Expr.Lit(v)         => lit(v)
-    case Expr.Var(n)         => col(n)
-    case Expr.Prop(v, k)     => col(s"${v}__$k")
-    case Expr.Neg(x)         => -rec(x)
-    case Expr.Not(x)         => !rec(x)
-    case Expr.IsNull(x, neg) => if (neg) rec(x).isNotNull else rec(x).isNull
-    case Expr.ListLit(items) => array(items.map(rec): _*)
-    case Expr.Param(n) =>
-      throw new IllegalArgumentException(s"unbound parameter: $$$n")
-    case Expr.CaseW(branches, orElse) =>
-      val first = when(rec(branches.head._1), rec(branches.head._2))
-      val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
-        acc.when(rec(c), rec(v)) }
-      orElse.map(o => chained.otherwise(rec(o))).getOrElse(chained)
-    case Expr.Bin(op, l, r) => binOp(op, rec(l), rec(r), r)
-    case Expr.Func(name, args, _) => scalarFn(name.toLowerCase, args.map(rec), args)
+  private def comp(e: Expr.E, recEnv: (Expr.E, Map[String, Column]) => Column,
+      env: Map[String, Column]): Column = {
+    def rec(x: Expr.E): Column = recEnv(x, env)
+    e match {
+      case Expr.Lit(null)      => lit(null)
+      case Expr.Lit(v)         => lit(v)
+      case Expr.Var(n)         => env.getOrElse(n, col(n))
+      case Expr.Prop(v, k)     => col(s"${v}__$k")
+      case Expr.Neg(x)         => -rec(x)
+      case Expr.Not(x)         => !rec(x)
+      case Expr.IsNull(x, neg) => if (neg) rec(x).isNotNull else rec(x).isNull
+      case Expr.ListLit(items) => array(items.map(rec): _*)
+      case Expr.Param(n) =>
+        throw new IllegalArgumentException(s"unbound parameter: $$$n")
+      case Expr.CaseW(branches, orElse) =>
+        val first = when(rec(branches.head._1), rec(branches.head._2))
+        val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
+          acc.when(rec(c), rec(v)) }
+        orElse.map(o => chained.otherwise(rec(o))).getOrElse(chained)
+      // [v IN list WHERE p | m] → filter/transform higher-order functions;
+      // the lambda variable shadows any same-named column via `env`
+      case Expr.ListComp(v, listE, whereE, mapE) =>
+        val base = rec(listE)
+        val filtered = whereE.map(w =>
+          filter(base, x => recEnv(w, env + (v -> x)))).getOrElse(base)
+        mapE.map(m => transform(filtered, x => recEnv(m, env + (v -> x))))
+          .getOrElse(filtered)
+      // Cypher 0-based index; negative = from the end (element_at semantics)
+      case Expr.Idx(listE, iE) =>
+        val cl = rec(listE); val ci = rec(iE)
+        element_at(cl, when(ci >= 0, ci + 1).otherwise(ci).cast("int"))
+      // l[f..t] → elements f (incl) to t (excl), 0-based
+      case Expr.Slice(listE, fE, tE) =>
+        val cl = rec(listE)
+        val cf = fE.map(rec).getOrElse(lit(0)).cast("int")
+        val ct = tE.map(rec).getOrElse(size(cl)).cast("int")
+        slice(cl, cf + 1, greatest(ct - cf, lit(0)))
+      case Expr.MapLit(items) =>
+        struct(items.map { case (k, v) => rec(v).as(k) }: _*)
+      case _: Expr.ExistsSub | _: Expr.CountSub =>
+        throw new IllegalArgumentException(
+          "EXISTS { } / COUNT { } subqueries are supported as WHERE conjuncts and RETURN/WITH items")
+      case Expr.Bin(op, l, r) => binOp(op, rec(l), rec(r), r)
+      case Expr.Func(name, args, _) => scalarFn(name.toLowerCase, args.map(rec), args)
+    }
   }
 
   /** BinaryOp table (plan.rs:972-1021 → Catalyst equivalents). */
@@ -234,6 +286,12 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
       }
       case "size"              => size(a0)
       case "length" | "strlen" => length(a0)
+      // property existence (ref filter.rs:759-1050): exists(n.prop)
+      case "exists"            => a0.isNotNull
+      case "haslabel" => raw.head match {
+        case Expr.Var(v) => array_contains(col(s"${v}__labels"), a1)
+        case _ => throw new IllegalArgumentException("hasLabel() needs a node variable")
+      }
       case "coalesce"  => coalesce(cols: _*)
       case "tostring"  => a0.cast("string")
       case "tointeger" | "toint" => a0.cast("long")

@@ -440,7 +440,27 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     e
   }
   private def parseUnary(): Expr.E =
-    if (eat(Sym("-"))) Expr.Neg(parseUnary()) else parseAtom()
+    if (eat(Sym("-"))) Expr.Neg(parseUnary()) else parsePostfix(parseAtom())
+
+  /** Postfix index/slice access: l[0], l[-1], l[1..3], l[..2], l[1..]
+    * (ref cypher plan.rs:912-925).
+    */
+  private def parsePostfix(e0: Expr.E): Expr.E = {
+    var e = e0
+    while (eat(Sym("["))) {
+      if (eat(Sym(".."))) {
+        val t = if (!at(Sym("]"))) Some(parseExpr()) else None
+        expect(Sym("]")); e = Expr.Slice(e, None, t)
+      } else {
+        val first = parseExpr()
+        if (eat(Sym(".."))) {
+          val t = if (!at(Sym("]"))) Some(parseExpr()) else None
+          expect(Sym("]")); e = Expr.Slice(e, Some(first), t)
+        } else { expect(Sym("]")); e = Expr.Idx(e, first) }
+      }
+    }
+    e
+  }
 
   private def parseAtom(): Expr.E = next() match {
     case NumLit(s) =>
@@ -456,10 +476,42 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     case Sym("(") =>
       val e = parseExpr(); expect(Sym(")")); e
     case Sym("[") =>
-      val items = Seq.newBuilder[Expr.E]
-      if (!at(Sym("]"))) { items += parseExpr(); while (eat(Sym(","))) items += parseExpr() }
-      expect(Sym("]"))
-      Expr.ListLit(items.result())
+      if (at(Sym("]"))) { next(); Expr.ListLit(Seq.empty) }
+      else {
+        val first = parseExpr()
+        (first, peek) match {
+          // [v IN list WHERE p | m] — the IN parses as a Bin("in", Var, list)
+          // and the following WHERE / | / ] marks a comprehension (ast.rs:429)
+          case (Expr.Bin("in", Expr.Var(v), listE),
+              Some(Kw("WHERE") | Sym("|") | Sym("]"))) =>
+            val whereE = if (eat(Kw("WHERE")(""))) Some(parseExpr()) else None
+            val mapE = if (eat(Sym("|"))) Some(parseExpr()) else None
+            expect(Sym("]"))
+            Expr.ListComp(v, listE, whereE, mapE)
+          case _ =>
+            val items = Seq.newBuilder[Expr.E]
+            items += first
+            while (eat(Sym(","))) items += parseExpr()
+            expect(Sym("]"))
+            Expr.ListLit(items.result())
+        }
+      }
+    case Sym("{") =>
+      // map literal {k: v, …} → struct column
+      val items = Seq.newBuilder[(String, Expr.E)]
+      var go = !at(Sym("}"))
+      while (go) {
+        val k = next() match {
+          case Ident(s) => s
+          case kk: Kw if kk.raw.nonEmpty => kk.raw
+          case other => fail(s"expected map key, got $other")
+        }
+        expect(Sym(":"))
+        items += ((k, parseExpr()))
+        go = eat(Sym(","))
+      }
+      expect(Sym("}"))
+      Expr.MapLit(items.result())
     case Kw("CASE") =>
       val branches = Seq.newBuilder[(Expr.E, Expr.E)]
       // searched CASE only (simple CASE desugars to searched upstream)
@@ -472,6 +524,20 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       Expr.CaseW(branches.result(), orElse)
     case Ident(name) =>
       peek match {
+        // EXISTS { (pattern) [WHERE e] } / COUNT { … } subqueries
+        // (ref cypher ast.rs:460); MATCH keyword inside the braces optional
+        case Some(Sym("{"))
+            if name.equalsIgnoreCase("exists") || name.equalsIgnoreCase("count") =>
+          next()
+          eat(Kw("MATCH")(""))
+          val paths = Seq.newBuilder[Ast.PathPat]
+          paths += parsePath()
+          while (eat(Sym(","))) paths += parsePath()
+          val where = if (eat(Kw("WHERE")(""))) Some(parseExpr()) else None
+          expect(Sym("}"))
+          val sub = CypherFrontend.subPlan(paths.result(), where)
+          if (name.equalsIgnoreCase("exists")) Expr.ExistsSub(sub)
+          else Expr.CountSub(sub)
         case Some(Sym("(")) =>
           next()
           val distinct = eat(Kw("DISTINCT")(""))
@@ -501,6 +567,13 @@ object CypherFrontend {
   def parse(q: String): Query =
     new CypherParser(CypherLexer.lex(q)).parseQuery()
 
+  /** Pattern → plan for EXISTS/COUNT { } subqueries (ast.rs:460): the same
+    * translation as a standalone MATCH; correlation with the outer query is
+    * purely the shared variable columns the semi/anti/count join binds on.
+    */
+  def subPlan(paths: Seq[Ast.PathPat], where: Option[Expr.E]): Op.T =
+    translate(Ast.Query(Seq(Ast.MatchClause(paths, where))))
+
   def translate(q: Query): Op.T = {
     var cur: Op.T = Op.OneRow
     var anon = 0
@@ -509,6 +582,39 @@ object CypherFrontend {
     val boundVars = scala.collection.mutable.Set.empty[String]
     // path variable -> bound length column (length(p) resolves to it)
     val pathLenCols = scala.collection.mutable.Map.empty[String, String]
+
+    // COUNT { } subqueries in an expression become a correlated-count column
+    // joined in below the consumer (plan stays fully distributed)
+    var cntIdx = 0
+    def extractCounts(op0: Op.T, e: Expr.E): (Op.T, Expr.E) = {
+      var acc = op0
+      val e2 = Expr.rewrite(e) {
+        case Expr.CountSub(sub) =>
+          cntIdx += 1
+          val c = s"__cnt$cntIdx"
+          acc = Op.CorrelatedCount(acc, sub, c)
+          Expr.Var(c)
+        case x => x
+      }
+      (acc, e2)
+    }
+
+    // WHERE splits into conjuncts so [NOT] EXISTS { } lowers to a semi/anti
+    // join while the residual predicates stay ordinary filters
+    def applyWhere(op0: Op.T, w: Expr.E): Op.T = {
+      def conjuncts(e: Expr.E): Seq[Expr.E] = e match {
+        case Expr.Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      conjuncts(w).foldLeft(op0) {
+        case (acc, Expr.ExistsSub(sub))           => Op.SemiNaturalJoin(acc, sub)
+        case (acc, Expr.Not(Expr.ExistsSub(sub))) => Op.AntiNaturalJoin(acc, sub)
+        case (acc, pred) =>
+          val (acc2, pred2) = extractCounts(acc, pred)
+          Op.Filter(acc2, pred2)
+      }
+    }
+
     for (clause <- q.clauses) clause match {
       case MatchClause(paths, where, optional) =>
         var matchOp: Option[Op.T] = None
@@ -581,11 +687,11 @@ object CypherFrontend {
         // WHERE inside OPTIONAL MATCH applies before the left join (openCypher)
         var rhs = matchOp.get
         if (optional) {
-          where.foreach(w => rhs = Op.Filter(rhs, w))
+          where.foreach(w => rhs = applyWhere(rhs, w))
           cur = if (cur == Op.OneRow) rhs else Op.LeftNaturalJoin(cur, rhs)
         } else {
           cur = if (cur == Op.OneRow) rhs else Op.NaturalJoin(cur, rhs)
-          where.foreach(w => cur = Op.Filter(cur, w))
+          where.foreach(w => cur = applyWhere(cur, w))
         }
 
       case UnwindClause(list, as) =>
@@ -598,7 +704,9 @@ object CypherFrontend {
 
       case WithRet(items, distinct, where, orderBy, skip, limit, _) =>
         val named = items.map { case (e, alias) =>
-          (e, alias.getOrElse(defaultName(e)))
+          val (cur2, e2) = extractCounts(cur, e)
+          cur = cur2
+          (e2, alias.getOrElse(defaultName(e)))
         }
         val hasAgg = named.exists { case (e, _) => Expr.containsAggregate(e) }
         cur =
@@ -608,7 +716,7 @@ object CypherFrontend {
             // restore the declared column order
             Op.Project(agg, named.map { case (_, n) => (Expr.Var(n): Expr.E, n) })
           } else Op.Project(cur, named)
-        where.foreach(w => cur = Op.Filter(cur, w))
+        where.foreach(w => cur = applyWhere(cur, w))
         if (distinct) cur = Op.Distinct(cur)
         if (orderBy.nonEmpty) {
           // resolve ORDER BY expressions that textually match a returned item

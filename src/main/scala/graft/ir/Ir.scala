@@ -22,6 +22,21 @@ object Expr {
   final case class ListLit(items: Seq[E]) extends E
   final case class CaseW(branches: Seq[(E, E)], orElse: Option[E]) extends E
   final case class Param(name: String) extends E
+  /** List comprehension `[v IN list WHERE p | m]` (ref cypher ast.rs:429) —
+    * lowers onto Spark's filter/transform higher-order functions.
+    */
+  final case class ListComp(v: String, list: E, where: Option[E], map: Option[E]) extends E
+  /** 0-based index / slice access (ref cypher plan.rs:912-925). */
+  final case class Idx(list: E, i: E) extends E
+  final case class Slice(list: E, from: Option[E], to: Option[E]) extends E
+  final case class MapLit(items: Seq[(String, E)]) extends E
+  /** In-language EXISTS / COUNT subqueries (ref cypher ast.rs:460): the
+    * embedded plan correlates with the outer query on shared variable
+    * columns; translate eliminates these into semi/anti joins and
+    * correlated-count joins before compilation.
+    */
+  final case class ExistsSub(plan: Op.T) extends E
+  final case class CountSub(plan: Op.T) extends E
 
   /** Aggregate function names (plan.rs:285-308; aggregate.rs:48-75). */
   val aggregateFns: Set[String] =
@@ -41,6 +56,13 @@ object Expr {
       case ListLit(items)    => ListLit(items.map(rewrite(_)(f)))
       case CaseW(bs, oe)     => CaseW(bs.map { case (c, v) =>
         (rewrite(c)(f), rewrite(v)(f)) }, oe.map(rewrite(_)(f)))
+      case ListComp(v, l, w, m) =>
+        ListComp(v, rewrite(l)(f), w.map(rewrite(_)(f)), m.map(rewrite(_)(f)))
+      case Idx(l, i)         => Idx(rewrite(l)(f), rewrite(i)(f))
+      case Slice(l, a, b)    => Slice(rewrite(l)(f), a.map(rewrite(_)(f)), b.map(rewrite(_)(f)))
+      case MapLit(items)     => MapLit(items.map { case (k, v) => (k, rewrite(v)(f)) })
+      case ExistsSub(p)      => ExistsSub(Op.rewriteExprs(p)(f))
+      case CountSub(p)       => CountSub(Op.rewriteExprs(p)(f))
       case leaf => leaf
     }
     f(r)
@@ -57,6 +79,14 @@ object Expr {
     case CaseW(bs, e2) =>
       bs.exists(b => containsAggregate(b._1) || containsAggregate(b._2)) ||
         e2.exists(containsAggregate)
+    case ListComp(_, l, w, m) =>
+      containsAggregate(l) || w.exists(containsAggregate) || m.exists(containsAggregate)
+    case Idx(l, i)      => containsAggregate(l) || containsAggregate(i)
+    case Slice(l, a, b) =>
+      containsAggregate(l) || a.exists(containsAggregate) || b.exists(containsAggregate)
+    case MapLit(items)  => items.exists(kv => containsAggregate(kv._2))
+    // ExistsSub/CountSub are per-row scalars over their own plan, not
+    // aggregates of the outer rows
     case _ => false
   }
 }
@@ -110,6 +140,19 @@ object Op {
   /** Left outer natural join (OPTIONAL MATCH; plan.rs:513-521). */
   final case class LeftNaturalJoin(l: T, r: T) extends T
 
+  /** Semi/anti natural joins — what WHERE [NOT] EXISTS { … } subqueries
+    * (ref cypher ast.rs:460) lower to: correlation is the shared variable
+    * columns, so Catalyst executes a distributed hash semi-join instead of a
+    * per-row subquery.
+    */
+  final case class SemiNaturalJoin(l: T, r: T) extends T
+  final case class AntiNaturalJoin(l: T, r: T) extends T
+
+  /** COUNT { … } subquery: left join against the sub-plan's per-key counts,
+    * missing keys count 0. `as` is the bound output column.
+    */
+  final case class CorrelatedCount(input: T, sub: T, as: String) extends T
+
   /** plan.rs:544-555 — list to rows. */
   final case class Unwind(input: T, list: E, as: String) extends T
 
@@ -151,6 +194,12 @@ object Op {
       case NaturalJoin(l, r) => NaturalJoin(rewriteExprs(l)(f), rewriteExprs(r)(f))
       case LeftNaturalJoin(l, r) =>
         LeftNaturalJoin(rewriteExprs(l)(f), rewriteExprs(r)(f))
+      case SemiNaturalJoin(l, r) =>
+        SemiNaturalJoin(rewriteExprs(l)(f), rewriteExprs(r)(f))
+      case AntiNaturalJoin(l, r) =>
+        AntiNaturalJoin(rewriteExprs(l)(f), rewriteExprs(r)(f))
+      case CorrelatedCount(in, sub, a) =>
+        CorrelatedCount(rewriteExprs(in)(f), rewriteExprs(sub)(f), a)
       case Unwind(in, l, a) => Unwind(rewriteExprs(in)(f), rx(l), a)
     }
   }

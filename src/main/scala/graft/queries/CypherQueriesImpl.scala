@@ -158,6 +158,48 @@ object CypherQueriesImpl {
           |ORDER BY dst""".stripMargin)
     },
 
+    // In-language EXISTS { } (→ semi join) and COUNT { } (→ correlated-count
+    // join) subqueries, ref cypher ast.rs:460.
+    QueryDef(
+      "q_cypher_exists",
+      """SELECT c_name AS n,
+        |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS cnt
+        |FROM customer
+        |WHERE c_acctbal > 9500.0
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY n NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (c:Customer)
+          |WHERE c.acctbal > 9500.0 AND EXISTS { (c:Customer)<-[:PLACED_BY]-(:Order) }
+          |RETURN c.name AS n, COUNT { (c:Customer)<-[:PLACED_BY]-(:Order) } AS cnt
+          |ORDER BY n""".stripMargin)
+    },
+
+    // List comprehensions + 0-based index/slice access (ref cypher
+    // ast.rs:429, plan.rs:912-925); scalar outputs only — the oracle harness
+    // cannot hash array-typed columns.
+    QueryDef(
+      "q_cypher_listcomp",
+      """SELECT c_name AS n,
+        |       CAST(len(list_filter(string_split(c_name, '0'), w -> w <> '')) AS INT) AS ntok,
+        |       list_transform(list_filter(string_split(c_name, '0'), w -> w <> ''),
+        |                      w -> upper(w))[1] AS first_tok,
+        |       string_split(c_name, '#')[-1] AS key_str,
+        |       (string_split(c_name, '#')[1:1])[1] AS brand0
+        |FROM customer
+        |WHERE c_acctbal > 9000.0
+        |ORDER BY n NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (c:Customer)
+          |WHERE c.acctbal > 9000.0
+          |RETURN c.name AS n,
+          |       size([w IN split(c.name, '0') WHERE w <> '']) AS ntok,
+          |       [w IN split(c.name, '0') WHERE w <> '' | upper(w)][0] AS first_tok,
+          |       split(c.name, '#')[-1] AS key_str,
+          |       split(c.name, '#')[0..1][0] AS brand0
+          |ORDER BY n""".stripMargin)
+    },
+
     QueryDef(
       "q_cypher_unwind",
       """SELECT y FROM (SELECT 2 * unnest([1, 2, 3, 4, 5]) AS y) ORDER BY y NULLS FIRST""") { (s, dir) =>

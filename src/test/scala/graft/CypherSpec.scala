@@ -211,6 +211,93 @@ class ShortestPathCypherSpec extends AnyFunSuite {
   }
 }
 
+class CypherExprSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions.{col, countDistinct}
+
+  lazy val session = new GraftSession(spark, TpchGraph(spark, sf))
+
+  test("list comprehension filters and maps") {
+    val r = session.cypher(
+      "RETURN [x IN [1, 2, 3, 4, 5] WHERE x % 2 = 0 | x * 10] AS l").collect().head
+    assert(r.getSeq[Long](0) == Seq(20L, 40L))
+  }
+
+  test("list comprehension without map / without filter") {
+    val r = session.cypher(
+      "RETURN [x IN [1, 2, 3] WHERE x > 1] AS a, [x IN [1, 2, 3] | x + 1] AS b")
+      .collect().head
+    assert(r.getSeq[Long](0) == Seq(2L, 3L))
+    assert(r.getSeq[Long](1) == Seq(2L, 3L, 4L))
+  }
+
+  test("index and slice access, 0-based with negatives") {
+    val r = session.cypher(
+      "RETURN [10, 20, 30][0] AS a, [10, 20, 30][-1] AS b, [10, 20, 30][1..3] AS c, [10, 20, 30][..2] AS d")
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 30L)
+    assert(r.getSeq[Long](2) == Seq(20L, 30L))
+    assert(r.getSeq[Long](3) == Seq(10L, 20L))
+  }
+
+  test("map literal compiles to a struct") {
+    val r = session.cypher("RETURN {a: 1, b: 'x'} AS m").collect().head
+    val m = r.getStruct(0)
+    assert(m.getLong(m.fieldIndex("a")) == 1L)
+    assert(m.getString(m.fieldIndex("b")) == "x")
+  }
+
+  test("exists(n.prop) and hasLabel(n, label)") {
+    val nRegions = session.cypher(
+      "MATCH (n) WHERE hasLabel(n, 'Region') RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(nRegions == 5L)
+    val noBal = session.cypher(
+      "MATCH (r:Region) WHERE NOT exists(r.acctbal) RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(noBal == 5L)
+  }
+
+  test("EXISTS / NOT EXISTS subqueries partition the customers") {
+    val withO = session.cypher(
+      """MATCH (c:Customer) WHERE EXISTS { (c:Customer)<-[:PLACED_BY]-(:Order) }
+        |RETURN count(*) AS c""".stripMargin).collect().head.getLong(0)
+    val withoutO = session.cypher(
+      """MATCH (c:Customer) WHERE NOT EXISTS { (c:Customer)<-[:PLACED_BY]-(:Order) }
+        |RETURN count(*) AS c""".stripMargin).collect().head.getLong(0)
+    val custs = spark.read.parquet(s"$sf/customer.parquet").count()
+    val custsWithOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    assert(withO == custsWithOrders)
+    assert(withO + withoutO == custs)
+  }
+
+  test("COUNT { } subquery matches a group-by count") {
+    val got = session.cypher(
+      """MATCH (c:Customer) WHERE c.acctbal > 9000.0
+        |RETURN c.name AS n, COUNT { (c:Customer)<-[:PLACED_BY]-(:Order) } AS cnt
+        |ORDER BY n""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val exp = cust.filter(col("c_acctbal") > 9000.0)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_name").agg(org.apache.spark.sql.functions
+        .count(col("o_orderkey")).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("COUNT { } in WHERE filters on the correlated count") {
+    val got = session.cypher(
+      """MATCH (c:Customer) WHERE COUNT { (c:Customer)<-[:PLACED_BY]-(:Order) } > 15
+        |RETURN count(*) AS c""".stripMargin).collect().head.getLong(0)
+    val exp = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey").count().filter(col("count") > 15).count()
+    assert(got == exp)
+  }
+}
+
 class CyclicPatternSpec extends AnyFunSuite {
   import TestSpark._
 
