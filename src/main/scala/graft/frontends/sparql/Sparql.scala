@@ -82,8 +82,19 @@ object SparqlLexer {
 }
 
 object SparqlAst {
+  /** SPARQL 1.1 property-path expressions (ref sparql/ast.rs:388-414). */
+  sealed trait PathE
+  final case class PLink(p: String) extends PathE
+  final case class PInv(e: PathE) extends PathE          // ^p
+  final case class PSeq(l: PathE, r: PathE) extends PathE // p1/p2
+  final case class PAlt(l: PathE, r: PathE) extends PathE // p1|p2
+  final case class PClosure(e: PathE, minZero: Boolean) extends PathE // p+ / p*
+  final case class POpt(e: PathE) extends PathE          // p?
+
   sealed trait Pattern
   final case class Bgp(triples: Seq[TriplePattern]) extends Pattern
+  /** A triple whose predicate is a path expression. */
+  final case class PathP(s: Term, path: PathE, o: Term) extends Pattern
   final case class Join(l: Pattern, r: Pattern) extends Pattern
   final case class LeftJoin(l: Pattern, r: Pattern) extends Pattern
   final case class UnionP(l: Pattern, r: Pattern) extends Pattern
@@ -245,9 +256,16 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
         case Some(Sym(".")) => next()
         case _ =>
           val s = parseTerm()
-          val p = parseTerm()
-          val o = parseTerm()
-          bgp += TriplePattern(s, p, o)
+          parsePredicate() match {
+            case Left(p) =>
+              val o = parseTerm()
+              bgp += TriplePattern(s, p, o)
+            case Right(path) =>
+              val o = parseTerm()
+              flushBgp()
+              acc = Some(acc.map(a => Join(a, PathP(s, path, o)))
+                .getOrElse(PathP(s, path, o)))
+          }
       }
     }
     expect(Sym("}"))
@@ -261,6 +279,46 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
     case StrT(s2) => L(s2)
     case NumT(s2) => L(s2)
     case other => fail(s"expected term, got $other")
+  }
+
+  /** Predicate position: a variable, a plain predicate, or a property path
+    * (ref sparql/ast.rs:388-414). Precedence: `|` < `/` < unary `^` <
+    * postfix `* + ?`. NOTE: a lone `?` lexes as an empty variable token
+    * (VarT("")), which only occurs as the optional-path postfix.
+    */
+  private def parsePredicate(): Either[Term, PathE] = peek match {
+    case Some(VarT(v)) if v.nonEmpty => next(); Left(V(v))
+    case _ => parsePathAlt() match {
+      case PLink(w) => Left(L(w)) // no operators → plain triple pattern
+      case path     => Right(path)
+    }
+  }
+
+  private def parsePathAlt(): PathE = {
+    var e = parsePathSeq()
+    while (eat(Sym("|"))) e = PAlt(e, parsePathSeq())
+    e
+  }
+  private def parsePathSeq(): PathE = {
+    var e = parsePathUnary()
+    while (eat(Sym("/"))) e = PSeq(e, parsePathUnary())
+    e
+  }
+  private def parsePathUnary(): PathE = {
+    val inv = eat(Sym("^"))
+    var e = peek match {
+      case Some(Sym("(")) => next(); val x = parsePathAlt(); expect(Sym(")")); x
+      case Some(Word(w))  => next(); PLink(w)
+      case other => fail(s"expected path element, got $other")
+    }
+    var go = true
+    while (go) peek match {
+      case Some(Sym("*"))  => next(); e = PClosure(e, minZero = true)
+      case Some(Sym("+"))  => next(); e = PClosure(e, minZero = false)
+      case Some(VarT("")) => next(); e = POpt(e) // `?` postfix (see note)
+      case _ => go = false
+    }
+    if (inv) PInv(e) else e
   }
 
   // ---- FILTER / BIND expressions ----
@@ -390,7 +448,91 @@ final class SparqlCompiler(graph: TripleGraph) {
         shared, "left_anti")
     case FilterP(in, e) => compilePattern(in).filter(expr(e))
     case BindP(in, e, v) => compilePattern(in).withColumn(v, expr(e))
+    case PathP(s, path, o) =>
+      val seed = s match { case L(v) => Some(v); case _ => None }
+      var pairs = pathPairs(path, seed)
+      s match { case L(v) => pairs = pairs.filter(col("__ps") === v); case _ => }
+      o match { case L(v) => pairs = pairs.filter(col("__po") === v); case _ => }
+      (s, o) match {
+        case (V(a), V(b)) if a == b =>
+          pairs.filter(col("__ps") === col("__po")).select(col("__ps").as(a))
+        case (V(a), V(b)) => pairs.select(col("__ps").as(a), col("__po").as(b))
+        case (V(a), _)    => pairs.select(col("__ps").as(a))
+        case (_, V(b))    => pairs.select(col("__po").as(b))
+        case _            => pairs.select() // fully bound: row presence only
+      }
   }
+
+  /** Property-path pair sets (columns __ps, __po), ref sparql/ast.rs:388-414.
+    * `seed` (a bound subject) restricts closures to frontiers reachable from
+    * that term — the difference between one BFS and an all-pairs transitive
+    * closure at scale. Arbitrary-length paths (`*`/`+`) have SPARQL set
+    * semantics: each reachable pair appears once.
+    */
+  private def pathPairs(e: SparqlAst.PathE, seed: Option[String]): DataFrame = e match {
+    case SparqlAst.PLink(p) =>
+      val base = graph.triples.filter(col("p") === p)
+        .select(col("s").as("__ps"), col("o").as("__po"))
+      seed.map(v => base.filter(col("__ps") === v)).getOrElse(base)
+    case SparqlAst.PInv(x) =>
+      val sw = pathPairs(x, None)
+        .select(col("__po").as("__ps"), col("__ps").as("__po"))
+      seed.map(v => sw.filter(col("__ps") === v)).getOrElse(sw)
+    case SparqlAst.PSeq(l, r) =>
+      pathPairs(l, seed).withColumnRenamed("__po", "__mid")
+        .join(pathPairs(r, None).withColumnRenamed("__ps", "__mid"), "__mid")
+        .select("__ps", "__po")
+    case SparqlAst.PAlt(l, r) =>
+      pathPairs(l, seed).unionByName(pathPairs(r, seed))
+    case SparqlAst.POpt(x) =>
+      pathPairs(x, seed).unionByName(identityPairs(x, seed)).distinct()
+    case SparqlAst.PClosure(x, minZero) =>
+      val base = pathPairs(x, None).persist()
+      val seeds = seed match {
+        case Some(v) => graph.triples.sparkSession.range(1)
+          .select(lit(v).as("__ps"), lit(v).as("__po"), lit(0).as("__d"))
+        case None => base.select(col("__ps")).distinct()
+          .select(col("__ps"), col("__ps").as("__po"), lit(0).as("__d"))
+      }
+      // frontier BFS with a per-origin visited set; localCheckpoint per level
+      // truncates lineage (iterative-loop rule), iteration count ≤ diameter
+      var visited = seeds.localCheckpoint()
+      var frontier = visited
+      var done = false
+      var i = 1
+      while (!done) {
+        val fresh = frontier
+          .join(base.select(col("__ps").as("__from"), col("__po").as("__to")),
+            col("__po") === col("__from"))
+          .select(col("__ps"), col("__to").as("__po"))
+          .distinct()
+          .join(visited.select("__ps", "__po"), Seq("__ps", "__po"), "left_anti")
+          .withColumn("__d", lit(i))
+          .localCheckpoint()
+        if (fresh.isEmpty) done = true
+        else {
+          visited = visited.unionByName(fresh).localCheckpoint()
+          frontier = fresh
+        }
+        i += 1
+      }
+      base.unpersist(blocking = false)
+      val res = if (minZero) visited else visited.filter(col("__d") >= 1)
+      res.select("__ps", "__po")
+  }
+
+  /** Zero-length path endpoints: the bound seed itself, or every term that
+    * participates in the sub-path's base relation.
+    */
+  private def identityPairs(x: SparqlAst.PathE, seed: Option[String]): DataFrame =
+    seed match {
+      case Some(v) => graph.triples.sparkSession.range(1)
+        .select(lit(v).as("__ps"), lit(v).as("__po"))
+      case None =>
+        val b = pathPairs(x, None)
+        b.select(col("__ps")).unionByName(b.select(col("__po")))
+          .distinct().select(col("__ps"), col("__ps").as("__po"))
+    }
 
   private def natJoin(l: DataFrame, r: DataFrame, how: String): DataFrame = {
     val shared = l.columns.intersect(r.columns).toSeq

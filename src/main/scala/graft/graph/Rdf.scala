@@ -100,6 +100,32 @@ final case class TripleGraph(triples: DataFrame) {
   * derived triple is a plain SQL projection of a base table).
   */
 object TpchRdf {
+
+  /** TpchRdf plus region and part-tree triples for property-path queries
+    * (ref sparql/ast.rs:388-414): `n:<k> inRegion r:<k>` chains onto
+    * inNation for `/` sequences, and `pt:k child pt:2k / pt:2k+1` is a
+    * binary tree whose transitive closure is n·log n pairs with log-n
+    * depth — bounded at any scale factor.
+    */
+  def withPaths(spark: SparkSession, dir: String): TripleGraph = {
+    val base = apply(spark, dir).triples
+    val n = Tables.nation(spark, dir)
+    val p = Tables.part(spark, dir).select(col("p_partkey").as("k"))
+    val p2 = p.select(col("k").as("k2"))
+    def tree(cond: Column): DataFrame =
+      p.join(p2, cond).select(
+        concat(lit("pt:"), col("k")).as("s"),
+        lit("child").as("p"),
+        concat(lit("pt:"), col("k2")).as("o"))
+    val more = n.select(
+        concat(lit("n:"), col("n_nationkey")).as("s"),
+        lit("inRegion").as("p"),
+        concat(lit("r:"), col("n_regionkey")).as("o"))
+      .unionByName(tree(col("k2") === col("k") * 2))
+      .unionByName(tree(col("k2") === col("k") * 2 + 1))
+    TripleGraph(base.unionByName(more))
+  }
+
   def apply(spark: SparkSession, dir: String): TripleGraph = {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)

@@ -92,6 +92,47 @@ object SparqlQueriesImpl {
           |} ORDER BY ?nn""".stripMargin)
     },
 
+    // Property path `+` — transitive closure over the part tree from a bound
+    // subject (one BFS, not all-pairs), ref sparql/ast.rs:388-414.
+    QueryDef(
+      "q_sparql_path",
+      """WITH RECURSIVE tree AS (
+        |  SELECT a.p_partkey AS src, b.p_partkey AS dst
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1
+        |),
+        |reach(dn) AS (
+        |  SELECT dst FROM tree WHERE src = 3
+        |  UNION
+        |  SELECT t.dst FROM reach JOIN tree t ON t.src = reach.dn
+        |)
+        |SELECT 'pt:' || dn AS d FROM reach
+        |ORDER BY d NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf.withPaths(s, dir),
+        "SELECT ?d WHERE { pt:3 child+ ?d } ORDER BY ?d")
+    },
+
+    // Property path `/` sequence and `|` alternative in one pattern.
+    QueryDef(
+      "q_sparql_path_ops",
+      """SELECT c, r, nm FROM (
+        |  SELECT 'c:' || c_custkey AS c, 'r:' || n_regionkey AS r, c_name AS nm
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'c:' || c_custkey, 'r:' || n_regionkey, c_mktsegment
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |)
+        |ORDER BY c NULLS FIRST, r NULLS FIRST, nm NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf.withPaths(s, dir),
+        """SELECT ?c ?r ?nm WHERE {
+          |  ?c inNation/inRegion ?r .
+          |  ?c name|segment ?nm .
+          |  FILTER(STRSTARTS(?c, 'c:'))
+          |} ORDER BY ?c ?r ?nm""".stripMargin)
+    },
+
     // Aggregation + GROUP BY (SPARQL 1.1; RDF aggregate planning).
     QueryDef(
       "q_sparql_agg",

@@ -37,6 +37,47 @@ class SparqlSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toSet == Set("y", "n"))
   }
 
+  test("property path inverse ^ swaps direction") {
+    val got = SparqlFrontend.run(TpchRdf.withPaths(spark, sf),
+      "SELECT ?n WHERE { r:0 ^inRegion ?n } ORDER BY ?n")
+      .collect().map(_.getString(0)).toSeq
+    val exp = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_regionkey") === 0)
+      .select(concat(lit("n:"), col("n_nationkey"))).collect()
+      .map(_.getString(0)).toSeq.sorted
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("property path * includes the zero-length endpoint") {
+    val star = SparqlFrontend.run(TpchRdf.withPaths(spark, sf),
+      "SELECT ?d WHERE { pt:40 child* ?d } ORDER BY ?d")
+      .collect().map(_.getString(0)).toSet
+    val plus = SparqlFrontend.run(TpchRdf.withPaths(spark, sf),
+      "SELECT ?d WHERE { pt:40 child+ ?d } ORDER BY ?d")
+      .collect().map(_.getString(0)).toSet
+    assert(star == plus + "pt:40")
+    assert(plus.contains("pt:80") && plus.contains("pt:81")) // children
+    assert(plus.contains("pt:160")) // grandchild via 80
+  }
+
+  test("property path ? is zero-or-one") {
+    val got = SparqlFrontend.run(TpchRdf.withPaths(spark, sf),
+      "SELECT ?d WHERE { pt:40 child? ?d } ORDER BY ?d")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("pt:40", "pt:80", "pt:81"))
+  }
+
+  test("unseeded + closure still terminates and matches per-seed result") {
+    // both ends unbound: all-pairs closure over the (bounded-depth) tree
+    val pairs = SparqlFrontend.run(TpchRdf.withPaths(spark, sf),
+      "SELECT ?a ?b WHERE { ?a child+ ?b FILTER(?a = 'pt:40') } ORDER BY ?b")
+      .collect().map(_.getString(1)).toSet
+    val seeded = SparqlFrontend.run(TpchRdf.withPaths(spark, sf),
+      "SELECT ?d WHERE { pt:40 child+ ?d }")
+      .collect().map(_.getString(0)).toSet
+    assert(pairs == seeded)
+  }
+
   test("parse errors are IllegalArgumentException") {
     assertThrows[IllegalArgumentException](SparqlFrontend.parse("SELECT ?x WHERE { ?x"))
     assertThrows[IllegalArgumentException](SparqlFrontend.parse("WHERE { ?s ?p ?o }"))
