@@ -9,11 +9,16 @@ import graft.ir.{Expr, Op}
   * IR — each step transforms the current binding (the traverser position is
   * the IR variable `cur`).
   *
-  * Supported steps: V, hasLabel, has(k,v|pred), out/in/both(rel), values,
-  * id, dedup, limit, skip, range, order().by(k[, decr]), count, sum, mean,
-  * min, max, groupCount().by(k), as(name), select(a,b,…).by(prop)…, path(),
-  * outE/inE(rel) + inV/outV (edge-position traversal), valueMap(k…).
-  * Predicates: eq, neq, gt, gte, lt, lte, within.
+  * Supported steps: V, hasLabel, has(k[,v|pred]), hasNot(k), hasId(id…),
+  * out/in/both(rel), outE/inE/bothE(rel) + inV/outV/otherV (edge-position
+  * traversal), values, id, label, dedup, limit, skip, range,
+  * order().by(k[, decr]), count, sum, mean, min, max, fold/unfold,
+  * groupCount().by(k), group().by(k).by(agg), as(name),
+  * select(a,b,…).by(prop)…, project(a,b,…).by(k)…, path(), valueMap(k…),
+  * elementMap(k…), where(pred), and/or/not(pred…),
+  * coalesce(values|constant…), choose(pred, v1, v2), union(out/in/both…).
+  * Predicates: eq, neq, gt, gte, lt, lte, within, has, hasLabel, and, or,
+  * not; eq/neq against an as()-alias compares traverser positions.
   */
 object GremlinFrontend {
 
@@ -119,6 +124,12 @@ object GremlinFrontend {
     val visited = scala.collection.mutable.ArrayBuffer.empty[String] // traverser path
     var edgeCur: Option[(String, String)] = None // (edge var, pending dst var) after outE/inE
 
+    def dirOf(name: String) = name match {
+      case "out" | "outE" => Out
+      case "in" | "inE"   => In
+      case _              => Both
+    }
+
     def predExpr(colE: Expr.E, v: Any): Expr.E = v match {
       case Pred("eq", vs)  => Expr.Bin("=", colE, Expr.Lit(vs.head))
       case Pred("neq", vs) => Expr.Bin("<>", colE, Expr.Lit(vs.head))
@@ -131,6 +142,36 @@ object GremlinFrontend {
       case lit2 => Expr.Bin("=", colE, Expr.Lit(lit2))
     }
 
+    /** Predicate for where()/and()/or()/not() steps (gremlin/ast.rs:19-187):
+      * eq/neq against an as()-alias compares traverser positions; has-style
+      * predicates and boolean combinators nest.
+      */
+    def wherePred(cur2: String, v: Any): Expr.E = v match {
+      case Pred(cmp @ ("eq" | "neq"), Seq(a: String)) if aliases.contains(a) =>
+        Expr.Bin(if (cmp == "eq") "=" else "<>", Expr.Var(cur2), Expr.Var(aliases(a)))
+      case Pred("has", Seq(k: String)) =>
+        Expr.IsNull(Expr.Prop(cur2, k), negated = true)
+      case Pred("has", Seq(k: String, pv)) => predExpr(Expr.Prop(cur2, k), pv)
+      case Pred("hasNot", Seq(k: String)) =>
+        Expr.IsNull(Expr.Prop(cur2, k), negated = false)
+      case Pred("hasLabel", Seq(l)) =>
+        Expr.Bin("in", Expr.Lit(l), Expr.Func("labels", Seq(Expr.Var(cur2))))
+      case Pred("and", vs) => vs.map(wherePred(cur2, _)).reduce(Expr.Bin("and", _, _))
+      case Pred("or", vs)  => vs.map(wherePred(cur2, _)).reduce(Expr.Bin("or", _, _))
+      case Pred("not", Seq(x)) => Expr.Not(wherePred(cur2, x))
+      case other => throw new IllegalArgumentException(
+        s"unsupported where()/boolean predicate: $other")
+    }
+
+    /** Scalar sub-traversals usable inside coalesce()/choose(). */
+    def valTraversal(cur2: String, a: Any): Expr.E = a match {
+      case Pred("values", Seq(k: String)) => Expr.Prop(cur2, k)
+      case Pred("constant", Seq(v))       => Expr.Lit(v)
+      case v @ (_: String | _: Long | _: Double | _: Boolean) => Expr.Lit(v)
+      case other => throw new IllegalArgumentException(
+        s"expected values(k)/constant(v), got $other")
+    }
+
     for ((s, idx) <- steps.zipWithIndex) s.name match {
       case "V" =>
         require(idx == 0, "V() only at the start")
@@ -138,31 +179,36 @@ object GremlinFrontend {
       case "hasLabel" =>
         op = Op.Filter(op, Expr.Bin("in", Expr.Lit(s.args.head),
           Expr.Func("labels", Seq(Expr.Var(cur)))))
+      case "has" if s.args.size == 1 =>
+        op = Op.Filter(op, Expr.IsNull(
+          Expr.Prop(cur, s.args.head.asInstanceOf[String]), negated = true))
       case "has" =>
         val key = s.args.head.asInstanceOf[String]
         op = Op.Filter(op, predExpr(Expr.Prop(cur, key), s.args(1)))
+      case "hasNot" =>
+        op = Op.Filter(op, Expr.IsNull(
+          Expr.Prop(cur, s.args.head.asInstanceOf[String]), negated = false))
+      case "hasId" =>
+        op = Op.Filter(op, Expr.Bin("in", Expr.Var(cur),
+          Expr.ListLit(s.args.map(Expr.Lit))))
       case "out" | "in" | "both" =>
-        val dir = s.name match {
-          case "out" => Out
-          case "in" => In
-          case _ => Both
-        }
         val to = fresh()
         op = Op.Expand(op, cur, s.args.headOption.map(_.asInstanceOf[String]),
-          to, dir, None)
+          to, dirOf(s.name), None)
         cur = to
         visited += to
-      case "outE" | "inE" =>
+      case "outE" | "inE" | "bothE" =>
         // traverser moves onto the edge: bind edge var now, node var pending
-        val dir = if (s.name == "outE") Out else In
         val to = fresh()
         val ev = fresh()
         op = Op.Expand(op, cur, s.args.headOption.map(_.asInstanceOf[String]),
-          to, dir, None, Some(ev))
+          to, dirOf(s.name), None, Some(ev))
         edgeCur = Some((ev, to))
-      case "inV" | "outV" =>
+      case "inV" | "outV" | "otherV" =>
+        // for bothE, each union branch binds the far endpoint as the pending
+        // dst var, so otherV() is exactly that binding
         val (_, pendingDst) = edgeCur.getOrElse(
-          throw new IllegalArgumentException(s"${s.name}() only after outE()/inE()"))
+          throw new IllegalArgumentException(s"${s.name}() only after outE()/inE()/bothE()"))
         cur = pendingDst
         visited += cur
         edgeCur = None
@@ -250,7 +296,80 @@ object GremlinFrontend {
           (Expr.Func("properties", Seq(Expr.Var(cur))), "valueMap")))
         valueCol = Some("valueMap")
       case "elementMap" =>
-        throw new IllegalArgumentException("step elementMap not supported yet")
+        // id + label + requested property keys as a struct column
+        val ks = s.args.map(_.asInstanceOf[String])
+        val items = Seq(
+          ("id", Expr.Var(cur): Expr.E),
+          ("label", Expr.Func("head", Seq(Expr.Func("labels", Seq(Expr.Var(cur))))): Expr.E)) ++
+          ks.map(k => (k, Expr.Prop(cur, k): Expr.E))
+        op = Op.Project(op, Seq((Expr.MapLit(items), "elementMap")))
+        valueCol = Some("elementMap")
+      case "fold" =>
+        val target = valueCol.getOrElse(
+          throw new IllegalArgumentException("fold() needs values()/id() first"))
+        op = Op.Aggregate(op, Seq.empty,
+          Seq((Expr.Func("collect", Seq(Expr.Var(target))), target)))
+      case "unfold" =>
+        val target = valueCol.getOrElse(
+          throw new IllegalArgumentException("unfold() needs a folded column"))
+        op = Op.Unwind(op, Expr.Var(target), target)
+      case "group" =>
+        // group().by(key)[.by(count()|sum(k)|mean(k)|min(k)|max(k))]
+        val next = steps.lift(idx + 1)
+        require(next.exists(_.name == "by"), "group() requires .by(key)")
+        val key = next.get.args.head.asInstanceOf[String]
+        consumedBys += idx + 1
+        val (aggE, aggName): (Expr.E, String) = steps.lift(idx + 2) match {
+          case Some(St("by", Seq(Pred("count", _)))) =>
+            consumedBys += idx + 2
+            (Expr.Func("count", Seq(Expr.Lit("*"))), "count")
+          case Some(St("by", Seq(Pred(fn @ ("sum" | "mean" | "min" | "max"), fargs)))) =>
+            consumedBys += idx + 2
+            val f2 = if (fn == "mean") "avg" else fn
+            (Expr.Func(f2, Seq(Expr.Prop(cur, fargs.head.asInstanceOf[String]))), fn)
+          case _ => // value side defaults to the collected traversers
+            (Expr.Func("collect", Seq(Expr.Var(cur))), "value")
+        }
+        op = Op.Aggregate(op, Seq((Expr.Prop(cur, key), key)), Seq((aggE, aggName)))
+        valueCol = Some(key)
+      case "project" =>
+        val names = s.args.map(_.asInstanceOf[String])
+        val bys = Iterator.from(idx + 1)
+          .takeWhile(j => steps.lift(j).exists(_.name == "by"))
+          .map(j => { consumedBys += j; steps(j).args.head.asInstanceOf[String] })
+          .toSeq
+        require(bys.size == names.size, "project() needs one by(key) per name")
+        op = Op.Project(op, names.zip(bys).map { case (nm, k) =>
+          (Expr.Prop(cur, k): Expr.E, nm) })
+        valueCol = Some(names.head)
+      case "where" =>
+        op = Op.Filter(op, wherePred(cur, s.args.head))
+      case "and" | "or" | "not" =>
+        op = Op.Filter(op, wherePred(cur, Pred(s.name, s.args)))
+      case "coalesce" =>
+        op = Op.Project(op, Seq(
+          (Expr.Func("coalesce", s.args.map(valTraversal(cur, _))), "v")))
+        valueCol = Some("v")
+      case "choose" =>
+        val condE = wherePred(cur, s.args.head)
+        op = Op.Project(op, Seq((Expr.CaseW(
+          Seq((condE, valTraversal(cur, s.args(1)))),
+          Some(valTraversal(cur, s.args(2)))), "v")))
+        valueCol = Some("v")
+      case "union" =>
+        // union(out('A'), in('B'), …): same far-side var in every branch so
+        // the bag union is schema-aligned
+        val to = fresh()
+        val branches = s.args.map {
+          case Pred(d @ ("out" | "in" | "both"), args2) =>
+            Op.Expand(op, cur, args2.headOption.map(_.asInstanceOf[String]),
+              to, dirOf(d), None): Op.T
+          case other => throw new IllegalArgumentException(
+            s"union() supports out()/in()/both() branches, got $other")
+        }
+        op = branches.reduce(Op.UnionAll(_, _))
+        cur = to
+        visited += to
       case other =>
         throw new IllegalArgumentException(s"unknown gremlin step $other()")
     }

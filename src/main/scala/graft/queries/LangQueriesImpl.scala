@@ -76,6 +76,66 @@ object LangQueriesImpl {
         .orderBy("path")
     },
 
+    // Gremlin fold/unfold round trip (collect to a list, explode back —
+    // multiset-preserving regardless of collect order).
+    QueryDef(
+      "q_gremlin_fold",
+      """SELECT n_name AS name FROM nation
+        |ORDER BY name NULLS FIRST""".stripMargin) { (s, dir) =>
+      session(s, dir).gremlin(
+        "g.V().hasLabel('Nation').values('name').fold().unfold().order().by()")
+    },
+
+    // Gremlin group().by(key).by(count()) — the general group step.
+    QueryDef(
+      "q_gremlin_group",
+      """SELECT c_mktsegment AS category, count(*) AS "count"
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY category NULLS FIRST""".stripMargin) { (s, dir) =>
+      session(s, dir)
+        .gremlin("g.V().hasLabel('Customer').group().by('category').by(count())")
+        .orderBy("category")
+    },
+
+    // Gremlin project().by() — named multi-column projection.
+    QueryDef(
+      "q_gremlin_project",
+      """SELECT c_name AS nm, c_mktsegment AS seg
+        |FROM customer WHERE c_acctbal > 9000.0
+        |ORDER BY nm NULLS FIRST""".stripMargin) { (s, dir) =>
+      session(s, dir).gremlin(
+        "g.V().hasLabel('Customer').has('acctbal', gt(9000.0))" +
+          ".project('nm', 'seg').by('name').by('category').order().by('nm')")
+    },
+
+    // Gremlin where(neq(alias)): same-region nation pairs excluding self.
+    QueryDef(
+      "q_gremlin_where",
+      """SELECT count(*) AS c
+        |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+        |WHERE a.n_nationkey <> b.n_nationkey""".stripMargin) { (s, dir) =>
+      session(s, dir).gremlin(
+        "g.V().hasLabel('Nation').as('a').out('IN_REGION').in('IN_REGION')" +
+          ".where(neq('a')).count()")
+        .select(col("count").as("c"))
+    },
+
+    // Gremlin coalesce(values, values): category where present, else name.
+    QueryDef(
+      "q_gremlin_coalesce",
+      """SELECT v FROM (
+        |  SELECT r_name AS v FROM region
+        |  UNION ALL SELECT n_name FROM nation
+        |  UNION ALL SELECT s_name FROM supplier
+        |  UNION ALL SELECT c_mktsegment FROM customer
+        |  UNION ALL SELECT p_brand FROM part
+        |  UNION ALL SELECT CAST(o_orderstatus AS VARCHAR) FROM orders
+        |)
+        |ORDER BY v NULLS FIRST""".stripMargin) { (s, dir) =>
+      session(s, dir).gremlin(
+        "g.V().coalesce(values('category'), values('name')).order().by()")
+    },
+
     // GraphQL: root label scan + arg filter + nested expand.
     QueryDef(
       "q_graphql_nested",

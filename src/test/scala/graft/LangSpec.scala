@@ -26,6 +26,77 @@ class LangSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("AUTOMOBILE", "BUILDING"))
   }
 
+  test("gremlin: hasId / hasNot / has(k)") {
+    val rid = TpchGraph.RegionTag * TpchGraph.Stride
+    val byId = session.gremlin(s"g.V().hasId($rid, ${rid + 1}).id().order().by()")
+      .collect().map(_.getLong(0)).toSeq
+    assert(byId == Seq(rid, rid + 1))
+    // acctbal present on Customer/Supplier/Order, absent elsewhere
+    val withBal = session.gremlin("g.V().has('acctbal').count()")
+      .collect().head.getLong(0)
+    val withoutBal = session.gremlin("g.V().hasNot('acctbal').count()")
+      .collect().head.getLong(0)
+    val all = session.gremlin("g.V().count()").collect().head.getLong(0)
+    assert(withBal > 0 && withoutBal > 0 && withBal + withoutBal == all)
+  }
+
+  test("gremlin: bothE/otherV sees both directions") {
+    val rid = TpchGraph.RegionTag * TpchGraph.Stride
+    // region 0 has only incoming IN_REGION edges; bothE still reaches them
+    val nbrs = session.gremlin(
+      s"g.V().hasId($rid).bothE('IN_REGION').otherV().id().order().by()")
+      .collect().map(_.getLong(0)).toSeq
+    val exp = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(org.apache.spark.sql.functions.col("n_regionkey") === 0)
+      .collect().map(r => TpchGraph.NationTag * TpchGraph.Stride +
+        r.getAs[Number]("n_nationkey").longValue).toSeq.sorted
+    assert(nbrs == exp && nbrs.nonEmpty)
+  }
+
+  test("gremlin: elementMap returns id, label and keys") {
+    val r = session.gremlin(
+      "g.V().hasLabel('Region').elementMap('name').order().by('elementMap').limit(1)")
+      .collect().head.getStruct(0)
+    assert(r.getLong(r.fieldIndex("id")) == TpchGraph.RegionTag * TpchGraph.Stride)
+    assert(r.getString(r.fieldIndex("label")) == "Region")
+    assert(r.getString(r.fieldIndex("name")).nonEmpty)
+  }
+
+  test("gremlin: and/or/not boolean steps") {
+    val a = session.gremlin(
+      "g.V().and(hasLabel('Customer'), has('acctbal', gt(9000.0))).count()")
+      .collect().head.getLong(0)
+    val exp = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(org.apache.spark.sql.functions.col("c_acctbal") > 9000.0).count()
+    assert(a == exp)
+    val b = session.gremlin(
+      "g.V().or(hasLabel('Region'), hasLabel('Nation')).count()")
+      .collect().head.getLong(0)
+    assert(b == 30L)
+    val c = session.gremlin(
+      "g.V().hasLabel('Region').not(has('name', 'ASIA')).count()")
+      .collect().head.getLong(0)
+    assert(c == 4L)
+  }
+
+  test("gremlin: union of expansions") {
+    // customers reach nations via FROM_NATION; union with in('PLACED_BY')
+    // adds their orders — counts add up
+    val u = session.gremlin(
+      "g.V().hasLabel('Customer').union(out('FROM_NATION'), in('PLACED_BY')).count()")
+      .collect().head.getLong(0)
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    val nOrd = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(u == nCust + nOrd)
+  }
+
+  test("gremlin: choose projects by predicate") {
+    val rows = session.gremlin(
+      "g.V().hasLabel('Customer').choose(has('acctbal', gt(0.0)), constant('pos'), constant('neg'))" +
+        ".dedup().order().by()").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("neg", "pos"))
+  }
+
   test("gremlin: parse errors") {
     assertThrows[IllegalArgumentException](GremlinFrontend.parseSteps("h.V()"))
     assertThrows[IllegalArgumentException](GremlinFrontend.parseSteps("g.V("))
