@@ -28,6 +28,15 @@ object Bench {
       try graft.core.Tables(spark, sfDir, t).limit(1).collect()
       catch { case _: Throwable => }
     }
+    // Materialize the persisted fixture graphs too: otherwise the first
+    // catalog query to touch each fixture (alphabetical order) pays its full
+    // build+cache cost and the per-query numbers misattribute it.
+    try {
+      graft.graph.TpchGraph(spark, sfDir).nodes.count()
+      graft.graph.TpchGraph(spark, sfDir).edges.count()
+      graft.graph.TpchGraph.partDag(spark, sfDir).nodes.count()
+      graft.graph.TpchGraph.partDag(spark, sfDir).edges.count()
+    } catch { case _: Throwable => }
 
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -169,10 +169,76 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct word n-gram shingles of a text, first-occurrence order — the
+  * native replacement for the split/sequence/transform/array_distinct HOF
+  * chain (interpreted CodegenFallback; it dominated the MinHash pipelines
+  * at ~0.5 ms/row). Split semantics match Spark's `split(text, " ")`:
+  * single-space separators, empty tokens kept.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashExpressions.shinglesEval(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashExpressions.shinglesEval($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextHashExpressions {
   import GraftColumnBridge.{toColumn, toExpression}
   def minHashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
     toColumn(MinHashSig(toExpression(shingles), numHashes, seed))
   def simHash64(words: Column): Column =
     toColumn(SimHash64Expr(toExpression(words)))
+  def wordShingles(text: Column, n: Int): Column =
+    toColumn(WordShingles(toExpression(text), n))
+
+  /** Shared by interpreted eval and generated code (static forwarder makes
+    * it callable from codegen'd Java).
+    */
+  def shinglesEval(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val words = new java.util.ArrayList[String]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        words.add(s.substring(start, i)); start = i + 1
+      }
+      i += 1
+    }
+    val nw = words.size
+    if (nw < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var k = 0
+    while (k <= nw - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.get(k + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      k += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
 }

@@ -18,8 +18,18 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep"), count(lit(1)).as("n"))
 
-  /** Word n-gram shingles as a distinct array (empty when too few words). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles as a distinct array (empty when too few words).
+    * Native codegen expression (graft.functions.WordShingles) — the HOF
+    * chain was interpreted CodegenFallback and dominated the MinHash
+    * pipelines. Value parity with the HOF form is pinned in DedupSpec.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextHashExpressions.wordShingles(text, n)
+
+  /** The pre-native HOF formulation of [[shingles]] — kept only as the
+    * independent cross-check for DedupSpec's parity test.
+    */
+  private[graft] def shinglesHOF(text: Column, n: Int): Column = {
     val ws = split(text, " ")
     array_distinct(
       when(size(ws) >= n,
@@ -78,23 +88,43 @@ object Dedup {
     }: _*)
   }
 
+  /** Recall-biased LSH banding for a Jaccard threshold: the fewest bands
+    * (longest rows) whose S-curve midpoint (1/b)^(1/r) still sits at or
+    * below `threshold`. threshold 1.0 → one band of the whole signature
+    * (provably recall-1 for exact duplicates with the smallest possible
+    * candidate set); threshold 0.5 with 16 hashes → 8 bands of 2.
+    */
+  def lshBands(numHashes: Int, threshold: Double): Int =
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .find { b =>
+        val r = numHashes / b
+        math.pow(1.0 / b, 1.0 / r) <= threshold
+      }
+      .getOrElse(numHashes)
+
   /** MinHash-LSH near-duplicate pairs: signature → band keys → band-key
     * equi-join for candidates → exact Jaccard verification at `threshold`.
-    * Returns (id1, id2, jac) with id1 < id2.
+    * Returns (id1, id2, jac) with id1 < id2. `bands = 0` (default) derives
+    * the banding from the threshold via [[lshBands]] — a banding mismatched
+    * to the threshold inflates the candidate join at any scale.
     *
     * Scale shape: the only shuffles are the band-key self-join (candidates,
     * not all pairs) and the final distinct; verification re-joins the two
     * shingle arrays by id.
     */
   def minHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 0,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val withSig = df.select(
-      col(idCol).as("__id"),
-      shingles(col(textCol), n).as("__grams"),
-      minHashSignature(col(textCol), n, numHashes, seed).as("__sig"))
+    val numBands = if (bands > 0) bands else lshBands(numHashes, threshold)
+    // single projected shingle column feeds both the signature and the
+    // verification join — computed once per row, not re-derived per consumer
+    val withSig = df
+      .select(col(idCol).as("__id"), shingles(col(textCol), n).as("__grams"))
+      .select(col("__id"), col("__grams"),
+        graft.functions.TextHashExpressions
+          .minHashSig(col("__grams"), numHashes, seed).as("__sig"))
     val banded = withSig.select(col("__id"),
-      explode(bandKeys(col("__sig"), numHashes, bands)).as("__bk"))
+      explode(bandKeys(col("__sig"), numHashes, numBands)).as("__bk"))
     val candidates = banded.as("l")
       .join(banded.as("r"), col("l.__bk") === col("r.__bk") &&
         col("l.__id") < col("r.__id"))

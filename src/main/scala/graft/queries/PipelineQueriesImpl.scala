@@ -191,8 +191,12 @@ object PipelineQueriesImpl {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val doubled = d.unionByName(
         d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      // bands auto-derives to 1 at threshold 1.0: one band of the full
+      // signature is recall-1 for equal shingle sets with the smallest
+      // candidate join (8×2-hash bands here collided merely-similar docs
+      // and inflated the self-join ~10×)
       Dedup.minHashNearDuplicates(doubled, "doc_id", "text",
-          n = 3, numHashes = 16, bands = 8, threshold = 1.0)
+          n = 3, numHashes = 16, threshold = 1.0)
         .orderBy("id1", "id2")
     },
   )

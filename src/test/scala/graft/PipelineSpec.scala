@@ -65,6 +65,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(1) == 4L || r.getLong(0) == 4L))
   }
 
+  test("native shingles match the HOF formulation exactly") {
+    val texts = Seq(
+      "a b c d e",
+      "a b c a b c a b",     // repeats → distinct, first-occurrence order
+      "one two",              // too few words → empty
+      "",                     // empty text
+      "x  y z",               // double space → empty token kept
+      "trailing space ",      // trailing empty token
+      "solo"
+    ).toDF("text")
+    val both = texts.select(
+      Dedup.shingles(org.apache.spark.sql.functions.col("text"), 3).as("native"),
+      Dedup.shinglesHOF(org.apache.spark.sql.functions.col("text"), 3).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch: $r")
+    }
+  }
+
+  test("lshBands derives recall-biased banding from the threshold") {
+    assert(Dedup.lshBands(16, 1.0) == 1)  // exact dup: one full-sig band
+    assert(Dedup.lshBands(16, 0.5) == 8)  // the classic 8×2 at 0.5
+    assert(Dedup.lshBands(16, 0.0) == 16) // recall-everything: 16×1
+    // monotone: lower threshold never yields fewer bands
+    val bs = Seq(1.0, 0.9, 0.7, 0.5, 0.3, 0.1).map(Dedup.lshBands(16, _))
+    assert(bs == bs.sorted)
+  }
+
   test("minhash jaccard matches exact jaccard formula") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("id", "text")
     val pairs = Dedup.minHashNearDuplicates(docs, "id", "text",
