@@ -79,6 +79,54 @@ object Algos {
       .vertices.map { case (id, n) => (id, n.toLong) }.toDF("id", "triangles")
   }
 
+  /** Local clustering coefficients (reference clustering.rs:162,199):
+    * coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) over the undirected simple
+    * graph; nodes with fewer than two distinct neighbors score 0. Composes
+    * the distributed triangle counts with distinct-neighbor degrees — two
+    * aggregations plus one join, no new shuffle shape.
+    */
+  def clusteringCoefficients(spark: SparkSession, g: PropertyGraph): DataFrame = {
+    val ud = g.edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = ud.select(col("a").as("id")).unionByName(ud.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(spark, g), Seq("id"), "left_outer")
+      .select(col("id"), col("deg"),
+        when(col("deg") >= 2,
+          round(coalesce(col("triangles"), lit(0L)).cast("double") * 2 /
+            (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
+  /** Global clustering coefficient (reference clustering.rs:248):
+    * 3·triangles / wedges = Σ_v tri(v) / Σ_v deg(v)·(deg(v)−1)/2 — one row.
+    */
+  def globalClustering(spark: SparkSession, g: PropertyGraph): DataFrame = {
+    val ud = g.edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = ud.select(col("a").as("id")).unionByName(ud.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(spark, g), Seq("id"), "left_outer")
+      .agg(round(
+        sum(coalesce(col("triangles"), lit(0L))).cast("double") /
+          greatest(sum(col("deg") * (col("deg") - 1)).cast("double") / 2, lit(1.0)),
+        6).as("global_coeff"))
+  }
+
+  /** DAG check (reference components.rs:352): acyclic iff there is no
+    * self-loop and every strongly connected component is a singleton.
+    * Built on the same SCC primitive as q_scc — Kahn peeling would take
+    * O(longest path) synchronous rounds, pathological on chain graphs.
+    */
+  def isDag(spark: SparkSession, g: PropertyGraph, maxIters: Int = 20): Boolean = {
+    if (g.edges.filter(col("src") === col("dst")).limit(1).count() > 0) return false
+    stronglyConnectedComponents(spark, g, maxIters)
+      .groupBy("component").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count() == 0
+  }
+
   /** Label propagation (reference community.rs:39). Synchronous LPA; label
     * oscillation possible on bipartite-ish structure — callers treat the
     * output as community hints, not stable ids (same caveat as the

@@ -185,4 +185,36 @@ object BoundedAlgos {
     }
     flow
   }
+
+  /** Iterative DFS preorder (reference traversal.rs:198 DfsIterator) from
+    * `start` over the bounded induced subgraph, directed edges, neighbors
+    * visited in ascending id order — the deterministic visitor order an
+    * oracle can reproduce. Returns (ord, id) with ord starting at 1.
+    */
+  def dfsPreorder(spark: SparkSession, g: PropertyGraph, start: Long,
+      nodeFilter: org.apache.spark.sql.Column, maxNodes: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val (_, edges) = collectSubgraph(g, nodeFilter, maxNodes)
+    val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    edges.foreach { case (s, d, _) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+    }
+    adj.values.foreach(b => b.sortInPlace())
+    val seen = mutable.Set.empty[Long]
+    val order = mutable.ArrayBuffer.empty[Long]
+    val stack = mutable.Stack(start)
+    while (stack.nonEmpty) {
+      val v = stack.pop()
+      if (!seen.contains(v)) {
+        seen += v
+        order += v
+        // push descending so the smallest neighbor is popped (visited) first
+        adj.getOrElse(v, mutable.ArrayBuffer.empty)
+          .reverseIterator.foreach(stack.push)
+      }
+    }
+    order.zipWithIndex
+      .map { case (id, i) => ((i + 1).toLong, id) }.toSeq
+      .toDF("ord", "id")
+  }
 }

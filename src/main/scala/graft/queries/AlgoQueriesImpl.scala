@@ -163,5 +163,76 @@ object AlgoQueriesImpl {
       Algos.labelPropagation(s, PropertyGraph(nodes, edges), iters = 3)
         .orderBy("id")
     },
+
+    // Local clustering coefficients (clustering.rs:162,199): triangles and
+    // distinct-neighbor degrees over the undirected part DAG.
+    QueryDef(
+      "q_clustering",
+      s"""WITH $DagSql,
+        |ud AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dag),
+        |deg AS (SELECT v AS id, count(*) AS deg
+        |        FROM (SELECT a AS v FROM ud UNION ALL SELECT b FROM ud) GROUP BY v),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM ud e1 JOIN ud e2 ON e2.a = e1.b
+        |        JOIN ud e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tcnt AS (SELECT v AS id, count(*) AS t
+        |         FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        |               UNION ALL SELECT z FROM tri) GROUP BY v)
+        |SELECT CAST(d.id AS BIGINT) AS id, CAST(d.deg AS BIGINT) AS deg,
+        |       CASE WHEN d.deg >= 2
+        |            THEN round(coalesce(t, 0) * 2.0 / (d.deg * (d.deg - 1)), 6)
+        |            ELSE 0.0 END AS coeff
+        |FROM deg d LEFT JOIN tcnt ON tcnt.id = d.id
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      Algos.clusteringCoefficients(s, TpchGraph.partDag(s, dir)).orderBy("id")
+    },
+
+    // is_dag (components.rs:352): forward same-brand chains are acyclic,
+    // their bidirectional closure is not. Short-diameter fixture — the SCC
+    // primitive underneath is diameter-bound (the deep part DAG would make
+    // it crawl). The oracle is closed-form; the Spark side genuinely runs
+    // the SCC-based check on both graphs.
+    QueryDef(
+      "q_is_dag",
+      """SELECT g, is_dag FROM (VALUES ('cyclic', false), ('dag', true)) t(g, is_dag)
+        |ORDER BY g NULLS FIRST""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_brand").as("brand"))
+      val nxt = p.select(col("k").as("k2"), col("brand").as("brand2"))
+      val fwd = p.join(nxt, col("k2") === col("k") + 1 && col("brand2") === col("brand"))
+        .select(col("k").as("src"), col("k2").as("dst"),
+          lit("B").as("rel"), lit(1.0).as("weight"))
+      val nodes = p.select(col("k").as("id"), array(lit("Part")).as("labels"))
+      val dagG = PropertyGraph(nodes, fwd)
+      val cyc = PropertyGraph(nodes, fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst"), col("rel"), col("weight"))))
+      Seq(("cyclic", Algos.isDag(s, cyc)), ("dag", Algos.isDag(s, dagG)))
+        .toDF("g", "is_dag").orderBy("g")
+    },
+
+    // DFS preorder (traversal.rs:198) from node 3 over the tree edges only
+    // (k → 2k / 2k+1), ascending-neighbor visit order. The oracle ranks each
+    // node by its zero-padded root path — lexicographic path order IS
+    // preorder on a tree.
+    QueryDef(
+      "q_dfs",
+      """WITH RECURSIVE walk(id, path) AS (
+        |  SELECT 3, CAST('' AS VARCHAR)
+        |  UNION ALL
+        |  SELECT b.p_partkey, w.path || lpad(CAST(b.p_partkey AS VARCHAR), 8, '0')
+        |  FROM walk w JOIN part b
+        |    ON b.p_partkey = 2*w.id OR b.p_partkey = 2*w.id + 1
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY path) AS BIGINT) AS ord,
+        |       CAST(id AS BIGINT) AS id
+        |FROM walk
+        |ORDER BY ord NULLS FIRST""".stripMargin) { (s, dir) =>
+      val dag = TpchGraph.partDag(s, dir)
+      val tree = PropertyGraph(dag.nodes,
+        dag.edges.filter(col("dst") === col("src") * 2 ||
+          col("dst") === col("src") * 2 + 1))
+      graft.algos.BoundedAlgos.dfsPreorder(s, tree, 3L, lit(true), maxNodes = 100000)
+        .orderBy("ord")
+    },
   )
 }

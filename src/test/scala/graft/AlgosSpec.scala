@@ -17,6 +17,34 @@ class AlgosSpec extends AnyFunSuite {
     PropertyGraph(n, e)
   }
 
+  test("clustering coefficients on a triangle with a tail") {
+    // triangle 1-2-3 plus tail 3-4: coeff(1)=coeff(2)=1, coeff(3)=1/3, coeff(4)=0
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    val m = graft.algos.Algos.clusteringCoefficients(spark, g)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) == 1.0 && m(2L) == 1.0)
+    assert(math.abs(m(3L) - 0.333333) < 1e-6)
+    assert(m(4L) == 0.0)
+    val gc = graft.algos.Algos.globalClustering(spark, g)
+      .collect().head.getDouble(0)
+    // 1 triangle, wedges = 1+1+3+0 = 5 → 3/5
+    assert(math.abs(gc - 0.6) < 1e-6)
+  }
+
+  test("isDag detects cycles and self-loops") {
+    assert(graft.algos.Algos.isDag(spark, mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L)))))
+    assert(!graft.algos.Algos.isDag(spark, mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L)))))
+    assert(!graft.algos.Algos.isDag(spark, mkGraph(Seq((1L, 2L), (2L, 2L)))))
+  }
+
+  test("dfsPreorder visits ascending neighbors depth-first") {
+    //     1 → {2, 5}; 2 → {3, 4}; 5 → {6}
+    val g = mkGraph(Seq((1L, 5L), (1L, 2L), (2L, 4L), (2L, 3L), (5L, 6L)))
+    val ord = graft.algos.BoundedAlgos.dfsPreorder(spark, g, 1L, lit(true))
+      .orderBy("ord").collect().map(_.getLong(1)).toSeq
+    assert(ord == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("pageRankDF matches an independent in-memory reference") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
     val nodes = Seq(1L, 2L, 3L, 4L)
