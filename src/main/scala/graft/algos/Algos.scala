@@ -1,7 +1,7 @@
 package graft.algos
 
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
-import org.apache.spark.graphx.lib.{LabelPropagation, ShortestPaths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.graph.PropertyGraph
@@ -127,15 +127,33 @@ object Algos {
       .filter(col("n") > 1).limit(1).count() == 0
   }
 
-  /** Label propagation (reference community.rs:39). Synchronous LPA; label
-    * oscillation possible on bipartite-ish structure — callers treat the
-    * output as community hints, not stable ids (same caveat as the
-    * reference).
+  /** Label propagation (reference community.rs:39): synchronous rounds in
+    * which every node adopts its most frequent neighbor label, ties broken
+    * to the lowest label — fully deterministic (GraphX's LPA breaks ties in
+    * hash-map iteration order, which makes results unverifiable). One join
+    * + two aggregations per round; label oscillation on bipartite-ish
+    * structure remains possible, the same caveat as the reference.
     */
   def labelPropagation(spark: SparkSession, g: PropertyGraph, iters: Int): DataFrame = {
-    import spark.implicits._
-    LabelPropagation.run(toGraphX(g), iters)
-      .vertices.map { case (id, l) => (id, l) }.toDF("id", "label")
+    val und = g.edges.select(col("src"), col("dst"))
+      .unionByName(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = g.nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val counts = und
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+      val best = counts.groupBy("id")
+        .agg(min_by(col("nl"), struct((-col("c")).as("n"), col("nl"))).as("bl"))
+      labels = labels.join(best, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("bl"), col("label")).as("label"))
+        .localCheckpoint()
+      i += 1
+    }
+    und.unpersist(blocking = false)
+    labels
   }
 
   /** Single-source shortest paths with edge weights, bounded Bellman-Ford

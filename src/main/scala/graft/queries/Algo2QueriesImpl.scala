@@ -73,11 +73,19 @@ object Algo2QueriesImpl {
       bridges.toSeq.sorted.toDF("s", "d").orderBy("s")
     },
 
-    // Louvain phase-1 (community.rs:157) on the undirected brand chains —
-    // deterministic synchronous rounds, but the community split of a chain is
-    // algorithm-specific → rows-only; Algos2Spec pins planted-clique behavior.
-    QueryDef.noOracle("q_louvain") { (s, dir) =>
-      Louvain.run(brandChain(s, dir), maxIters = 5).orderBy("id")
+    // Louvain phase-1 (community.rs:157) on disjoint 5-cliques: round 1 every
+    // node ties on modularity gain across its four singleton neighbors (the
+    // arithmetic is bit-identical per candidate) and the lowest-community
+    // tie-break picks its minimum neighbor; round 2 the clique minimum
+    // dominates w(i→C); round 3 is stable → comm = 5·⌊k/5⌋, a full hash
+    // oracle. Algos2Spec still pins planted-clique behavior on mixed graphs.
+    QueryDef(
+      "q_louvain",
+      """SELECT CAST(p_partkey AS BIGINT) AS id,
+        |       CAST((p_partkey // 5) * 5 AS BIGINT) AS comm
+        |FROM part
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      Louvain.run(AlgoQueriesImpl.cliqueGraph(s, dir), maxIters = 5).orderBy("id")
     },
 
     // Kruskal MST (mst.rs:87) with unique weights w = src·1e5 + dst on the

@@ -35,6 +35,23 @@ object AlgoQueriesImpl {
        |LEFT JOIN outdeg o ON o.src = e.src
        |GROUP BY n.id""".stripMargin
 
+  /** Disjoint 5-cliques over part keys (group = ⌊k/5⌋; keys are 0..n−1 with
+    * 5 | n at every SF, so every group is a full clique of 5). Community
+    * detection converges provably here: synchronous Louvain/LPA reach
+    * community = min clique member within 3 rounds (see q_louvain /
+    * q_label_prop notes).
+    */
+  private[queries] def cliqueGraph(s: org.apache.spark.sql.SparkSession, dir: String): PropertyGraph = {
+    val p = Tables.part(s, dir).select(col("p_partkey").as("k"),
+      (col("p_partkey") / 5).cast("long").as("grp"))
+    val q = p.select(col("k").as("k2"), col("grp").as("grp2"))
+    val edges = p.join(q, col("grp") === col("grp2") && col("k") < col("k2"))
+      .select(col("k").as("src"), col("k2").as("dst"),
+        lit("CLIQUE").as("rel"), lit(1.0).as("weight"))
+    val nodes = p.select(col("k").as("id"), array(lit("Part")).as("labels"))
+    PropertyGraph(nodes, edges)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // PageRank, 3 fixed iterations (reference centrality.rs:135; bench
@@ -151,16 +168,18 @@ object AlgoQueriesImpl {
       Algos.kCore(PropertyGraph(nodes, ring.unionByName(spokes)), k = 2).orderBy("id")
     },
 
-    // Label propagation (community.rs:39), 3 synchronous rounds on the
-    // same-brand chain graph. Label dynamics are engine-specific → rows-only.
-    QueryDef.noOracle("q_label_prop") { (s, dir) =>
-      val p = Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_brand").as("brand"))
-      val nxt = p.select(col("k").as("k2"), col("brand").as("brand2"))
-      val edges = p.join(nxt, col("k2") === col("k") + 1 && col("brand2") === col("brand"))
-        .select(col("k").as("src"), col("k2").as("dst"), lit("SAME_BRAND").as("rel"),
-          lit(1.0).as("weight"))
-      val nodes = p.select(col("k").as("id"), array(lit("Part")).as("labels"))
-      Algos.labelPropagation(s, PropertyGraph(nodes, edges), iters = 3)
+    // Label propagation (community.rs:39), 4 synchronous rounds on disjoint
+    // 5-cliques (part keys are 0..n−1 with 5 | n at every SF). Round 1 every
+    // node ties across distinct neighbor labels → adopts its minimum
+    // neighbor; round 2 the clique minimum wins by frequency; stable after —
+    // label = 5·⌊k/5⌋, a full hash oracle.
+    QueryDef(
+      "q_label_prop",
+      """SELECT CAST(p_partkey AS BIGINT) AS id,
+        |       CAST((p_partkey // 5) * 5 AS BIGINT) AS label
+        |FROM part
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      Algos.labelPropagation(s, cliqueGraph(s, dir), iters = 4)
         .orderBy("id")
     },
 
