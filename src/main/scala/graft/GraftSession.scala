@@ -30,17 +30,54 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
       CypherFrontend.translate(CypherFrontend.parse(query)), params))
 
   /** GQL entry point (reference GrafeoDB::execute, database.rs:327). The ISO
-    * GQL core pattern surface (MATCH/WHERE/RETURN/ORDER BY/LIMIT…) coincides
-    * with the supported openCypher subset, so both languages share one
-    * grammar here — the reference keeps two translators for the same IR
-    * (gql_translator.rs vs cypher_translator.rs); divergent clauses can fork
-    * later without touching the IR or compiler.
+    * GQL core pattern surface shares the openCypher grammar and IR; the
+    * GQL-specific statements (INSERT, CREATE VECTOR INDEX — reference
+    * gql_translator.rs, gql/ast.rs:386) route through
+    * graft.frontends.gql.GqlFrontend. DDL/DML here returns a summary or
+    * throws toward the stateful entry points ([[gqlUpdate]],
+    * [[createVectorIndex]]) — reads compile to a DataFrame as usual.
     */
-  def gql(query: String): DataFrame = cypher(query)
+  def gql(query: String): DataFrame =
+    graft.frontends.gql.GqlFrontend.parseStatement(query) match {
+      case graft.frontends.gql.GqlQuery(op) => compiler.compile(op)
+      case _: graft.frontends.gql.GqlMutation =>
+        throw new IllegalArgumentException(
+          "INSERT/SET/DELETE run through gqlUpdate(), which returns the mutated graph")
+      case _: graft.frontends.gql.GqlCreateVectorIndex =>
+        throw new IllegalArgumentException(
+          "CREATE VECTOR INDEX runs through createVectorIndex(query, vectors, idCol)")
+    }
 
   /** Parameterized GQL (same binding path as [[cypher]]). */
   def gql(query: String, params: Map[String, Any]): DataFrame =
     cypher(query, params)
+
+  /** GQL INSERT (and the shared SET/DELETE/MERGE surface) — functional
+    * semantics like [[cypherUpdate]]: returns the mutated graph.
+    */
+  def gqlUpdate(query: String): PropertyGraph =
+    graft.frontends.cypher.CypherUpdates.run(spark, graph, query)
+
+  private val vectorIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, graft.frontends.gql.VectorIndexes.VectorIndex]
+
+  /** `CREATE VECTOR INDEX name ON Label(prop) USING LSH|IVF [OPTIONS(…)]`
+    * (reference gql/ast.rs:386): builds the LSH-bucket or IVF index over
+    * `vectors` and registers it on this session; returns the one-row DDL
+    * summary.
+    */
+  def createVectorIndex(query: String, vectors: DataFrame, idCol: String): DataFrame =
+    graft.frontends.gql.GqlFrontend.parseStatement(query) match {
+      case stmt: graft.frontends.gql.GqlCreateVectorIndex =>
+        val idx = graft.frontends.gql.VectorIndexes.create(stmt, vectors, idCol)
+        vectorIndexes(stmt.name) = idx
+        idx.summary
+      case _ => throw new IllegalArgumentException("not a CREATE VECTOR INDEX statement")
+    }
+
+  /** Look up an index registered by [[createVectorIndex]]. */
+  def vectorIndex(name: String): Option[graft.frontends.gql.VectorIndexes.VectorIndex] =
+    vectorIndexes.get(name)
 
   /** Cypher update queries (CREATE/SET/DELETE/DETACH DELETE/MERGE/REMOVE
     * after an optional MATCH prefix) — returns the mutated graph (functional

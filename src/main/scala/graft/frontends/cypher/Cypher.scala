@@ -25,7 +25,8 @@ object CypherLexer {
     "AS", "ORDER", "BY", "ASC", "DESC", "SKIP", "LIMIT", "DISTINCT", "AND",
     "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS", "IS", "NULL",
     "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL",
-    "OPTIONAL", "CREATE", "SET", "DELETE", "DETACH", "MERGE", "REMOVE", "ON")
+    "OPTIONAL", "CREATE", "SET", "DELETE", "DETACH", "MERGE", "REMOVE", "ON",
+    "INSERT")
 
   def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -126,6 +127,12 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
         case Some(Kw("WITH"))   => next(); clauses += parseWithRet(isReturn = false)
         case Some(Kw("RETURN")) => next(); clauses += parseWithRet(isReturn = true); done = true
         case Some(Kw("CREATE")) => next(); clauses += CreateClause(parsePath())
+        case Some(Kw("INSERT")) =>
+          // GQL INSERT (gql_translator.rs): same node/edge-pattern semantics
+          // as Cypher CREATE; comma-separated patterns allowed
+          next()
+          clauses += CreateClause(parsePath())
+          while (eat(Sym(","))) clauses += CreateClause(parsePath())
         case Some(Kw("MERGE"))  => next(); clauses += parseMerge()
         case Some(Kw("SET"))    => next(); clauses += parseSet()
         case Some(Kw("DETACH")) =>

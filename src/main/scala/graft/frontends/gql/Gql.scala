@@ -1,0 +1,101 @@
+package graft.frontends.gql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.frontends.cypher.{Ast, CypherFrontend}
+import graft.ir.Op
+import graft.vector.{Ivf, Knn}
+
+/** ISO-GQL front-end (SURVEY §2.8; reference
+  * crates/grafeo-adapters/src/query/gql_translator.rs + gql/ast.rs). The
+  * core pattern surface (MATCH/WHERE/RETURN/ORDER BY/…) coincides with the
+  * openCypher grammar and shares its parser and IR; this module adds the
+  * GQL-specific statements the reference keeps in its own translator:
+  *
+  *   - INSERT (pattern)[, (pattern)…]     (gql ast.rs insert statements;
+  *     node/edge-pattern semantics of Cypher CREATE, run through the same
+  *     functional Mutations executor)
+  *   - CREATE VECTOR INDEX name ON Label(prop) USING LSH|IVF
+  *     [OPTIONS(k v, …)]                  (gql/ast.rs:386
+  *     CreateVectorIndexStatement, lowered onto the LSH-bucket / IVF build
+  *     paths of graft.vector)
+  */
+sealed trait GqlStatement
+final case class GqlQuery(op: Op.T) extends GqlStatement
+final case class GqlMutation(query: Ast.Query) extends GqlStatement
+final case class GqlCreateVectorIndex(name: String, label: String,
+    prop: String, method: String, options: Map[String, Int]) extends GqlStatement
+
+object GqlFrontend {
+
+  private val VectorIndexRe =
+    """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)(?:\s+USING\s+(\w+))?(?:\s+OPTIONS\s*\(([^)]*)\))?\s*""".r
+
+  def parseStatement(q: String): GqlStatement = q match {
+    case VectorIndexRe(name, label, prop, method, opts) =>
+      val m = Option(method).map(_.toLowerCase).getOrElse("lsh")
+      require(m == "lsh" || m == "ivf", s"unknown vector index method $m")
+      val options = Option(opts).map(_.trim).filter(_.nonEmpty)
+        .map(_.split(",").map { kv =>
+          val parts = kv.trim.split("\\s+")
+          require(parts.length == 2, s"OPTIONS entries are `key value`, got '$kv'")
+          parts(0).toLowerCase -> parts(1).toInt
+        }.toMap)
+        .getOrElse(Map.empty[String, Int])
+      GqlCreateVectorIndex(name, label, prop, m, options)
+    case _ =>
+      val ast = CypherFrontend.parse(q)
+      val isMutation = ast.clauses.exists {
+        case _: Ast.CreateClause | _: Ast.SetClause | _: Ast.DeleteClause |
+            _: Ast.MergeClause | _: Ast.RemoveClause => true
+        case _ => false
+      }
+      if (isMutation) GqlMutation(ast) else GqlQuery(CypherFrontend.translate(ast))
+  }
+}
+
+/** Vector-index build paths behind `CREATE VECTOR INDEX` — the Spark-scale
+  * stand-ins for the reference's HNSW index build (vector/index.rs): LSH
+  * hyperplane bucketing or an IVF codebook + cell assignment. The built
+  * artifact is a bucketed DataFrame (and codebook for IVF) that the
+  * Knn/Ivf query paths consume.
+  */
+object VectorIndexes {
+
+  final case class VectorIndex(name: String, method: String, label: String,
+      prop: String, buckets: DataFrame, model: Option[Ivf.Model]) {
+    /** One-row DDL result (name, method, entries) — what `gql()` returns. */
+    def summary: DataFrame = {
+      val spark = buckets.sparkSession
+      import spark.implicits._
+      Seq((name, method, buckets.count())).toDF("index_name", "method", "entries")
+    }
+  }
+
+  /** Build the index over `vectors` (idCol + the statement's prop column).
+    * LSH options: bits (default 12), tables (3); IVF options: nlist (16),
+    * iters (3).
+    */
+  def create(stmt: GqlCreateVectorIndex, vectors: DataFrame,
+      idCol: String): VectorIndex = {
+    val dim = vectors.select(size(col(stmt.prop))).first().getInt(0)
+    stmt.method match {
+      case "lsh" =>
+        val bits = stmt.options.getOrElse("bits", 12)
+        val tables = stmt.options.getOrElse("tables", 3)
+        val b = Knn.lshBuckets(vectors.select(col(idCol), col(stmt.prop)),
+            stmt.prop, dim, bits, tables)
+          .select(col(idCol), explode(col("__buckets")).as("bucket"))
+          .persist()
+        VectorIndex(stmt.name, "lsh", stmt.label, stmt.prop, b, None)
+      case "ivf" =>
+        val nlist = stmt.options.getOrElse("nlist", 16)
+        val iters = stmt.options.getOrElse("iters", 3)
+        val model = Ivf.fit(vectors, idCol, stmt.prop, nlist, iters)
+        val b = vectors
+          .select(col(idCol), model.cellOf(col(stmt.prop)).as("bucket"))
+          .persist()
+        VectorIndex(stmt.name, "ivf", stmt.label, stmt.prop, b, Some(model))
+    }
+  }
+}

@@ -11,6 +11,26 @@ object MutationQueriesImpl {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // GQL INSERT (gql_translator.rs; gql ast.rs insert statements) through
+    // the GQL front-end: insert a node, read it back via a GQL MATCH.
+    QueryDef(
+      "q_gql_insert",
+      """SELECT nm, CAST(bal AS DOUBLE) AS bal FROM (
+        |  SELECT 'gql_hub' AS nm, 123.5 AS bal
+        |  UNION ALL
+        |  SELECT c_name, c_acctbal FROM customer WHERE c_acctbal > 9900.0
+        |)
+        |ORDER BY nm NULLS FIRST""".stripMargin) { (s, dir) =>
+      val sess = new graft.GraftSession(s, TpchGraph(s, dir))
+      val g2 = sess.gqlUpdate(
+        "INSERT (:Hub {id: 999, name: 'gql_hub', acctbal: 123.5})")
+      new graft.GraftSession(s, g2).gql(
+        """MATCH (n)
+          |WHERE (hasLabel(n, 'Customer') AND n.acctbal > 9900.0) OR hasLabel(n, 'Hub')
+          |RETURN n.name AS nm, n.acctbal AS bal
+          |ORDER BY nm""".stripMargin)
+    },
+
     // SetProperty: +10% balance for BUILDING customers, others untouched.
     QueryDef(
       "q_mut_set_property",

@@ -97,6 +97,39 @@ class LangSpec extends AnyFunSuite {
     assert(rows == Seq("neg", "pos"))
   }
 
+  test("gql: INSERT patterns and statement routing") {
+    val g2 = session.gqlUpdate(
+      "INSERT (:Hub {id: 999, name: 'h'}), (:Hub {id: 998, name: 'i'})")
+    val c = new GraftSession(spark, g2)
+      .gql("MATCH (h:Hub) RETURN count(*) AS c").collect().head.getLong(0)
+    assert(c == 2L)
+    val e = intercept[IllegalArgumentException](
+      session.gql("INSERT (:Hub {id: 997, name: 'x'})"))
+    assert(e.getMessage.contains("gqlUpdate"))
+  }
+
+  test("gql: CREATE VECTOR INDEX builds LSH and IVF indexes") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val lsh = session.createVectorIndex(
+      "CREATE VECTOR INDEX e1 ON Embedding(embedding) USING LSH OPTIONS(bits 8, tables 2)",
+      emb, "vec_id").collect().head
+    assert(lsh.getString(0) == "e1" && lsh.getString(1) == "lsh")
+    assert(lsh.getLong(2) == emb.count() * 2) // one row per (vector, table)
+    val ivf = session.createVectorIndex(
+      "CREATE VECTOR INDEX e2 ON Embedding(embedding) USING IVF OPTIONS(nlist 4, iters 1)",
+      emb, "vec_id").collect().head
+    assert(ivf.getString(1) == "ivf" && ivf.getLong(2) == emb.count())
+    assert(session.vectorIndex("e1").isDefined)
+    assert(session.vectorIndex("e2").flatMap(_.model).exists(_.nlist == 4))
+    // cells cover the corpus: every assignment in [0, nlist)
+    val cells = session.vectorIndex("e2").get.buckets
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.forall(c2 => c2 >= 0 && c2 < 4))
+    val err = intercept[IllegalArgumentException](
+      session.gql("CREATE VECTOR INDEX e3 ON X(y) USING HNSW"))
+    assert(err.getMessage.nonEmpty)
+  }
+
   test("gremlin: parse errors") {
     assertThrows[IllegalArgumentException](GremlinFrontend.parseSteps("h.V()"))
     assertThrows[IllegalArgumentException](GremlinFrontend.parseSteps("g.V("))
