@@ -92,6 +92,16 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     compiler.compile(graft.frontends.gremlin.GremlinFrontend.translate(query))
 
   /** GraphQL entry point (reference graphql_translator.rs). */
-  def graphql(query: String): DataFrame =
+  def graphql(query: String): DataFrame = {
+    if (query.trim.toLowerCase.startsWith("mutation"))
+      throw new IllegalArgumentException(
+        "mutation documents run through graphqlMutation(), which returns the mutated graph")
     compiler.compile(graft.frontends.graphql.GraphQLFrontend.translate(query))
+  }
+
+  /** GraphQL mutations (reference graphql_translator.rs:130) — functional
+    * semantics: returns the mutated graph.
+    */
+  def graphqlMutation(query: String): graft.graph.PropertyGraph =
+    graft.frontends.graphql.GraphQLMutations.run(spark, graph, query)
 }

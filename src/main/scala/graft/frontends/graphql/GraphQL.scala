@@ -96,6 +96,17 @@ object GraphQLFrontend {
     root
   }
 
+  /** Top-level document: an optional `mutation` keyword before the selection
+    * block (reference graphql_translator.rs:130) — returns (isMutation, root).
+    */
+  def parseDocument(q: String): (Boolean, Field) = {
+    val t = q.trim
+    if (t.length > 8 && t.substring(0, 8).equalsIgnoreCase("mutation") &&
+        (t(8).isWhitespace || t(8) == '{'))
+      (true, parse(t.substring(8)))
+    else (false, parse(q))
+  }
+
   // ---- translate to IR ----
   def translate(q: String): Op.T = {
     val root = parse(q)

@@ -31,6 +31,29 @@ object MutationQueriesImpl {
           |ORDER BY nm""".stripMargin)
     },
 
+    // GraphQL mutations (graphql_translator.rs:130): create a hub, update
+    // its name, detach-delete a customer segment, read everything back.
+    QueryDef(
+      "q_graphql_mutation",
+      """SELECT name FROM (
+        |  SELECT 'hub2' AS name
+        |  UNION ALL
+        |  SELECT c_name FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        |)
+        |ORDER BY name NULLS FIRST""".stripMargin) { (s, dir) =>
+      val sess = new graft.GraftSession(s, TpchGraph(s, dir))
+      val g1 = sess.graphqlMutation(
+        """mutation { createHub(id: 999, name: "gql_hub") { id } }""")
+      val g2 = new graft.GraftSession(s, g1).graphqlMutation(
+        """mutation { updateHub(id: 999, name: "hub2") { id } }""")
+      val g3 = new graft.GraftSession(s, g2).graphqlMutation(
+        """mutation { deleteCustomer(category: "MACHINERY") { id } }""")
+      val after = new graft.GraftSession(s, g3)
+      after.graphql("{ Hub { name } }")
+        .unionByName(after.graphql("{ Customer { name } }"))
+        .orderBy("name")
+    },
+
     // SetProperty: +10% balance for BUILDING customers, others untouched.
     QueryDef(
       "q_mut_set_property",

@@ -130,6 +130,21 @@ class LangSpec extends AnyFunSuite {
     assert(err.getMessage.nonEmpty)
   }
 
+  test("graphql: mutation routing and delete semantics") {
+    val g1 = session.graphqlMutation(
+      """mutation { createHub(id: 999, name: "h", acctbal: 1.5) { id } }""")
+    val s1 = new GraftSession(spark, g1)
+    val r = s1.graphql("{ Hub { id name acctbal } }").collect().head
+    assert(r.getLong(0) == 999L && r.getString(1) == "h" && r.getDouble(2) == 1.5)
+    val g2 = s1.graphqlMutation("""mutation { deleteHub(id: 999) { id } }""")
+    assert(new GraftSession(spark, g2).graphql("{ Hub { id } }").collect().isEmpty)
+    val e = intercept[IllegalArgumentException](
+      session.graphql("""mutation { createHub(id: 1) { id } }"""))
+    assert(e.getMessage.contains("graphqlMutation"))
+    assertThrows[IllegalArgumentException](
+      session.graphqlMutation("""mutation { renameHub(id: 1) { id } }"""))
+  }
+
   test("gremlin: parse errors") {
     assertThrows[IllegalArgumentException](GremlinFrontend.parseSteps("h.V()"))
     assertThrows[IllegalArgumentException](GremlinFrontend.parseSteps("g.V("))
