@@ -107,6 +107,101 @@ object BoundedAlgos {
     chosen.toSeq.toDF("src", "dst", "w")
   }
 
+  /** Prim MST (reference mst.rs:177) on the bounded induced subgraph,
+    * undirected view, min-heap keyed (w, storedSrc, storedDst) for a
+    * deterministic tie-break. With distinct weights the MST is unique, so
+    * Prim agrees edge-for-edge with [[mstKruskal]] (one shared closed-form
+    * oracle). Runs as a forest: one tree per component, seeded at each
+    * component's minimum id. Output edges keep their stored orientation.
+    */
+  def mstPrim(spark: SparkSession, g: PropertyGraph,
+      nodeFilter: org.apache.spark.sql.Column, maxNodes: Int = 5000): DataFrame = {
+    val (ids, edges) = collectSubgraph(g, nodeFilter, maxNodes)
+    // (w, neighbor, storedSrc, storedDst)
+    val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[(Double, Long, Long, Long)]]
+    edges.foreach { case (s, d, w) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((w, d, s, d))
+      adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += ((w, s, s, d))
+    }
+    val visited = mutable.Set.empty[Long]
+    val chosen = mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    implicit val minHeap: Ordering[(Double, Long, Long, Long)] =
+      Ordering.by[(Double, Long, Long, Long), (Double, Long, Long)](
+        t => (t._1, t._3, t._4)).reverse
+    for (seed <- ids.sorted if !visited.contains(seed)) {
+      visited += seed
+      val pq = mutable.PriorityQueue.empty[(Double, Long, Long, Long)]
+      adj.getOrElse(seed, Nil).foreach(pq.enqueue(_))
+      while (pq.nonEmpty) {
+        val (w, other, ss, sd) = pq.dequeue()
+        if (!visited.contains(other)) {
+          visited += other
+          chosen += ((ss, sd, w))
+          adj.getOrElse(other, Nil)
+            .foreach(e => if (!visited.contains(e._2)) pq.enqueue(e))
+        }
+      }
+    }
+    import spark.implicits._
+    chosen.toSeq.toDF("src", "dst", "w")
+  }
+
+  /** Min-cost max-flow (reference flow.rs:254) via successive shortest
+    * paths with Bellman-Ford on the residual graph (costs stay conservative
+    * because residual arcs carry negated cost), on the bounded induced
+    * subgraph. Capacities come from the edge weight; `costOf(src, dst)`
+    * supplies the per-unit arc cost. Returns (maxFlow, minCost).
+    */
+  def minCostMaxFlow(g: PropertyGraph, nodeFilter: org.apache.spark.sql.Column,
+      source: Long, sink: Long, costOf: (Long, Long) => Double,
+      maxNodes: Int = 2000): (Double, Double) = {
+    val (_, edges) = collectSubgraph(g, nodeFilter, maxNodes)
+    val cap = mutable.Map.empty[(Long, Long), Double].withDefaultValue(0.0)
+    val cost = mutable.Map.empty[(Long, Long), Double].withDefaultValue(0.0)
+    val nodes = mutable.LinkedHashSet.empty[Long]
+    edges.foreach { case (s, d, w) =>
+      cap((s, d)) += w
+      cost((s, d)) = costOf(s, d)
+      cost((d, s)) = -costOf(s, d)
+      nodes += s += d
+    }
+    val arcs = cap.keys.toSeq ++ edges.map { case (s, d, _) => (d, s) }
+    var totalFlow = 0.0
+    var totalCost = 0.0
+    var augmenting = true
+    while (augmenting) {
+      // Bellman-Ford over residual arcs (handles the negative back-arcs)
+      val dist = mutable.Map.empty[Long, Double].withDefaultValue(Double.MaxValue)
+      val prev = mutable.Map.empty[Long, Long]
+      dist(source) = 0.0
+      var changed = true
+      var rounds = 0
+      while (changed && rounds <= nodes.size) {
+        changed = false
+        for ((u, v) <- arcs if cap((u, v)) > 1e-12 && dist(u) < Double.MaxValue) {
+          val nd = dist(u) + cost((u, v))
+          if (nd < dist(v) - 1e-12) { dist(v) = nd; prev(v) = u; changed = true }
+        }
+        rounds += 1
+      }
+      if (!prev.contains(sink)) augmenting = false
+      else {
+        var bottleneck = Double.MaxValue
+        var v = sink
+        while (v != source) { bottleneck = math.min(bottleneck, cap((prev(v), v))); v = prev(v) }
+        v = sink
+        while (v != source) {
+          cap((prev(v), v)) -= bottleneck
+          cap((v, prev(v))) += bottleneck
+          v = prev(v)
+        }
+        totalFlow += bottleneck
+        totalCost += bottleneck * dist(sink)
+      }
+    }
+    (totalFlow, totalCost)
+  }
+
   /** Articulation points + bridges via Tarjan low-link (structure.rs:36,
     * :150) on the bounded induced subgraph (undirected). Returns
     * (articulation point ids, bridge edges (min,max)).

@@ -124,5 +124,38 @@ object Algo2QueriesImpl {
         source = 1L, sink = 50L, maxNodes = 100)
       Seq(flow).toDF("maxflow")
     },
+
+    // Prim MST (mst.rs:177) on the identical unique-weight fixture as q_mst:
+    // a unique-weight MST is unique, so Prim must reproduce Kruskal's edge
+    // set — the same closed-form parent-link oracle.
+    QueryDef(
+      "q_mst_prim",
+      """SELECT CAST(CASE WHEN m = 1 THEN 0 WHEN m <= 3 THEN 1 ELSE m // 2 END AS BIGINT) AS src,
+        |       CAST(m AS BIGINT) AS dst,
+        |       CAST((CASE WHEN m = 1 THEN 0 WHEN m <= 3 THEN 1 ELSE m // 2 END) * 100000 + m AS DOUBLE) AS w
+        |FROM (SELECT p_partkey AS m FROM part WHERE p_partkey BETWEEN 1 AND 299)
+        |ORDER BY src NULLS FIRST, dst NULLS FIRST""".stripMargin) { (s, dir) =>
+      val base = graft.graph.TpchGraph.partDag(s, dir)
+      val weighted = base.copy(edges = base.edges
+        .withColumn("weight", (col("src") * 100000 + col("dst")).cast("double")))
+      BoundedAlgos.mstPrim(s, weighted, col("id") < 300, maxNodes = 300)
+        .orderBy("src", "dst")
+    },
+
+    // Min-cost max-flow (flow.rs:254): same capacity fixture as q_maxflow
+    // with unit arc costs; maxflow 4 at cost 23 (2 units over the length-5
+    // path through 25, then length-6 and length-7 routes through 49) —
+    // cross-validated with an independent SPFA implementation.
+    QueryDef(
+      "q_mincost_flow",
+      "SELECT CAST(4.0 AS DOUBLE) AS maxflow, CAST(23.0 AS DOUBLE) AS mincost") { (s, dir) =>
+      import s.implicits._
+      val base = graft.graph.TpchGraph.partDag(s, dir)
+      val weighted = base.copy(edges = base.edges
+        .withColumn("weight", (col("dst") % 7 + 1).cast("double")))
+      val (flow, cst) = BoundedAlgos.minCostMaxFlow(weighted, col("id") < 100,
+        source = 1L, sink = 50L, costOf = (_, _) => 1.0, maxNodes = 100)
+      Seq((flow, cst)).toDF("maxflow", "mincost")
+    },
   )
 }
