@@ -131,6 +131,57 @@ object VectorQueriesImpl {
           metric = Knn.Cosine, bits = 8, tables = 4)
         .orderBy("qid", "rank")
     },
+
+    // Scalar quantization (vector/quantization.rs): per-dimension min/max
+    // codebook, code = floor((x-min)/(max-min)·255). min/max are exact
+    // selections (not sums) and the map is one IEEE expression chain, so
+    // both engines produce identical codes.
+    QueryDef(
+      "q_vector_quantize",
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings
+        |),
+        |mm AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos)
+        |SELECT e.vec_id, CAST(e.pos AS INT) AS pos,
+        |       CAST(CASE WHEN mx = mn THEN 0
+        |                 ELSE floor((e.v - mn) / (mx - mn) * 255) END AS BIGINT) AS q
+        |FROM e JOIN mm ON mm.pos = e.pos
+        |WHERE e.vec_id < 20
+        |ORDER BY vec_id NULLS FIRST, pos NULLS FIRST""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.vector.Quantization.fitScalar(emb, "embedding", bits = 8)
+      emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          posexplode(model.quantize(col("embedding"))).as(Seq("pos0", "q")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("int").as("pos"), col("q"))
+        .orderBy("vec_id", "pos")
+    },
+
+    // Binary (sign) quantization packed into 32-bit words — integer bit
+    // sums are exact in any engine; dim 64 → two words per vector.
+    QueryDef(
+      "q_vector_binquant",
+      """SELECT vec_id, CAST(word AS INT) AS word, CAST(sum(b) AS BIGINT) AS code
+        |FROM (
+        |  SELECT vec_id,
+        |         (pos - 1) // 32 AS word,
+        |         CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << ((pos - 1) % 32)) ELSE 0 END AS b
+        |  FROM (SELECT vec_id,
+        |               unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |               generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)
+        |)
+        |WHERE vec_id < 100
+        |GROUP BY vec_id, word
+        |ORDER BY vec_id NULLS FIRST, word NULLS FIRST""".stripMargin) { (s, dir) =>
+      graft.vector.Quantization.binaryCodes(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 100),
+          "vec_id", "embedding")
+        .orderBy("vec_id", "word")
+    },
   )
 
   /** Base embedding table plus exact copies of the first `n` vectors at

@@ -224,3 +224,66 @@ class IvfSpec extends AnyFunSuite {
     assert(m1.centroids == m2.centroids)
   }
 }
+
+class QuantizationSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.vector.Quantization
+
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("scalar quantize/dequantize round trip bounds the error") {
+    val model = Quantization.fitScalar(emb, "embedding", bits = 8)
+    val df = emb.select($"embedding".as("a"),
+        model.dequantize(model.quantize($"embedding")).as("b"))
+      .selectExpr("aggregate(zip_with(a, b, (x, y) -> abs(CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v)) AS maxerr")
+    val maxErr = df.agg(org.apache.spark.sql.functions.max($"maxerr"))
+      .collect().head.getDouble(0)
+    // codes are 8-bit: error ≤ half a quantization step of the widest dim
+    val model2 = model
+    val widest = model2.maxs.zip(model2.mins).map { case (mx, mn) => mx - mn }.max
+    assert(maxErr <= widest / 255.0 / 2 + 1e-9, s"max error $maxErr")
+  }
+
+  test("binary codes pack sign bits into two words") {
+    val codes = Quantization.binaryCodes(emb.filter($"vec_id" === 0), "vec_id", "embedding")
+      .orderBy("word").collect()
+    assert(codes.length == 2) // dim 64 → 2 × 32-bit words
+    val vec = emb.filter($"vec_id" === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val expected = codes.map(_.getLong(2))
+    val recomputed = (0 until 2).map { w =>
+      (0 until 32).map(b => if (vec(w * 32 + b) >= 0) 1L << b else 0L).sum
+    }
+    assert(expected.toSeq == recomputed)
+    // hamming of a code with itself is 0, with complement is 32
+    val h = emb.sparkSession.range(1)
+      .select(Quantization.hamming(
+        org.apache.spark.sql.functions.lit(expected(0)),
+        org.apache.spark.sql.functions.lit(expected(0))))
+      .collect().head.getInt(0)
+    assert(h == 0)
+  }
+
+  test("product quantizer: identical vectors share codes, reconstruction beats zero") {
+    val model = Quantization.fitProduct(emb, "vec_id", "embedding", m = 8, k = 4, iters = 1)
+    val codes = emb.filter($"vec_id" < 3)
+      .select($"vec_id", model.encode($"embedding").as("code")).collect()
+    assert(codes.forall(_.getSeq[Int](1).size == 8))
+    // determinism: same fit twice → same codes
+    val model2 = Quantization.fitProduct(emb, "vec_id", "embedding", m = 8, k = 4, iters = 1)
+    val codes2 = emb.filter($"vec_id" < 3)
+      .select($"vec_id", model2.encode($"embedding").as("code")).collect()
+    assert(codes.map(_.getSeq[Int](1)).toSeq == codes2.map(_.getSeq[Int](1)).toSeq)
+    // reconstruction error < ||x|| (i.e. beats the zero-vector baseline)
+    val errVsNorm = emb.select(
+        model.decode(model.encode($"embedding")).as("rec"), $"embedding")
+      .selectExpr(
+        "sqrt(aggregate(zip_with(rec, embedding, (r, x) -> (r - CAST(x AS DOUBLE)) * (r - CAST(x AS DOUBLE))), CAST(0 AS DOUBLE), (a, v) -> a + v)) AS err",
+        "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm")
+      .agg(org.apache.spark.sql.functions.avg($"err").as("e"),
+        org.apache.spark.sql.functions.avg($"nrm").as("n"))
+      .collect().head
+    assert(errVsNorm.getDouble(0) < errVsNorm.getDouble(1))
+  }
+}
