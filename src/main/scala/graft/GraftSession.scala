@@ -91,6 +91,12 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   def gremlin(query: String): DataFrame =
     compiler.compile(graft.frontends.gremlin.GremlinFrontend.translate(query))
 
+  /** Gremlin mutation traversals (addV/addE/property/drop, reference
+    * gremlin/ast.rs) — functional semantics: returns the mutated graph.
+    */
+  def gremlinUpdate(query: String): PropertyGraph =
+    graft.frontends.gremlin.GremlinUpdates.run(spark, graph, query)
+
   /** GraphQL entry point (reference graphql_translator.rs). */
   def graphql(query: String): DataFrame = {
     if (query.trim.toLowerCase.startsWith("mutation"))

@@ -23,7 +23,7 @@ import graft.ir.{Expr, Op}
 object GremlinFrontend {
 
   final case class St(name: String, args: Seq[Any]) // parsed step
-  private final case class Pred(op: String, values: Seq[Any])
+  private[gremlin] final case class Pred(op: String, values: Seq[Any])
 
   // ---- parser: g.step(args).step(args)… ----
   def parseSteps(q: String): Seq[St] = {
@@ -107,8 +107,12 @@ object GremlinFrontend {
   }
 
   // ---- translate: fold steps into IR ----
-  def translate(q: String): Op.T = {
-    val steps = parseSteps(q)
+  def translate(q: String): Op.T = translateSteps(parseSteps(q))._1
+
+  /** Fold a step list into IR; also returns the final traverser variable
+    * (the node-position binding GremlinUpdates needs for property()/drop()).
+    */
+  private[gremlin] def translateSteps(steps: Seq[St]): (Op.T, String) = {
     require(steps.nonEmpty && steps.head.name == "V",
       "traversal must start with g.V()")
     var anon = 0
@@ -373,6 +377,6 @@ object GremlinFrontend {
       case other =>
         throw new IllegalArgumentException(s"unknown gremlin step $other()")
     }
-    op
+    (op, cur)
   }
 }

@@ -54,6 +54,36 @@ object MutationQueriesImpl {
         .orderBy("name")
     },
 
+    // Gremlin mutation steps (gremlin/ast.rs addV/addE/property/drop):
+    // add a hub, link it to region 0, rename it, drop a customer segment,
+    // read everything back through Gremlin traversals.
+    QueryDef(
+      "q_gremlin_mutation",
+      """SELECT name FROM (
+        |  SELECT 'hub3' AS name
+        |  UNION ALL
+        |  SELECT r_name FROM region WHERE r_regionkey = 0
+        |  UNION ALL
+        |  SELECT c_name FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        |)
+        |ORDER BY name NULLS FIRST""".stripMargin) { (s, dir) =>
+      val region0 = TpchGraph.RegionTag * TpchGraph.Stride
+      val sess = new graft.GraftSession(s, TpchGraph(s, dir))
+      val g1 = sess.gremlinUpdate(
+        "g.addV('Hub').property('id', 999).property('name', 'ghub')")
+      val g2 = new graft.GraftSession(s, g1).gremlinUpdate(
+        s"g.addE('LINKS').from(V(999)).to(V($region0))")
+      val g3 = new graft.GraftSession(s, g2).gremlinUpdate(
+        "g.V().hasLabel('Hub').property('name', 'hub3')")
+      val g4 = new graft.GraftSession(s, g3).gremlinUpdate(
+        "g.V().hasLabel('Customer').has('category', 'MACHINERY').drop()")
+      val after = new graft.GraftSession(s, g4)
+      after.gremlin("g.V().hasLabel('Hub').out('LINKS').values('name')")
+        .unionByName(after.gremlin("g.V().hasLabel('Hub').values('name')"))
+        .unionByName(after.gremlin("g.V().hasLabel('Customer').values('name')"))
+        .orderBy("name")
+    },
+
     // SetProperty: +10% balance for BUILDING customers, others untouched.
     QueryDef(
       "q_mut_set_property",

@@ -180,15 +180,20 @@ object Knn {
   def nearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int,
       bits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val b = lshBuckets(df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
-        "__v", dim, bits, tables, seed)
-      .select(col("__id"), col("__v"), explode(col("__buckets")).as("__b"))
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val b = lshBuckets(vecs, "__v", dim, bits, tables, seed)
+      .select(col("__id"), explode(col("__buckets")).as("__b"))
+    // dedup the bare id pairs BEFORE re-joining vectors: the multi-table
+    // collision dedup shuffles (long, long) rows, not 2×dim floats — at
+    // wide dims the difference is the whole shuffle (same pattern as
+    // minHashNearDuplicates)
     val candidates = b.as("l").join(b.as("r"),
         col("l.__b") === col("r.__b") && col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id1"), col("l.__v").as("__v1"),
-        col("r.__id").as("id2"), col("r.__v").as("__v2"))
-      .dropDuplicates("id1", "id2") // a pair may collide in several tables
+      .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
+      .distinct()
     candidates
+      .join(vecs.select(col("__id").as("id1"), col("__v").as("__v1")), "id1")
+      .join(vecs.select(col("__id").as("id2"), col("__v").as("__v2")), "id2")
       .select(col("id1"), col("id2"),
         round(cosineSimilarity(col("__v1"), col("__v2")), 6).as("score"))
       .filter(col("score") >= threshold)
