@@ -101,6 +101,10 @@ object SparqlAst {
   final case class MinusP(l: Pattern, r: Pattern) extends Pattern
   final case class FilterP(p: Pattern, e: Expr.E) extends Pattern
   final case class BindP(p: Pattern, e: Expr.E, as: String) extends Pattern
+  /** FILTER [NOT] EXISTS { … } → semi/anti join on shared vars. */
+  final case class ExistsP(p: Pattern, sub: Pattern, negated: Boolean) extends Pattern
+  /** VALUES ?v { lit … } / VALUES (?a ?b) { (l1 l2) … } → inline bindings. */
+  final case class ValuesP(p: Pattern, vars: Seq[String], rows: Seq[Seq[String]]) extends Pattern
 
   final case class Query(
       kind: String,                     // select | ask | construct
@@ -226,9 +230,58 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
       peek match {
         case Some(Kw("FILTER")) =>
           next(); flushBgp()
-          val e = if (at(Sym("("))) { next(); val x = parseExpr(); expect(Sym(")")); x }
-          else parseExpr() // bare function call form: FILTER f(args)
-          acc = Some(FilterP(acc.getOrElse(Bgp(Nil)), e))
+          // FILTER [NOT] EXISTS { … } (SPARQL 1.1 §8.1) before expression forms
+          def isWord(t: Option[Tok], s: String): Boolean = t match {
+            case Some(Word(w)) => w.equalsIgnoreCase(s)
+            case _ => false
+          }
+          val save = pos
+          val negated = isWord(peek, "NOT")
+          if (negated) next()
+          if (isWord(peek, "EXISTS")) {
+            next()
+            val sub = parseGroup()
+            acc = Some(ExistsP(acc.getOrElse(Bgp(Nil)), sub, negated))
+          } else {
+            pos = save
+            val e = if (at(Sym("("))) { next(); val x = parseExpr(); expect(Sym(")")); x }
+            else parseExpr() // bare function call form: FILTER f(args)
+            acc = Some(FilterP(acc.getOrElse(Bgp(Nil)), e))
+          }
+        case Some(Word(w)) if w.equalsIgnoreCase("VALUES") =>
+          next(); flushBgp()
+          val vars = Seq.newBuilder[String]
+          val single = peek match {
+            case Some(VarT(v)) => next(); vars += v; true
+            case Some(Sym("(")) =>
+              next()
+              while (!at(Sym(")"))) peek match {
+                case Some(VarT(v)) => next(); vars += v
+                case other => fail(s"VALUES expects variables, got $other")
+              }
+              next(); false
+            case other => fail(s"VALUES expects ?var or (?vars), got $other")
+          }
+          expect(Sym("{"))
+          val rows = Seq.newBuilder[Seq[String]]
+          def litTok(): String = next() match {
+            case Word(s2) => s2
+            case StrT(s2) => s2
+            case NumT(s2) => s2
+            case other => fail(s"VALUES expects literals, got $other")
+          }
+          while (!at(Sym("}"))) {
+            if (single) rows += Seq(litTok())
+            else {
+              expect(Sym("("))
+              val r = Seq.newBuilder[String]
+              while (!at(Sym(")"))) r += litTok()
+              next()
+              rows += r.result()
+            }
+          }
+          next()
+          acc = Some(ValuesP(acc.getOrElse(Bgp(Nil)), vars.result(), rows.result()))
         case Some(Kw("OPTIONAL")) =>
           next(); flushBgp()
           val r = parseGroup()
@@ -448,6 +501,25 @@ final class SparqlCompiler(graph: TripleGraph) {
         shared, "left_anti")
     case FilterP(in, e) => compilePattern(in).filter(expr(e))
     case BindP(in, e, v) => compilePattern(in).withColumn(v, expr(e))
+    case ExistsP(in, sub, negated) =>
+      val (dl, dr) = (compilePattern(in), compilePattern(sub))
+      val shared = dl.columns.intersect(dr.columns).toSeq
+      require(shared.nonEmpty,
+        "FILTER EXISTS must share a variable with the outer pattern")
+      dl.join(dr.select(shared.map(col): _*).distinct(), shared,
+        if (negated) "left_anti" else "left_semi")
+    case ValuesP(in, vars, rows) =>
+      val spark = graph.triples.sparkSession
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val schema = StructType(vars.map(v => StructField(v, StringType)))
+      val vdf = spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r: _*)): _*), schema)
+      val left = compilePattern(in)
+      val shared = left.columns.intersect(vars).toSeq
+      if (left.columns.isEmpty || left.columns.sameElements(Array("__one"))) vdf
+      else if (shared.nonEmpty) left.join(vdf, shared)
+      else left.crossJoin(vdf)
     case PathP(s, path, o) =>
       val seed = s match { case L(v) => Some(v); case _ => None }
       var pairs = pathPairs(path, seed)

@@ -133,6 +133,34 @@ object SparqlQueriesImpl {
           |} ORDER BY ?c ?r ?nm""".stripMargin)
     },
 
+    // FILTER EXISTS → semi join on the shared variable (SPARQL 1.1 §8.1).
+    QueryDef(
+      "q_sparql_exists",
+      """SELECT n_name AS nn FROM nation
+        |WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+        |ORDER BY nn NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        """SELECT ?nn WHERE {
+          |  ?nat name ?nn .
+          |  FILTER(STRSTARTS(?nat, 'n:'))
+          |  FILTER EXISTS { ?s inNation ?nat . FILTER(STRSTARTS(?s, 's:')) }
+          |} ORDER BY ?nn""".stripMargin)
+    },
+
+    // VALUES inline bindings (SPARQL 1.1 §10.2) → broadcast-joined literal
+    // relation.
+    QueryDef(
+      "q_sparql_values",
+      """SELECT 'c:' || c_custkey AS c, c_mktsegment AS seg
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |ORDER BY c NULLS FIRST, seg NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        """SELECT ?c ?seg WHERE {
+          |  ?c segment ?seg .
+          |  VALUES ?seg { 'BUILDING' 'MACHINERY' }
+          |} ORDER BY ?c ?seg""".stripMargin)
+    },
+
     // Aggregation + GROUP BY (SPARQL 1.1; RDF aggregate planning).
     QueryDef(
       "q_sparql_agg",

@@ -78,6 +78,31 @@ class SparqlSpec extends AnyFunSuite {
     assert(pairs == seeded)
   }
 
+  test("FILTER NOT EXISTS anti-joins; EXISTS and NOT EXISTS partition") {
+    val ex = SparqlFrontend.run(rdf,
+      """SELECT ?nn WHERE { ?nat name ?nn . FILTER(STRSTARTS(?nat, 'n:'))
+        |  FILTER EXISTS { ?s inNation ?nat . FILTER(STRSTARTS(?s, 's:')) } }""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    val notEx = SparqlFrontend.run(rdf,
+      """SELECT ?nn WHERE { ?nat name ?nn . FILTER(STRSTARTS(?nat, 'n:'))
+        |  FILTER NOT EXISTS { ?s inNation ?nat . FILTER(STRSTARTS(?s, 's:')) } }""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    val all = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert((ex & notEx).isEmpty && (ex | notEx) == all && ex.nonEmpty)
+  }
+
+  test("VALUES with a tuple row list") {
+    val got = SparqlFrontend.run(rdf,
+      """SELECT ?c ?seg WHERE {
+        |  ?c segment ?seg .
+        |  VALUES (?seg) { ('BUILDING') }
+        |} ORDER BY ?c""".stripMargin).collect()
+    val exp = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(got.length == exp && got.forall(_.getString(1) == "BUILDING"))
+  }
+
   test("parse errors are IllegalArgumentException") {
     assertThrows[IllegalArgumentException](SparqlFrontend.parse("SELECT ?x WHERE { ?x"))
     assertThrows[IllegalArgumentException](SparqlFrontend.parse("WHERE { ?s ?p ?o }"))
