@@ -1,6 +1,6 @@
 package graft.frontends.gremlin
 
-import graft.graph.{Both, In, Out}
+import graft.graph.{Both, Direction, In, Out}
 import graft.ir.{Expr, Op}
 
 /** Gremlin front-end (SURVEY §2.8; reference
@@ -113,8 +113,8 @@ object GremlinFrontend {
     * (the node-position binding GremlinUpdates needs for property()/drop()).
     */
   private[gremlin] def translateSteps(steps: Seq[St]): (Op.T, String) = {
-    require(steps.nonEmpty && steps.head.name == "V",
-      "traversal must start with g.V()")
+    require(steps.nonEmpty && (steps.head.name == "V" || steps.head.name == "E"),
+      "traversal must start with g.V() or g.E()")
     var anon = 0
     def fresh(): String = { anon += 1; s"__g$anon" }
     var cur = fresh()
@@ -126,7 +126,12 @@ object GremlinFrontend {
     val consumedBys = scala.collection.mutable.Set.empty[Int] // by()s folded into select()
     val aliases = scala.collection.mutable.Map.empty[String, String] // as-name -> IR var
     val visited = scala.collection.mutable.ArrayBuffer.empty[String] // traverser path
-    var edgeCur: Option[(String, String)] = None // (edge var, pending dst var) after outE/inE
+    // edge-position traversal state after E()/outE/inE/bothE: the edge var,
+    // the expansion target (what otherV binds), and the true source/target
+    // node vars — None after bothE, whose union branches disagree on sides
+    case class EdgePos(ev: String, target: String,
+        srcV: Option[String], dstV: Option[String])
+    var edgeCur: Option[EdgePos] = None
 
     def dirOf(name: String) = name match {
       case "out" | "outE" => Out
@@ -180,6 +185,14 @@ object GremlinFrontend {
       case "V" =>
         require(idx == 0, "V() only at the start")
         visited += cur
+      case "E" =>
+        // edge scan: every edge once via its source (gremlin/ast.rs E step)
+        require(idx == 0, "E() only at the start")
+        val to = fresh()
+        val ev = fresh()
+        op = Op.Expand(op, cur, s.args.headOption.map(_.asInstanceOf[String]),
+          to, Out, None, Some(ev))
+        edgeCur = Some(EdgePos(ev, to, Some(cur), Some(to)))
       case "hasLabel" =>
         op = Op.Filter(op, Expr.Bin("in", Expr.Lit(s.args.head),
           Expr.Func("labels", Seq(Expr.Var(cur)))))
@@ -205,24 +218,34 @@ object GremlinFrontend {
         // traverser moves onto the edge: bind edge var now, node var pending
         val to = fresh()
         val ev = fresh()
+        val d = dirOf(s.name)
         op = Op.Expand(op, cur, s.args.headOption.map(_.asInstanceOf[String]),
-          to, dirOf(s.name), None, Some(ev))
-        edgeCur = Some((ev, to))
+          to, d, None, Some(ev))
+        edgeCur = Some(d match {
+          case Out  => EdgePos(ev, to, Some(cur), Some(to))
+          case In   => EdgePos(ev, to, Some(to), Some(cur))
+          case Both => EdgePos(ev, to, None, None)
+        })
       case "inV" | "outV" | "otherV" =>
-        // for bothE, each union branch binds the far endpoint as the pending
-        // dst var, so otherV() is exactly that binding
-        val (_, pendingDst) = edgeCur.getOrElse(
-          throw new IllegalArgumentException(s"${s.name}() only after outE()/inE()/bothE()"))
-        cur = pendingDst
+        val pos2 = edgeCur.getOrElse(
+          throw new IllegalArgumentException(s"${s.name}() only after E()/outE()/inE()/bothE()"))
+        def side(o: Option[String]): String = o.getOrElse(
+          throw new IllegalArgumentException(
+            s"${s.name}() after bothE() is ambiguous — use otherV()"))
+        cur = s.name match {
+          case "otherV" => pos2.target
+          case "inV"    => side(pos2.dstV)
+          case "outV"   => side(pos2.srcV)
+        }
         visited += cur
         edgeCur = None
       case "values" =>
         val key = s.args.head.asInstanceOf[String]
-        val owner = edgeCur.map(_._1).getOrElse(cur) // edge position reads edge props
+        val owner = edgeCur.map(_.ev).getOrElse(cur) // edge position reads edge props
         op = Op.Project(op, Seq((Expr.Prop(owner, key), key)))
         valueCol = Some(key)
       case "label" =>
-        val owner = edgeCur.map(_._1).getOrElse(cur)
+        val owner = edgeCur.map(_.ev).getOrElse(cur)
         val e: Expr.E =
           if (edgeCur.isDefined) Expr.Func("type", Seq(Expr.Var(owner)))
           else Expr.Func("labels", Seq(Expr.Var(owner)))

@@ -136,6 +136,14 @@ object LangQueriesImpl {
         "g.V().coalesce(values('category'), values('name')).order().by()")
     },
 
+    // Gremlin E() edge scan: sum of CONTAINS edge weights (= l_quantity,
+    // integer-valued doubles → exact sums in any engine).
+    QueryDef(
+      "q_gremlin_edges",
+      "SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum FROM lineitem") { (s, dir) =>
+      session(s, dir).gremlin("g.E('CONTAINS').values('weight').sum()")
+    },
+
     // GraphQL: root label scan + arg filter + nested expand.
     QueryDef(
       "q_graphql_nested",

@@ -62,6 +62,25 @@ class LangSpec extends AnyFunSuite {
     assert(r.getString(r.fieldIndex("name")).nonEmpty)
   }
 
+  test("gremlin: E() edge scan and inV/outV sides") {
+    val nEdges = session.gremlin("g.E().count()").collect().head.getLong(0)
+    assert(nEdges == TpchGraph(spark, sf).edges.count())
+    val rels = session.gremlin("g.E('IN_REGION').label().dedup().order().by()")
+      .collect().map(_.getString(0)).toSeq
+    assert(rels == Seq("IN_REGION"))
+    // E().outV() lands on sources (nations), E().inV() on targets (regions)
+    val srcs = session.gremlin("g.E('IN_REGION').outV().id().dedup().count()")
+      .collect().head.getLong(0)
+    val dsts = session.gremlin("g.E('IN_REGION').inV().id().dedup().count()")
+      .collect().head.getLong(0)
+    assert(srcs == 25L && dsts == 5L)
+    // outE().outV() stays at the source
+    val back = session.gremlin(
+      "g.V().hasLabel('Nation').outE('IN_REGION').outV().label().dedup().order().by()")
+      .collect().map(r => r.get(0).toString).toSeq
+    assert(back.nonEmpty)
+  }
+
   test("gremlin: and/or/not boolean steps") {
     val a = session.gremlin(
       "g.V().and(hasLabel('Customer'), has('acctbal', gt(9000.0))).count()")
