@@ -63,6 +63,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"all-pairs cross join in:\n$p")
   }
 
+  test("cyclic-pattern triangle query: the part-id filter reaches the scans") {
+    val df = Catalog.queries("q_cypher_triangle")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cycle join must stay equi-join:\n$p")
+    assert(p.contains("PushedFilters"), "expected pushed filters on the scans")
+  }
+
+  test("EXISTS subquery compiles to a semi join, COUNT to an aggregate join") {
+    val df = Catalog.queries("q_cypher_exists")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"expected semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("minhash exact-dup uses a single full-signature band") {
+    val df = Catalog.queries("q_minhash_exactdup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be an equi-join:\n$p")
+  }
+
+  test("scalar quantization prunes to the embedding column") {
+    val df = Catalog.queries("q_vector_quantize")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema"))
+    // the codebook aggregation and encode pass need only vec_id + embedding;
+    // the unused `label` column must not appear in any scan schema
+    p.split("ReadSchema").drop(1).foreach { seg =>
+      assert(!seg.split("\n")(0).contains("label"),
+        "pruned column `label` must not be in ReadSchema")
+    }
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE prints the final (codegen'd) stages only after execution
     val df = Catalog.queries("q_project_expr")(spark, sf)
