@@ -34,12 +34,15 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
           col(to) === col("__tid"))
         .drop("__tid")
 
-    case Op.VarExpand(in, from, rel, to, dir, min, max, targetLabel) =>
+    case Op.VarExpand(in, from, rel, to, dir, min, max, targetLabel, hopsAs) =>
       val df = compile(in)
-      val pairs = graph
+      val walk = graph
         .varLengthExpand(df.select(col(from)).distinct(), from, rel, min, max, dir)
         .withColumnRenamed("dst", to)
-        .drop("hops")
+      val pairs = hopsAs match {
+        case Some(h) => walk.withColumnRenamed("hops", h)
+        case None    => walk.drop("hops")
+      }
       df.join(pairs, from)
         .join(nodeFor(to, targetLabel).withColumnRenamed(to, "__tid"),
           col(to) === col("__tid"))
@@ -167,6 +170,11 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
           case p => percentile_approx(a0, p, lit(1000000))
         }
         case "percentiledisc" => percentile_approx(a0, expr(args(1), env), lit(1000000))
+        // deterministic forms of the SPARQL 1.1 additions (see Sparql.scala)
+        case "group_concat" =>
+          val sep = args.lift(1).collect { case Expr.Lit(s2) => s2.toString }.getOrElse(" ")
+          array_join(sort_array(collect_list(a0.cast("string"))), sep)
+        case "sample" => min(a0)
       }
     case other => comp(other, aggExpr(_, _), env)
   }

@@ -74,10 +74,12 @@ object Ast {
       dir: Direction, range: Option[(Int, Int)])
   /** `shortest`: Some(pathVarOpt) when the pattern is wrapped in
     * shortestPath()/allShortestPaths() (both bind minimal-hop reachability
-    * here — we bind endpoints + length, not path lists).
+    * here — we bind endpoints + length, not path lists). `pathVar` is a
+    * plain `p = (…)` binding on an ordinary pattern: length(p) resolves to
+    * the walk length (fixed rel count + var-length hops).
     */
   final case class PathPat(head: NodePat, tail: Seq[(RelPat, NodePat)],
-      shortest: Option[Option[String]] = None)
+      shortest: Option[Option[String]] = None, pathVar: Option[String] = None)
   sealed trait Clause
   final case class MatchClause(paths: Seq[PathPat], where: Option[Expr.E],
       optional: Boolean = false) extends Clause
@@ -229,10 +231,7 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       case Some(Ident(fn))
           if fn.equalsIgnoreCase("shortestPath") ||
             fn.equalsIgnoreCase("allShortestPaths") => next(); true
-      case _ =>
-        if (pathVar.isDefined)
-          fail("path variables are supported only on shortestPath()/allShortestPaths()")
-        false
+      case _ => false
     }
     if (isShortest) expect(Sym("("))
     val head = parseNodePat()
@@ -248,7 +247,9 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       }
     }
     if (isShortest) expect(Sym(")"))
-    PathPat(head, tail.result(), if (isShortest) Some(pathVar) else None)
+    PathPat(head, tail.result(),
+      if (isShortest) Some(pathVar) else None,
+      if (isShortest) None else pathVar)
   }
 
   private def parseNodePat(): NodePat = {
@@ -587,8 +588,8 @@ object CypherFrontend {
     def fresh(): String = { anon += 1; s"__n$anon" }
 
     val boundVars = scala.collection.mutable.Set.empty[String]
-    // path variable -> bound length column (length(p) resolves to it)
-    val pathLenCols = scala.collection.mutable.Map.empty[String, String]
+    // path variable -> length expression (length(p) resolves to it)
+    val pathLenExprs = scala.collection.mutable.Map.empty[String, Expr.E]
 
     // COUNT { } subqueries in an expression become a correlated-count column
     // joined in below the consumer (plan stays fully distributed)
@@ -635,7 +636,7 @@ object CypherFrontend {
           val headVar = path.head.v.getOrElse(fresh())
           val toVar = node.v.getOrElse(fresh())
           val lenCol = path.shortest.get.map { pv =>
-            val c = s"__plen_$pv"; pathLenCols(pv) = c; c
+            val c = s"__plen_$pv"; pathLenExprs(pv) = Expr.Var(c); c
           }
           var pathOp: Op.T = Op.NodeScan(headVar, path.head.label)
           pathOp = propFilters(pathOp, headVar, path.head.props)
@@ -665,6 +666,24 @@ object CypherFrontend {
           var pathOp: Op.T = Op.NodeScan(headVar, path.head.label)
           pathOp = propFilters(pathOp, headVar, path.head.props)
           var fromVar = headVar
+          // `p = (…)` on an ordinary pattern: length(p) = fixed rel count
+          // (+ the single var-length walk's hop column when present)
+          val nVarLen = path.tail.count(_._1.range.isDefined)
+          val hopsCol: Option[String] = path.pathVar.flatMap { pv =>
+            require(nVarLen <= 1,
+              "path variables support at most one var-length relationship per path")
+            val nFixed = path.tail.size - nVarLen
+            if (nVarLen == 1) {
+              val c = s"__plen_$pv"
+              pathLenExprs(pv) =
+                if (nFixed == 0) Expr.Var(c)
+                else Expr.Bin("+", Expr.Var(c), Expr.Lit(nFixed.toLong))
+              Some(c)
+            } else {
+              pathLenExprs(pv) = Expr.Lit(path.tail.size.toLong)
+              None
+            }
+          }
           // cyclic patterns: a node var reused later in the SAME path (e.g.
           // MATCH (a)-[:X]->(b)-[:Y]->(a)) expands into a fresh column plus a
           // join-back equality filter — correct cycle semantics instead of a
@@ -678,7 +697,8 @@ object CypherFrontend {
               case Some((lo, hi)) =>
                 require(rel.v.isEmpty,
                   "edge variables on var-length patterns are not supported (the walk has no single edge)")
-                Op.VarExpand(pathOp, fromVar, rel.relType, toVar, rel.dir, lo, hi, node.label)
+                Op.VarExpand(pathOp, fromVar, rel.relType, toVar, rel.dir, lo, hi,
+                  node.label, hopsCol)
               case None =>
                 Op.Expand(pathOp, fromVar, rel.relType, toVar, rel.dir, node.label,
                   rel.v)
@@ -736,11 +756,11 @@ object CypherFrontend {
         skip.foreach(n => cur = Op.Skip(cur, n))
         limit.foreach(n => cur = Op.Limit(cur, n))
     }
-    if (pathLenCols.isEmpty) cur
+    if (pathLenExprs.isEmpty) cur
     else Op.rewriteExprs(cur) {
       case Expr.Func(n, Seq(Expr.Var(pv)), _)
-          if n.equalsIgnoreCase("length") && pathLenCols.contains(pv) =>
-        Expr.Var(pathLenCols(pv))
+          if n.equalsIgnoreCase("length") && pathLenExprs.contains(pv) =>
+        pathLenExprs(pv)
       case e => e
     }
   }

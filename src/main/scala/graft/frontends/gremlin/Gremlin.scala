@@ -383,6 +383,23 @@ object GremlinFrontend {
           Seq((condE, valTraversal(cur, s.args(1)))),
           Some(valTraversal(cur, s.args(2)))), "v")))
         valueCol = Some("v")
+      case "repeat" =>
+        // repeat(out/in/both(rel)).times(n) → exactly-n-hop var-length walk
+        val nxt = steps.lift(idx + 1)
+        require(nxt.exists(_.name == "times"), "repeat() requires .times(n)")
+        val n = nxt.get.args.head.asInstanceOf[Long].toInt
+        consumedBys += idx + 1
+        s.args.head match {
+          case Pred(d @ ("out" | "in" | "both"), args2) =>
+            val to = fresh()
+            op = Op.VarExpand(op, cur, args2.headOption.map(_.asInstanceOf[String]),
+              to, dirOf(d), n, n, None)
+            cur = to
+            visited += to
+          case other => throw new IllegalArgumentException(
+            s"repeat() supports out()/in()/both() bodies, got $other")
+        }
+      case "times" if consumedBys.contains(idx) => () // folded into repeat()
       case "union" =>
         // union(out('A'), in('B'), …): same far-side var in every branch so
         // the bag union is schema-aligned

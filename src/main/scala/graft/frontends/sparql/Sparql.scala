@@ -697,6 +697,13 @@ final class SparqlCompiler(graph: TripleGraph) {
         case "avg" => avg(a0.cast("double"))
         case "min" => min(a0)
         case "max" => max(a0)
+        // SPARQL 1.1 leaves GROUP_CONCAT order and SAMPLE choice
+        // implementation-defined; sorting / taking the minimum makes both
+        // deterministic (and therefore oracle-checkable)
+        case "group_concat" =>
+          val sep = args.lift(1).collect { case Expr.Lit(s2) => s2.toString }.getOrElse(" ")
+          array_join(sort_array(collect_list(a0.cast("string"))), sep)
+        case "sample" => min(a0)
       }
     case other => expr(other)
   }

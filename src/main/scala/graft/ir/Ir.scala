@@ -38,10 +38,12 @@ object Expr {
   final case class ExistsSub(plan: Op.T) extends E
   final case class CountSub(plan: Op.T) extends E
 
-  /** Aggregate function names (plan.rs:285-308; aggregate.rs:48-75). */
+  /** Aggregate function names (plan.rs:285-308; aggregate.rs:48-75;
+    * group_concat/sample are the SPARQL 1.1 additions).
+    */
   val aggregateFns: Set[String] =
     Set("count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
-      "percentilecont", "percentiledisc")
+      "percentilecont", "percentiledisc", "group_concat", "sample")
 
   /** Bottom-up expression rewrite (parameter substitution, path-length
     * resolution). `f` sees each node after its children were rewritten.
@@ -106,10 +108,13 @@ object Op {
       to: String, dir: Direction, targetLabel: Option[String],
       edgeVar: Option[String] = None) extends T
 
-  /** plan.rs:180-212 with min/max hops (variable_length_expand.rs). */
+  /** plan.rs:180-212 with min/max hops (variable_length_expand.rs);
+    * `hopsAs` optionally binds the walk length (Cypher `length(p)` on a
+    * path-variable var-length pattern).
+    */
   final case class VarExpand(input: T, from: String, relType: Option[String],
       to: String, dir: Direction, min: Int, max: Int,
-      targetLabel: Option[String]) extends T
+      targetLabel: Option[String], hopsAs: Option[String] = None) extends T
 
   /** plan.rs:311-317. */
   final case class Filter(input: T, pred: E) extends T

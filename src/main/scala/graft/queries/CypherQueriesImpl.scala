@@ -200,6 +200,36 @@ object CypherQueriesImpl {
           |ORDER BY n""".stripMargin)
     },
 
+    // General path variable on an ordinary var-length pattern: length(p)
+    // binds the walk length (hops column of the var-length expand).
+    QueryDef(
+      "q_cypher_pathlen",
+      """WITH RECURSIVE dag AS (
+        |  SELECT a.p_partkey AS src, b.p_partkey AS dst
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |),
+        |walk(src, dst, hops) AS (
+        |  SELECT src, dst, 1 FROM dag WHERE src = 2
+        |  UNION ALL
+        |  SELECT w.src, d.dst, w.hops + 1 FROM walk w JOIN dag d ON d.src = w.dst
+        |  WHERE w.hops < 3
+        |)
+        |SELECT CAST(dst AS BIGINT) AS dst, CAST(hops AS INT) AS len,
+        |       count(*) AS n_walks
+        |FROM walk GROUP BY dst, hops
+        |ORDER BY dst NULLS FIRST, len NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph.partDag(s, dir)).cypher(
+        """MATCH p = (a:Part {name: '2'})-[:LINK*1..3]->(b:Part)
+          |RETURN id(b) AS dst, length(p) AS len, count(*) AS n_walks
+          |ORDER BY dst, len""".stripMargin)
+    },
+
     QueryDef(
       "q_cypher_unwind",
       """SELECT y FROM (SELECT 2 * unnest([1, 2, 3, 4, 5]) AS y) ORDER BY y NULLS FIRST""") { (s, dir) =>

@@ -144,6 +144,32 @@ object LangQueriesImpl {
       session(s, dir).gremlin("g.E('CONTAINS').values('weight').sum()")
     },
 
+    // Gremlin repeat().times(n) → exactly-n-hop var-length walk (bag
+    // semantics: one row per walk).
+    QueryDef(
+      "q_gremlin_repeat",
+      """WITH RECURSIVE dag AS (
+        |  SELECT a.p_partkey AS src, b.p_partkey AS dst
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |),
+        |walk(dst, hops) AS (
+        |  SELECT dst, 1 FROM dag WHERE src = 1
+        |  UNION ALL
+        |  SELECT d.dst, w.hops + 1 FROM walk w JOIN dag d ON d.src = w.dst
+        |  WHERE w.hops < 2
+        |)
+        |SELECT CAST(dst AS BIGINT) AS id FROM walk WHERE hops = 2
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph.partDag(s, dir)).gremlin(
+        "g.V().hasId(1).repeat(out('LINK')).times(2).id().order().by()")
+    },
+
     // GraphQL: root label scan + arg filter + nested expand.
     QueryDef(
       "q_graphql_nested",

@@ -161,6 +161,26 @@ object SparqlQueriesImpl {
           |} ORDER BY ?c ?seg""".stripMargin)
     },
 
+    // GROUP_CONCAT + SAMPLE (SPARQL 1.1 §18.5.1) — both made deterministic
+    // (sorted concat, minimum sample) so the oracle can reproduce them.
+    QueryDef(
+      "q_sparql_groupconcat",
+      """SELECT c_mktsegment AS seg,
+        |       string_agg(c_name, '|' ORDER BY c_name) AS names,
+        |       min(c_name) AS pick
+        |FROM customer
+        |WHERE c_name LIKE '%1'
+        |GROUP BY c_mktsegment
+        |ORDER BY seg NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        """SELECT ?seg (GROUP_CONCAT(?nm, '|') AS ?names) (SAMPLE(?nm) AS ?pick)
+          |WHERE {
+          |  ?c segment ?seg .
+          |  ?c name ?nm .
+          |  FILTER(STRENDS(?nm, '1'))
+          |} GROUP BY ?seg ORDER BY ?seg""".stripMargin)
+    },
+
     // Aggregation + GROUP BY (SPARQL 1.1; RDF aggregate planning).
     QueryDef(
       "q_sparql_agg",
