@@ -66,6 +66,14 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
 
     case Op.Filter(in, pred) => compile(in).filter(expr(pred))
 
+    // RETURN * / WITH *: every bound variable column (internal and property
+    // columns carry "__" and stay hidden)
+    case Op.Project(in, Seq((Expr.Var("*"), _))) =>
+      val df = compile(in)
+      val cols = df.columns.filterNot(_.contains("__"))
+      require(cols.nonEmpty, "RETURN * has no bound variables")
+      df.select(cols.map(col): _*)
+
     case Op.Project(in, items) =>
       compile(in).select(items.map { case (e, n) => expr(e).as(n) }: _*)
 

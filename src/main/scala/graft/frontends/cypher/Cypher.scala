@@ -346,13 +346,17 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
   private def parseWithRet(isReturn: Boolean): WithRet = {
     val distinct = eat(Kw("DISTINCT")(""))
     val items = Seq.newBuilder[(Expr.E, Option[String])]
-    def item(): Unit = {
-      val e = parseExpr()
-      val alias = if (eat(Kw("AS")(""))) next() match {
-        case Ident(s) => Some(s)
-        case other => fail(s"expected alias, got $other")
-      } else None
-      items += ((e, alias))
+    def item(): Unit = peek match {
+      // RETURN * / WITH * — all bound variables (compiled to the non-internal
+      // columns; nodes surface as their ids, the binding convention here)
+      case Some(Sym("*")) => next(); items += ((Expr.Var("*"), None))
+      case _ =>
+        val e = parseExpr()
+        val alias = if (eat(Kw("AS")(""))) next() match {
+          case Ident(s) => Some(s)
+          case other => fail(s"expected alias, got $other")
+        } else None
+        items += ((e, alias))
     }
     item()
     while (eat(Sym(","))) item()
@@ -521,11 +525,14 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       expect(Sym("}"))
       Expr.MapLit(items.result())
     case Kw("CASE") =>
+      // simple CASE (`CASE x WHEN v THEN r`) desugars to searched form
+      val subject = if (!at(Kw("WHEN")(""))) Some(parseExpr()) else None
       val branches = Seq.newBuilder[(Expr.E, Expr.E)]
-      // searched CASE only (simple CASE desugars to searched upstream)
       while (eat(Kw("WHEN")(""))) {
-        val c = parseExpr(); expect(Kw("THEN")("")); val v = parseExpr()
-        branches += ((c, v))
+        val w = parseExpr()
+        val c = subject.map(s => Expr.Bin("=", s, w): Expr.E).getOrElse(w)
+        expect(Kw("THEN")(""))
+        branches += ((c, parseExpr()))
       }
       val orElse = if (eat(Kw("ELSE")(""))) Some(parseExpr()) else None
       expect(Kw("END")(""))

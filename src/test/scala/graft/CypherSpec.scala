@@ -103,6 +103,32 @@ class CypherEndToEndSpec extends AnyFunSuite {
     assert(rows.length == 2)
   }
 
+  test("simple CASE desugars to searched form") {
+    val rows = session.cypher(
+      """MATCH (c:Customer)
+        |RETURN CASE c.category WHEN 'BUILDING' THEN 'b' WHEN 'MACHINERY' THEN 'm'
+        |       ELSE 'other' END AS tag, count(*) AS n ORDER BY tag""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = spark.read.parquet(s"$sf/customer.parquet")
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => (r.getString(0) match {
+        case "BUILDING" => "b"
+        case "MACHINERY" => "m"
+        case _ => "other"
+      }) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(rows == exp)
+  }
+
+  test("RETURN * yields all bound variables") {
+    val df = session.cypher(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) RETURN * ORDER BY c, n LIMIT 3")
+    assert(df.columns.toSet == Set("c", "n"))
+    assert(df.collect().length == 3)
+    val one = session.cypher("UNWIND [3, 1, 2] AS x RETURN * ORDER BY x").collect()
+    assert(one.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("case expression") {
     val rows = session.cypher(
       """MATCH (c:Customer) RETURN c.name AS n,
