@@ -11,6 +11,21 @@ object StreamQueriesImpl {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // Watermarked stream-stream interval self-join, run here in batch (the
+    // identical plan; StreamingSpec asserts stream ≡ batch): same-user event
+    // pairs at most 10 minutes apart.
+    QueryDef(
+      "q_stream_join",
+      """SELECT a.event_id AS l_id, b.event_id AS r_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        | AND a.event_id < b.event_id
+        |ORDER BY l_id NULLS FIRST, r_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      EventStreams.intervalSelfJoin(ev, ev).orderBy("l_id", "r_id")
+    },
+
     // Tumbling 1-hour windows per event type — the exact transform
     // EventStreams runs as a watermarked stream (StreamingSpec).
     QueryDef(

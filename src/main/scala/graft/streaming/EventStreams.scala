@@ -52,6 +52,29 @@ object EventStreams {
       .toDF()
   }
 
+  /** Watermarked stream-stream interval self-join (enrich by recent
+    * same-user activity): pairs of events of one user at most `gap` apart,
+    * ordered l_id < r_id. Both sides carry watermarks and the join condition
+    * bounds event time on both ends, so Spark can expire join state — the
+    * requirement for unbounded streams. The identical plan runs in batch
+    * (oracle-checked as q_stream_join).
+    */
+  def intervalSelfJoin(left: DataFrame, right: DataFrame,
+      gap: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+      .withWatermark("l_ts", "2 hours")
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+      .withWatermark("r_ts", "2 hours")
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $gap") &&
+          col("l_id") < col("r_id"))
+      .select(col("l_id"), col("r_id"))
+  }
+
   /** Drive a streaming query over the events parquet synchronously (memory
     * sink) — used by tests; a deployment swaps source/sink, not the plan.
     */

@@ -20,6 +20,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval self-join matches the batch plan") {
+    val batch = EventStreams
+      .intervalSelfJoin(Tables.events(spark, sf), Tables.events(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = EventStreams.runOnce(spark, sf, "ssj_out",
+      df => EventStreams.intervalSelfJoin(df, df), "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming dedup keeps one row per event_id") {
     val out = EventStreams.runOnce(spark, sf, "dedup_out",
       EventStreams.dedupStream, "append")
