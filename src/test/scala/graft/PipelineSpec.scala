@@ -287,3 +287,27 @@ class QuantizationSpec extends AnyFunSuite {
     assert(errVsNorm.getDouble(0) < errVsNorm.getDouble(1))
   }
 }
+
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+
+  test("SQL functions registered via GraftExtensions match the DataFrame API") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "simhash64(split('a b c', ' ')) AS sh, " +
+        "minhash_sig(word_shingles('a b c d e', 2), 16) AS sig").collect().head
+    assert(r.getDouble(0) == 11.0)
+    import spark.implicits._
+    val exp = Seq("a b c d e").toDF("text")
+      .select(graft.pipeline.Dedup.minHashSignature(
+        org.apache.spark.sql.functions.col("text"), 2, 16).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(r.getSeq[Long](2) == exp)
+    val sh2 = Seq("a b c").toDF("text")
+      .select(graft.pipeline.Dedup.simHash64(
+        org.apache.spark.sql.functions.col("text")))
+      .collect().head.getLong(0)
+    assert(r.getLong(1) == sh2)
+  }
+}
