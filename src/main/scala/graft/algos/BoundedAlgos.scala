@@ -281,6 +281,49 @@ object BoundedAlgos {
     flow
   }
 
+  /** Floyd–Warshall all-pairs shortest distances (reference
+    * shortest_path.rs:506) on the bounded induced subgraph — the classic
+    * O(V³) triple loop, exactly the reference's positioning: all-pairs is
+    * driver-side-on-a-bounded-subgraph material at any scale (distributed
+    * APSP is V × SSSP, which q_sssp already covers). Returns (src, dst,
+    * dist) for reachable pairs, src ≠ dst.
+    */
+  def floydWarshall(spark: SparkSession, g: PropertyGraph,
+      nodeFilter: org.apache.spark.sql.Column, maxNodes: Int = 500): DataFrame = {
+    val (ids, edges) = collectSubgraph(g, nodeFilter, maxNodes)
+    val idx = ids.sorted.zipWithIndex.toMap
+    val n = ids.length
+    val dist = Array.fill(n, n)(Double.PositiveInfinity)
+    edges.foreach { case (s, d, w) =>
+      val (i, j) = (idx(s), idx(d))
+      if (w < dist(i)(j)) dist(i)(j) = w
+    }
+    var k = 0
+    while (k < n) {
+      var i = 0
+      while (i < n) {
+        val dik = dist(i)(k)
+        if (dik != Double.PositiveInfinity) {
+          var j = 0
+          while (j < n) {
+            val nd = dik + dist(k)(j)
+            if (nd < dist(i)(j)) dist(i)(j) = nd
+            j += 1
+          }
+        }
+        i += 1
+      }
+      k += 1
+    }
+    val back = ids.sorted
+    import spark.implicits._
+    (for {
+      i <- 0 until n
+      j <- 0 until n
+      if i != j && dist(i)(j) != Double.PositiveInfinity
+    } yield (back(i), back(j), dist(i)(j))).toDF("src", "dst", "dist")
+  }
+
   /** Iterative DFS preorder (reference traversal.rs:198 DfsIterator) from
     * `start` over the bounded induced subgraph, directed edges, neighbors
     * visited in ascending id order — the deterministic visitor order an

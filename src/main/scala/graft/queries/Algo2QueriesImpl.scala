@@ -125,6 +125,41 @@ object Algo2QueriesImpl {
       Seq(flow).toDF("maxflow")
     },
 
+    // Floyd–Warshall APSP (shortest_path.rs:506) on the weighted part DAG
+    // below 60. The oracle's recursive CTE uses UNION (dedup) so its state
+    // space is (src, dst, cost) tuples, not walks — bounded, no blow-up.
+    QueryDef(
+      "q_apsp",
+      """WITH RECURSIVE dag AS (
+        |  SELECT src, dst, CAST(dst % 7 + 1 AS DOUBLE) AS w FROM (
+        |    SELECT a.p_partkey AS src, b.p_partkey AS dst
+        |    FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+        |    UNION ALL
+        |    SELECT a.p_partkey, b.p_partkey
+        |    FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+        |    UNION ALL
+        |    SELECT a.p_partkey, b.p_partkey
+        |    FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |  ) WHERE src < 60 AND dst < 60
+        |),
+        |walk(src, dst, d) AS (
+        |  SELECT src, dst, w FROM dag
+        |  UNION
+        |  SELECT w.src, e.dst, w.d + e.w FROM walk w JOIN dag e ON e.src = w.dst
+        |),
+        |best AS (SELECT src, dst, min(d) AS dist FROM walk GROUP BY src, dst)
+        |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+        |       round(dist, 6) AS dist
+        |FROM best WHERE src <> dst
+        |ORDER BY src NULLS FIRST, dst NULLS FIRST""".stripMargin) { (s, dir) =>
+      val base = graft.graph.TpchGraph.partDag(s, dir)
+      val weighted = base.copy(edges = base.edges
+        .withColumn("weight", (col("dst") % 7 + 1).cast("double")))
+      BoundedAlgos.floydWarshall(s, weighted, col("id") < 60, maxNodes = 60)
+        .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"))
+        .orderBy("src", "dst")
+    },
+
     // Prim MST (mst.rs:177) on the identical unique-weight fixture as q_mst:
     // a unique-weight MST is unique, so Prim must reproduce Kruskal's edge
     // set — the same closed-form parent-link oracle.
