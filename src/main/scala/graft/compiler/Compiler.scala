@@ -121,6 +121,8 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
       val counts = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
       left.join(counts, keys, "left_outer").na.fill(0L, Seq(as))
 
+    case Op.Bind(in, e, as) => compile(in).withColumn(as, expr(e))
+
     case Op.Unwind(in, list, as) =>
       val base = in match {
         case Op.OneRow => oneRow
@@ -317,6 +319,7 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
       case "last"      => element_at(a0, -1)
       case "tail"      => slice(a0, lit(2), greatest(size(a0) - 1, lit(0)))
       case "reverse"   => reverse(a0)
+      case "sort"      => sort_array(a0) // deterministic collection order (Gremlin cap())
       case "abs"       => abs(a0)
       case "round"     => if (cols.size > 1) round(a0, litStr(1).toInt) else round(a0)
       case "ceil"      => ceil(a0)

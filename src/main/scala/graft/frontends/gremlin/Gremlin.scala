@@ -16,7 +16,9 @@ import graft.ir.{Expr, Op}
   * groupCount().by(k), group().by(k).by(agg), as(name),
   * select(a,b,…).by(prop)…, project(a,b,…).by(k)…, path(), valueMap(k…),
   * elementMap(k…), where(pred), and/or/not(pred…),
-  * coalesce(values|constant…), choose(pred, v1, v2), union(out/in/both…).
+  * coalesce(values|constant…), choose(pred, v1, v2), union(out/in/both…),
+  * bothV, constant(v), optional(out/in/both), store/aggregate(label),
+  * sideEffect(store/aggregate(label)), cap(label).
   * Predicates: eq, neq, gt, gte, lt, lte, within, has, hasLabel, and, or,
   * not; eq/neq against an as()-alias compares traverser positions.
   */
@@ -116,11 +118,17 @@ object GremlinFrontend {
     require(steps.nonEmpty && (steps.head.name == "V" || steps.head.name == "E"),
       "traversal must start with g.V() or g.E()")
     var anon = 0
-    def fresh(): String = { anon += 1; s"__g$anon" }
+    // no "__" in traverser vars: natural joins key on plain variable columns
+    // and treat `v__prop` columns as property bindings
+    def fresh(): String = { anon += 1; s"gx$anon" }
     var cur = fresh()
     var op: Op.T = Op.NodeScan(cur, None)
 
     var valueCol: Option[String] = None // set once values()/id() projected
+    // store('x')/aggregate('x') side-effect collections: label → the plan
+    // and value expression AT THE STORE STEP (later filters must not shrink
+    // the stored collection — the TinkerPop contract), read back by cap()
+    val sideEffects = scala.collection.mutable.Map.empty[String, (Op.T, Expr.E)]
     var pendingOrder = false
     var consumedBy = -1 // index of a by() already folded into groupCount()
     val consumedBys = scala.collection.mutable.Set.empty[Int] // by()s folded into select()
@@ -226,6 +234,24 @@ object GremlinFrontend {
           case In   => EdgePos(ev, to, Some(to), Some(cur))
           case Both => EdgePos(ev, to, None, None)
         })
+      case "bothV" =>
+        // both endpoints of the edge (gremlin/ast.rs:50): the traverser
+        // branches — bag union of the two endpoint bindings, then a natural
+        // join against the node table re-binds the endpoint's properties
+        val pos2 = edgeCur.getOrElse(
+          throw new IllegalArgumentException("bothV() only after E()/outE()/inE()/bothE()"))
+        (pos2.srcV, pos2.dstV) match {
+          case (Some(sv), Some(dv)) =>
+            val bv = fresh()
+            op = Op.NaturalJoin(
+              Op.UnionAll(Op.Bind(op, Expr.Var(sv), bv), Op.Bind(op, Expr.Var(dv), bv)),
+              Op.NodeScan(bv, None))
+            cur = bv
+            visited += bv
+            edgeCur = None
+          case _ => throw new IllegalArgumentException(
+            "bothV() after bothE() would re-emit both sides of both directions — use otherV()")
+        }
       case "inV" | "outV" | "otherV" =>
         val pos2 = edgeCur.getOrElse(
           throw new IllegalArgumentException(s"${s.name}() only after E()/outE()/inE()/bothE()"))
@@ -383,6 +409,56 @@ object GremlinFrontend {
           Seq((condE, valTraversal(cur, s.args(1)))),
           Some(valTraversal(cur, s.args(2)))), "v")))
         valueCol = Some("v")
+      case "constant" =>
+        // replace the traverser value, keep cardinality (gremlin/ast.rs:96)
+        op = Op.Project(op, Seq((Expr.Lit(s.args.head), "constant")))
+        valueCol = Some("constant")
+      case "optional" =>
+        // optional(out('T')): move if the sub-traversal matches, stay put
+        // otherwise (gremlin/ast.rs:128) — a correlated left-outer expand,
+        // then coalesce back to the origin and re-bind node properties
+        s.args.head match {
+          case Pred(d @ ("out" | "in" | "both"), args2) =>
+            val to = fresh()
+            val nv = fresh()
+            val sub = Op.Expand(Op.NodeScan(cur, None), cur,
+              args2.headOption.map(_.asInstanceOf[String]), to, dirOf(d), None)
+            op = Op.NaturalJoin(
+              Op.Bind(Op.LeftNaturalJoin(op, sub),
+                Expr.Func("coalesce", Seq(Expr.Var(to), Expr.Var(cur))), nv),
+              Op.NodeScan(nv, None))
+            cur = nv
+            visited += nv
+          case other => throw new IllegalArgumentException(
+            s"optional() supports out()/in()/both() bodies, got $other")
+        }
+      case "store" | "aggregate" =>
+        // side-effect collection (gremlin/ast.rs:140,142): snapshot the plan
+        // and current value; the traverser stream continues unchanged.
+        // aggregate() is store() plus an eager barrier — equivalent under
+        // set-based execution.
+        sideEffects(s.args.head.asInstanceOf[String]) =
+          (op, valueCol.map(Expr.Var(_): Expr.E).getOrElse(Expr.Var(cur)))
+      case "sideEffect" =>
+        // sideEffect(traversal) (gremlin/ast.rs:137-138): only collection
+        // side effects are observable in a set-based engine
+        s.args.head match {
+          case Pred("store" | "aggregate", Seq(lbl: String)) =>
+            sideEffects(lbl) =
+              (op, valueCol.map(Expr.Var(_): Expr.E).getOrElse(Expr.Var(cur)))
+          case other => throw new IllegalArgumentException(
+            s"sideEffect() supports store()/aggregate() bodies, got $other")
+        }
+      case "cap" =>
+        // read a side-effect collection back as the single traverser value;
+        // sorted for deterministic output (TinkerPop order is traversal
+        // order, unreproducible in a distributed engine)
+        val lbl = s.args.head.asInstanceOf[String]
+        val (plan, e) = sideEffects.getOrElse(lbl,
+          throw new IllegalArgumentException(s"cap('$lbl') has no store()/aggregate('$lbl')"))
+        op = Op.Aggregate(plan, Seq.empty,
+          Seq((Expr.Func("sort", Seq(Expr.Func("collect", Seq(e)))), lbl)))
+        valueCol = Some(lbl)
       case "repeat" =>
         // repeat(out/in/both(rel)).times(n) → exactly-n-hop var-length walk
         val nxt = steps.lift(idx + 1)

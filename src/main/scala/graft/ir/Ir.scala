@@ -158,6 +158,11 @@ object Op {
     */
   final case class CorrelatedCount(input: T, sub: T, as: String) extends T
 
+  /** plan.rs:533-541 — bind an expression as a new column while keeping all
+    * existing bindings (SPARQL BIND; Gremlin bothV/optional value rebinding).
+    */
+  final case class Bind(input: T, e: E, as: String) extends T
+
   /** plan.rs:544-555 — list to rows. */
   final case class Unwind(input: T, list: E, as: String) extends T
 
@@ -205,6 +210,7 @@ object Op {
         AntiNaturalJoin(rewriteExprs(l)(f), rewriteExprs(r)(f))
       case CorrelatedCount(in, sub, a) =>
         CorrelatedCount(rewriteExprs(in)(f), rewriteExprs(sub)(f), a)
+      case Bind(in, e, a)  => Bind(rewriteExprs(in)(f), rx(e), a)
       case Unwind(in, l, a) => Unwind(rewriteExprs(in)(f), rx(l), a)
     }
   }

@@ -170,6 +170,48 @@ object LangQueriesImpl {
         "g.V().hasId(1).repeat(out('LINK')).times(2).id().order().by()")
     },
 
+    // Gremlin bothV(): both endpoints of each IN_REGION edge (bag).
+    QueryDef(
+      "q_gremlin_bothv",
+      """SELECT id FROM (
+        |  SELECT CAST(2000000000000 + n_nationkey AS BIGINT) AS id FROM nation
+        |  UNION ALL
+        |  SELECT CAST(1000000000000 + n_regionkey AS BIGINT) FROM nation
+        |)
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      session(s, dir).gremlin("g.E('IN_REGION').bothV().id().order().by()")
+    },
+
+    // Gremlin optional(): nations move to their region, every other node
+    // stays put — the mixed move/stay shape optional() exists for.
+    QueryDef(
+      "q_gremlin_optional",
+      """SELECT nm FROM (
+        |  SELECT r_name AS nm FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL SELECT r_name FROM region
+        |  UNION ALL SELECT s_name FROM supplier
+        |  UNION ALL SELECT c_name FROM customer
+        |  UNION ALL SELECT p_name FROM part
+        |  UNION ALL SELECT CAST(o_orderkey AS VARCHAR) FROM orders
+        |)
+        |ORDER BY nm NULLS FIRST""".stripMargin) { (s, dir) =>
+      session(s, dir).gremlin(
+        "g.V().optional(out('IN_REGION')).values('name').order().by()")
+        .withColumnRenamed("name", "nm")
+    },
+
+    // Gremlin store/cap side-effect collection via sideEffect(): the stored
+    // bag snapshots at the store step; cap() emits it sorted (deterministic
+    // stand-in for TinkerPop's traversal order). Serialized to a string —
+    // array outputs crash the oracle hasher.
+    QueryDef(
+      "q_gremlin_store",
+      "SELECT string_agg(n_name, ',' ORDER BY n_name) AS x FROM nation") { (s, dir) =>
+      session(s, dir)
+        .gremlin("g.V().hasLabel('Nation').values('name').sideEffect(store('x')).cap('x')")
+        .select(array_join(col("x"), ",").as("x"))
+    },
+
     // GraphQL: root label scan + arg filter + nested expand.
     QueryDef(
       "q_graphql_nested",

@@ -273,6 +273,60 @@ class GremlinEdgeStepSpec extends AnyFunSuite {
     assert(m.keys.toSeq == m.keys.toSeq.sorted)
     assert(m("name") == row.getString(0))
   }
+  test("gremlin: constant() replaces the value, keeps cardinality") {
+    val rows = session.gremlin("g.V().hasLabel('Region').constant('r').count()")
+      .collect().head.getLong(0)
+    assert(rows == 5)
+    val v = session.gremlin("g.V().hasLabel('Region').constant(7).dedup()")
+      .collect().map(_.getLong(0)).toSeq
+    assert(v == Seq(7L))
+  }
+
+  test("gremlin: bothV() after outE() emits both endpoints") {
+    val rid = TpchGraph.RegionTag * TpchGraph.Stride
+    val nid = TpchGraph.NationTag * TpchGraph.Stride
+    val ids = session.gremlin(
+      s"g.V().hasId($nid).outE('IN_REGION').bothV().id().order().by()")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(rid, nid)) // nation 0 is in region 0
+    // after bothE it is ambiguous
+    val err = intercept[IllegalArgumentException] {
+      session.gremlin("g.V().bothE('IN_REGION').bothV().id()")
+    }
+    assert(err.getMessage.contains("otherV"))
+  }
+
+  test("gremlin: optional() moves when matched, stays otherwise") {
+    val rid = TpchGraph.RegionTag * TpchGraph.Stride
+    val nid = TpchGraph.NationTag * TpchGraph.Stride
+    // nation 0 moves to region 0; region 0 has no outgoing edge and stays
+    val moved = session.gremlin(
+      s"g.V().hasId($nid).optional(out('IN_REGION')).id()")
+      .collect().map(_.getLong(0)).toSeq
+    assert(moved == Seq(rid))
+    val stayed = session.gremlin(
+      s"g.V().hasId($rid).optional(out('IN_REGION')).id()")
+      .collect().map(_.getLong(0)).toSeq
+    assert(stayed == Seq(rid))
+    // properties re-bind after the move
+    val nm = session.gremlin(
+      s"g.V().hasId($nid).optional(out('IN_REGION')).values('name')")
+      .collect().head.getString(0)
+    assert(nm == "AFRICA")
+  }
+
+  test("gremlin: store() snapshots before later filters; cap() reads it back") {
+    // store before a stream-shrinking step: the bag is still full
+    val r = session.gremlin(
+      "g.V().hasLabel('Region').values('name').store('x').limit(1).cap('x')")
+      .collect().head.getSeq[String](0)
+    assert(r.size == 5 && r == r.sorted)
+    // cap of an unknown label is a clear error
+    val err = intercept[IllegalArgumentException] {
+      session.gremlin("g.V().cap('nope')")
+    }
+    assert(err.getMessage.contains("no store"))
+  }
 }
 
 class ValueMapSpec extends AnyFunSuite {
