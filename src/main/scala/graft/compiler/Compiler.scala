@@ -123,6 +123,17 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
 
     case Op.Bind(in, e, as) => compile(in).withColumn(as, expr(e))
 
+    case Op.CorrelatedCollect(in, sub, item, as) =>
+      val left = compile(in)
+      val right = compile(sub)
+      val keys = left.columns.intersect(right.columns).filterNot(_.contains("__")).toSeq
+      require(keys.nonEmpty, "pattern comprehension must share a variable with the outer query")
+      // partial collects shuffle O(matches); rows without a match get []
+      val lists = right.groupBy(keys.map(col): _*)
+        .agg(sort_array(collect_list(expr(item))).as(as))
+      val joined = left.join(lists, keys, "left_outer")
+      joined.withColumn(as, coalesce(col(as), array().cast(joined.schema(as).dataType)))
+
     case Op.Unwind(in, list, as) =>
       val base = in match {
         case Op.OneRow => oneRow
@@ -231,9 +242,10 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
         slice(cl, cf + 1, greatest(ct - cf, lit(0)))
       case Expr.MapLit(items) =>
         struct(items.map { case (k, v) => rec(v).as(k) }: _*)
-      case _: Expr.ExistsSub | _: Expr.CountSub =>
+      case _: Expr.ExistsSub | _: Expr.CountSub | _: Expr.CollectSub =>
         throw new IllegalArgumentException(
-          "EXISTS { } / COUNT { } subqueries are supported as WHERE conjuncts and RETURN/WITH items")
+          "EXISTS { } / COUNT { } subqueries and pattern comprehensions are " +
+            "supported as WHERE conjuncts and RETURN/WITH items")
       case Expr.Bin(op, l, r) => binOp(op, rec(l), rec(r), r)
       case Expr.Func(name, args, _) => scalarFn(name.toLowerCase, args.map(rec), args)
     }

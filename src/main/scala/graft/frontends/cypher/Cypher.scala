@@ -58,7 +58,7 @@ object CypherLexer {
         out += StrLit(sb.toString)
       } else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
-        if (Set("->", "<-", "<=", ">=", "<>", "..", "=~").contains(two)) {
+        if (Set("->", "<-", "<=", ">=", "<>", "..", "=~", "+=").contains(two)) {
           out += Sym(two); i += 2
         } else { out += Sym(c.toString); i += 1 }
       }
@@ -85,7 +85,14 @@ object Ast {
       optional: Boolean = false) extends Clause
   final case class UnwindClause(list: Expr.E, as: String) extends Clause
   final case class CreateClause(path: PathPat) extends Clause
-  final case class SetClause(items: Seq[(Expr.Prop, Expr.E)]) extends Clause
+  /** SET item forms (ref cypher ast.rs SetItem: Property / AllProperties /
+    * MergeProperties / Labels).
+    */
+  sealed trait SetItem
+  final case class SetProp(p: Expr.Prop, value: Expr.E) extends SetItem
+  final case class SetAllProps(v: String, map: Expr.MapLit, merge: Boolean) extends SetItem
+  final case class SetLabel(v: String, labels: Seq[String]) extends SetItem
+  final case class SetClause(items: Seq[SetItem]) extends Clause
   final case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
   final case class MergeClause(node: NodePat,
       onCreate: Seq[(Expr.Prop, Expr.E)] = Seq.empty,
@@ -162,26 +169,50 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
         case other => fail(s"expected CREATE or MATCH after ON, got $other")
       }
       expect(Kw("SET")(""))
-      val items = parseSet().items
+      val items = parseSet().items.map {
+        case SetProp(p, value) => (p, value)
+        case other => fail(s"ON CREATE/MATCH SET supports var.prop = expr items, got $other")
+      }
       if (isCreate) onCreate = onCreate ++ items else onMatch = onMatch ++ items
     }
     MergeClause(node, onCreate, onMatch)
   }
 
   private def parseSet(): SetClause = {
-    val items = Seq.newBuilder[(Expr.Prop, Expr.E)]
+    val items = Seq.newBuilder[SetItem]
     def one(): Unit = {
       val v = next() match {
         case Ident(x) => x
-        case other => fail(s"SET expects var.prop, got $other")
+        case other => fail(s"SET expects a variable, got $other")
       }
-      expect(Sym("."))
-      val k = next() match {
-        case Ident(x) => x
-        case other => fail(s"SET expects var.prop, got $other")
+      peek match {
+        case Some(Sym(".")) =>
+          next()
+          val k = next() match {
+            case Ident(x) => x
+            case other => fail(s"SET expects var.prop, got $other")
+          }
+          expect(Sym("="))
+          items += SetProp(Expr.Prop(v, k), parseExpr())
+        case Some(Sym(":")) =>
+          // SET n:Label1:Label2 (ast.rs SetItem::Labels)
+          val labels = Seq.newBuilder[String]
+          while (eat(Sym(":"))) labels += (next() match {
+            case Ident(l) => l
+            case k: Kw if k.raw.nonEmpty => k.raw
+            case other => fail(s"expected label, got $other")
+          })
+          items += SetLabel(v, labels.result())
+        case Some(Sym(op @ ("=" | "+="))) =>
+          // SET n = {map} replaces all properties; n += {map} merges
+          // (ast.rs SetItem::AllProperties / MergeProperties)
+          next()
+          parseExpr() match {
+            case m: Expr.MapLit => items += SetAllProps(v, m, merge = op == "+=")
+            case other => fail(s"SET $v $op expects a map literal, got $other")
+          }
+        case other => fail(s"SET expects var.prop, var:Label or var = {map}, got $other")
       }
-      expect(Sym("="))
-      items += ((Expr.Prop(v, k), parseExpr()))
     }
     one()
     while (eat(Sym(","))) one()
@@ -474,6 +505,29 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     e
   }
 
+  /** Pattern comprehension `[(a)-[:T]->(b) WHERE p | proj]` (ref cypher
+    * ast.rs:440) — attempted when a `[` is followed by `(`; backtracks to the
+    * plain list/list-comprehension grammar if no pattern parses (e.g.
+    * `[(1+2), 3]`). The projection is mandatory, as in the reference AST.
+    */
+  private def tryPatternComp(): Option[Expr.E] = {
+    if (!at(Sym("("))) return None
+    val mark = pos
+    try {
+      val path = parsePath()
+      // a bare parenthesized expression also parses as a var-only node
+      // pattern — require an actual relationship to call it a pattern
+      if (path.tail.isEmpty) { pos = mark; return None }
+      val whereE = if (eat(Kw("WHERE")(""))) Some(parseExpr()) else None
+      expect(Sym("|"))
+      val proj = parseExpr()
+      expect(Sym("]"))
+      Some(Expr.CollectSub(CypherFrontend.subPlan(Seq(path), whereE), proj))
+    } catch {
+      case _: IllegalArgumentException => pos = mark; None
+    }
+  }
+
   private def parseAtom(): Expr.E = next() match {
     case NumLit(s) =>
       if (s.contains('.')) Expr.Lit(s.toDouble) else Expr.Lit(s.toLong)
@@ -489,7 +543,7 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       val e = parseExpr(); expect(Sym(")")); e
     case Sym("[") =>
       if (at(Sym("]"))) { next(); Expr.ListLit(Seq.empty) }
-      else {
+      else tryPatternComp().getOrElse {
         val first = parseExpr()
         (first, peek) match {
           // [v IN list WHERE p | m] — the IN parses as a Bin("in", Var, list)
@@ -598,8 +652,9 @@ object CypherFrontend {
     // path variable -> length expression (length(p) resolves to it)
     val pathLenExprs = scala.collection.mutable.Map.empty[String, Expr.E]
 
-    // COUNT { } subqueries in an expression become a correlated-count column
-    // joined in below the consumer (plan stays fully distributed)
+    // COUNT { } subqueries / pattern comprehensions in an expression become
+    // correlated-count / correlated-collect columns joined in below the
+    // consumer (plan stays fully distributed)
     var cntIdx = 0
     def extractCounts(op0: Op.T, e: Expr.E): (Op.T, Expr.E) = {
       var acc = op0
@@ -608,6 +663,11 @@ object CypherFrontend {
           cntIdx += 1
           val c = s"__cnt$cntIdx"
           acc = Op.CorrelatedCount(acc, sub, c)
+          Expr.Var(c)
+        case Expr.CollectSub(sub, item) =>
+          cntIdx += 1
+          val c = s"__coll$cntIdx"
+          acc = Op.CorrelatedCollect(acc, sub, item, c)
           Expr.Var(c)
         case x => x
       }

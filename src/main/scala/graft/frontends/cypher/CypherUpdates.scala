@@ -107,9 +107,30 @@ object CypherUpdates {
       Mutations.createEdges(g, edges)
 
     case SetClause(items) =>
-      items.foldLeft(g) { case (acc, (Expr.Prop(v, key), value)) =>
-        Mutations.setNodePropertyByIds(acc, bindings.select(col(v)), key,
-          nodeExpr(value))
+      items.foldLeft(g) {
+        case (acc, SetProp(Expr.Prop(v, key), value)) =>
+          Mutations.setNodePropertyByIds(acc, bindings.select(col(v)), key,
+            nodeExpr(value))
+        case (acc, SetAllProps(v, Expr.MapLit(kvs), merge)) =>
+          // n += {map} merges the given keys; n = {map} additionally nulls
+          // every other property column (the typed-column stand-in for
+          // "remove all other properties", ref ast.rs AllProperties)
+          val ids = bindings.select(col(v))
+          val given = kvs.toMap
+          val targets: Seq[(String, Column)] =
+            if (merge) kvs.map { case (k, e) => k -> nodeExpr(e) }
+            else {
+              val propCols = acc.nodes.columns.filterNot(c =>
+                c == "id" || c == "labels").toSeq
+              propCols.map(k => k -> given.get(k).map(nodeExpr)
+                .getOrElse(lit(null)))
+            }
+          targets.foldLeft(acc) { case (a, (k, valueCol)) =>
+            Mutations.setNodePropertyByIds(a, ids, k, valueCol)
+          }
+        case (acc, SetLabel(v, labels)) =>
+          labels.foldLeft(acc)((a, l) =>
+            Mutations.addLabelByIds(a, bindings.select(col(v)), l))
       }
 
     case DeleteClause(vars, detach) =>

@@ -37,6 +37,11 @@ object Expr {
     */
   final case class ExistsSub(plan: Op.T) extends E
   final case class CountSub(plan: Op.T) extends E
+  /** Pattern comprehension (ref cypher ast.rs:440): per outer row, the list
+    * of `item` values over the sub-plan's correlated matches. Eliminated into
+    * [[Op.CorrelatedCollect]] before compilation.
+    */
+  final case class CollectSub(plan: Op.T, item: E) extends E
 
   /** Aggregate function names (plan.rs:285-308; aggregate.rs:48-75;
     * group_concat/sample are the SPARQL 1.1 additions).
@@ -65,6 +70,7 @@ object Expr {
       case MapLit(items)     => MapLit(items.map { case (k, v) => (k, rewrite(v)(f)) })
       case ExistsSub(p)      => ExistsSub(Op.rewriteExprs(p)(f))
       case CountSub(p)       => CountSub(Op.rewriteExprs(p)(f))
+      case CollectSub(p, it) => CollectSub(Op.rewriteExprs(p)(f), rewrite(it)(f))
       case leaf => leaf
     }
     f(r)
@@ -158,6 +164,13 @@ object Op {
     */
   final case class CorrelatedCount(input: T, sub: T, as: String) extends T
 
+  /** Pattern comprehension (ref cypher ast.rs:440): left join against the
+    * sub-plan's per-key collected `item` lists; rows with no match bind the
+    * empty list. Lists are sorted — openCypher leaves comprehension order
+    * unspecified, and sorting is the deterministic distributed choice.
+    */
+  final case class CorrelatedCollect(input: T, sub: T, item: E, as: String) extends T
+
   /** plan.rs:533-541 — bind an expression as a new column while keeping all
     * existing bindings (SPARQL BIND; Gremlin bothV/optional value rebinding).
     */
@@ -210,6 +223,8 @@ object Op {
         AntiNaturalJoin(rewriteExprs(l)(f), rewriteExprs(r)(f))
       case CorrelatedCount(in, sub, a) =>
         CorrelatedCount(rewriteExprs(in)(f), rewriteExprs(sub)(f), a)
+      case CorrelatedCollect(in, sub, it, a) =>
+        CorrelatedCollect(rewriteExprs(in)(f), rewriteExprs(sub)(f), rx(it), a)
       case Bind(in, e, a)  => Bind(rewriteExprs(in)(f), rx(e), a)
       case Unwind(in, l, a) => Unwind(rewriteExprs(in)(f), rx(l), a)
     }

@@ -12,6 +12,25 @@ object CypherQueriesImpl {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // Pattern comprehension (ref cypher ast.rs:440): per-nation customer-name
+    // lists, consumed via size() and head() (the raw list would crash the
+    // oracle hasher; the compile sorts lists, so head = min).
+    QueryDef(
+      "q_cypher_patcomp",
+      """SELECT n_name AS nm,
+        |       CAST(count(c_custkey) AS BIGINT) AS ncust,
+        |       min(c_name) AS first_cust
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY nm NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (n:Nation)
+          |RETURN n.name AS nm,
+          |       toInteger(size([(n)<-[:FROM_NATION]-(c:Customer) | c.name])) AS ncust,
+          |       head([(n)<-[:FROM_NATION]-(c:Customer) | c.name]) AS first_cust
+          |ORDER BY nm""".stripMargin)
+    },
+
     QueryDef(
       "q_cypher_match",
       """SELECT c_name AS cust, n_name AS nat

@@ -101,6 +101,41 @@ object MutationQueriesImpl {
         .orderBy("k")
     },
 
+    // SET n += {map} (merge), SET n = {map} (replace: other props null out)
+    // and SET n:Label (ref cypher ast.rs SetItem AllProperties/
+    // MergeProperties/Labels) — negative-balance customers are zeroed,
+    // re-categorized and flagged; region 0 loses every property except name.
+    QueryDef(
+      "q_cypher_setmap",
+      """SELECT k, nm, bal, cat, flg FROM (
+        |  SELECT c_custkey AS k, c_name AS nm,
+        |         round(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END, 4) AS bal,
+        |         CASE WHEN c_acctbal < 0 THEN 'RESET' ELSE c_mktsegment END AS cat,
+        |         (c_acctbal < 0) AS flg
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT r_regionkey, NULL, NULL, 'zeroed', NULL FROM region WHERE r_regionkey = 0
+        |)
+        |ORDER BY k NULLS FIRST, cat NULLS FIRST""".stripMargin) { (s, dir) =>
+      val session = new graft.GraftSession(s, TpchGraph(s, dir))
+      val g2 = session.cypherUpdate(
+        """MATCH (c:Customer) WHERE c.acctbal < 0
+          |SET c += {acctbal: 0.0, category: 'RESET'}, c:Reset""".stripMargin)
+      val g3 = new graft.GraftSession(s, g2).cypherUpdate(
+        "MATCH (r:Region) WHERE id(r) = 1000000000000 SET r = {category: 'zeroed'}")
+      val g = g3
+      g.nodesWithLabel("Customer")
+        .select(TpchGraph.key(col("id")).as("k"), col("name").as("nm"),
+          round(col("acctbal"), 4).as("bal"), col("category").as("cat"),
+          array_contains(col("labels"), "Reset").as("flg"))
+        .unionByName(g.nodesWithLabel("Region")
+          .filter(TpchGraph.key(col("id")) === 0)
+          .select(TpchGraph.key(col("id")).as("k"), col("name").as("nm"),
+            col("acctbal").cast("double").as("bal"), col("category").as("cat"),
+            lit(null).cast("boolean").as("flg")))
+        .orderBy(col("k").asc_nulls_first, col("cat").asc_nulls_first)
+    },
+
     // CreateNode + CreateEdge: one synthetic hub node linked to every region;
     // result = the new out-degree distribution of hub + regions.
     QueryDef(

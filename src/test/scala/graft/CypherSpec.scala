@@ -411,4 +411,36 @@ class EdgeVarGuardSpec extends AnyFunSuite {
       session.cypher("MATCH (a:Region) RETURN type() AS t"))
     assert(e.getMessage.contains("type()"))
   }
+
+  test("pattern comprehension collects correlated matches, [] when none") {
+    // region nodes have no outgoing edges: comprehension binds []
+    val rows = session.cypher(
+      """MATCH (r:Region)
+        |RETURN r.name AS nm, toInteger(size([(r)-[:IN_REGION]->(x) | x.name])) AS n
+        |ORDER BY nm""".stripMargin).collect()
+    assert(rows.length == 5 && rows.forall(_.getLong(1) == 0L))
+    // nations collect their region's name
+    val nat = session.cypher(
+      """MATCH (n:Nation)
+        |RETURN n.name AS nm, [(n)-[:IN_REGION]->(r:Region) | r.name] AS regions
+        |ORDER BY nm LIMIT 1""".stripMargin).collect().head
+    // every nation is in exactly one region
+    assert(nat.getSeq[String](1).size == 1 && nat.getSeq[String](1).head.nonEmpty)
+  }
+
+  test("bracket disambiguation: parenthesized exprs and list comps still parse") {
+    val r = session.cypher(
+      "UNWIND [(1+2), 3] AS x RETURN x ORDER BY x").collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(3L, 3L))
+    val lc = session.cypher(
+      "RETURN [x IN [1,2,3] WHERE x > 1 | x * 10] AS l").collect().head.getSeq[Long](0)
+    assert(lc == Seq(20L, 30L))
+  }
+
+  test("SET parse forms: map set in ON CREATE is rejected clearly") {
+    val e = intercept[IllegalArgumentException](
+      graft.frontends.cypher.CypherFrontend.parse(
+        "MERGE (n:X {id: 1}) ON CREATE SET n += {a: 1}"))
+    assert(e.getMessage.contains("ON CREATE"))
+  }
 }
