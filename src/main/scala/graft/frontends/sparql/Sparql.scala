@@ -29,7 +29,7 @@ object SparqlLexer {
   final case class NumT(s: String) extends Tok
   final case class Sym(s: String) extends Tok
 
-  private val keywords = Set("SELECT", "ASK", "CONSTRUCT", "WHERE", "DISTINCT", "FILTER",
+  private val keywords = Set("SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "WHERE", "DISTINCT", "FILTER",
     "OPTIONAL", "UNION", "MINUS", "BIND", "AS", "GROUP", "BY", "ORDER",
     "ASC", "DESC", "LIMIT", "OFFSET", "COUNT", "SUM", "AVG", "MIN", "MAX",
     "A", "TRUE", "FALSE")
@@ -103,11 +103,15 @@ object SparqlAst {
   final case class BindP(p: Pattern, e: Expr.E, as: String) extends Pattern
   /** FILTER [NOT] EXISTS { … } → semi/anti join on shared vars. */
   final case class ExistsP(p: Pattern, sub: Pattern, negated: Boolean) extends Pattern
+  /** Nested `{ SELECT … }` subquery (ref sparql/ast.rs:321-322) — evaluated
+    * as its own query, joined with the enclosing group on shared variables.
+    */
+  final case class SubSelectP(q: Query) extends Pattern
   /** VALUES ?v { lit … } / VALUES (?a ?b) { (l1 l2) … } → inline bindings. */
   final case class ValuesP(p: Pattern, vars: Seq[String], rows: Seq[Seq[String]]) extends Pattern
 
   final case class Query(
-      kind: String,                     // select | ask | construct
+      kind: String,                     // select | ask | construct | describe
       items: Seq[(Expr.E, String)],     // projection in declared order
       constructTpl: Seq[TriplePattern], // for CONSTRUCT
       distinct: Boolean,
@@ -140,7 +144,8 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
       case Kw("SELECT") => "select"
       case Kw("ASK") => "ask"
       case Kw("CONSTRUCT") => "construct"
-      case other => fail(s"expected SELECT/ASK/CONSTRUCT, got $other")
+      case Kw("DESCRIBE") => "describe"
+      case other => fail(s"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got $other")
     }
     val constructTpl = Seq.newBuilder[TriplePattern]
     if (kind == "construct") {
@@ -153,6 +158,16 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
     }
     val distinct = kind == "select" && eat(Kw("DISTINCT"))
     val items = Seq.newBuilder[(Expr.E, String)]
+    if (kind == "describe") {
+      // DESCRIBE targets: IRIs (literal resources) and/or variables bound
+      // by the WHERE pattern (ref sparql/ast.rs:233 DescribeQuery)
+      var go2 = true
+      while (go2) peek match {
+        case Some(VarT(v)) => next(); items += ((Expr.Var(v), v))
+        case Some(Word(w)) => next(); items += ((Expr.Lit(w), w))
+        case _ => go2 = false
+      }
+    }
     var go = kind == "select"
     while (go) peek match {
       case Some(VarT(v)) => next(); items += ((Expr.Var(v), v))
@@ -169,8 +184,10 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
         items += ((e, alias))
       case _ => go = false
     }
-    expect(Kw("WHERE"))
-    val where = parseGroup()
+    // WHERE is optional for DESCRIBE <iri>
+    val where =
+      if (kind == "describe" && !at(Kw("WHERE"))) Bgp(Nil)
+      else { expect(Kw("WHERE")); parseGroup() }
     val groupBy = Seq.newBuilder[String]
     if (eat(Kw("GROUP"))) {
       expect(Kw("BY"))
@@ -203,12 +220,16 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
     while (more) peek match {
       case Some(Kw("OFFSET")) => next(); offset = Some(parseNum())
       case Some(Kw("LIMIT"))  => next(); limit = Some(parseNum())
-      case None => more = false
-      case other => fail(s"trailing tokens: $other")
+      // stop on anything else: a subselect's enclosing `}` follows; the
+      // top-level entry point enforces EOF via ensureEof()
+      case _ => more = false
     }
     Query(kind, items.result(), constructTpl.result(), distinct, where,
       groupBy.result(), orderBy.result(), offset, limit)
   }
+
+  def ensureEof(): Unit =
+    peek.foreach(t => fail(s"trailing tokens: $t"))
 
   private def parseNum(): Long = next() match {
     case NumT(s) => s.toLong
@@ -301,6 +322,14 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
           }
           expect(Sym(")"))
           acc = Some(BindP(acc.getOrElse(Bgp(Nil)), e, v))
+        case Some(Sym("{")) if tokens.lift(pos + 1).contains(Kw("SELECT")) =>
+          // nested SELECT subquery (ref sparql/ast.rs:321-322)
+          flushBgp()
+          next()
+          val sq = parseQuery()
+          expect(Sym("}"))
+          acc = Some(acc.map(a => Join(a, SubSelectP(sq)): Pattern)
+            .getOrElse(SubSelectP(sq)))
         case Some(Sym("{")) =>
           flushBgp()
           var g = parseGroup()
@@ -452,6 +481,31 @@ final class SparqlCompiler(graph: TripleGraph) {
       return compilePattern(q.where).limit(1)
         .agg((count(lit(1)) > 0).as("ask"))
     }
+    if (q.kind == "describe") {
+      // DESCRIBE (ref sparql/ast.rs:233): all triples whose subject is a
+      // described resource — literal IRIs plus every binding of the DESCRIBE
+      // variables in the WHERE pattern. A left-semi join keeps the scan
+      // streaming (no collect of the resource set).
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val spark = graph.triples.sparkSession
+      val vars = q.items.collect { case (Expr.Var(v), _) => v }
+      val iris = q.items.collect { case (Expr.Lit(s), _) => s.toString }
+      require(vars.nonEmpty || iris.nonEmpty, "DESCRIBE needs a resource or variable")
+      val fromVars = if (vars.isEmpty) None else {
+        val b = compilePattern(q.where)
+        Some(vars.map(v => b.select(col(v).cast("string").as("__r")))
+          .reduce(_ unionByName _))
+      }
+      val fromIris = if (iris.isEmpty) None else
+        Some(spark.createDataFrame(
+          java.util.Arrays.asList(iris.map(Row(_)): _*),
+          StructType(Seq(StructField("__r", StringType)))))
+      val resources = (fromVars.toSeq ++ fromIris.toSeq).reduce(_ unionByName _)
+      return graph.triples
+        .join(resources.distinct(), col("s") === col("__r"), "left_semi")
+        .select("s", "p", "o").distinct()
+    }
     if (q.kind == "construct") {
       val bindings = compilePattern(q.where)
       def term(t: graft.graph.Term): org.apache.spark.sql.Column = t match {
@@ -499,6 +553,7 @@ final class SparqlCompiler(graph: TripleGraph) {
       val shared = dl.columns.intersect(dr.columns).toSeq
       if (shared.isEmpty) dl else dl.join(dr.select(shared.map(col): _*).distinct(),
         shared, "left_anti")
+    case SubSelectP(sq) => compile(sq)
     case FilterP(in, e) => compilePattern(in).filter(expr(e))
     case BindP(in, e, v) => compilePattern(in).withColumn(v, expr(e))
     case ExistsP(in, sub, negated) =>
@@ -715,8 +770,12 @@ final class SparqlCompiler(graph: TripleGraph) {
 }
 
 object SparqlFrontend {
-  def parse(q: String): SparqlAst.Query =
-    new SparqlParser(SparqlLexer.lex(q)).parseQuery()
+  def parse(q: String): SparqlAst.Query = {
+    val p = new SparqlParser(SparqlLexer.lex(q))
+    val query = p.parseQuery()
+    p.ensureEof()
+    query
+  }
 
   def run(graph: TripleGraph, query: String): DataFrame =
     new SparqlCompiler(graph).compile(parse(query))

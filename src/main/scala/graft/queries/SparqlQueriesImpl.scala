@@ -11,6 +11,41 @@ object SparqlQueriesImpl {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // DESCRIBE ?v WHERE (ref sparql/ast.rs:59,233): every triple about each
+    // BUILDING-segment customer.
+    QueryDef(
+      "q_sparql_describe",
+      """WITH b AS (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT s, p, o FROM (
+        |  SELECT 'c:' || c_custkey AS s, 'name' AS p, c_name AS o FROM b
+        |  UNION ALL SELECT 'c:' || c_custkey, 'segment', c_mktsegment FROM b
+        |  UNION ALL SELECT 'c:' || c_custkey, 'inNation', 'n:' || c_nationkey FROM b
+        |)
+        |ORDER BY s NULLS FIRST, p NULLS FIRST, o NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        "DESCRIBE ?c WHERE { ?c segment 'BUILDING' }")
+        .orderBy("s", "p", "o")
+    },
+
+    // Nested SELECT subquery (ref sparql/ast.rs:321-322): per-nation member
+    // counts aggregated in the subquery, names joined in the outer group.
+    QueryDef(
+      "q_sparql_subquery",
+      """SELECT nn, cnt FROM (
+        |  SELECT n_name AS nn, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT c_nationkey AS k FROM customer
+        |        UNION ALL SELECT s_nationkey FROM supplier)
+        |  JOIN nation ON k = n_nationkey
+        |  GROUP BY n_name
+        |)
+        |ORDER BY nn NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        """SELECT ?nn ?cnt WHERE {
+          |  ?n name ?nn .
+          |  { SELECT ?n (COUNT(*) AS ?cnt) WHERE { ?m inNation ?n } GROUP BY ?n }
+          |} ORDER BY ?nn""".stripMargin)
+    },
+
     // BGP + FILTER (TripleScan plan.rs:480-503; FILTER planner_rdf.rs).
     QueryDef(
       "q_sparql_select",

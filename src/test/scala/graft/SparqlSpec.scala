@@ -119,4 +119,28 @@ class SparqlSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall(_.getLong(1) >= 16))
   }
+
+  test("DESCRIBE <iri> without WHERE returns that subject's triples") {
+    val rows = SparqlFrontend.run(rdf, "DESCRIBE c:1")
+      .orderBy("p").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("inNation", "name", "segment"))
+    assert(rows.forall(_.getString(0) == "c:1"))
+  }
+
+  test("DESCRIBE with several targets unions their descriptions") {
+    val rows = SparqlFrontend.run(rdf, "DESCRIBE c:1 n:0")
+      .select("s").distinct().collect().map(_.getString(0)).toSeq.sorted
+    assert(rows == Seq("c:1", "n:0"))
+  }
+
+  test("subquery aggregates join the outer group on shared vars") {
+    val out = SparqlFrontend.run(rdf,
+      """SELECT ?nn ?cnt WHERE {
+        |  ?n name ?nn .
+        |  { SELECT ?n (COUNT(*) AS ?cnt) WHERE { ?m inNation ?n } GROUP BY ?n }
+        |} ORDER BY ?nn""".stripMargin).collect()
+    assert(out.nonEmpty)
+    // only nation subjects survive the join, and counts are positive
+    assert(out.forall(_.getLong(1) >= 1))
+  }
 }
