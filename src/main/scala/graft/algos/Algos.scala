@@ -43,21 +43,29 @@ object Algos {
     */
   def pageRankDF(g: PropertyGraph, iters: Int, damping: Double = 0.85): DataFrame = {
     val nodes = g.nodes.select(col("id")).distinct().persist()
-    val edges = g.edges.select(col("src"), col("dst")).persist()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
+    // out-degree is loop-invariant: join it into the edge list ONCE instead of
+    // once per iteration (one fewer shuffle per iteration)
+    val edges = g.edges.select(col("src"), col("dst"))
+    val degEdges = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .persist()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
-      val contribs = edges
+      // aggregate contributions BEFORE touching the nodes table: the groupBy
+      // runs on the (smaller) contribution stream, the dangling-node fill-in
+      // is a cheap left join afterwards
+      val sums = degEdges
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(outdeg, "src")
         .select(col("dst").as("id"), (col("rank") / col("d")).as("c"))
-      ranks = nodes.join(contribs, Seq("id"), "left_outer")
         .groupBy("id")
-        .agg((lit(1.0 - damping) + lit(damping) * coalesce(sum(col("c")), lit(0.0))).as("rank"))
+        .agg(sum(col("c")).as("s"))
+      ranks = nodes.join(sums, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
         .localCheckpoint() // truncate lineage: plan depth stays O(1) per iteration
     }
     // ranks is checkpoint-materialized; release the loop-invariant caches
-    Seq(nodes, edges, outdeg).foreach(_.unpersist(blocking = false))
+    Seq(nodes, degEdges).foreach(_.unpersist(blocking = false))
     ranks
   }
 
@@ -205,14 +213,15 @@ object Algos {
         .join(edges.withColumnRenamed("src", "id"), "id")
         .groupBy(col("dst").as("id"))
         .agg((max(col("level")) + 1).as("lvl2"))
+      // the changed flag rides inside the checkpointed frame: convergence is
+      // then a cheap scan of materialized blocks, not a fresh join job
+      val lvl = greatest(col("level"), coalesce(col("lvl2"), lit(0)))
       val updated = levels.join(next, Seq("id"), "left_outer")
-        .select(col("id"),
-          greatest(col("level"), coalesce(col("lvl2"), lit(0))).as("level"))
+        .select(col("id"), lvl.as("level"), (lvl =!= col("level")).as("__chg"))
         .localCheckpoint()
       changed = !checkConvergence ||
-        updated.join(levels.withColumnRenamed("level", "old"), "id")
-          .filter(col("level") =!= col("old")).limit(1).count() > 0
-      levels = updated
+        updated.filter(col("__chg")).limit(1).count() > 0
+      levels = updated.drop("__chg")
       i += 1
     }
     edges.unpersist(blocking = false) // levels is checkpoint-materialized

@@ -25,19 +25,21 @@ object Louvain {
       .persist()
     val degrees = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("k")).persist()
     val m2 = und.agg(sum(col("w"))).collect()(0).getDouble(0) // = 2m
-    var comm = degrees.select(col("id"), col("id").as("comm")).localCheckpoint()
+    // state carries (id, comm, k): the per-iteration tot and gain joins then
+    // never have to re-join the degrees table
+    var comm = degrees.select(col("id"), col("id").as("comm"), col("k"))
+      .localCheckpoint()
     var i = 0
     var stable = false
     while (i < maxIters && !stable) {
-      val tot = comm.join(degrees, "id")
-        .groupBy(col("comm")).agg(sum(col("k")).as("tot"))
+      val tot = comm.groupBy(col("comm")).agg(sum(col("k")).as("tot"))
       // weight from each node to each neighboring community (+ its own)
       val wToComm = und
         .join(comm.select(col("id").as("dst"), col("comm").as("nc")), "dst")
         .groupBy(col("src").as("id"), col("nc"))
         .agg(sum(col("w")).as("w_ic"))
       val scored = wToComm
-        .join(degrees, "id")
+        .join(comm.select(col("id"), col("k")), "id")
         .join(tot.withColumnRenamed("comm", "nc"), "nc")
         .select(col("id"), col("nc"),
           (col("w_ic") - col("k") * col("tot") / lit(m2)).as("gain"))
@@ -46,16 +48,19 @@ object Louvain {
       val best = scored
         .groupBy("id")
         .agg(min_by(col("nc"), struct((-col("gain")).as("g"), col("nc"))).as("bestc"))
+      // the changed flag rides inside the checkpointed frame: stability is a
+      // cheap scan of materialized blocks, not a fresh join job
+      val newc = coalesce(col("bestc"), col("comm"))
       val next = comm.join(best, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("bestc"), col("comm")).as("comm"))
+        .select(col("id"), newc.as("comm"), col("k"),
+          (newc =!= col("comm")).as("__chg"))
         .localCheckpoint()
-      stable = next.join(comm.withColumnRenamed("comm", "old"), "id")
-        .filter(col("comm") =!= col("old")).limit(1).count() == 0
-      comm = next
+      stable = next.filter(col("__chg")).limit(1).count() == 0
+      comm = next.drop("__chg")
       i += 1
     }
     // comm is checkpoint-materialized; release the loop-invariant caches
     Seq(und, degrees).foreach(_.unpersist(blocking = false))
-    comm
+    comm.select(col("id"), col("comm"))
   }
 }

@@ -622,28 +622,34 @@ final class SparqlCompiler(graph: TripleGraph) {
           .select(col("__ps"), col("__ps").as("__po"), lit(0).as("__d"))
       }
       // frontier BFS with a per-origin visited set; localCheckpoint per level
-      // truncates lineage (iterative-loop rule), iteration count ≤ diameter
-      var visited = seeds.localCheckpoint()
-      var frontier = visited
+      // truncates lineage (iterative-loop rule), iteration count ≤ diameter.
+      // Visited is kept as a buffer of per-level checkpointed frames — the
+      // anti-join scans their union, but nothing is re-materialized per level
+      // (re-checkpointing the whole set each round is O(depth × |closure|)
+      // write amplification)
+      var frames = List(seeds.localCheckpoint())
+      var frontier = frames.head
       var done = false
       var i = 1
       while (!done) {
+        val visitedAll = frames.map(_.select("__ps", "__po")).reduce(_ unionByName _)
         val fresh = frontier
           .join(base.select(col("__ps").as("__from"), col("__po").as("__to")),
             col("__po") === col("__from"))
           .select(col("__ps"), col("__to").as("__po"))
           .distinct()
-          .join(visited.select("__ps", "__po"), Seq("__ps", "__po"), "left_anti")
+          .join(visitedAll, Seq("__ps", "__po"), "left_anti")
           .withColumn("__d", lit(i))
           .localCheckpoint()
         if (fresh.isEmpty) done = true
         else {
-          visited = visited.unionByName(fresh).localCheckpoint()
+          frames ::= fresh
           frontier = fresh
         }
         i += 1
       }
       base.unpersist(blocking = false)
+      val visited = frames.reduce(_ unionByName _)
       val res = if (minZero) visited else visited.filter(col("__d") >= 1)
       res.select("__ps", "__po")
   }
