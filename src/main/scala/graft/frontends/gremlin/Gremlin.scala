@@ -18,9 +18,11 @@ import graft.ir.{Expr, Op}
   * elementMap(k…), where(pred), and/or/not(pred…),
   * coalesce(values|constant…), choose(pred, v1, v2), union(out/in/both…),
   * bothV, constant(v), optional(out/in/both), store/aggregate(label),
-  * sideEffect(store/aggregate(label)), cap(label).
-  * Predicates: eq, neq, gt, gte, lt, lte, within, has, hasLabel, and, or,
-  * not; eq/neq against an as()-alias compares traverser positions.
+  * sideEffect(store/aggregate(label)), cap(label), filter(pred).
+  * Predicates: eq, neq, gt, gte, lt, lte, within, without, between, inside,
+  * outside, containing, startingWith, endingWith, regex, has, hasLabel, and,
+  * or, not (with or without the `P.`/`TextP.` prefix); eq/neq against an
+  * as()-alias compares traverser positions.
   */
 object GremlinFrontend {
 
@@ -60,8 +62,15 @@ object GremlinFrontend {
           val s = q.substring(start, i)
           if (s.contains('.')) s.toDouble else s.toLong
         case c if c.isLetter =>
-          val name = ident()
+          var name = ident()
           ws()
+          // P.gt(5) / TextP.containing('x') — the statically-imported form
+          // drops the class prefix; accept both (gremlin/ast.rs:172-187)
+          if ((name == "P" || name == "TextP") && i < n && q(i) == '.') {
+            i += 1
+            name = ident()
+            ws()
+          }
           if (i < n && q(i) == '(') {
             i += 1
             val vs = values()
@@ -156,6 +165,26 @@ object GremlinFrontend {
       case Pred("lte", vs) => Expr.Bin("<=", colE, Expr.Lit(vs.head))
       case Pred("within", vs) =>
         Expr.Bin("in", colE, Expr.ListLit(vs.map(Expr.Lit)))
+      case Pred("without", vs) =>
+        Expr.Not(Expr.Bin("in", colE, Expr.ListLit(vs.map(Expr.Lit))))
+      // between is [start, end) and inside is (start, end) — TinkerPop
+      // semantics, ref gremlin/ast.rs:172-187
+      case Pred("between", Seq(lo, hi)) =>
+        Expr.Bin("and", Expr.Bin(">=", colE, Expr.Lit(lo)),
+          Expr.Bin("<", colE, Expr.Lit(hi)))
+      case Pred("inside", Seq(lo, hi)) =>
+        Expr.Bin("and", Expr.Bin(">", colE, Expr.Lit(lo)),
+          Expr.Bin("<", colE, Expr.Lit(hi)))
+      case Pred("outside", Seq(lo, hi)) =>
+        Expr.Bin("or", Expr.Bin("<", colE, Expr.Lit(lo)),
+          Expr.Bin(">", colE, Expr.Lit(hi)))
+      case Pred("containing", Seq(sub))    => Expr.Bin("contains", colE, Expr.Lit(sub))
+      case Pred("startingWith", Seq(pre))  => Expr.Bin("startswith", colE, Expr.Lit(pre))
+      case Pred("endingWith", Seq(suf))    => Expr.Bin("endswith", colE, Expr.Lit(suf))
+      case Pred("regex", Seq(pat))         => Expr.Bin("=~", colE, Expr.Lit(pat))
+      case Pred("and", vs) => vs.map(predExpr(colE, _)).reduce(Expr.Bin("and", _, _))
+      case Pred("or", vs)  => vs.map(predExpr(colE, _)).reduce(Expr.Bin("or", _, _))
+      case Pred("not", Seq(x)) => Expr.Not(predExpr(colE, x))
       case lit2 => Expr.Bin("=", colE, Expr.Lit(lit2))
     }
 
@@ -395,7 +424,7 @@ object GremlinFrontend {
         op = Op.Project(op, names.zip(bys).map { case (nm, k) =>
           (Expr.Prop(cur, k): Expr.E, nm) })
         valueCol = Some(names.head)
-      case "where" =>
+      case "where" | "filter" =>
         op = Op.Filter(op, wherePred(cur, s.args.head))
       case "and" | "or" | "not" =>
         op = Op.Filter(op, wherePred(cur, Pred(s.name, s.args)))

@@ -164,6 +164,70 @@ class LangSpec extends AnyFunSuite {
       session.graphqlMutation("""mutation { renameHub(id: 1) { id } }"""))
   }
 
+  test("gremlin: P and TextP predicates") {
+    import org.apache.spark.sql.functions.col
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    // without = complement of within
+    val without = session.gremlin(
+      "g.V().hasLabel('Customer').has('category', without('BUILDING','AUTOMOBILE')).count()")
+      .collect().head.getLong(0)
+    assert(without == cust.filter(!col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")).count())
+    // P.between is [lo, hi); inside is (lo, hi); outside is the complement of [lo, hi]
+    val between = session.gremlin(
+      "g.V().hasLabel('Customer').has('acctbal', P.between(0, 1000)).count()")
+      .collect().head.getLong(0)
+    assert(between == cust.filter(col("c_acctbal") >= 0 && col("c_acctbal") < 1000).count())
+    val inside = session.gremlin(
+      "g.V().hasLabel('Customer').has('acctbal', inside(0, 1000)).count()")
+      .collect().head.getLong(0)
+    assert(inside == cust.filter(col("c_acctbal") > 0 && col("c_acctbal") < 1000).count())
+    val outside = session.gremlin(
+      "g.V().hasLabel('Customer').has('acctbal', outside(0, 1000)).count()")
+      .collect().head.getLong(0)
+    assert(outside == cust.filter(col("c_acctbal") < 0 || col("c_acctbal") > 1000).count())
+    assert(between + outside == cust.count())
+    // TextP string predicates
+    val containing = session.gremlin(
+      "g.V().hasLabel('Customer').has('name', TextP.containing('001')).count()")
+      .collect().head.getLong(0)
+    assert(containing == cust.filter(col("c_name").contains("001")).count() && containing > 0)
+    val starting = session.gremlin(
+      "g.V().hasLabel('Nation').has('name', startingWith('NATION_1')).values('name').order().by()")
+      .collect().map(_.getString(0)).toSeq
+    assert(starting.nonEmpty && starting.forall(_.startsWith("NATION_1")))
+    val ending = session.gremlin(
+      "g.V().hasLabel('Nation').has('name', endingWith('_7')).count()")
+      .collect().head.getLong(0)
+    assert(ending == 1L)
+    val rx = session.gremlin(
+      "g.V().hasLabel('Nation').has('name', regex('^NATION_1.*')).count()")
+      .collect().head.getLong(0)
+    assert(rx == starting.size)
+    // composite predicates: P.and / P.or / P.not
+    val banded = session.gremlin(
+      "g.V().hasLabel('Customer').has('acctbal', P.and(gt(0), lt(1000))).count()")
+      .collect().head.getLong(0)
+    assert(banded == inside)
+    val either = session.gremlin(
+      "g.V().hasLabel('Customer').has('acctbal', P.or(lt(0), gt(1000))).count()")
+      .collect().head.getLong(0)
+    assert(either == outside)
+    val negated = session.gremlin(
+      "g.V().hasLabel('Customer').has('acctbal', P.not(between(0, 1000))).count()")
+      .collect().head.getLong(0)
+    assert(negated == cust.count() - between)
+  }
+
+  test("gremlin: filter() step is where()") {
+    val a = session.gremlin(
+      "g.V().hasLabel('Customer').filter(has('category', 'BUILDING')).count()")
+      .collect().head.getLong(0)
+    val b = session.gremlin(
+      "g.V().hasLabel('Customer').where(has('category', 'BUILDING')).count()")
+      .collect().head.getLong(0)
+    assert(a == b && a > 0)
+  }
+
   test("gremlin: parse errors") {
     assertThrows[IllegalArgumentException](GremlinFrontend.parseSteps("h.V()"))
     assertThrows[IllegalArgumentException](GremlinFrontend.parseSteps("g.V("))
