@@ -90,6 +90,11 @@ object SparqlAst {
   final case class PAlt(l: PathE, r: PathE) extends PathE // p1|p2
   final case class PClosure(e: PathE, minZero: Boolean) extends PathE // p+ / p*
   final case class POpt(e: PathE) extends PathE          // p?
+  /** Negated property set `!p` / `!(p1|^p2|…)` (ref sparql/ast.rs:388-414).
+    * Forward members exclude predicates on (s,o); inverse members exclude
+    * predicates on reversed (o,s); mixed sets are the union of both parts.
+    */
+  final case class PNeg(fwd: Seq[String], inv: Seq[String]) extends PathE
 
   sealed trait Pattern
   final case class Bgp(triples: Seq[TriplePattern]) extends Pattern
@@ -389,7 +394,9 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
   private def parsePathUnary(): PathE = {
     val inv = eat(Sym("^"))
     var e = peek match {
+      case Some(Sym("!")) => next(); parseNegatedSet()
       case Some(Sym("(")) => next(); val x = parsePathAlt(); expect(Sym(")")); x
+      case Some(Kw("A")) => next(); PLink("rdf:type") // `a` keyword
       case Some(Word(w))  => next(); PLink(w)
       case other => fail(s"expected path element, got $other")
     }
@@ -401,6 +408,29 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
       case _ => go = false
     }
     if (inv) PInv(e) else e
+  }
+
+  /** `!p`, `!^p`, or `!(p1|^p2|…)` — members are plain IRIs, optionally
+    * `^`-inverted; `a` is allowed as a member and means rdf:type.
+    */
+  private def parseNegatedSet(): PathE = {
+    val fwd = Seq.newBuilder[String]
+    val inv = Seq.newBuilder[String]
+    def member(): Unit = {
+      val isInv = eat(Sym("^"))
+      val w = peek match {
+        case Some(Kw("A"))   => next(); "rdf:type"
+        case Some(Word(x))   => next(); x
+        case other => fail(s"expected IRI in negated property set, got $other")
+      }
+      if (isInv) inv += w else fwd += w
+    }
+    if (eat(Sym("("))) {
+      member()
+      while (eat(Sym("|"))) member()
+      expect(Sym(")"))
+    } else member()
+    SparqlAst.PNeg(fwd.result(), inv.result())
   }
 
   // ---- FILTER / BIND expressions ----
@@ -605,6 +635,19 @@ final class SparqlCompiler(graph: TripleGraph) {
       val sw = pathPairs(x, None)
         .select(col("__po").as("__ps"), col("__ps").as("__po"))
       seed.map(v => sw.filter(col("__ps") === v)).getOrElse(sw)
+    case SparqlAst.PNeg(fwd, inv) =>
+      // forward part matches any triple whose predicate is outside the
+      // forward members; inverse part the same on reversed pairs. Predicate
+      // pushdown: the NOT IN reaches the triple scan.
+      def fwdPairs = graph.triples.filter(!col("p").isin(fwd: _*))
+        .select(col("s").as("__ps"), col("o").as("__po"))
+      def invPairs = graph.triples.filter(!col("p").isin(inv: _*))
+        .select(col("o").as("__ps"), col("s").as("__po"))
+      val base =
+        if (inv.isEmpty) fwdPairs
+        else if (fwd.isEmpty) invPairs
+        else fwdPairs.unionByName(invPairs)
+      seed.map(v => base.filter(col("__ps") === v)).getOrElse(base)
     case SparqlAst.PSeq(l, r) =>
       pathPairs(l, seed).withColumnRenamed("__po", "__mid")
         .join(pathPairs(r, None).withColumnRenamed("__ps", "__mid"), "__mid")

@@ -126,6 +126,20 @@ object TpchRdf {
     TripleGraph(base.unionByName(more))
   }
 
+  /** TpchRdf plus `rdf:type` triples (the `a` keyword's target) — kept as a
+    * separate view so existing oracles over the base view stay unchanged.
+    */
+  def withTypes(spark: SparkSession, dir: String): TripleGraph = {
+    val base = apply(spark, dir).triples
+    def ty(df: DataFrame, s: Column, cls: String): DataFrame =
+      df.select(s.cast("string").as("s"), lit("rdf:type").as("p"), lit(cls).as("o"))
+    val types =
+      ty(Tables.customer(spark, dir), concat(lit("c:"), col("c_custkey")), "Customer")
+        .unionByName(ty(Tables.nation(spark, dir), concat(lit("n:"), col("n_nationkey")), "Nation"))
+        .unionByName(ty(Tables.supplier(spark, dir), concat(lit("s:"), col("s_suppkey")), "Supplier"))
+    TripleGraph(base.unionByName(types))
+  }
+
   def apply(spark: SparkSession, dir: String): TripleGraph = {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)

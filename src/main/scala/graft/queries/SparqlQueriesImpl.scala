@@ -230,5 +230,34 @@ object SparqlQueriesImpl {
           |  FILTER(STRSTARTS(?c, 'c:'))
           |} GROUP BY ?nn ORDER BY ?nn""".stripMargin)
     },
+
+    // `a` keyword = rdf:type (SPARQL 1.1 §4.2.4; ref sparql/ast.rs): class
+    // membership scan joined with a property lookup.
+    QueryDef(
+      "q_sparql_a_type",
+      """SELECT 's:' || s_suppkey AS s, s_name AS nm
+        |FROM supplier
+        |ORDER BY s NULLS FIRST, nm NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf.withTypes(s, dir),
+        """SELECT ?s ?nm WHERE {
+          |  ?s a Supplier .
+          |  ?s name ?nm .
+          |} ORDER BY ?s ?nm""".stripMargin)
+    },
+
+    // Negated property set !(p1|p2) (SPARQL 1.1 §9.1, ref
+    // sparql/ast.rs:388-414): every edge that is neither name nor segment —
+    // i.e. exactly the inNation triples.
+    QueryDef(
+      "q_sparql_nps",
+      """SELECT s, o FROM (
+        |  SELECT 'c:' || c_custkey AS s, 'n:' || c_nationkey AS o FROM customer
+        |  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+        |)
+        |ORDER BY s NULLS FIRST, o NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf(s, dir),
+        """SELECT ?s ?o WHERE { ?s !(name|segment) ?o }
+          |ORDER BY ?s ?o""".stripMargin)
+    },
   )
 }

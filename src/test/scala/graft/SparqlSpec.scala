@@ -78,6 +78,42 @@ class SparqlSpec extends AnyFunSuite {
     assert(pairs == seeded)
   }
 
+  test("negated property set: single, set, inverse, and mixed forms") {
+    // !name on c:1 — everything about the customer except its name
+    val single = SparqlFrontend.run(rdf,
+      "SELECT ?o WHERE { c:1 !name ?o } ORDER BY ?o")
+      .collect().map(_.getString(0)).toSet
+    val all = SparqlFrontend.run(rdf,
+      "SELECT ?p ?o WHERE { c:1 ?p ?o }")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(single == all.filter(_._1 != "name").map(_._2).toSet && single.nonEmpty)
+    // inverse-only: !(^inNation) from a nation = reversed non-inNation edges
+    // into it — nations only receive inNation, so empty
+    val invOnly = SparqlFrontend.run(rdf,
+      "SELECT ?x WHERE { n:0 !(^inNation) ?x }").collect()
+    assert(invOnly.isEmpty)
+    // mixed: forward part (non-name edges out of n:0 — none, nations only
+    // have name) ∪ inverse part (reversed non-segment edges — the members
+    // pointing in via inNation and the name literal's holder via ^name? no:
+    // ^ reverses (o,s), so subjects whose triples TARGET n:0 with p ∉ {segment})
+    val mixed = SparqlFrontend.run(rdf,
+      "SELECT ?x WHERE { n:0 !(name|^segment) ?x } ORDER BY ?x")
+      .collect().map(_.getString(0)).toSet
+    val members = rdf.triples.filter(col("o") === "n:0" && col("p") =!= "segment")
+      .select("s").collect().map(_.getString(0)).toSet
+    assert(mixed == members && members.nonEmpty)
+  }
+
+  test("a keyword matches rdf:type triples") {
+    val got = SparqlFrontend.run(TpchRdf.withTypes(spark, sf),
+      "SELECT ?n WHERE { ?n a Nation } ORDER BY ?n")
+      .collect().map(_.getString(0)).toSeq
+    val exp = spark.read.parquet(s"$sf/nation.parquet")
+      .select(concat(lit("n:"), col("n_nationkey"))).collect()
+      .map(_.getString(0)).toSeq.sorted
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("FILTER NOT EXISTS anti-joins; EXISTS and NOT EXISTS partition") {
     val ex = SparqlFrontend.run(rdf,
       """SELECT ?nn WHERE { ?nat name ?nn . FILTER(STRSTARTS(?nat, 'n:'))
