@@ -19,6 +19,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 140 queries × iterative checkpoints accumulate storage blocks whose
+      // cleanup waits on driver GC (default periodicGC is 30min — longer than
+      // the whole run); without this, late-alphabet queries absorb the stalls
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -4,7 +4,7 @@ import org.apache.spark.graphx.{Edge, Graph, VertexId}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.PropertyGraph
+import graft.graph.{LocalGraph, PropertyGraph}
 
 /** Graph algorithms (SURVEY §2.6; reference
   * crates/grafeo-adapters/src/plugins/algorithms/) over the property graph —
@@ -192,8 +192,26 @@ object Algos {
   def stronglyConnectedComponents(spark: SparkSession, g: PropertyGraph,
       maxIters: Int = 20): DataFrame = {
     import spark.implicits._
-    toGraphX(g).stronglyConnectedComponents(maxIters)
-      .vertices.map { case (id, c) => (id, c) }.toDF("id", "component")
+    // Adaptive strategy: a broadcast-sized graph runs iterative Tarjan in
+    // one pass (LocalGraph.scc, same smallest-member labels); GraphX's
+    // distributed SCC is the at-scale path.
+    // persist before probing: fixture graphs are often computed joins, and
+    // probe + collect would otherwise run them twice
+    val edges = g.edges.select(col("src"), col("dst")).persist()
+    val nodes = g.nodes.select(col("id")).distinct().persist()
+    try {
+      val maxE = LocalGraph.maxEdges(spark)
+      if (LocalGraph.atMost(edges, maxE) && LocalGraph.atMost(nodes, maxE)) {
+        val eArr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val nArr = nodes.collect().map(_.getLong(0))
+        LocalGraph.scc(spark, nArr, eArr)
+      } else
+        toGraphX(g).stronglyConnectedComponents(maxIters)
+          .vertices.map { case (id, c) => (id, c) }.toDF("id", "component")
+    } finally {
+      edges.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
   }
 
   /** Topological levels (reference components.rs:302 topo sort, recast for
@@ -204,27 +222,51 @@ object Algos {
   def topoLevels(g: PropertyGraph, maxIters: Int = 64,
       checkConvergence: Boolean = true): DataFrame = {
     val edges = g.edges.select(col("src"), col("dst")).persist()
-    val nodes = g.nodes.select(col("id")).distinct()
+    val nodes = g.nodes.select(col("id")).distinct().persist()
+    // Adaptive strategy: a broadcast-sized graph computes the whole grading
+    // in one job with identical synchronous-round semantics (LocalGraph);
+    // the propagation loop below is the at-scale path.
+    val spark = g.nodes.sparkSession
+    val maxE = LocalGraph.maxEdges(spark)
+    if (LocalGraph.atMost(edges, maxE) && LocalGraph.atMost(nodes, maxE)) {
+      val eArr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nArr = nodes.collect().map(_.getLong(0))
+      edges.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      return LocalGraph.topoLevels(spark, nArr, eArr, maxIters)
+    }
+    // `batch` propagation rounds chain lazily between localCheckpoints: one
+    // scheduler round-trip per batch instead of per level (identical
+    // exchanges collapse under reuse), the dominant cost of deep DAGs.
+    val batch = 3
     var levels = nodes.withColumn("level", lit(0))
     var changed = true
     var i = 0
+    // levels are monotone nondecreasing, so Σ level strictly increases iff
+    // any node changed — convergence is a cheap scan of the materialized
+    // frame instead of a per-level join-back + flag column
+    var lastSum = -1L
     while (changed && i < maxIters) {
-      val next = levels
-        .join(edges.withColumnRenamed("src", "id"), "id")
-        .groupBy(col("dst").as("id"))
-        .agg((max(col("level")) + 1).as("lvl2"))
-      // the changed flag rides inside the checkpointed frame: convergence is
-      // then a cheap scan of materialized blocks, not a fresh join job
-      val lvl = greatest(col("level"), coalesce(col("lvl2"), lit(0)))
-      val updated = levels.join(next, Seq("id"), "left_outer")
-        .select(col("id"), lvl.as("level"), (lvl =!= col("level")).as("__chg"))
-        .localCheckpoint()
-      changed = !checkConvergence ||
-        updated.filter(col("__chg")).limit(1).count() > 0
-      levels = updated.drop("__chg")
-      i += 1
+      val steps = math.min(batch, maxIters - i)
+      var cur = levels
+      for (_ <- 1 to steps) {
+        // level(v) ← max(level(v), 1 + max_{u→v} level(u)) as union + max:
+        // one join + one aggregation per level, no join-back
+        val contribs = cur
+          .join(edges.withColumnRenamed("src", "id"), "id")
+          .select(col("dst").as("id"), (col("level") + 1).as("level"))
+        cur = cur.unionByName(contribs)
+          .groupBy("id").agg(max(col("level")).as("level"))
+      }
+      val updated = cur.localCheckpoint()
+      val s = updated.agg(sum(col("level"))).head().getLong(0)
+      changed = !checkConvergence || s != lastSum
+      lastSum = s
+      levels = updated
+      i += steps
     }
     edges.unpersist(blocking = false) // levels is checkpoint-materialized
+    nodes.unpersist(blocking = false)
     levels
   }
 

@@ -2,7 +2,7 @@ package graft.frontends.sparql
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.graph.{L, Term, TripleGraph, TriplePattern, V}
+import graft.graph.{L, LocalGraph, Term, TripleGraph, TriplePattern, V}
 import graft.ir.Expr
 
 /** SPARQL 1.1 front-end (SURVEY §2.8; reference
@@ -657,39 +657,84 @@ final class SparqlCompiler(graph: TripleGraph) {
     case SparqlAst.POpt(x) =>
       pathPairs(x, seed).unionByName(identityPairs(x, seed)).distinct()
     case SparqlAst.PClosure(x, minZero) =>
+      val spark = graph.triples.sparkSession
       val base = pathPairs(x, None).persist()
+      // Adaptive strategy: a broadcast-sized base relation runs the whole
+      // closure as one job (LocalGraph BFS per seed, seeds distributed);
+      // the frontier loop below is the at-scale path.
+      if (LocalGraph.atMost(base, LocalGraph.maxEdges(spark))) {
+        val seedPairs = seed match {
+          case Some(v) => spark.range(1).select(lit(v).as("__ps"), lit(v).as("__po"))
+          case None => base.select(col("__ps")).distinct()
+            .select(col("__ps"), col("__ps").as("__po"))
+        }
+        val reached = LocalGraph.bfs(base, seedPairs, Int.MaxValue)
+          .select("__ps", "__po")
+        base.unpersist(blocking = false)
+        // `*` adds each origin's zero-length pair; a cycle can also reach
+        // (v,v) at depth >= 1, hence the dedup
+        return if (minZero) reached.unionByName(seedPairs).dropDuplicates("__ps", "__po")
+          else reached
+      }
       val seeds = seed match {
         case Some(v) => graph.triples.sparkSession.range(1)
           .select(lit(v).as("__ps"), lit(v).as("__po"), lit(0).as("__d"))
         case None => base.select(col("__ps")).distinct()
           .select(col("__ps"), col("__ps").as("__po"), lit(0).as("__d"))
       }
-      // frontier BFS with a per-origin visited set; localCheckpoint per level
-      // truncates lineage (iterative-loop rule), iteration count ≤ diameter.
-      // Visited is kept as a buffer of per-level checkpointed frames — the
-      // anti-join scans their union, but nothing is re-materialized per level
-      // (re-checkpointing the whole set each round is O(depth × |closure|)
-      // write amplification)
+      // frontier BFS with a per-origin visited set. Visited is a buffer of
+      // checkpointed frames — the anti-join scans their union, nothing is
+      // re-materialized per level (re-checkpointing the whole set each round
+      // is O(depth × |closure|) write amplification). Lineage is truncated
+      // every `batch` levels rather than every level: intermediate levels
+      // chain lazily (identical exchanges collapse under reuse), which cuts
+      // the dominant cost of deep closures — one scheduler round-trip per
+      // level — by ~batch×, without changing the scale-safe frontier shape.
+      // Within a batch, levels chain as plain distinct sets (each level
+      // referenced exactly once — no subplan duplication, no per-level
+      // anti-join); novelty vs the visited set is settled once per batch by
+      // a min-depth aggregation + anti-join. A level may re-contain
+      // already-visited pairs (cycles step backwards), which costs bounded
+      // re-stepping inside the batch but preserves the BFS frontier
+      // invariant: every pair's successors are explored the level after its
+      // first discovery.
+      val batch = 3
+      val step = base.select(col("__ps").as("__from"), col("__po").as("__to"))
       var frames = List(seeds.localCheckpoint())
-      var frontier = frames.head
+      var frontier = frames.head.select("__ps", "__po")
       var done = false
-      var i = 1
+      var depth = 0
       while (!done) {
         val visitedAll = frames.map(_.select("__ps", "__po")).reduce(_ unionByName _)
-        val fresh = frontier
-          .join(base.select(col("__ps").as("__from"), col("__po").as("__to")),
-            col("__po") === col("__from"))
-          .select(col("__ps"), col("__to").as("__po"))
-          .distinct()
-          .join(visitedAll, Seq("__ps", "__po"), "left_anti")
-          .withColumn("__d", lit(i))
-          .localCheckpoint()
-        if (fresh.isEmpty) done = true
-        else {
-          frames ::= fresh
-          frontier = fresh
+        var levels = List.empty[DataFrame]
+        var cur = frontier
+        for (k <- 1 to batch) {
+          // anti-join per level against the MATERIALIZED pre-batch visited
+          // set keeps each level rim-sized (multi-path graphs re-reach old
+          // pairs at every length otherwise); referencing checkpointed
+          // frames repeatedly is cheap, unlike lazy within-batch levels,
+          // whose rediscoveries the batch-end min-__d aggregation absorbs
+          cur = cur
+            .join(step, col("__po") === col("__from"))
+            .select(col("__ps"), col("__to").as("__po"))
+            .distinct()
+            .join(visitedAll, Seq("__ps", "__po"), "left_anti")
+          levels ::= cur.withColumn("__d", lit(depth + k))
         }
-        i += 1
+        val got = levels.reverse.reduce(_ unionByName _)
+          .groupBy(col("__ps"), col("__po")).agg(min(col("__d")).as("__d"))
+          .join(visitedAll, Seq("__ps", "__po"), "left_anti")
+          .localCheckpoint()
+        // one stats scan over the materialized batch replaces a per-level
+        // isEmpty action
+        val stats = got.agg(count(lit(1)).as("n"), max(col("__d")).as("m")).head()
+        if (stats.getLong(0) == 0L) done = true
+        else {
+          frames ::= got
+          frontier = got.filter(col("__d") === stats.getInt(1))
+            .select("__ps", "__po")
+          depth += batch
+        }
       }
       base.unpersist(blocking = false)
       val visited = frames.reduce(_ unionByName _)
@@ -774,15 +819,85 @@ final class SparqlCompiler(graph: TripleGraph) {
         case "IF"    => when(a0, a1).otherwise(expr(args(2)))
         case "COALESCE" => coalesce(args.map(expr): _*)
         case "BOUND" => a0.isNotNull
-        case "STR"   => a0.cast("string")
+        case "STR"   => lexical(a0.cast("string")) // the lexical form: lang/datatype suffixes stripped
         case "ISNUMERIC" => a0.cast("double").isNotNull
         case "ISIRI" | "ISURI" => a0.rlike("^[a-z]+:")
         case "ISBLANK" => a0.startsWith("_:")
         case "ISLITERAL" => !a0.rlike("^[a-z]+:")
+        // --- the remainder of the reference battery (parser.rs:1555-1714) ---
+        case "REGEX" =>
+          // flags fold into the pattern (`(?i)…`); pattern/flags are literals
+          // in practice — runtime patterns go through regexp_like
+          (args.lift(1), args.lift(2)) match {
+            case (Some(Expr.Lit(p)), None) => a0.rlike(p.toString)
+            case (Some(Expr.Lit(p)), Some(Expr.Lit(f))) =>
+              a0.rlike(s"(?$f)" + p.toString)
+            case _ => call_function("regexp_like", a0, a1)
+          }
+        case "LANG" => regexp_extract(a0, LangSuffix, 1)
+        case "LANGMATCHES" =>
+          when(a1 === "*", a0 =!= "").otherwise(
+            lower(a0) === lower(a1) ||
+              lower(a0).startsWith(concat(lower(a1), lit("-"))))
+        case "DATATYPE" =>
+          when(regexp_extract(a0, DtSuffix, 1) =!= "", regexp_extract(a0, DtSuffix, 1))
+            .when(regexp_extract(a0, LangSuffix, 1) =!= "", lit("rdf:langString"))
+            .otherwise(lit("xsd:string"))
+        case "STRLANG" => concat(a0, lit("@"), a1)
+        case "STRDT"   => concat(a0, lit("^^"), a1)
+        case "SAMETERM" => a0 === a1 // encoded term strings compare directly
+        case "IRI" | "URI" => a0 // terms are already compact IRIs
+        // BNODE(x) is deterministic per label (stable within the solution,
+        // the SPARQL contract); BNODE() mints a fresh node per row
+        case "BNODE" =>
+          if (args.isEmpty) concat(lit("_:"), call_function("uuid"))
+          else concat(lit("_:b"), md5(a0.cast("string")))
+        case "RAND" => rand()
+        case "NOW"  => current_timestamp()
+        case "UUID"    => concat(lit("urn:uuid:"), call_function("uuid"))
+        case "STRUUID" => call_function("uuid")
+        case "MD5"    => md5(a0.cast("string"))
+        case "SHA1"   => sha1(a0.cast("string"))
+        case "SHA256" => sha2(a0.cast("string"), 256)
+        case "SHA384" => sha2(a0.cast("string"), 384)
+        case "SHA512" => sha2(a0.cast("string"), 512)
+        // xsd:date/dateTime accessors work on the lexical form (ISO 8601
+        // casts directly); the typed-literal suffix is stripped first
+        case "YEAR"    => year(lexical(a0).cast("timestamp"))
+        case "MONTH"   => month(lexical(a0).cast("timestamp"))
+        case "DAY"     => dayofmonth(lexical(a0).cast("timestamp"))
+        case "HOURS"   => hour(lexical(a0).cast("timestamp"))
+        case "MINUTES" => minute(lexical(a0).cast("timestamp"))
+        case "SECONDS" => second(lexical(a0).cast("timestamp"))
+        case "TIMEZONE" | "TZ" =>
+          regexp_extract(lexical(a0), "(Z|[+-][0-9]{2}:[0-9]{2})$", 1)
+        // vector extension (reference parser.rs:1610-1615, AI/ML workloads):
+        // VECTOR('[…]') parses a bracketed literal into array<float>, the
+        // distance/similarity functions reuse the native codegen expressions
+        case "VECTOR" =>
+          split(regexp_replace(a0, "[\\[\\]\\s]+", ""), ",").cast("array<float>")
+        case "COSINE_SIMILARITY" =>
+          graft.functions.VectorFunctions.cosineSimilarity(a0, a1)
+        case "EUCLIDEAN_DISTANCE" =>
+          graft.functions.VectorFunctions.euclideanDistance(a0, a1)
+        case "DOT_PRODUCT" =>
+          graft.functions.VectorFunctions.dotProduct(a0, a1)
+        case "MANHATTAN_DISTANCE" =>
+          graft.functions.VectorFunctions.manhattanDistance(a0, a1)
         case other => throw new IllegalArgumentException(s"sparql function $other")
       }
     case other => throw new IllegalArgumentException(s"unsupported sparql expr $other")
   }
+
+  /** Typed-literal encoding (reference RDF terms carry lang/datatype; the
+    * string triple store encodes them as suffixes): `"v"@en` → `v@en`,
+    * `"v"^^xsd:int` → `v^^xsd:int`. `lexical` strips both suffixes — the
+    * STR() view of a term.
+    */
+  private val LangSuffix = "@([A-Za-z]+(?:-[A-Za-z0-9]+)*)$"
+  private val DtSuffix = "\\^\\^([^\\s\"]+)$"
+  private def lexical(c: Column): Column =
+    regexp_replace(regexp_replace(c, DtSuffix, ""), LangSuffix, "")
 
   private def locate_(sub: Column, in: Column): Column =
     expr_locate(sub, in)

@@ -1,0 +1,176 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Adaptive single-stage strategies for iterative graph primitives.
+  *
+  * A distributed frontier loop pays one scheduler round-trip per level — the
+  * right shape when the edge set is cluster-sized, but pure overhead when it
+  * would fit in a broadcast. This is the same adaptivity Spark applies to
+  * joins (broadcast vs shuffle, AQE): below a configurable edge-count
+  * threshold (`graft.local.maxEdges`, limit-probed so the check never scans
+  * more than threshold+1 rows) the traversal runs as ONE job — adjacency
+  * broadcast to executors, per-seed BFS inside mapPartitions, seeds still
+  * distributed across the cluster. Above it, callers keep their distributed
+  * loop. Mirrors the bounded-subgraph precedent of `graft.algos.BoundedAlgos`
+  * and the reference's in-memory traversals (traversal.rs) — except the
+  * fallback here stays distributed rather than failing.
+  */
+object LocalGraph {
+
+  val MaxEdgesKey = "graft.local.maxEdges"
+  val DefaultMaxEdges = 500000L
+
+  def maxEdges(spark: SparkSession): Long =
+    spark.conf.getOption(MaxEdgesKey).map(_.toLong).getOrElse(DefaultMaxEdges)
+
+  /** True iff `df` has at most `n` rows. CollectLimit short-circuits: this
+    * never scans more than n+1 rows, so probing a 100 TB table is cheap.
+    */
+  def atMost(df: DataFrame, n: Long): Boolean =
+    df.limit(math.min(n + 1, Int.MaxValue).toInt).count() <= n
+
+  /** Broadcast adjacency from a 2-column (src, dst) frame. Bounded by the
+    * caller's `atMost` guard.
+    */
+  private def adjacency(edges: DataFrame): java.util.HashMap[Any, ArrayBuffer[Any]] = {
+    val adj = new java.util.HashMap[Any, ArrayBuffer[Any]]()
+    edges.collect().foreach { r =>
+      adj.computeIfAbsent(r.get(0), _ => new ArrayBuffer[Any]()) += r.get(1)
+    }
+    adj
+  }
+
+  /** Multi-source first-discovery BFS in one job. `edges`: (src, dst) of any
+    * atomic type; `seeds`: (origin, start). Output columns are named after
+    * `seeds` plus `dist` (>= 1, the minimal hop count — identical semantics
+    * to the distributed frontier loop). Seeds stay partitioned: per-origin
+    * BFS is embarrassingly parallel across executors; only the adjacency is
+    * centralized, and the caller guarantees it is broadcast-sized.
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val bc = spark.sparkContext.broadcast(adjacency(edges))
+    val schema = StructType(seeds.schema.fields :+ StructField("dist", IntegerType, nullable = false))
+    val rows = seeds.rdd.mapPartitions { it =>
+      val adj = bc.value
+      it.flatMap { row =>
+        val origin = row.get(0)
+        val out = new ArrayBuffer[Row]()
+        val seen = new java.util.HashSet[Any]()
+        var frontier: List[Any] = List(row.get(1))
+        seen.add(row.get(1))
+        var d = 0
+        while (frontier.nonEmpty && d < maxDepth) {
+          d += 1
+          val next = new ArrayBuffer[Any]()
+          frontier.foreach { u =>
+            val vs = adj.get(u)
+            if (vs != null) vs.foreach { v =>
+              if (seen.add(v)) { next += v; out += Row(origin, v, d) }
+            }
+          }
+          frontier = next.toList
+        }
+        out.iterator
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Longest-incoming-path levels in one job — synchronous rounds identical
+    * to the distributed propagation in `Algos.topoLevels` (bounded by
+    * `maxIters`, so cyclic graphs converge to the same capped values).
+    * Returns (id: Long, level: Int).
+    */
+  def topoLevels(spark: SparkSession, nodeIds: Array[Long],
+      edges: Array[(Long, Long)], maxIters: Int): DataFrame = {
+    import spark.implicits._
+    val level = new java.util.HashMap[Long, Int]()
+    nodeIds.foreach(level.put(_, 0))
+    var changed = true
+    var i = 0
+    while (changed && i < maxIters) {
+      changed = false
+      // synchronous round: read last round's levels, write the next
+      val snap = new java.util.HashMap[Long, Int](level)
+      edges.foreach { case (s, d) =>
+        val cand = snap.getOrDefault(s, 0) + 1
+        if (cand > level.getOrDefault(d, 0)) { level.put(d, cand); changed = true }
+      }
+      i += 1
+    }
+    nodeIds.map(id => (id, level.getOrDefault(id, 0))).toSeq.toDF("id", "level")
+  }
+
+  /** Strongly connected components (iterative Tarjan) in one job. Returns
+    * (id, component = smallest member id), matching the GraphX convention
+    * the distributed path produces. Runs on the driver — bounded by the
+    * caller's edge/node guard, the `BoundedAlgos` contract.
+    */
+  def scc(spark: SparkSession, nodeIds: Array[Long],
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val adj = new java.util.HashMap[Long, ArrayBuffer[Long]]()
+    edges.foreach { case (s, d) => adj.computeIfAbsent(s, _ => new ArrayBuffer[Long]()) += d }
+    val index = new java.util.HashMap[Long, Int]()
+    val low = new java.util.HashMap[Long, Int]()
+    val onStack = new java.util.HashSet[Long]()
+    val stack = new ArrayBuffer[Long]()
+    val comp = new java.util.HashMap[Long, Long]()
+    var counter = 0
+    // explicit work stack — recursion depth is the longest path, which
+    // overflows the JVM stack on chain graphs
+    nodeIds.foreach { root =>
+      if (!index.containsKey(root)) {
+        val work = new ArrayBuffer[(Long, Int)]() // (node, next child offset)
+        work += ((root, 0))
+        while (work.nonEmpty) {
+          val (v, ci) = work.last
+          if (ci == 0) {
+            index.put(v, counter); low.put(v, counter); counter += 1
+            stack += v; onStack.add(v)
+          }
+          val children = adj.getOrDefault(v, ArrayBuffer.empty)
+          var advanced = false
+          var i = ci
+          while (i < children.length && !advanced) {
+            val w = children(i)
+            if (!index.containsKey(w)) {
+              work(work.length - 1) = (v, i + 1)
+              work += ((w, 0))
+              advanced = true
+            } else {
+              if (onStack.contains(w) && low.get(w) < low.get(v)) low.put(v, low.get(w))
+              i += 1
+            }
+          }
+          if (!advanced) {
+            work.remove(work.length - 1)
+            if (work.nonEmpty) {
+              val (p, _) = work.last
+              if (low.get(v) < low.get(p)) low.put(p, low.get(v))
+            }
+            if (low.get(v) == index.get(v)) {
+              // pop the component, label with its smallest id
+              val members = new ArrayBuffer[Long]()
+              var done = false
+              while (!done) {
+                val w = stack.remove(stack.length - 1)
+                onStack.remove(w)
+                members += w
+                if (w == v) done = true
+              }
+              val label = members.min
+              members.foreach(comp.put(_, label))
+            }
+          }
+        }
+      }
+    }
+    nodeIds.map(id => (id, comp.getOrDefault(id, id))).toSeq.toDF("id", "component")
+  }
+}

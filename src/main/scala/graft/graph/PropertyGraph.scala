@@ -83,24 +83,38 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
     })
     val ep = e.persist()
+    // localCheckpoint truncates the logical plan: without it the plan (and
+    // driver-side analysis time) grows exponentially with the hop count.
+    // `batch` hops chain lazily between checkpoints — one scheduler
+    // round-trip per batch, not per hop. On a multi-node cluster prefer
+    // reliable checkpoint() for fault tolerance; the shape is identical.
+    val batch = 3
     var frontier = sources.select(col(srcCol).as("__origin"), col(srcCol).as("__cur"))
     var acc: Option[DataFrame] = None
     var i = 1
     var exhausted = false
     while (i <= maxHops && !exhausted) {
-      // localCheckpoint truncates the logical plan: without it the plan (and
-      // driver-side analysis time) grows exponentially with the hop count.
-      // On a multi-node cluster prefer reliable checkpoint() for fault
-      // tolerance; the shape is identical.
-      frontier = frontier.join(ep, col("__cur") === col("__s"))
-        .select(col("__origin"), col("__d").as("__cur"))
-        .localCheckpoint()
-      if (frontier.isEmpty) { exhausted = true }
-      else {
-        val step = frontier.withColumn("hops", lit(i))
-        if (i >= minHops) acc = Some(acc.map(_.unionByName(step)).getOrElse(step))
+      val steps = math.min(batch, maxHops - i + 1)
+      var cur = frontier
+      var levels = List.empty[DataFrame]
+      for (k <- 0 until steps) {
+        cur = cur.join(ep, col("__cur") === col("__s"))
+          .select(col("__origin"), col("__d").as("__cur"))
+        levels ::= cur.withColumn("hops", lit(i + k))
       }
-      i += 1
+      val got = levels.reverse.reduce(_ unionByName _).localCheckpoint()
+      // one stats scan over the materialized batch replaces per-hop isEmpty
+      val stats = got.agg(count(lit(1)).as("n"), max(col("hops")).as("m")).head()
+      if (stats.getLong(0) == 0L) exhausted = true
+      else {
+        val maxH = stats.getInt(1)
+        exhausted = maxH < i + steps - 1 // a hop inside the batch was empty
+        val keep = got.filter(col("hops") >= minHops)
+        acc = Some(acc.map(_.unionByName(keep)).getOrElse(keep))
+        frontier = got.filter(col("hops") === maxH)
+          .select(col("__origin"), col("__cur"))
+      }
+      i += steps
     }
     // every frontier (and thus acc) is localCheckpoint-materialized, so the
     // cached edge projection can be released immediately
@@ -115,9 +129,10 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * minimal hop count, dist >= 1. `filterNodes` optionally restricts the
     * reachable node set (mirrors the reference's bound-endpoint pruning).
     *
-    * Frontier BFS with a visited set: per iteration one join + one anti-join,
-    * both on the (origin, node) key — the classic distributed BFS. Frontiers
-    * are persisted; visited grows monotonically and is re-persisted per level.
+    * Frontier BFS with a visited set: per level one join + one anti-join,
+    * both on the (origin, node) key — the classic distributed BFS. Levels
+    * chain lazily in batches between checkpoints; visited is a buffer of
+    * materialized per-batch frames scanned by the anti-join.
     */
   def bfs(sources: DataFrame, srcCol: String, rel: Option[String],
       maxDepth: Int, dir: Direction = Out,
@@ -129,32 +144,69 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
         .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
     })
-    val ep = e.persist()
-    var visited = sources
-      .select(col(srcCol).as("__origin"), col(srcCol).as("__node"), lit(0).as("dist"))
-      .localCheckpoint()
-    var frontier = visited
-    var i = 1
-    var done = false
-    while (i <= maxDepth && !done) {
-      var next = frontier.join(ep, col("__node") === col("__s"))
-        .select(col("__origin"), col("__d").as("__node"))
-        .distinct()
-      filterNodes.foreach(p => next = next.filter(p))
-      // lineage truncation per level — see varLengthExpand note
-      val fresh = next
-        .join(visited.select("__origin", "__node"), Seq("__origin", "__node"), "left_anti")
-        .withColumn("dist", lit(i))
-        .localCheckpoint()
-      if (fresh.isEmpty) done = true
-      else {
-        visited = visited.unionByName(fresh).localCheckpoint()
-        frontier = fresh
-      }
-      i += 1
+    // a traversal-time node filter is equivalent to dropping edges whose
+    // destination fails it (sources are exempt either way: dist-0 rows are
+    // filtered at the end) — applying it once to the edge set beats
+    // re-filtering every level, and makes the filter strategy-independent
+    val ep = filterNodes.map(p =>
+        e.select(col("__s"), col("__d").as("__node")).filter(p)
+          .select(col("__s"), col("__node").as("__d")))
+      .getOrElse(e).persist()
+    // Adaptive strategy: below the broadcast threshold the whole BFS runs as
+    // one job over a broadcast adjacency (LocalGraph) — a frontier loop pays
+    // a scheduler round-trip per level, pure overhead at that size. The
+    // distributed loop below is the at-scale path.
+    if (LocalGraph.atMost(ep, LocalGraph.maxEdges(sources.sparkSession))) {
+      val seeds = sources.select(col(srcCol).as("__origin"), col(srcCol).as("__node")).distinct()
+      val res = LocalGraph.bfs(ep, seeds, maxDepth)
+      ep.unpersist(blocking = false)
+      return res.select(col("__origin").as(srcCol), col("__node").as("dst"), col("dist"))
     }
-    ep.unpersist(blocking = false) // visited is checkpoint-materialized
-    visited.filter(col("dist") >= 1)
+    // Visited is a buffer of checkpointed per-batch frames (re-checkpointing
+    // the whole set each round is O(depth × |closure|) write amplification);
+    // `batch` levels chain lazily between checkpoints — see varLengthExpand.
+    val batch = 3
+    var frames = List(sources
+      .select(col(srcCol).as("__origin"), col(srcCol).as("__node"), lit(0).as("dist"))
+      .localCheckpoint())
+    var frontier = frames.head.select("__origin", "__node")
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      val steps = math.min(batch, maxDepth - depth)
+      val visitedAll = frames.map(_.select("__origin", "__node")).reduce(_ unionByName _)
+      // levels chain as plain distinct sets (each referenced exactly once —
+      // no subplan duplication); novelty vs visited is settled once per
+      // batch by min-dist aggregation + anti-join. See the closure note in
+      // Sparql.pathPairs for why the frontier invariant is preserved.
+      var levels = List.empty[DataFrame]
+      var cur = frontier
+      for (k <- 1 to steps) {
+        // per-level anti-join against the MATERIALIZED pre-batch visited set
+        // keeps levels rim-sized; within-batch rediscoveries are absorbed by
+        // the batch-end min-dist aggregation
+        val next = cur.join(ep, col("__node") === col("__s"))
+          .select(col("__origin"), col("__d").as("__node"))
+          .distinct()
+          .join(visitedAll, Seq("__origin", "__node"), "left_anti")
+        levels ::= next.withColumn("dist", lit(depth + k))
+        cur = next
+      }
+      val got = levels.reverse.reduce(_ unionByName _)
+        .groupBy(col("__origin"), col("__node")).agg(min(col("dist")).as("dist"))
+        .join(visitedAll, Seq("__origin", "__node"), "left_anti")
+        .localCheckpoint()
+      val stats = got.agg(count(lit(1)).as("n"), max(col("dist")).as("m")).head()
+      if (stats.getLong(0) == 0L) done = true
+      else {
+        frames ::= got
+        frontier = got.filter(col("dist") === stats.getInt(1))
+          .select("__origin", "__node")
+        depth += steps
+      }
+    }
+    ep.unpersist(blocking = false) // every frame is checkpoint-materialized
+    frames.reduce(_ unionByName _).filter(col("dist") >= 1)
       .select(col("__origin").as(srcCol), col("__node").as("dst"), col("dist"))
   }
 

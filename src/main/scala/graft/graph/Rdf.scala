@@ -126,6 +126,20 @@ object TpchRdf {
     TripleGraph(base.unionByName(more))
   }
 
+  /** TpchRdf plus typed date literals — `o:<k> odate '<date>^^xsd:date'` —
+    * exercising the typed-literal suffix encoding (lang `@tag` / datatype
+    * `^^type`) that DATATYPE/STR/YEAR strip or inspect.
+    */
+  def withDates(spark: SparkSession, dir: String): TripleGraph = {
+    val base = apply(spark, dir).triples
+    val o = Tables.orders(spark, dir)
+    val dates = o.select(
+      concat(lit("o:"), col("o_orderkey")).as("s"),
+      lit("odate").as("p"),
+      concat(col("o_orderdate").cast("string"), lit("^^xsd:date")).as("o"))
+    TripleGraph(base.unionByName(dates))
+  }
+
   /** TpchRdf plus `rdf:type` triples (the `a` keyword's target) — kept as a
     * separate view so existing oracles over the base view stay unchanged.
     */
