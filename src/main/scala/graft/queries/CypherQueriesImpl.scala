@@ -219,6 +219,34 @@ object CypherQueriesImpl {
           |ORDER BY n""".stripMargin)
     },
 
+    // Quantified list predicates all/any/none/single(v IN l WHERE p) and
+    // reduce(acc = init, v IN l | step) (ref cypher ast.rs:429 quantifier
+    // forms) — lower onto forall/exists/aggregate higher-order functions.
+    QueryDef(
+      "q_cypher_quant",
+      """SELECT c_name AS n,
+        |       len(list_filter(string_split(c_name, '0'), w -> w <> '')) = len(string_split(c_name, '0')) AS all_ne,
+        |       len(list_filter(string_split(c_name, '0'), w -> len(w) > 2)) > 0 AS any_big,
+        |       len(list_filter(string_split(c_name, '0'), w -> len(w) > 6)) = 0 AS none_huge,
+        |       len(list_filter(string_split(c_name, '0'), w -> len(w) > 2)) = 1 AS one_big,
+        |       CAST(list_reduce(list_prepend(0, list_transform(string_split(c_name, '0'),
+        |                                                       w -> len(string_split(w, '1')))),
+        |                        (a, b) -> a + b) AS BIGINT) AS tot
+        |FROM customer
+        |WHERE c_acctbal > 9000.0
+        |ORDER BY n NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (c:Customer)
+          |WHERE c.acctbal > 9000.0
+          |RETURN c.name AS n,
+          |       all(w IN split(c.name, '0') WHERE w <> '') AS all_ne,
+          |       any(w IN split(c.name, '0') WHERE length(w) > 2) AS any_big,
+          |       none(w IN split(c.name, '0') WHERE length(w) > 6) AS none_huge,
+          |       single(w IN split(c.name, '0') WHERE length(w) > 2) AS one_big,
+          |       reduce(s = 0, w IN split(c.name, '0') | s + size(split(w, '1'))) AS tot
+          |ORDER BY n""".stripMargin)
+    },
+
     // General path variable on an ordinary var-length pattern: length(p)
     // binds the walk length (hops column of the var-length expand).
     QueryDef(

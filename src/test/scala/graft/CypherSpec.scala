@@ -257,6 +257,40 @@ class CypherExprSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1) == Seq(2L, 3L, 4L))
   }
 
+  test("quantified predicates all/any/none/single") {
+    val r = session.cypher(
+      """RETURN all(x IN [2, 4, 6] WHERE x % 2 = 0) AS a,
+        |       all(x IN [2, 3] WHERE x % 2 = 0) AS b,
+        |       any(x IN [1, 2, 3] WHERE x > 2) AS c,
+        |       any(x IN [1, 2] WHERE x > 2) AS d,
+        |       none(x IN [1, 2] WHERE x > 2) AS e,
+        |       single(x IN [1, 2, 3] WHERE x = 2) AS f,
+        |       single(x IN [2, 2] WHERE x = 2) AS g""".stripMargin)
+      .collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getBoolean(4))
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+  }
+
+  test("reduce folds with an explicit accumulator") {
+    val r = session.cypher(
+      """RETURN reduce(s = 0, x IN [1, 2, 3, 4] | s + x) AS sum4,
+        |       reduce(p = 1, x IN [2, 3, 4] | p * x) AS prod,
+        |       reduce(m = 100, x IN [7, 3, 9] | CASE WHEN x < m THEN x ELSE m END) AS mn""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 24L && r.getLong(2) == 3L)
+  }
+
+  test("quantifiers over property-derived lists") {
+    val n = session.cypher(
+      """MATCH (c:Customer) WHERE any(w IN split(c.name, '#') WHERE w = 'Customer')
+        |RETURN count(*) AS n""".stripMargin).collect().head.getLong(0)
+    val total = session.cypher(
+      "MATCH (c:Customer) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n == total && total > 0) // every c_name starts with Customer#
+  }
+
   test("index and slice access, 0-based with negatives") {
     val r = session.cypher(
       "RETURN [10, 20, 30][0] AS a, [10, 20, 30][-1] AS b, [10, 20, 30][1..3] AS c, [10, 20, 30][..2] AS d")
