@@ -136,7 +136,8 @@ object TpchRdf {
     val dates = o.select(
       concat(lit("o:"), col("o_orderkey")).as("s"),
       lit("odate").as("p"),
-      concat(col("o_orderdate").cast("string"), lit("^^xsd:date")).as("o"))
+      // the parquet column is TIMESTAMP; an xsd:date literal is the date part
+      concat(col("o_orderdate").cast("date").cast("string"), lit("^^xsd:date")).as("o"))
     TripleGraph(base.unionByName(dates))
   }
 

@@ -46,6 +46,33 @@ object SparqlQueriesImpl {
           |} ORDER BY ?nn""".stripMargin)
     },
 
+    // Builtin battery over typed date literals (ref parser.rs:1555-1714):
+    // STR strips the ^^xsd:date suffix, DATATYPE inspects it, YEAR/MONTH/DAY
+    // read the lexical form, MD5/SHA256 hash it, REGEX filters it.
+    QueryDef(
+      "q_sparql_funcs",
+      """SELECT 'o:' || o_orderkey AS o,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS lex,
+        |       'xsd:date' AS dt,
+        |       CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       CAST(day(o_orderdate) AS INT) AS dy,
+        |       md5(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS m5,
+        |       sha256(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS s256
+        |FROM orders
+        |WHERE month(o_orderdate) = 12 AND day(o_orderdate) = 25
+        |ORDER BY o NULLS FIRST""".stripMargin) { (s, dir) =>
+      SparqlFrontend.run(TpchRdf.withDates(s, dir),
+        """SELECT ?o ?lex ?dt ?yr ?mo ?dy ?m5 ?s256 WHERE {
+          |  ?o odate ?d .
+          |  BIND(STR(?d) AS ?lex)
+          |  BIND(DATATYPE(?d) AS ?dt)
+          |  BIND(YEAR(?d) AS ?yr) BIND(MONTH(?d) AS ?mo) BIND(DAY(?d) AS ?dy)
+          |  BIND(MD5(?lex) AS ?m5) BIND(SHA256(?lex) AS ?s256)
+          |  FILTER(REGEX(?lex, '-12-25$'))
+          |} ORDER BY ?o""".stripMargin)
+    },
+
     // BGP + FILTER (TripleScan plan.rs:480-503; FILTER planner_rdf.rs).
     QueryDef(
       "q_sparql_select",

@@ -26,6 +26,104 @@ class SparqlSpec extends AnyFunSuite {
     assert(row.getString(3) == "a%20b%2Fc")
   }
 
+  test("typed-literal builtins: STR/LANG/DATATYPE/STRLANG/STRDT/SAMETERM") {
+    val c = new SparqlCompiler(rdf)
+    val df = Seq(("chat@en", "42^^xsd:int", "plain")).toDF("l", "d", "s")
+    val row = df.select(
+      c.expr(Expr.Func("STR", Seq(Expr.Var("l")))),
+      c.expr(Expr.Func("STR", Seq(Expr.Var("d")))),
+      c.expr(Expr.Func("LANG", Seq(Expr.Var("l")))),
+      c.expr(Expr.Func("LANG", Seq(Expr.Var("s")))),
+      c.expr(Expr.Func("DATATYPE", Seq(Expr.Var("d")))),
+      c.expr(Expr.Func("DATATYPE", Seq(Expr.Var("l")))),
+      c.expr(Expr.Func("DATATYPE", Seq(Expr.Var("s")))),
+      c.expr(Expr.Func("STRLANG", Seq(Expr.Var("s"), Expr.Lit("fr")))),
+      c.expr(Expr.Func("STRDT", Seq(Expr.Var("s"), Expr.Lit("xsd:string")))),
+      c.expr(Expr.Func("SAMETERM", Seq(Expr.Var("l"), Expr.Var("l"))))).collect().head
+    assert(row.getString(0) == "chat" && row.getString(1) == "42")
+    assert(row.getString(2) == "en" && row.getString(3) == "")
+    assert(row.getString(4) == "xsd:int")
+    assert(row.getString(5) == "rdf:langString")
+    assert(row.getString(6) == "xsd:string")
+    assert(row.getString(7) == "plain@fr" && row.getString(8) == "plain^^xsd:string")
+    assert(row.getBoolean(9))
+  }
+
+  test("LANGMATCHES: exact, wildcard, and prefix ranges") {
+    val c = new SparqlCompiler(rdf)
+    val df = Seq(("en", "en-GB", "")).toDF("a", "b", "none")
+    val row = df.select(
+      c.expr(Expr.Func("LANGMATCHES", Seq(Expr.Var("a"), Expr.Lit("EN")))),
+      c.expr(Expr.Func("LANGMATCHES", Seq(Expr.Var("b"), Expr.Lit("en")))),
+      c.expr(Expr.Func("LANGMATCHES", Seq(Expr.Var("a"), Expr.Lit("*")))),
+      c.expr(Expr.Func("LANGMATCHES", Seq(Expr.Var("none"), Expr.Lit("*")))),
+      c.expr(Expr.Func("LANGMATCHES", Seq(Expr.Var("a"), Expr.Lit("fr"))))).collect().head
+    assert(row.getBoolean(0) && row.getBoolean(1) && row.getBoolean(2))
+    assert(!row.getBoolean(3) && !row.getBoolean(4))
+  }
+
+  test("hash/date/regex builtins match reference semantics") {
+    val c = new SparqlCompiler(rdf)
+    val df = Seq(("abc", "1994-06-15^^xsd:date", "2020-01-02T03:04:05Z^^xsd:dateTime"))
+      .toDF("s", "d", "ts")
+    val row = df.select(
+      c.expr(Expr.Func("MD5", Seq(Expr.Var("s")))),
+      c.expr(Expr.Func("SHA1", Seq(Expr.Var("s")))),
+      c.expr(Expr.Func("SHA256", Seq(Expr.Var("s")))),
+      c.expr(Expr.Func("YEAR", Seq(Expr.Var("d")))),
+      c.expr(Expr.Func("MONTH", Seq(Expr.Var("d")))),
+      c.expr(Expr.Func("DAY", Seq(Expr.Var("d")))),
+      c.expr(Expr.Func("HOURS", Seq(Expr.Var("ts")))),
+      c.expr(Expr.Func("MINUTES", Seq(Expr.Var("ts")))),
+      c.expr(Expr.Func("SECONDS", Seq(Expr.Var("ts")))),
+      c.expr(Expr.Func("TIMEZONE", Seq(Expr.Var("ts")))),
+      c.expr(Expr.Func("REGEX", Seq(Expr.Var("s"), Expr.Lit("^a")))),
+      c.expr(Expr.Func("REGEX", Seq(Expr.Var("s"), Expr.Lit("^B"), Expr.Lit("i"))))).collect().head
+    assert(row.getString(0) == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(row.getString(1) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(row.getString(2) == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(row.getInt(3) == 1994 && row.getInt(4) == 6 && row.getInt(5) == 15)
+    assert(row.getInt(6) == 3 && row.getInt(7) == 4 && row.getInt(8) == 5)
+    assert(row.getString(9) == "Z")
+    assert(row.getBoolean(10) && !row.getBoolean(11))
+  }
+
+  test("IRI/BNODE/UUID constructors have the right shapes") {
+    val c = new SparqlCompiler(rdf)
+    val df = Seq(("n:1", "label")).toDF("iri", "x")
+    val row = df.select(
+      c.expr(Expr.Func("IRI", Seq(Expr.Var("iri")))),
+      c.expr(Expr.Func("BNODE", Seq(Expr.Var("x")))),
+      c.expr(Expr.Func("BNODE", Seq(Expr.Var("x")))),
+      c.expr(Expr.Func("BNODE", Seq.empty)),
+      c.expr(Expr.Func("UUID", Seq.empty)),
+      c.expr(Expr.Func("STRUUID", Seq.empty)),
+      c.expr(Expr.Func("ISBLANK", Seq(Expr.Func("BNODE", Seq(Expr.Var("x"))))))).collect().head
+    assert(row.getString(0) == "n:1")
+    assert(row.getString(1).startsWith("_:b") && row.getString(1) == row.getString(2))
+    assert(row.getString(3).startsWith("_:"))
+    assert(row.getString(4).startsWith("urn:uuid:"))
+    assert(row.getString(5).matches("[0-9a-f-]{36}"))
+    assert(row.getBoolean(6))
+  }
+
+  test("vector extension functions over bracketed literals") {
+    val c = new SparqlCompiler(rdf)
+    val df = Seq(("[1, 0, 0]", "[0, 1, 0]")).toDF("u", "v")
+    def vec(name: String) = Expr.Func("VECTOR", Seq(Expr.Var(name)))
+    val row = df.select(
+      c.expr(Expr.Func("COSINE_SIMILARITY", Seq(vec("u"), vec("u")))),
+      c.expr(Expr.Func("COSINE_SIMILARITY", Seq(vec("u"), vec("v")))),
+      c.expr(Expr.Func("EUCLIDEAN_DISTANCE", Seq(vec("u"), vec("v")))),
+      c.expr(Expr.Func("DOT_PRODUCT", Seq(vec("u"), vec("v")))),
+      c.expr(Expr.Func("MANHATTAN_DISTANCE", Seq(vec("u"), vec("v"))))).collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(row.getDouble(1)) < 1e-6)
+    assert(math.abs(row.getDouble(2) - math.sqrt(2)) < 1e-6)
+    assert(math.abs(row.getDouble(3)) < 1e-6)
+    assert(math.abs(row.getDouble(4) - 2.0) < 1e-6)
+  }
+
   test("BOUND distinguishes OPTIONAL misses") {
     val out = SparqlFrontend.run(rdf,
       """SELECT ?nn ?has WHERE {
