@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algos.Algos
+import graft.frontends.sparql.SparqlFrontend
+import graft.graph.{LocalGraph, PropertyGraph, TpchRdf}
+
+/** The adaptive single-stage strategies (LocalGraph) must be RESULT-identical
+  * to the distributed frontier loops they replace — at test scale every graph
+  * fits under the broadcast threshold, so without forcing the threshold to 0
+  * the distributed paths would go untested entirely.
+  */
+class LocalGraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def mkGraph(edges: Seq[(Long, Long)]): PropertyGraph = {
+    val e = edges.toDF("src", "dst")
+      .withColumn("rel", lit("E")).withColumn("weight", lit(1.0))
+    val n = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id")
+      .withColumn("labels", array(lit("N")))
+    PropertyGraph(n, e)
+  }
+
+  /** Run `body` once with the local path forced off (threshold 0 → the
+    * distributed loop) and once with it on, returning both results.
+    */
+  private def bothStrategies[A](body: => A): (A, A) = {
+    spark.conf.set(LocalGraph.MaxEdgesKey, "0")
+    val distributed = try body finally spark.conf.unset(LocalGraph.MaxEdgesKey)
+    (distributed, body)
+  }
+
+  // diamond + tail + a disconnected pair: multiple shortest paths, uneven depths
+  private val edges = Seq(
+    (1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L),
+    (7L, 8L))
+
+  test("bfs: local and distributed paths agree exactly") {
+    val g = mkGraph(edges)
+    val seeds = Seq(1L, 7L).toDF("id")
+    val (dist, local) = bothStrategies {
+      g.bfs(seeds, "id", None, maxDepth = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    assert(dist == local)
+    assert(local.contains((1L, 4L, 2)) && local.contains((1L, 6L, 4)))
+    assert(local.contains((7L, 8L, 1)) && !local.exists(t => t._1 == 7L && t._2 == 5L))
+  }
+
+  test("bfs: node filter folds identically on both paths") {
+    val g = mkGraph(edges)
+    val seeds = Seq(1L).toDF("id")
+    val (dist, local) = bothStrategies {
+      g.bfs(seeds, "id", None, maxDepth = 10,
+          filterNodes = Some(col("__node") =!= 3L))
+        .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    }
+    assert(dist == local)
+    assert(!local.exists(_._1 == 3L))
+    assert(local.contains((4L, 2L.toInt))) // still reachable via 2
+  }
+
+  test("topoLevels: local and distributed paths agree exactly") {
+    val g = mkGraph(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)))
+    val (dist, local) = bothStrategies {
+      Algos.topoLevels(g).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    assert(dist == local)
+    assert(local == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+  }
+
+  test("scc: local and distributed paths agree exactly") {
+    // 3-cycle, 2-cycle, and a bridge singleton
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 6L), (6L, 5L)))
+    val (dist, local) = bothStrategies {
+      Algos.stronglyConnectedComponents(spark, g).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(dist == local)
+    assert(local(1L) == local(2L) && local(2L) == local(3L))
+    assert(local(5L) == local(6L) && local(4L) == 4L)
+  }
+
+  test("sparql + closure: local and distributed paths agree exactly") {
+    val g = TpchRdf.withPaths(spark, sf)
+    val q = "SELECT ?d WHERE { pt:1 child+ ?d } ORDER BY ?d"
+    val (dist, local) = bothStrategies {
+      SparqlFrontend.run(g, q).collect().map(_.getString(0)).toSeq
+    }
+    assert(dist == local && local.nonEmpty)
+  }
+
+  test("atMost probes without scanning past the limit") {
+    val big = spark.range(1000000).toDF("id")
+    assert(LocalGraph.atMost(big, 1000000L))
+    assert(!LocalGraph.atMost(big, 999999L))
+    assert(LocalGraph.atMost(spark.emptyDataFrame, 0L))
+  }
+}
