@@ -12,6 +12,26 @@ object Extra2QueriesImpl {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // Graph snapshot round-trip (ref database.rs:1674 export_snapshot /
+    // :1723 import_snapshot, recast as a rel-partitioned parquet layout):
+    // save → reload → aggregate over the reloaded graph must equal the
+    // same aggregate over the base tables.
+    QueryDef(
+      "q_graph_snapshot",
+      """SELECT rel, cnt FROM (
+        |  SELECT 'FROM_NATION' AS rel,
+        |         CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS BIGINT) AS cnt
+        |  UNION ALL SELECT 'PLACED_BY', CAST(count(*) AS BIGINT) FROM orders
+        |)
+        |ORDER BY rel NULLS FIRST""".stripMargin) { (s, dir) =>
+      val path = java.nio.file.Files.createTempDirectory("graft_snap").toString
+      graft.sources.GraphIO.save(TpchGraph(s, dir), path)
+      val back = graft.sources.GraphIO.load(s, path)
+      back.edges.filter(col("rel").isin("FROM_NATION", "PLACED_BY"))
+        .groupBy("rel").agg(count(lit(1)).as("cnt"))
+        .orderBy("rel")
+    },
+
     // Cypher update clauses end-to-end (plan.rs:393-475 via the front-end):
     // MATCH … SET, then query the mutated snapshot.
     QueryDef(

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.{PropertyGraph, QuadStore, TpchGraph, TpchRdf}
+import graft.sources.GraphIO
+
+class GraphIOSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graphio").toString
+
+  test("property-graph snapshot round-trips exactly") {
+    val g = TpchGraph(spark, sf)
+    val dir = tmp()
+    GraphIO.save(g, dir)
+    val back = GraphIO.load(spark, dir)
+    assert(back.nodes.count() == g.nodes.count())
+    assert(back.edges.count() == g.edges.count())
+    // content-equality both ways (null-safe join on all columns)
+    val cols = g.edges.columns.toSeq
+    val missing = g.edges.join(back.edges, cols, "left_anti").count()
+    val extra = back.edges.join(g.edges, cols, "left_anti").count()
+    assert(missing == 0 && extra == 0)
+  }
+
+  test("rdf snapshot round-trips with canonical column order") {
+    val g = TpchRdf(spark, sf)
+    val dir = tmp()
+    GraphIO.saveTriples(g, dir)
+    val back = GraphIO.loadTriples(spark, dir)
+    assert(back.triples.columns.toSeq == Seq("s", "p", "o"))
+    assert(back.triples.count() == g.triples.count())
+    val missing = g.triples.join(back.triples, Seq("s", "p", "o"), "left_anti").count()
+    assert(missing == 0)
+  }
+
+  test("quad snapshot round-trips") {
+    val q = QuadStore(Seq(
+      ("g1", "s1", "p1", "o1"), ("g1", "s2", "p1", "o2"),
+      ("g2", "s1", "p2", "o3")).toDF("g", "s", "p", "o"))
+    val dir = tmp()
+    GraphIO.saveQuads(q, dir)
+    val back = GraphIO.loadQuads(spark, dir)
+    assert(back.quads.collect().toSet == q.quads.collect().toSet)
+  }
+
+  test("csv interchange round-trips nodes, labels, and edge properties") {
+    val g = PropertyGraph(
+      Seq((1L, Seq("A", "B"), "x"), (2L, Seq("A"), "y")).toDF("id", "labels", "name"),
+      Seq((1L, 2L, "R", 3.5)).toDF("src", "dst", "rel", "weight"))
+    val dir = tmp()
+    GraphIO.toCsv(g, s"$dir/nodes", s"$dir/edges")
+    val back = GraphIO.fromCsv(spark, s"$dir/nodes", s"$dir/edges")
+    val n = back.nodes.orderBy("id").collect()
+    assert(n.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(n.head.getSeq[String](1) == Seq("A", "B"))
+    assert(n.head.getString(2) == "x")
+    val e = back.edges.collect().head
+    assert(e.getLong(0) == 1L && e.getLong(1) == 2L && e.getString(2) == "R")
+    assert(e.getDouble(3) == 3.5)
+  }
+
+  test("predicate-partitioned triples prune on bound-predicate scans") {
+    val g = TpchRdf(spark, sf)
+    val dir = tmp()
+    GraphIO.saveTriples(g, dir)
+    val scan = spark.read.parquet(s"$dir/triples").filter(col("p") === "name")
+    val plan = scan.queryExecution.executedPlan.toString
+    // partition pruning shows up as a PartitionFilters entry on the scan
+    assert(plan.contains("PartitionFilters: [isnotnull(p"), plan.take(500))
+  }
+}
