@@ -34,19 +34,25 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
   def edgesOfType(rel: String): DataFrame = edges.filter(col("rel") === rel)
 
-  private def edgeSel(rel: Option[String]): DataFrame =
-    rel.map(edgesOfType).getOrElse(edges)
+  /** Edge selection by type set: empty = any, several = alternation
+    * (Cypher `[:A|B]`). The predicate reaches the edge scan either way.
+    */
+  private def edgeSel(rels: Seq[String]): DataFrame = rels match {
+    case Seq()  => edges
+    case Seq(r) => edgesOfType(r)
+    case rs     => edges.filter(col("rel").isin(rs: _*))
+  }
 
   /** Expand (plan.rs:180-212; ExpandOperator expand.rs:14): 1-hop neighbor
     * traversal from `rows.idCol` along `rel`, binding the neighbor id as
     * `dstAs`. `Both` is the union of the two directed expansions (matching
     * the reference's both-direction adjacency merge).
     */
-  def expand(rows: DataFrame, idCol: String, rel: Option[String],
+  def expand(rows: DataFrame, idCol: String, rels: Seq[String],
       dir: Direction, dstAs: String,
       edgeAs: Option[String] = None): DataFrame = {
     def step(from: String, to: String): DataFrame = {
-      val base = edgeSel(rel)
+      val base = edgeSel(rels)
       val edgeCols = edgeAs.toSeq.flatMap { v =>
         base.columns.filterNot(c => c == "src" || c == "dst")
           .map(c => col(c).as(s"${v}__$c"))
@@ -72,10 +78,10 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * recomputing the whole prefix (lineage truncation), and unpersisted as
     * soon as its successor exists.
     */
-  def varLengthExpand(sources: DataFrame, srcCol: String, rel: Option[String],
+  def varLengthExpand(sources: DataFrame, srcCol: String, rels: Seq[String],
       minHops: Int, maxHops: Int, dir: Direction = Out): DataFrame = {
     require(minHops >= 1 && maxHops >= minHops, "need 1 <= minHops <= maxHops")
-    val e0 = edgeSel(rel)
+    val e0 = edgeSel(rels)
     val e = (dir match {
       case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
       case In   => e0.select(col("dst").as("__s"), col("src").as("__d"))
@@ -134,10 +140,10 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * chain lazily in batches between checkpoints; visited is a buffer of
     * materialized per-batch frames scanned by the anti-join.
     */
-  def bfs(sources: DataFrame, srcCol: String, rel: Option[String],
+  def bfs(sources: DataFrame, srcCol: String, rels: Seq[String],
       maxDepth: Int, dir: Direction = Out,
       filterNodes: Option[Column] = None): DataFrame = {
-    val e0 = edgeSel(rel)
+    val e0 = edgeSel(rels)
     val e = (dir match {
       case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
       case In   => e0.select(col("dst").as("__s"), col("src").as("__d"))
@@ -208,6 +214,55 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     ep.unpersist(blocking = false) // every frame is checkpoint-materialized
     frames.reduce(_ unionByName _).filter(col("dist") >= 1)
       .select(col("__origin").as(srcCol), col("__node").as("dst"), col("dist"))
+  }
+
+  /** Factorized multi-hop aggregation (reference FactorizedChunk,
+    * execution/factorized_chunk.rs:1-52; FactorizedAggregateOperator,
+    * factorized_aggregate.rs:229; the planner selects it for >= 2-hop chains
+    * feeding simple aggregates, planner.rs:1523-1537): COUNT of all
+    * `hops`-length walks from each node — optionally with the SUM of a
+    * terminal-node property over those walks — without materializing the
+    * walk cross-product.
+    *
+    * The flat plan joins the edge table `hops` times, so its intermediate is
+    * walk-count-sized (exponential in hops on dense graphs — the exact blowup
+    * FactorizedChunk's level encoding avoids, storing 14 values for 8 logical
+    * rows). The factorized plan runs the multiplicity recursion
+    *
+    *   cnt_1(v) = |N(v)|                 val_1(v) = Σ_{w∈N(v)} prop(w)
+    *   cnt_k(v) = Σ_{w∈N(v)} cnt_{k-1}(w) val_k(v) = Σ_{w∈N(v)} val_{k-1}(w)
+    *
+    * — per hop one equi-join against a node-count-bounded aggregate plus a
+    * re-aggregation. At 100 TB that is `hops` node-sized shuffles instead of
+    * one walk-sized one. Returns (id, walks[, total]) for nodes with >= 1
+    * walk (inner-join semantics, matching the flat plan). `sumProp = "id"`
+    * sums the terminal node id itself.
+    */
+  def factorizedWalkAgg(hops: Int, rels: Seq[String], dir: Direction = Out,
+      sumProp: Option[String] = None): DataFrame = {
+    require(hops >= 1, "need hops >= 1")
+    val e0 = edgeSel(rels)
+    val e = (dir match {
+      case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
+      case In   => e0.select(col("dst").as("__s"), col("src").as("__d"))
+      case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
+        .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
+    })
+    val terminal = sumProp match {
+      case None       => e.withColumn("__v", lit(0L))
+      case Some("id") => e.withColumn("__v", col("__d"))
+      case Some(p)    => e.join(
+        nodes.select(col("id").as("__d"), col(p).as("__v")), "__d")
+    }
+    var level = terminal.groupBy(col("__s"))
+      .agg(count(lit(1)).as("walks"), sum(col("__v")).as("total"))
+    for (_ <- 2 to hops) {
+      level = e.join(level.withColumnRenamed("__s", "__d"), "__d")
+        .groupBy(col("__s"))
+        .agg(sum(col("walks")).as("walks"), sum(col("total")).as("total"))
+    }
+    val out = level.withColumnRenamed("__s", "id")
+    if (sumProp.isDefined) out else out.drop("total")
   }
 
   /** Degree centrality (reference algorithms/centrality.rs:49): in/out/total

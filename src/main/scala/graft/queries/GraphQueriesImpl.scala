@@ -35,7 +35,7 @@ object GraphQueriesImpl {
       val rows = g.nodesWithLabel("Customer")
         .filter(col("acctbal") > 7000.0)
         .select(col("id").as("cid"), col("name").as("cust"))
-      val expanded = g.expand(rows, "cid", Some("FROM_NATION"), Out, "nid")
+      val expanded = g.expand(rows, "cid", Seq("FROM_NATION"), Out, "nid")
       expanded.join(g.nodes.select(col("id").as("nid"), col("name").as("nat")), "nid")
         .select("cust", "nat")
         .orderBy("cust")
@@ -55,8 +55,8 @@ object GraphQueriesImpl {
       val rows = g.nodesWithLabel("Customer")
         .filter(TpchGraph.key(col("id")) < 50)
         .select(col("id").as("cid"), col("name").as("cust"))
-      val h1 = g.expand(rows, "cid", Some("FROM_NATION"), Out, "nid")
-      val h2 = g.expand(h1, "nid", Some("IN_REGION"), Out, "rid")
+      val h1 = g.expand(rows, "cid", Seq("FROM_NATION"), Out, "nid")
+      val h2 = g.expand(h1, "nid", Seq("IN_REGION"), Out, "rid")
       h2.join(g.nodes.select(col("id").as("rid"), col("name").as("reg")), "rid")
         .select("cust", "reg")
         .orderBy("cust")
@@ -74,7 +74,7 @@ object GraphQueriesImpl {
         |ORDER BY k NULLS FIRST""".stripMargin) { (s, dir) =>
       val g = TpchGraph(s, dir)
       val nations = g.nodesWithLabel("Nation").select(col("id").as("nid"))
-      g.expand(nations, "nid", None, Both, "nb_id")
+      g.expand(nations, "nid", Nil, Both, "nb_id")
         .groupBy(TpchGraph.key(col("nid")).as("k"))
         .agg(count(lit(1)).as("nb"))
         .orderBy("k")
@@ -98,10 +98,30 @@ object GraphQueriesImpl {
         |ORDER BY src NULLS FIRST, dst NULLS FIRST, hops NULLS FIRST""".stripMargin) { (s, dir) =>
       val g = TpchGraph.partDag(s, dir)
       val sources = g.nodes.filter(col("id").between(1, 3)).select(col("id").as("src"))
-      g.varLengthExpand(sources, "src", Some("LINK"), 1, 3)
+      g.varLengthExpand(sources, "src", Seq("LINK"), 1, 3)
         .groupBy("src", "dst", "hops")
         .agg(count(lit(1)).as("n_walks"))
         .orderBy("src", "dst", "hops")
+    },
+
+    // Factorized multi-hop aggregate (FactorizedChunk factorized_chunk.rs:
+    // 1-52; FactorizedAggregateOperator factorized_aggregate.rs:229): 3-hop
+    // walk count + terminal-id sum per source WITHOUT materializing walks —
+    // the multiplicity recursion cnt_k(v) = Σ_{w∈N(v)} cnt_{k-1}(w). The
+    // oracle is the flat 3-join plan; equality IS the factorization proof.
+    QueryDef(
+      "q_factorized_agg",
+      s"""WITH $DagSql
+        |SELECT CAST(e1.src AS BIGINT) AS id,
+        |       count(*) AS walks,
+        |       CAST(sum(e3.dst) AS BIGINT) AS total
+        |FROM dag e1 JOIN dag e2 ON e2.src = e1.dst
+        |            JOIN dag e3 ON e3.src = e2.dst
+        |GROUP BY 1
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      TpchGraph.partDag(s, dir)
+        .factorizedWalkAgg(hops = 3, rels = Seq("LINK"), sumProp = Some("id"))
+        .orderBy("id")
     },
 
     // ShortestPath (plan.rs:579-598; shortest_path.rs BFS): min-hop distance
@@ -120,7 +140,7 @@ object GraphQueriesImpl {
         |ORDER BY dst NULLS FIRST""".stripMargin) { (s, dir) =>
       val g = TpchGraph.partDag(s, dir)
       val sources = g.nodes.filter(col("id") === 1).select(col("id").as("root"))
-      g.bfs(sources, "root", Some("LINK"), maxDepth = 6,
+      g.bfs(sources, "root", Seq("LINK"), maxDepth = 6,
           filterNodes = Some(col("__node") <= 200))
         .select(col("dst"), col("dist"))
         .orderBy("dst")
