@@ -276,8 +276,8 @@ object Algos {
     * shape that survives 100 TB (sampled sources × bounded BFS).
     */
   def boundedCloseness(g: PropertyGraph, sources: DataFrame, srcCol: String,
-      rel: Option[String], maxDepth: Int): DataFrame = {
-    g.bfs(sources, srcCol, rel, maxDepth)
+      rels: Seq[String], maxDepth: Int): DataFrame = {
+    g.bfs(sources, srcCol, rels, maxDepth)
       .groupBy(srcCol)
       .agg(count(lit(1)).as("reached"),
         round(count(lit(1)).cast("double") / sum(col("dist")), 6).as("closeness"))

@@ -70,7 +70,7 @@ object CypherLexer {
 object Ast {
   final case class NodePat(v: Option[String], label: Option[String],
       props: Seq[(String, Expr.E)])
-  final case class RelPat(v: Option[String], relType: Option[String],
+  final case class RelPat(v: Option[String], relTypes: Seq[String],
       dir: Direction, range: Option[(Int, Int)])
   /** `shortest`: Some(pathVarOpt) when the pattern is wrapped in
     * shortestPath()/allShortestPaths() (both bind minimal-hop reachability
@@ -322,17 +322,23 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       case other => fail(s"expected relationship, got $other")
     }
     var v: Option[String] = None
-    var relType: Option[String] = None
+    val relTypes = Seq.newBuilder[String]
     var range: Option[(Int, Int)] = None
     if (eat(Sym("["))) {
       peek match {
         case Some(Ident(name)) => next(); v = Some(name)
         case _ =>
       }
-      if (eat(Sym(":"))) peek match {
-        case Some(Ident(t)) => next(); relType = Some(t)
-        case Some(k: Kw) if k.raw.nonEmpty => next(); relType = Some(k.raw)
-        case _ => fail("expected relationship type")
+      if (eat(Sym(":"))) {
+        // `:A|B|C` alternation (also the legacy `:A|:B` form) — the reference
+        // keeps a type list on its relationship pattern
+        def relName(): String = peek match {
+          case Some(Ident(t)) => next(); t
+          case Some(k: Kw) if k.raw.nonEmpty => next(); k.raw
+          case _ => fail("expected relationship type")
+        }
+        relTypes += relName()
+        while (eat(Sym("|"))) { eat(Sym(":")); relTypes += relName() }
       }
       if (eat(Sym("*"))) {
         var lo = 1
@@ -361,7 +367,7 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       else if (!leftArrow && rightArrow) Out
       else if (!leftArrow && !rightArrow) Both
       else fail("<- … -> is not a valid relationship")
-    RelPat(v, relType, dir, range)
+    RelPat(v, relTypes.result(), dir, range)
   }
 
   private def parseUnwind(): UnwindClause = {
@@ -743,7 +749,7 @@ object CypherFrontend {
           }
           var pathOp: Op.T = Op.NodeScan(headVar, path.head.label)
           pathOp = propFilters(pathOp, headVar, path.head.props)
-          pathOp = Op.ShortestPath(pathOp, headVar, rel.relType, toVar,
+          pathOp = Op.ShortestPath(pathOp, headVar, rel.relTypes, toVar,
             rel.dir, hi, node.label, lenCol)
           if (lo > 1) pathOp = Op.Filter(pathOp,
             Expr.Bin(">=", Expr.Var(lenCol.getOrElse(
@@ -800,10 +806,10 @@ object CypherFrontend {
               case Some((lo, hi)) =>
                 require(rel.v.isEmpty,
                   "edge variables on var-length patterns are not supported (the walk has no single edge)")
-                Op.VarExpand(pathOp, fromVar, rel.relType, toVar, rel.dir, lo, hi,
+                Op.VarExpand(pathOp, fromVar, rel.relTypes, toVar, rel.dir, lo, hi,
                   node.label, hopsCol)
               case None =>
-                Op.Expand(pathOp, fromVar, rel.relType, toVar, rel.dir, node.label,
+                Op.Expand(pathOp, fromVar, rel.relTypes, toVar, rel.dir, node.label,
                   rel.v)
             }
             rebindOf.foreach(orig => pathOp = Op.Filter(pathOp,

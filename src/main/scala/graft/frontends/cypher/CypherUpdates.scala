@@ -98,8 +98,11 @@ object CypherUpdates {
       // CREATE (a)-[:T {…}]->(b) with a, b bound by the MATCH prefix
       require(path.tail.size == 1, "CREATE supports a single relationship")
       val (rel, dstPat) = path.tail.head
-      val relType = rel.relType.getOrElse(
-        throw new IllegalArgumentException("CREATE relationship needs a type"))
+      val relType = rel.relTypes match {
+        case Seq(t) => t
+        case Seq()  => throw new IllegalArgumentException("CREATE relationship needs a type")
+        case _      => throw new IllegalArgumentException("CREATE relationship takes exactly one type")
+      }
       val (srcVar, dstVar) = (path.head.v.get, dstPat.v.get)
       val edges = bindings.select(col(srcVar).as("src"), col(dstVar).as("dst"))
         .distinct()

@@ -133,7 +133,7 @@ object GraphQLFrontend {
         } else {
           // nested field = expand along the relationship type it names
           val to = fresh()
-          op = Op.Expand(op, v, Some(sub.name), to, Out, None)
+          op = Op.Expand(op, v, Seq(sub.name), to, Out, None)
           walk(to, sub, s"$prefix${sub.name}_")
         }
       }

@@ -227,7 +227,7 @@ object GremlinFrontend {
         require(idx == 0, "E() only at the start")
         val to = fresh()
         val ev = fresh()
-        op = Op.Expand(op, cur, s.args.headOption.map(_.asInstanceOf[String]),
+        op = Op.Expand(op, cur, s.args.map(_.asInstanceOf[String]),
           to, Out, None, Some(ev))
         edgeCur = Some(EdgePos(ev, to, Some(cur), Some(to)))
       case "hasLabel" =>
@@ -247,7 +247,7 @@ object GremlinFrontend {
           Expr.ListLit(s.args.map(Expr.Lit))))
       case "out" | "in" | "both" =>
         val to = fresh()
-        op = Op.Expand(op, cur, s.args.headOption.map(_.asInstanceOf[String]),
+        op = Op.Expand(op, cur, s.args.map(_.asInstanceOf[String]),
           to, dirOf(s.name), None)
         cur = to
         visited += to
@@ -256,7 +256,7 @@ object GremlinFrontend {
         val to = fresh()
         val ev = fresh()
         val d = dirOf(s.name)
-        op = Op.Expand(op, cur, s.args.headOption.map(_.asInstanceOf[String]),
+        op = Op.Expand(op, cur, s.args.map(_.asInstanceOf[String]),
           to, d, None, Some(ev))
         edgeCur = Some(d match {
           case Out  => EdgePos(ev, to, Some(cur), Some(to))
@@ -451,7 +451,7 @@ object GremlinFrontend {
             val to = fresh()
             val nv = fresh()
             val sub = Op.Expand(Op.NodeScan(cur, None), cur,
-              args2.headOption.map(_.asInstanceOf[String]), to, dirOf(d), None)
+              args2.map(_.asInstanceOf[String]), to, dirOf(d), None)
             op = Op.NaturalJoin(
               Op.Bind(Op.LeftNaturalJoin(op, sub),
                 Expr.Func("coalesce", Seq(Expr.Var(to), Expr.Var(cur))), nv),
@@ -497,7 +497,7 @@ object GremlinFrontend {
         s.args.head match {
           case Pred(d @ ("out" | "in" | "both"), args2) =>
             val to = fresh()
-            op = Op.VarExpand(op, cur, args2.headOption.map(_.asInstanceOf[String]),
+            op = Op.VarExpand(op, cur, args2.map(_.asInstanceOf[String]),
               to, dirOf(d), n, n, None)
             cur = to
             visited += to
@@ -511,7 +511,7 @@ object GremlinFrontend {
         val to = fresh()
         val branches = s.args.map {
           case Pred(d @ ("out" | "in" | "both"), args2) =>
-            Op.Expand(op, cur, args2.headOption.map(_.asInstanceOf[String]),
+            Op.Expand(op, cur, args2.map(_.asInstanceOf[String]),
               to, dirOf(d), None): Op.T
           case other => throw new IllegalArgumentException(
             s"union() supports out()/in()/both() branches, got $other")

@@ -124,8 +124,11 @@ object Op {
 
   /** plan.rs:180-212 — 1-hop traversal; targetLabel prunes the far side;
     * edgeVar (when bound) exposes the edge's type/properties as columns.
+    * `relTypes` empty = any type; several = alternation (Cypher `[:A|B]`,
+    * Gremlin `out('A','B')` — the reference keeps a type list on its
+    * RelationshipPattern).
     */
-  final case class Expand(input: T, from: String, relType: Option[String],
+  final case class Expand(input: T, from: String, relTypes: Seq[String],
       to: String, dir: Direction, targetLabel: Option[String],
       edgeVar: Option[String] = None) extends T
 
@@ -133,7 +136,7 @@ object Op {
     * `hopsAs` optionally binds the walk length (Cypher `length(p)` on a
     * path-variable var-length pattern).
     */
-  final case class VarExpand(input: T, from: String, relType: Option[String],
+  final case class VarExpand(input: T, from: String, relTypes: Seq[String],
       to: String, dir: Direction, min: Int, max: Int,
       targetLabel: Option[String], hopsAs: Option[String] = None) extends T
 
@@ -198,7 +201,7 @@ object Op {
     * of `from`, the minimal-hop distance (1..maxHops) to every reachable
     * `to`; `lenAs` optionally binds the path length (Cypher `length(p)`).
     */
-  final case class ShortestPath(input: T, from: String, relType: Option[String],
+  final case class ShortestPath(input: T, from: String, relTypes: Seq[String],
       to: String, dir: Direction, maxHops: Int, targetLabel: Option[String],
       lenAs: Option[String]) extends T
 

@@ -123,6 +123,23 @@ object CypherQueriesImpl {
           |ORDER BY pk""".stripMargin)
     },
 
+    // Relationship-type alternation `[:A|B]` (the reference keeps a type
+    // list on its relationship pattern): one expand over the union of edge
+    // types, type(r) disambiguates.
+    QueryDef(
+      "q_cypher_reltypes",
+      """SELECT rt, n FROM (
+        |  SELECT 'PLACED_BY' AS rt, count(*) AS n FROM orders
+        |  UNION ALL
+        |  SELECT 'CONTAINS', count(*) FROM lineitem
+        |)
+        |ORDER BY rt NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (o:Order)-[r:PLACED_BY|CONTAINS]->(t)
+          |RETURN type(r) AS rt, count(*) AS n
+          |ORDER BY rt""".stripMargin)
+    },
+
     // Cyclic pattern in a single path: the closing `(o)-[:CONTAINS]->(p)`
     // re-binds p, which the translator turns into a fresh column + join-back
     // equality filter (cycle semantics). TPC-H Q5's local-supplier shape.

@@ -123,7 +123,7 @@ object ExtraQueriesImpl {
         |ORDER BY root NULLS FIRST""".stripMargin) { (s, dir) =>
       val g = TpchGraph.partDag(s, dir)
       val sources = g.nodes.filter(col("id").between(1, 10)).select(col("id").as("root"))
-      Algos.boundedCloseness(g, sources, "root", Some("LINK"), maxDepth = 4)
+      Algos.boundedCloseness(g, sources, "root", Seq("LINK"), maxDepth = 4)
         .orderBy("root")
     },
 

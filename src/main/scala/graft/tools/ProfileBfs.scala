@@ -22,12 +22,12 @@ object ProfileBfs {
     time("edges.count")(g.edges.count())
     val src = g.nodes.filter(col("id") === 1).select(col("id").as("root"))
     val bfsDf = time("bfs build")(
-      g.bfs(src, "root", Some("LINK"), maxDepth = 6,
+      g.bfs(src, "root", Seq("LINK"), maxDepth = 6,
         filterNodes = Some(col("__node") <= 200)))
     time("bfs final action")(bfsDf.count())
     val vl = time("varlen build")(
       g.varLengthExpand(g.nodes.filter(col("id").between(1, 3)).select(col("id").as("s")),
-        "s", Some("LINK"), 1, 3))
+        "s", Seq("LINK"), 1, 3))
     time("varlen final action")(vl.count())
     spark.stop()
   }

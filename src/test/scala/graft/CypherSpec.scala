@@ -30,7 +30,7 @@ class CypherParserSpec extends AnyFunSuite {
     val q = CypherFrontend.parse("MATCH (a)-[:LINK*2..4]->(b) RETURN id(a) AS x")
     val m = q.clauses.head.asInstanceOf[Ast.MatchClause]
     val (rel, _) = m.paths.head.tail.head
-    assert(rel.relType.contains("LINK"))
+    assert(rel.relTypes == Seq("LINK"))
     assert(rel.range.contains((2, 4)))
     assert(rel.dir == Out)
   }
@@ -63,6 +63,15 @@ class CypherParserSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](CypherFrontend.parse("MATCH (a RETURN a"))
     assertThrows[IllegalArgumentException](CypherFrontend.parse("RETURN"))
     assertThrows[IllegalArgumentException](CypherFrontend.parse("MATCH (a)-[*]->(b) RETURN a"))
+  }
+
+  test("parses relationship type alternation [:A|B] and legacy [:A|:B]") {
+    val q = CypherFrontend.parse("MATCH (a)-[r:KNOWS|WORKS_AT]->(b) RETURN id(a) AS x")
+    val m = q.clauses.head.asInstanceOf[Ast.MatchClause]
+    assert(m.paths.head.tail.head._1.relTypes == Seq("KNOWS", "WORKS_AT"))
+    val q2 = CypherFrontend.parse("MATCH (a)-[:KNOWS|:WORKS_AT]->(b) RETURN id(a) AS x")
+    val m2 = q2.clauses.head.asInstanceOf[Ast.MatchClause]
+    assert(m2.paths.head.tail.head._1.relTypes == Seq("KNOWS", "WORKS_AT"))
   }
 }
 
@@ -146,7 +155,7 @@ class GraphOpsSpec extends AnyFunSuite {
 
   test("varLengthExpand bag semantics counts all walks") {
     val src = dag.nodes.filter(col("id") === 1).select(col("id").as("s"))
-    val walks = dag.varLengthExpand(src, "s", Some("LINK"), 1, 2).collect()
+    val walks = dag.varLengthExpand(src, "s", Seq("LINK"), 1, 2).collect()
     // from 1: hop1 = {2 (tree), 3 (tree), 2 (chain)} → 2 appears twice
     val hop1 = walks.filter(_.getInt(2) == 1).map(_.getLong(1)).sorted
     assert(hop1.toSeq == Seq(2L, 2L, 3L))
@@ -154,7 +163,7 @@ class GraphOpsSpec extends AnyFunSuite {
 
   test("bfs returns minimal distances") {
     val src = dag.nodes.filter(col("id") === 1).select(col("id").as("s"))
-    val d = dag.bfs(src, "s", Some("LINK"), maxDepth = 3).collect()
+    val d = dag.bfs(src, "s", Seq("LINK"), maxDepth = 3).collect()
       .map(r => r.getLong(1) -> r.getInt(2)).toMap
     assert(d(2) == 1) // direct (both chain and tree edge)
     assert(d(3) == 1)
@@ -476,5 +485,20 @@ class EdgeVarGuardSpec extends AnyFunSuite {
       graft.frontends.cypher.CypherFrontend.parse(
         "MERGE (n:X {id: 1}) ON CREATE SET n += {a: 1}"))
     assert(e.getMessage.contains("ON CREATE"))
+  }
+
+  test("rel-type alternation expands over the union of edge types") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet").count()
+    val lines = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    val n = session.cypher(
+      "MATCH (o:Order)-[r:PLACED_BY|CONTAINS]->(t) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n == orders + lines)
+    // per-type counts survive through type(r)
+    val byType = session.cypher(
+      """MATCH (o:Order)-[r:PLACED_BY|CONTAINS]->(t)
+        |RETURN type(r) AS rt, count(*) AS n ORDER BY rt""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("CONTAINS" -> lines, "PLACED_BY" -> orders))
   }
 }

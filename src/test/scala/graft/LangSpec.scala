@@ -19,6 +19,15 @@ class LangSpec extends AnyFunSuite {
     assert(total != 0.0)
   }
 
+  test("gremlin: out() with several edge labels unions them") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet").count()
+    val lines = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    val n = session.gremlin(
+      "g.V().hasLabel('Order').out('PLACED_BY','CONTAINS').count()")
+      .collect().head.getLong(0)
+    assert(n == orders + lines)
+  }
+
   test("gremlin: within predicate and dedup") {
     val rows = session.gremlin(
       "g.V().hasLabel('Customer').has('category', within('BUILDING','AUTOMOBILE'))" +

@@ -41,7 +41,7 @@ class LocalGraphSpec extends AnyFunSuite {
     val g = mkGraph(edges)
     val seeds = Seq(1L, 7L).toDF("id")
     val (dist, local) = bothStrategies {
-      g.bfs(seeds, "id", None, maxDepth = 10)
+      g.bfs(seeds, "id", Nil, maxDepth = 10)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     }
     assert(dist == local)
@@ -53,7 +53,7 @@ class LocalGraphSpec extends AnyFunSuite {
     val g = mkGraph(edges)
     val seeds = Seq(1L).toDF("id")
     val (dist, local) = bothStrategies {
-      g.bfs(seeds, "id", None, maxDepth = 10,
+      g.bfs(seeds, "id", Nil, maxDepth = 10,
           filterNodes = Some(col("__node") =!= 3L))
         .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
     }
