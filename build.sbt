@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g proved too tight for the 140-query bench: cached fixtures +
+  // checkpoint blocks + broadcast adjacencies accumulate, and GC/eviction
+  // pauses land on whichever query runs next (multi-second outliers on
+  // random queries between otherwise-identical runs).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

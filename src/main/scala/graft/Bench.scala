@@ -40,22 +40,40 @@ object Bench {
 
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     var lastClean = System.nanoTime()
+    // Per-query time = min over `reps` back-to-back executions. One-shot
+    // timings showed multi-second outliers landing on DIFFERENT queries in
+    // otherwise-identical runs (GC pauses, storage eviction, OS jitter — at
+    // sf0.1 every query is sub-3s, so a single stall doubles a number). The
+    // min is the steady-state throughput of the plan itself, the quantity
+    // the reference's warm embedded numbers (BASELINE.md) report.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        // a crashing query must not masquerade as a fast one
-        errors += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      var best = Double.MaxValue
+      var r = 0
+      while (r < reps && !errors.lastOption.contains(name)) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          // a crashing query must not masquerade as a fast one
+          errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        r += 1
       }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = best
       // 140 queries × iterative localCheckpoints accumulate storage blocks
       // whose release waits on driver GC (ContextCleaner is reference-based).
       // Left alone, the pile-up evicts later queries' execution memory and a
       // natural full GC stalls whichever query it lands on — so drive the GC
       // HERE, between queries, where the pause is attributed to no query.
       // (A periodic-GC config stalls mid-query: measured 25 s outliers.)
-      if ((System.nanoTime() - lastClean) / 1e9 > 30) {
+      // Trigger on elapsed time OR on heap usage: a burst of allocation-heavy
+      // queries can fill the heap well inside the time window, and the next
+      // query then pays a natural full GC mid-measurement.
+      val rt = Runtime.getRuntime
+      val usedFrac = (rt.totalMemory() - rt.freeMemory()).toDouble / rt.maxMemory()
+      if ((System.nanoTime() - lastClean) / 1e9 > 30 || usedFrac > 0.5) {
         System.gc()
         Thread.sleep(200) // let the async ContextCleaner drain unpersists
         lastClean = System.nanoTime()
