@@ -42,10 +42,22 @@ object Algos {
     * the minimum for topology-changing aggregation).
     */
   def pageRankDF(g: PropertyGraph, iters: Int, damping: Double = 0.85): DataFrame = {
+    val spark = g.nodes.sparkSession
     val nodes = g.nodes.select(col("id")).distinct().persist()
+    val edges0 = g.edges.select(col("src"), col("dst")).persist()
+    // Adaptive strategy: a broadcast-sized graph runs all iterations in one
+    // job with the identical synchronous recursion (LocalGraph.pageRank);
+    // the per-iteration join loop below is the at-scale path.
+    val maxE = LocalGraph.maxEdges(spark)
+    if (LocalGraph.atMost(edges0, maxE) && LocalGraph.atMost(nodes, maxE)) {
+      val nArr = nodes.collect().map(_.getLong(0))
+      val eArr = edges0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      Seq(nodes, edges0).foreach(_.unpersist(blocking = false))
+      return LocalGraph.pageRank(spark, nArr, eArr, iters, damping)
+    }
     // out-degree is loop-invariant: join it into the edge list ONCE instead of
     // once per iteration (one fewer shuffle per iteration)
-    val edges = g.edges.select(col("src"), col("dst"))
+    val edges = edges0
     val degEdges = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("d")), "src")
       .persist()
@@ -65,7 +77,7 @@ object Algos {
         .localCheckpoint() // truncate lineage: plan depth stays O(1) per iteration
     }
     // ranks is checkpoint-materialized; release the loop-invariant caches
-    Seq(nodes, degEdges).foreach(_.unpersist(blocking = false))
+    Seq(nodes, edges0, degEdges).foreach(_.unpersist(blocking = false))
     ranks
   }
 
@@ -146,6 +158,17 @@ object Algos {
     val und = g.edges.select(col("src"), col("dst"))
       .unionByName(g.edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
+    // Adaptive strategy: broadcast-sized graphs run all rounds in one job
+    // with the identical most-frequent/lowest-label update (LocalGraph).
+    val nodes0 = g.nodes.select(col("id")).persist()
+    val maxE = LocalGraph.maxEdges(spark)
+    if (LocalGraph.atMost(und, maxE) && LocalGraph.atMost(nodes0, maxE)) {
+      val nArr = nodes0.collect().map(_.getLong(0))
+      val eArr = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      Seq(und, nodes0).foreach(_.unpersist(blocking = false))
+      return LocalGraph.labelPropagation(spark, nArr, eArr, iters)
+    }
+    nodes0.unpersist(blocking = false)
     var labels = g.nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     var i = 0
     while (i < iters) {
@@ -172,6 +195,17 @@ object Algos {
   def sssp(spark: SparkSession, g: PropertyGraph, source: Long,
       maxHops: Int): DataFrame = {
     import spark.implicits._
+    // Adaptive strategy: broadcast-sized graphs relax in one job. Every
+    // distance is a min over per-path weight sums, so the local rounds are
+    // bit-identical to the Pregel supersteps.
+    val we = g.edges.select(col("src"), col("dst"),
+      coalesce(col("weight"), lit(1.0)).cast("double").as("w")).persist()
+    if (LocalGraph.atMost(we, LocalGraph.maxEdges(spark))) {
+      val eArr = we.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      we.unpersist(blocking = false)
+      return LocalGraph.sssp(spark, eArr, source, maxHops)
+    }
+    we.unpersist(blocking = false)
     val graph = toGraphX(g).mapVertices((id, _) =>
       if (id == source) 0.0 else Double.PositiveInfinity)
     val result = graph.pregel(Double.PositiveInfinity, maxIterations = maxHops)(

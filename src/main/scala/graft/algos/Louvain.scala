@@ -23,6 +23,15 @@ object Louvain {
       .unionByName(g.edges.select(col("dst").as("src"), col("src").as("dst"),
         coalesce(col("weight"), lit(1.0)).as("w")))
       .persist()
+    // Adaptive strategy: broadcast-sized graphs run every round in one job
+    // with the identical gain/tie-break rule (LocalGraph.louvain) — exact
+    // parity on integer-weight graphs, where all sums are exact in doubles.
+    val spark = g.edges.sparkSession
+    if (graft.graph.LocalGraph.atMost(und, graft.graph.LocalGraph.maxEdges(spark))) {
+      val eArr = und.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      und.unpersist(blocking = false)
+      return graft.graph.LocalGraph.louvain(spark, eArr, maxIters)
+    }
     val degrees = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("k")).persist()
     val m2 = und.agg(sum(col("w"))).collect()(0).getDouble(0) // = 2m
     // state carries (id, comm, k): the per-iteration tot and gain joins then

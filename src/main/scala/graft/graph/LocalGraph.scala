@@ -106,6 +106,159 @@ object LocalGraph {
     nodeIds.map(id => (id, level.getOrDefault(id, 0))).toSeq.toDF("id", "level")
   }
 
+  /** PageRank, fixed synchronous iterations in one job — the identical
+    * recursion to `Algos.pageRankDF` (r ← (1−d) + d·Σ r(u)/outdeg(u), ranks
+    * read from the previous round). Summation order differs from the
+    * distributed aggregation only in floating ulps, which callers already
+    * absorb by rounding (the same tolerance the DuckDB oracle needs).
+    */
+  def pageRank(spark: SparkSession, nodeIds: Array[Long],
+      edges: Array[(Long, Long)], iters: Int, damping: Double): DataFrame = {
+    import spark.implicits._
+    val outdeg = new java.util.HashMap[Long, Int]()
+    edges.foreach { case (s, _) => outdeg.merge(s, 1, (a, b) => a + b) }
+    var rank = new java.util.HashMap[Long, Double]()
+    nodeIds.foreach(rank.put(_, 1.0))
+    for (_ <- 1 to iters) {
+      val sums = new java.util.HashMap[Long, Double]()
+      edges.foreach { case (s, d) =>
+        // sources outside the node set contribute nothing (the distributed
+        // plan inner-joins contributions against the rank frame). NB: the
+        // boxed-map get() unboxes a missing key to 0.0, so membership must
+        // be an explicit containsKey.
+        if (rank.containsKey(s)) sums.merge(d, rank.get(s) / outdeg.get(s), (a, b) => a + b)
+      }
+      val next = new java.util.HashMap[Long, Double]()
+      nodeIds.foreach { v =>
+        next.put(v, (1.0 - damping) + damping * sums.getOrDefault(v, 0.0))
+      }
+      rank = next
+    }
+    nodeIds.map(v => (v, rank.get(v).doubleValue())).toSeq.toDF("id", "rank")
+  }
+
+  /** Label propagation, synchronous rounds in one job — identical semantics
+    * to `Algos.labelPropagation`: adopt the most frequent neighbor label,
+    * ties to the lowest label, isolated nodes keep theirs. `undEdges` is the
+    * already-doubled undirected pair list.
+    */
+  def labelPropagation(spark: SparkSession, nodeIds: Array[Long],
+      undEdges: Array[(Long, Long)], iters: Int): DataFrame = {
+    import spark.implicits._
+    val adj = new java.util.HashMap[Long, ArrayBuffer[Long]]()
+    undEdges.foreach { case (s, d) =>
+      adj.computeIfAbsent(s, _ => new ArrayBuffer[Long]()) += d
+    }
+    var label = new java.util.HashMap[Long, Long]()
+    nodeIds.foreach(v => label.put(v, v))
+    for (_ <- 1 to iters) {
+      val next = new java.util.HashMap[Long, Long]()
+      val snap = label
+      nodeIds.foreach { v =>
+        val ns = adj.get(v)
+        if (ns == null) next.put(v, snap.get(v))
+        else {
+          val counts = new java.util.HashMap[Long, Int]()
+          ns.foreach { n =>
+            if (snap.containsKey(n)) counts.merge(snap.get(n), 1, (a, b) => a + b)
+          }
+          var bestL = Long.MaxValue
+          var bestC = -1
+          counts.forEach { (l, c) =>
+            if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+          }
+          next.put(v, if (bestC < 0) snap.get(v) else bestL)
+        }
+      }
+      label = next
+    }
+    nodeIds.map(v => (v, label.get(v).longValue())).toSeq.toDF("id", "label")
+  }
+
+  /** Bounded Bellman-Ford in one job — synchronous relaxation rounds reading
+    * the previous round's distances, exactly the Pregel superstep semantics
+    * of `Algos.sssp` (each distance is a min over per-path sums, so results
+    * are bit-identical to the distributed run). Returns reached (id, dist).
+    */
+  def sssp(spark: SparkSession, edges: Array[(Long, Long, Double)],
+      source: Long, maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val dist = new java.util.HashMap[Long, Double]()
+    dist.put(source, 0.0)
+    var changed = true
+    var i = 0
+    while (changed && i < maxHops) {
+      changed = false
+      val snap = new java.util.HashMap[Long, Double](dist)
+      edges.foreach { case (s, d, w) =>
+        // explicit containsKey: the boxed map unboxes missing keys to 0.0
+        if (snap.containsKey(s)) {
+          val cand = snap.get(s) + w
+          if (!dist.containsKey(d) || cand < dist.get(d)) {
+            dist.put(d, cand); changed = true
+          }
+        }
+      }
+      i += 1
+    }
+    val rows = dist.entrySet().iterator()
+    val out = new ArrayBuffer[(Long, Double)]()
+    while (rows.hasNext) { val e = rows.next(); out += ((e.getKey, e.getValue)) }
+    out.toSeq.toDF("id", "dist")
+  }
+
+  /** Louvain phase-1, synchronous rounds in one job — identical update rule
+    * to `Louvain.run`: every node adopts the neighboring community with the
+    * best modularity gain w(i→C) − k_i·Σtot(C)/2m, ties to the lowest
+    * community id. On integer-weight graphs every sum is exact in doubles,
+    * so local and distributed runs agree bit-for-bit. `und` is the doubled
+    * weighted pair list.
+    */
+  def louvain(spark: SparkSession, und: Array[(Long, Long, Double)],
+      maxIters: Int): DataFrame = {
+    import spark.implicits._
+    val adj = new java.util.HashMap[Long, ArrayBuffer[(Long, Double)]]()
+    val k = new java.util.HashMap[Long, Double]()
+    var m2 = 0.0
+    und.foreach { case (s, d, w) =>
+      adj.computeIfAbsent(s, _ => new ArrayBuffer[(Long, Double)]()) += ((d, w))
+      k.merge(s, w, (a, b) => a + b)
+      m2 += w
+    }
+    val nodeIds = k.keySet().toArray(Array.empty[java.lang.Long]).map(_.longValue()).sorted
+    var comm = new java.util.HashMap[Long, Long]()
+    nodeIds.foreach(v => comm.put(v, v))
+    var i = 0
+    var stable = false
+    while (i < maxIters && !stable) {
+      val tot = new java.util.HashMap[Long, Double]()
+      nodeIds.foreach(v => tot.merge(comm.get(v), k.get(v), (a, b) => a + b))
+      val next = new java.util.HashMap[Long, Long]()
+      stable = true
+      nodeIds.foreach { v =>
+        val ns = adj.get(v)
+        if (ns == null) next.put(v, comm.get(v))
+        else {
+          val wToC = new java.util.HashMap[Long, Double]()
+          ns.foreach { case (n, w) => wToC.merge(comm.get(n), w, (a, b) => a + b) }
+          val kv = k.get(v)
+          var bestC = Long.MaxValue
+          var bestG = Double.NegativeInfinity
+          wToC.forEach { (c, wic) =>
+            val g = wic - kv * tot.get(c) / m2
+            if (g > bestG || (g == bestG && c < bestC)) { bestG = g; bestC = c }
+          }
+          val nc = if (bestG == Double.NegativeInfinity) comm.get(v).longValue() else bestC
+          if (nc != comm.get(v)) stable = false
+          next.put(v, nc)
+        }
+      }
+      comm = next
+      i += 1
+    }
+    nodeIds.map(v => (v, comm.get(v).longValue())).toSeq.toDF("id", "comm")
+  }
+
   /** Strongly connected components (iterative Tarjan) in one job. Returns
     * (id, component = smallest member id), matching the GraphX convention
     * the distributed path produces. Runs on the driver — bounded by the

@@ -93,6 +93,55 @@ class LocalGraphSpec extends AnyFunSuite {
     assert(dist == local && local.nonEmpty)
   }
 
+  test("pageRank: local and distributed paths agree after rounding") {
+    val g = mkGraph(edges)
+    val (dist, local) = bothStrategies {
+      Algos.pageRankDF(g, iters = 3).collect()
+        .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e6)).toMap
+    }
+    assert(dist == local)
+    assert(local.size == 8)
+    // 4 receives from both 2 and 3; 7 is a pure source at the floor rank
+    assert(local(4L) > local(7L))
+  }
+
+  test("labelPropagation: local and distributed paths agree exactly") {
+    val g = mkGraph(edges)
+    val (dist, local) = bothStrategies {
+      Algos.labelPropagation(spark, g, iters = 5).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(dist == local)
+    assert(local.size == 8)
+  }
+
+  test("sssp: local and distributed paths agree exactly") {
+    val g = mkGraph(edges)
+    val (dist, local) = bothStrategies {
+      Algos.sssp(spark, g, source = 1L, maxHops = 8).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(dist == local)
+    assert(local(6L) == 4.0 && !local.contains(8L))
+  }
+
+  test("louvain: local and distributed paths agree exactly") {
+    // two disjoint 5-cliques: synchronous Louvain provably converges to the
+    // min-member community within 3 rounds (the q_louvain fixture shape;
+    // integer weights keep every sum exact in doubles)
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val g = mkGraph(clique(1L to 5L) ++ clique(11L to 15L))
+    val (dist, local) = bothStrategies {
+      graft.algos.Louvain.run(g).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(dist == local)
+    assert((1L to 5L).map(local).toSet.size == 1)
+    assert((11L to 15L).map(local).toSet.size == 1)
+    assert(local(1L) != local(11L))
+  }
+
   test("atMost probes without scanning past the limit") {
     val big = spark.range(1000000).toDF("id")
     assert(LocalGraph.atMost(big, 1000000L))
