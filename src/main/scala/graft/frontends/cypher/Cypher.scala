@@ -534,6 +534,23 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     }
   }
 
+  /** Pattern predicate `(a)-[:T]->(b)` in expression position — openCypher
+    * sugar for EXISTS { … } (the reference translates pattern expressions to
+    * the same exists plan). Attempted when an expression starts with `(`;
+    * backtracks to the parenthesized-expression grammar when no relationship
+    * follows (`(a)` alone, `(1+2)`, …).
+    */
+  private def tryPatternPredicate(): Option[Expr.E] = {
+    val mark = pos
+    try {
+      val path = parsePath()
+      if (path.tail.isEmpty) { pos = mark; None }
+      else Some(Expr.ExistsSub(CypherFrontend.subPlan(Seq(path), None)))
+    } catch {
+      case _: IllegalArgumentException => pos = mark; None
+    }
+  }
+
   private def parseAtom(): Expr.E = next() match {
     case NumLit(s) =>
       if (s.contains('.')) Expr.Lit(s.toDouble) else Expr.Lit(s.toLong)
@@ -546,7 +563,11 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       case other => fail(s"expected parameter name, got $other")
     }
     case Sym("(") =>
-      val e = parseExpr(); expect(Sym(")")); e
+      pos -= 1 // rewind: a pattern predicate needs the full `(…)-[…]-(…)`
+      tryPatternPredicate().getOrElse {
+        expect(Sym("("))
+        val e = parseExpr(); expect(Sym(")")); e
+      }
     case Sym("[") =>
       if (at(Sym("]"))) { next(); Expr.ListLit(Seq.empty) }
       else tryPatternComp().getOrElse {

@@ -140,6 +140,22 @@ object CypherQueriesImpl {
           |ORDER BY rt""".stripMargin)
     },
 
+    // Pattern predicates in WHERE — openCypher sugar for EXISTS { }: a
+    // positive pattern lowers to a semi-join, NOT pattern to an anti-join
+    // (same plan as the explicit subquery form).
+    QueryDef(
+      "q_cypher_pattern_pred",
+      """SELECT c_name AS nm FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |  AND c_nationkey <> 3
+        |ORDER BY nm NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (c:Customer)
+          |WHERE (c)<-[:PLACED_BY]-(:Order)
+          |  AND NOT (c)-[:FROM_NATION]->(:Nation {name: 'NATION_3'})
+          |RETURN c.name AS nm ORDER BY nm""".stripMargin)
+    },
+
     // Cyclic pattern in a single path: the closing `(o)-[:CONTAINS]->(p)`
     // re-binds p, which the translator turns into a fresh column + join-back
     // equality filter (cycle semantics). TPC-H Q5's local-supplier shape.

@@ -65,6 +65,21 @@ class CypherParserSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](CypherFrontend.parse("MATCH (a)-[*]->(b) RETURN a"))
   }
 
+  test("pattern predicate parses to an exists subquery; parenthesized exprs survive") {
+    val q = CypherFrontend.parse(
+      "MATCH (a:Customer) WHERE (a)-[:FROM_NATION]->(:Nation) RETURN a.name AS n")
+    val w = q.clauses.head.asInstanceOf[Ast.MatchClause].where.get
+    assert(w.isInstanceOf[Expr.ExistsSub])
+    // plain parenthesized arithmetic must still parse as an expression
+    val q2 = CypherFrontend.parse("RETURN (1 + 2) * 3 AS x")
+    assert(q2.clauses.head.asInstanceOf[Ast.WithRet].items.head._1 ==
+      Expr.Bin("*", Expr.Bin("+", Expr.Lit(1L), Expr.Lit(2L)), Expr.Lit(3L)))
+    // (a) alone is a parenthesized variable, not a pattern
+    val q3 = CypherFrontend.parse("MATCH (a:Customer) WHERE (a.acctbal) > 1.0 RETURN a.name AS n")
+    assert(q3.clauses.head.asInstanceOf[Ast.MatchClause].where.get ==
+      Expr.Bin(">", Expr.Prop("a", "acctbal"), Expr.Lit(1.0)))
+  }
+
   test("parses relationship type alternation [:A|B] and legacy [:A|:B]") {
     val q = CypherFrontend.parse("MATCH (a)-[r:KNOWS|WORKS_AT]->(b) RETURN id(a) AS x")
     val m = q.clauses.head.asInstanceOf[Ast.MatchClause]
@@ -485,6 +500,24 @@ class EdgeVarGuardSpec extends AnyFunSuite {
       graft.frontends.cypher.CypherFrontend.parse(
         "MERGE (n:X {id: 1}) ON CREATE SET n += {a: 1}"))
     assert(e.getMessage.contains("ON CREATE"))
+  }
+
+  test("pattern predicates filter as semi/anti joins end-to-end") {
+    // customers with at least one order, excluding one nation — equals the
+    // explicit EXISTS { } form
+    val sugar = session.cypher(
+      """MATCH (c:Customer)
+        |WHERE (c)<-[:PLACED_BY]-(:Order)
+        |  AND NOT (c)-[:FROM_NATION]->(:Nation {name: 'NATION_3'})
+        |RETURN c.name AS nm ORDER BY nm""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    val explicit = session.cypher(
+      """MATCH (c:Customer)
+        |WHERE exists { (c)<-[:PLACED_BY]-(:Order) }
+        |  AND NOT exists { (c)-[:FROM_NATION]->(:Nation {name: 'NATION_3'}) }
+        |RETURN c.name AS nm ORDER BY nm""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(sugar == explicit && sugar.nonEmpty)
   }
 
   test("rel-type alternation expands over the union of edge types") {
