@@ -114,6 +114,11 @@ object SparqlAst {
   final case class SubSelectP(q: Query) extends Pattern
   /** VALUES ?v { lit … } / VALUES (?a ?b) { (l1 l2) … } → inline bindings. */
   final case class ValuesP(p: Pattern, vars: Seq[String], rows: Seq[Seq[String]]) extends Pattern
+  /** GRAPH g { … } (SPARQL 1.1 §13.3; reference TripleScanOp graph field,
+    * plan.rs:489): a constant name scopes the body to one named graph; a
+    * variable additionally binds the graph name per solution.
+    */
+  final case class GraphP(name: Term, inner: Pattern) extends Pattern
 
   final case class Query(
       kind: String,                     // select | ask | construct | describe
@@ -308,6 +313,12 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
           }
           next()
           acc = Some(ValuesP(acc.getOrElse(Bgp(Nil)), vars.result(), rows.result()))
+        case Some(Word(w)) if w.equalsIgnoreCase("GRAPH") =>
+          next(); flushBgp()
+          val t = parseTerm()
+          val inner = parseGroup()
+          acc = Some(acc.map(a => Join(a, GraphP(t, inner)): Pattern)
+            .getOrElse(GraphP(t, inner)))
         case Some(Kw("OPTIONAL")) =>
           next(); flushBgp()
           val r = parseGroup()
@@ -502,7 +513,8 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
 }
 
 /** Pattern algebra + expression compiler over the triples DataFrame. */
-final class SparqlCompiler(graph: TripleGraph) {
+final class SparqlCompiler(graph: TripleGraph,
+    quads: Option[graft.graph.QuadStore] = None) {
   import SparqlAst._
 
   def compile(q: Query): DataFrame = {
@@ -573,6 +585,21 @@ final class SparqlCompiler(graph: TripleGraph) {
   def compilePattern(p: Pattern): DataFrame = p match {
     case Bgp(Nil)     => graph.triples.sparkSession.range(1).select(lit(1).as("__one"))
     case Bgp(ts)      => graph.bgp(ts)
+    case GraphP(name, inner) =>
+      val qs = quads.getOrElse(throw new IllegalArgumentException(
+        "GRAPH pattern requires a dataset with named graphs (run with a QuadStore)"))
+      name match {
+        // constant graph: the body compiles against that graph's triples —
+        // the g filter reaches the quad scan (partition pruning shape)
+        case L(g) => new SparqlCompiler(qs.graph(g), quads).compilePattern(inner)
+        // variable graph: every leg binds g, and the natural join on the
+        // variable enforces same-graph matching across the whole block
+        case V(gv) => inner match {
+          case Bgp(ts) if ts.nonEmpty => qs.bgp(gv, ts)
+          case _ => throw new IllegalArgumentException(
+            "GRAPH ?var takes a basic graph pattern body")
+        }
+      }
     case Join(l, r)   => natJoin(compilePattern(l), compilePattern(r), "inner")
     case LeftJoin(l, r) => natJoin(compilePattern(l), compilePattern(r), "left_outer")
     case UnionP(l, r) =>
@@ -943,4 +970,11 @@ object SparqlFrontend {
 
   def run(graph: TripleGraph, query: String): DataFrame =
     new SparqlCompiler(graph).compile(parse(query))
+
+  /** Dataset-aware entry point: `graph` is the default graph, `quads` holds
+    * the named graphs addressed by GRAPH patterns (reference processor
+    * threads the store's named graphs the same way).
+    */
+  def run(graph: TripleGraph, query: String, quads: graft.graph.QuadStore): DataFrame =
+    new SparqlCompiler(graph, Some(quads)).compile(parse(query))
 }

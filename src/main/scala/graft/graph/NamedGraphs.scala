@@ -46,6 +46,31 @@ final case class QuadStore(quads: DataFrame) {
   def insert(name: String, triples: DataFrame): QuadStore =
     QuadStore(quads.unionByName(
       triples.select(lit(name).as("g"), col("s"), col("p"), col("o"))).distinct())
+
+  /** BGP across the named graphs with the graph name bound as `gVar` —
+    * `GRAPH ?g { … }` (SPARQL 1.1 §13.3). Mirrors TripleGraph.bgp, with
+    * every leg carrying the g column so the natural join on `gVar` enforces
+    * that all triples of the block match inside the SAME graph.
+    */
+  def bgp(gVar: String, patterns: Seq[TriplePattern]): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    def leg(pat: TriplePattern): DataFrame = {
+      val bound = Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o)
+      val filtered = bound.foldLeft(quads) {
+        case (df, (c, L(v))) => df.filter(col(c) === v)
+        case (df, _)         => df
+      }
+      val varCols = ("g", gVar) +: bound.collect { case (c, V(n)) => (c, n) }
+      val dup = varCols.groupBy(_._2).filter(_._2.size > 1)
+      val eq = dup.values.flatMap(g2 => g2.tail.map(t => col(g2.head._1) === col(t._1)))
+      val f2 = eq.foldLeft(filtered)(_ filter _)
+      f2.select(varCols.map(_._2).distinct.map(n =>
+        col(varCols.find(_._2 == n).get._1).as(n)): _*)
+    }
+    patterns.map(leg).reduceLeft { (acc, next) =>
+      acc.join(next, acc.columns.intersect(next.columns).toSeq) // gVar always shared
+    }
+  }
 }
 
 object QuadStore {

@@ -73,6 +73,24 @@ object Extra2QueriesImpl {
       mutated.quads.groupBy("g").agg(count(lit(1)).as("n")).orderBy("g")
     },
 
+    // SPARQL GRAPH patterns (SPARQL 1.1 §13.3; TripleScanOp graph field,
+    // plan.rs:489): GRAPH ?g binds the graph name; both legs of the body
+    // must match inside the SAME named graph (natural join on ?g).
+    QueryDef(
+      "q_sparql_graph",
+      """SELECT source AS g, 'doc:' || doc_id AS s, lang AS l,
+        |       CAST(n_chars AS VARCHAR) AS n
+        |FROM documents
+        |ORDER BY g NULLS FIRST, s NULLS FIRST, l NULLS FIRST, n NULLS FIRST""".stripMargin) { (s, dir) =>
+      val store = QuadStore.fromDocuments(s, dir)
+      SparqlFrontend.run(
+        graft.graph.TripleGraph(store.quads.select("s", "p", "o")),
+        """SELECT ?g ?s ?l ?n WHERE {
+          |  GRAPH ?g { ?s lang ?l . ?s nchars ?n }
+          |} ORDER BY ?g ?s ?l ?n""".stripMargin,
+        store)
+    },
+
     // SPARQL ASK (sparql_translator.rs ASK handling): positive + negative.
     QueryDef(
       "q_sparql_ask",

@@ -277,4 +277,35 @@ class SparqlSpec extends AnyFunSuite {
     // only nation subjects survive the join, and counts are positive
     assert(out.forall(_.getLong(1) >= 1))
   }
+
+  test("GRAPH with a constant name scopes the body to that graph") {
+    val store = graft.graph.QuadStore.fromDocuments(spark, sf)
+    val default = TripleGraph(store.quads.select("s", "p", "o"))
+    val sources = store.quads.select("g").distinct()
+      .collect().map(_.getString(0)).sorted
+    val g0 = sources.head
+    val got = SparqlFrontend.run(default,
+      s"SELECT ?s WHERE { GRAPH $g0 { ?s lang ?l } } ORDER BY ?s", store)
+      .collect().map(_.getString(0)).toSeq
+    val exp = store.quads.filter(col("g") === g0 && col("p") === "lang")
+      .select("s").collect().map(_.getString(0)).toSeq.sorted
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("GRAPH ?g binds the graph name and joins same-graph only") {
+    val store = graft.graph.QuadStore.fromDocuments(spark, sf)
+    val default = TripleGraph(store.quads.select("s", "p", "o"))
+    val got = SparqlFrontend.run(default,
+      "SELECT ?g ?s WHERE { GRAPH ?g { ?s lang ?l . ?s nchars ?n } } ORDER BY ?g ?s",
+      store).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val exp = store.quads.filter(col("p") === "lang").select("g", "s")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("GRAPH without a dataset is a clear error") {
+    val e = intercept[IllegalArgumentException](
+      SparqlFrontend.run(rdf, "SELECT ?s WHERE { GRAPH ?g { ?s name ?o } }"))
+    assert(e.getMessage.contains("named graphs"))
+  }
 }
