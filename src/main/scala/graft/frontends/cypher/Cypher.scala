@@ -124,6 +124,21 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
   private var anonCounter = 0
   private def fresh(): String = { anonCounter += 1; s"__anon$anonCounter" }
 
+  /** Full statement: query (UNION [ALL] query)* — plain UNION has set
+    * semantics, UNION ALL bag semantics (ref plan.rs:506-510 Union; mixing
+    * the two in one statement is invalid, as in openCypher).
+    */
+  def parseUnion(): Seq[(Query, Boolean)] = {
+    val parts = Seq.newBuilder[(Query, Boolean)]
+    parts += ((parseQuery(), false))
+    while (eat(Kw("UNION")(""))) {
+      val all = eat(Kw("ALL")(""))
+      parts += ((parseQuery(), all))
+    }
+    if (pos < tokens.length) fail(s"trailing tokens from ${tokens(pos)}")
+    parts.result()
+  }
+
   def parseQuery(): Query = {
     val clauses = Seq.newBuilder[Clause]
     var done = false
@@ -151,7 +166,9 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
         case other => fail(s"unexpected $other")
       }
     }
-    if (pos < tokens.length) fail(s"trailing tokens from ${tokens(pos)}")
+    // a following UNION belongs to the enclosing multi-query statement
+    if (pos < tokens.length && !at(Kw("UNION")("")))
+      fail(s"trailing tokens from ${tokens(pos)}")
     val cs = clauses.result()
     require(cs.nonEmpty, "empty query")
     Query(cs)
@@ -696,8 +713,31 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
 object CypherFrontend {
   import Ast._
 
-  def parse(q: String): Query =
-    new CypherParser(CypherLexer.lex(q)).parseQuery()
+  def parse(q: String): Query = {
+    val parts = parseAll(q)
+    require(parts.size == 1,
+      "statement contains UNION — use translateText for multi-query statements")
+    parts.head._1
+  }
+
+  def parseAll(q: String): Seq[(Query, Boolean)] =
+    new CypherParser(CypherLexer.lex(q)).parseUnion()
+
+  /** Parse + translate a full statement, including `UNION [ALL]` chains
+    * (ref plan.rs:506-510): UNION ALL concatenates bags, plain UNION adds
+    * set semantics over the whole union.
+    */
+  def translateText(q: String): Op.T = {
+    val parts = parseAll(q)
+    val first = translate(parts.head._1)
+    if (parts.size == 1) first
+    else {
+      val flags = parts.tail.map(_._2).distinct
+      require(flags.size == 1, "cannot mix UNION and UNION ALL in one statement")
+      val combined = parts.tail.foldLeft(first)((acc, p) => Op.UnionAll(acc, translate(p._1)))
+      if (flags.head) combined else Op.Distinct(combined)
+    }
+  }
 
   /** Pattern → plan for EXISTS/COUNT { } subqueries (ast.rs:460): the same
     * translation as a standalone MATCH; correlation with the outer query is

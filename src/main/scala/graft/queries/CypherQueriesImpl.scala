@@ -140,6 +140,20 @@ object CypherQueriesImpl {
           |ORDER BY rt""".stripMargin)
     },
 
+    // Query-level UNION (plan.rs:506-510): plain UNION = set semantics over
+    // the whole union (the >9900 part is a subset of the >9500 part, so the
+    // dedup is observable); UNION ALL covered in CypherSpec.
+    QueryDef(
+      "q_cypher_union",
+      """SELECT c_name AS nm FROM customer WHERE c_acctbal > 9500.0
+        |ORDER BY nm NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (c:Customer) WHERE c.acctbal > 9900.0 RETURN c.name AS nm
+          |UNION
+          |MATCH (c:Customer) WHERE c.acctbal > 9500.0 RETURN c.name AS nm""".stripMargin)
+        .orderBy("nm")
+    },
+
     // Pattern predicates in WHERE — openCypher sugar for EXISTS { }: a
     // positive pattern lowers to a semi-join, NOT pattern to an anti-join
     // (same plan as the explicit subquery form).

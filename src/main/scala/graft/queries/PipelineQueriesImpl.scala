@@ -32,6 +32,42 @@ object PipelineQueriesImpl {
         .orderBy("keep")
     },
 
+    // End-to-end training-data ingest chain — the composition the pipeline
+    // operators exist for: language-ID filter → quality (token count) filter
+    // → exact dedup (keep min id) → per-source corpus stats, one declarative
+    // plan (filters/dedup/agg all distribute; nothing driver-side).
+    QueryDef(
+      "q_pipeline_e2e",
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    len(string_split(text, ' ')) AS tokens,
+        |    list_sum(list_transform(string_split(text,' '), w -> CASE WHEN w IN ('the','and','for','with') THEN 1 ELSE 0 END)) AS c_en,
+        |    list_sum(list_transform(string_split(text,' '), w -> CASE WHEN w IN ('der','und','das','ein') THEN 1 ELSE 0 END)) AS c_de,
+        |    list_sum(list_transform(string_split(text,' '), w -> CASE WHEN w IN ('el','los','que','una') THEN 1 ELSE 0 END)) AS c_es,
+        |    list_sum(list_transform(string_split(text,' '), w -> CASE WHEN w IN ('le','les','des','une') THEN 1 ELSE 0 END)) AS c_fr
+        |  FROM documents),
+        |filtered AS (
+        |  SELECT * FROM scored
+        |  WHERE c_en >= greatest(c_en, c_de, c_es, c_fr) AND c_en > 0
+        |    AND tokens >= 20),
+        |kept AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS total_tokens
+        |FROM filtered JOIN kept USING (doc_id)
+        |GROUP BY source
+        |ORDER BY source NULLS FIRST""".stripMargin) { (s, dir) =>
+      val filtered = Tables.documents(s, dir)
+        .withColumn("guessed", TextAnalysis.langId(col("text")))
+        .withColumn("tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .filter(col("guessed") === "en" && col("tokens") >= 20)
+      val kept = Dedup.exact(filtered.select(col("doc_id"), col("text")),
+        Seq("text"), "doc_id").select(col("keep").as("doc_id"))
+      filtered.join(kept, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"))
+        .orderBy("source")
+    },
+
     // Word-set (unigram) Jaccard similarity join >= 0.8.
     QueryDef(
       "q_word_jaccard",

@@ -502,6 +502,17 @@ class EdgeVarGuardSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ON CREATE"))
   }
 
+  test("UNION dedups, UNION ALL keeps the bag, mixing is rejected") {
+    val base = "MATCH (r:Region) RETURN r.name AS nm"
+    val all = session.cypher(s"$base UNION ALL $base").collect()
+    val set = session.cypher(s"$base UNION $base").collect()
+    val n = spark.read.parquet(s"$sf/region.parquet").count()
+    assert(all.length == 2 * n && set.length == n)
+    val e = intercept[IllegalArgumentException](session.cypher(
+      s"$base UNION ALL $base UNION $base"))
+    assert(e.getMessage.contains("mix"))
+  }
+
   test("pattern predicates filter as semi/anti joins end-to-end") {
     // customers with at least one order, excluding one nation — equals the
     // explicit EXISTS { } form

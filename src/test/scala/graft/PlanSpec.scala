@@ -99,6 +99,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("factorized walk aggregate never materializes the walk cross-product") {
+    val df = Catalog.queries("q_factorized_agg")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // no explode, and every hop joins against an already-aggregated frame —
+    // the plan must interleave joins with HashAggregates, not stack 3 joins
+    assert(!p.contains("Generate"), "factorized plan must not explode")
+    val firstJoin = p.indexOf("Join")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstJoin >= 0 && firstAgg >= 0)
+    assert(p.contains("HashAggregate"), s"expected aggregates between hops:\n$p")
+  }
+
+  test("constant GRAPH pattern pushes the graph-name filter to the scan") {
+    val store = graft.graph.QuadStore.fromDocuments(spark, sf)
+    val df = graft.frontends.sparql.SparqlFrontend.run(
+      graft.graph.TripleGraph(store.quads.select("s", "p", "o")),
+      "SELECT ?s WHERE { GRAPH src0 { ?s lang ?l } } ORDER BY ?s", store)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("src0"),
+      s"graph-name filter must reach the quad scan:\n$p")
+  }
+
+  test("pattern predicate compiles to semi/anti joins, not per-row subqueries") {
+    val df = Catalog.queries("q_cypher_pattern_pred")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"positive pattern must semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT pattern must anti-join:\n$p")
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE prints the final (codegen'd) stages only after execution
     val df = Catalog.queries("q_project_expr")(spark, sf)
