@@ -34,11 +34,24 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
           col(to) === col("__tid"))
         .drop("__tid")
 
-    case Op.VarExpand(in, from, rel, to, dir, min, max, targetLabel, hopsAs) =>
+    case Op.VarExpand(in, from, rel, to, dir, min, max, targetLabel, hopsAs, pathAs) =>
       val df = compile(in)
-      val walk = graph
-        .varLengthExpand(df.select(col(from)).distinct(), from, rel, min, max, dir)
-        .withColumnRenamed("dst", to)
+      val sourcesDf = df.select(col(from)).distinct()
+      // Unbounded walks need the visited-set guard for termination, and
+      // nodes(p) needs the accumulated walk — both come from the
+      // path-carrying expand; bounded hop-only patterns keep the cheaper
+      // walk-pair loop (no per-row path array in the shuffle).
+      val walk0 =
+        if (pathAs.isDefined || max < 0) {
+          val cap = graph.nodes.sparkSession.conf
+            .get("spark.graft.varlen.maxHops", "64").toInt
+          val w = graph.varLengthExpandPaths(sourcesDf, from, rel, min, max, dir, cap)
+          pathAs match {
+            case Some(p) => w.withColumnRenamed("path", p)
+            case None    => w.drop("path")
+          }
+        } else graph.varLengthExpand(sourcesDf, from, rel, min, max, dir)
+      val walk = walk0.withColumnRenamed("dst", to)
       val pairs = hopsAs match {
         case Some(h) => walk.withColumnRenamed("hops", h)
         case None    => walk.drop("hops")
@@ -52,8 +65,11 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
       val df = compile(in)
       // distributed frontier BFS from the bound sources; dist is minimal by
       // construction (level-synchronous visited-set BFS)
+      // maxHops < 0 = unbounded (plan.rs:195): BFS terminates naturally via
+      // its visited set once the reachable closure is exhausted
       val paths = graph
-        .bfs(df.select(col(from)).distinct(), from, rel, maxHops, dir)
+        .bfs(df.select(col(from)).distinct(), from, rel,
+          if (maxHops < 0) Int.MaxValue else maxHops, dir)
         .withColumnRenamed("dst", to)
       val withLen = lenAs match {
         case Some(n) => paths.withColumnRenamed("dist", n)
@@ -364,6 +380,11 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
       case "split"     => split(a0, java.util.regex.Pattern.quote(litStr(1)))
       case "replace"   => regexp_replace(a0, java.util.regex.Pattern.quote(litStr(1)), litStr(2))
       case "range"     => sequence(a0, a1, if (cols.size > 2) cols(2) else lit(1L))
+      // relationships(p) over a node-id walk: consecutive (src, dst) pairs
+      // (Path value logical_type.rs:14-88; edges carry no ids here)
+      case "__path_rels" =>
+        transform(slice(a0, lit(1), greatest(size(a0) - 1, lit(0))),
+          (x, i) => struct(x.as("src"), element_at(a0, i + lit(2)).as("dst")))
       case other => throw new IllegalArgumentException(s"unknown function $other()")
     }
   }

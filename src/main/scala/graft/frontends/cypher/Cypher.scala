@@ -358,6 +358,9 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
         while (eat(Sym("|"))) { eat(Sym(":")); relTypes += relName() }
       }
       if (eat(Sym("*"))) {
+        // [*] / [*n] / [*a..b] / [*a..] / [*..b]; hi = -1 means unbounded
+        // (max_hops: Option, plan.rs:195) — terminated by the visited-set
+        // guard in the path-carrying expand.
         var lo = 1
         var hi = -1
         peek match {
@@ -367,9 +370,9 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
         if (eat(Sym(".."))) {
           hi = peek match {
             case Some(NumLit(s2)) => next(); s2.toInt
-            case _ => fail("open-ended var-length needs an upper bound")
+            case _ => -1
           }
-        } else if (hi == -1) fail("unbounded * not supported; use *min..max")
+        }
         range = Some((lo, hi))
       }
       expect(Sym("]"))
@@ -754,6 +757,29 @@ object CypherFrontend {
     val boundVars = scala.collection.mutable.Set.empty[String]
     // path variable -> length expression (length(p) resolves to it)
     val pathLenExprs = scala.collection.mutable.Map.empty[String, Expr.E]
+    // path variable -> node-walk array column (nodes(p)/relationships(p))
+    val pathNodeCols = scala.collection.mutable.Map.empty[String, String]
+    // Pre-scan: which path vars the query consumes via nodes()/
+    // relationships() — those var-length expands must carry the walk array
+    // (Path value logical_type.rs:14-88); the rest keep the cheaper
+    // hops-only walk loop.
+    val wantsPathNodes: Set[String] = {
+      val found = scala.collection.mutable.Set.empty[String]
+      def scan(e: Expr.E): Unit = { Expr.rewrite(e) {
+        case f @ Expr.Func(n, Seq(Expr.Var(pv)), _)
+            if n.equalsIgnoreCase("nodes") || n.equalsIgnoreCase("relationships") =>
+          found += pv; f
+        case x => x
+      }; () }
+      q.clauses.foreach {
+        case MatchClause(_, w, _) => w.foreach(scan)
+        case UnwindClause(e, _)   => scan(e)
+        case WithRet(items, _, w, ob, _, _, _) =>
+          items.foreach(i => scan(i._1)); w.foreach(scan); ob.foreach(o => scan(o._1))
+        case _ => ()
+      }
+      found.toSet
+    }
 
     // COUNT { } subqueries / pattern comprehensions in an expression become
     // correlated-count / correlated-collect columns joined in below the
@@ -854,6 +880,13 @@ object CypherFrontend {
               None
             }
           }
+          val pathCol: Option[String] = path.pathVar.filter(wantsPathNodes.contains).map { pv =>
+            require(nVarLen == 1 && path.tail.size == 1,
+              "nodes(p)/relationships(p) need a single var-length relationship pattern")
+            val c = s"__pnodes_$pv"
+            pathNodeCols(pv) = c
+            c
+          }
           // cyclic patterns: a node var reused later in the SAME path (e.g.
           // MATCH (a)-[:X]->(b)-[:Y]->(a)) expands into a fresh column plus a
           // join-back equality filter — correct cycle semantics instead of a
@@ -868,7 +901,7 @@ object CypherFrontend {
                 require(rel.v.isEmpty,
                   "edge variables on var-length patterns are not supported (the walk has no single edge)")
                 Op.VarExpand(pathOp, fromVar, rel.relTypes, toVar, rel.dir, lo, hi,
-                  node.label, hopsCol)
+                  node.label, hopsCol, pathCol)
               case None =>
                 Op.Expand(pathOp, fromVar, rel.relTypes, toVar, rel.dir, node.label,
                   rel.v)
@@ -926,11 +959,17 @@ object CypherFrontend {
         skip.foreach(n => cur = Op.Skip(cur, n))
         limit.foreach(n => cur = Op.Limit(cur, n))
     }
-    if (pathLenExprs.isEmpty) cur
+    if (pathLenExprs.isEmpty && pathNodeCols.isEmpty) cur
     else Op.rewriteExprs(cur) {
       case Expr.Func(n, Seq(Expr.Var(pv)), _)
           if n.equalsIgnoreCase("length") && pathLenExprs.contains(pv) =>
         pathLenExprs(pv)
+      case Expr.Func(n, Seq(Expr.Var(pv)), _)
+          if n.equalsIgnoreCase("nodes") && pathNodeCols.contains(pv) =>
+        Expr.Var(pathNodeCols(pv))
+      case Expr.Func(n, Seq(Expr.Var(pv)), _)
+          if n.equalsIgnoreCase("relationships") && pathNodeCols.contains(pv) =>
+        Expr.Func("__path_rels", Seq(Expr.Var(pathNodeCols(pv))))
       case e => e
     }
   }

@@ -130,6 +130,72 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         .withColumn(srcCol, lit(0L)).withColumn("dst", lit(0L)).withColumn("hops", lit(0)))
   }
 
+  /** Path-carrying variable-length expand (VariableLengthExpandOperator's
+    * path column, variable_length_expand.rs:15; Path as a first-class value,
+    * grafeo-common/src/types/logical_type.rs:14-88): walks of length
+    * min..max (maxHops < 0 = unbounded, plan.rs:195 `max_hops: Option`)
+    * returning (srcCol, dst, hops, path) where `path` is the full node-id
+    * walk including both endpoints.
+    *
+    * Termination and multiplicity: each walk carries its visited-node list
+    * and a step is pruned when it would revisit a node — the reference's
+    * visited-set guard (variable_length_expand.rs:263). So rows enumerate
+    * simple paths (node-unique trails); on DAGs this equals openCypher walk
+    * semantics, on cyclic graphs it is the terminating subset. The frontier
+    * is the set of live partial paths — inherently exponential on dense
+    * graphs, which is why unbounded traversals also honor `safetyCap`.
+    */
+  def varLengthExpandPaths(sources: DataFrame, srcCol: String, rels: Seq[String],
+      minHops: Int, maxHops: Int, dir: Direction = Out,
+      safetyCap: Int = 64): DataFrame = {
+    require(minHops >= 1 && (maxHops < 0 || maxHops >= minHops),
+      "need 1 <= minHops <= maxHops (or maxHops < 0 for unbounded)")
+    val cap = if (maxHops < 0) safetyCap else maxHops
+    val e0 = edgeSel(rels)
+    val e = (dir match {
+      case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
+      case In   => e0.select(col("dst").as("__s"), col("src").as("__d"))
+      case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
+        .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
+    })
+    val ep = e.persist()
+    val batch = 3
+    var frontier = sources.select(col(srcCol).as("__origin"),
+      col(srcCol).as("__cur"), array(col(srcCol)).as("__path"))
+    var acc: Option[DataFrame] = None
+    var i = 1
+    var exhausted = false
+    while (i <= cap && !exhausted) {
+      val steps = math.min(batch, cap - i + 1)
+      var cur = frontier
+      var levels = List.empty[DataFrame]
+      for (k <- 0 until steps) {
+        cur = cur.join(ep, col("__cur") === col("__s"))
+          .filter(!array_contains(col("__path"), col("__d")))
+          .select(col("__origin"), col("__d").as("__cur"),
+            concat(col("__path"), array(col("__d"))).as("__path"))
+        levels ::= cur.withColumn("hops", lit(i + k))
+      }
+      val got = levels.reverse.reduce(_ unionByName _).localCheckpoint()
+      val stats = got.agg(count(lit(1)).as("n"), max(col("hops")).as("m")).head()
+      if (stats.getLong(0) == 0L) exhausted = true
+      else {
+        val maxH = stats.getInt(1)
+        exhausted = maxH < i + steps - 1
+        val keep = got.filter(col("hops") >= minHops)
+        acc = Some(acc.map(_.unionByName(keep)).getOrElse(keep))
+        frontier = got.filter(col("hops") === maxH)
+      }
+      i += steps
+    }
+    ep.unpersist(blocking = false)
+    acc.map(_.select(col("__origin").as(srcCol), col("__cur").as("dst"),
+        col("hops"), col("__path").as("path")))
+      .getOrElse(sources.sparkSession.emptyDataFrame
+        .withColumn(srcCol, lit(0L)).withColumn("dst", lit(0L))
+        .withColumn("hops", lit(0)).withColumn("path", array(lit(0L))))
+  }
+
   /** ShortestPath (plan.rs:579-598; ShortestPathOperator shortest_path.rs:18):
     * unweighted BFS from each source, returning (srcCol, dst, dist) with the
     * minimal hop count, dist >= 1. `filterNodes` optionally restricts the

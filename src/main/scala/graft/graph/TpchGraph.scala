@@ -88,6 +88,19 @@ object TpchGraph {
       PropertyGraph(g.nodes.persist(), g.edges.persist())
     })
 
+  /** The part DAG restricted to keys <= cap — the fixture for unbounded
+    * path enumeration ([*]), whose result multiplicity is the number of
+    * simple paths and therefore must run on a bounded subgraph (the same
+    * reason the oracle's recursive CTE needs the cap).
+    */
+  def partDagCapped(spark: SparkSession, dir: String, cap: Int): PropertyGraph =
+    cache.getOrElseUpdate(s"dagcap$cap:$dir", {
+      val g = buildPartDag(spark, dir)
+      PropertyGraph(
+        g.nodes.filter(col("id") <= cap).persist(),
+        g.edges.filter(col("src") <= cap && col("dst") <= cap).persist())
+    })
+
   def buildPartDag(spark: SparkSession, dir: String): PropertyGraph = {
     val p = Tables.part(spark, dir).select(col("p_partkey").as("k"))
     val dst = p.select(col("k").as("k2"))

@@ -133,12 +133,17 @@ object Op {
       edgeVar: Option[String] = None) extends T
 
   /** plan.rs:180-212 with min/max hops (variable_length_expand.rs);
-    * `hopsAs` optionally binds the walk length (Cypher `length(p)` on a
-    * path-variable var-length pattern).
+    * `max < 0` = unbounded (`max_hops: Option`, plan.rs:195) — terminated by
+    * the visited-set guard (variable_length_expand.rs:263). `hopsAs`
+    * optionally binds the walk length (Cypher `length(p)` on a path-variable
+    * var-length pattern); `pathAs` binds the full node-id walk as an
+    * array<long> column (Cypher `nodes(p)`; Path value logical_type.rs:14-88).
+    * When unbounded or path-bound, walks are simple paths (node-unique).
     */
   final case class VarExpand(input: T, from: String, relTypes: Seq[String],
       to: String, dir: Direction, min: Int, max: Int,
-      targetLabel: Option[String], hopsAs: Option[String] = None) extends T
+      targetLabel: Option[String], hopsAs: Option[String] = None,
+      pathAs: Option[String] = None) extends T
 
   /** plan.rs:311-317. */
   final case class Filter(input: T, pred: E) extends T

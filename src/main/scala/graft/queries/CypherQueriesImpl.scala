@@ -324,6 +324,76 @@ object CypherQueriesImpl {
           |ORDER BY dst, len""".stripMargin)
     },
 
+    // Unbounded var-length [*] (max_hops: Option, plan.rs:195): simple-path
+    // enumeration with the visited-set guard (variable_length_expand.rs:263)
+    // vs a cycle-guarded recursive-CTE oracle. Runs on the capped DAG —
+    // unbounded path multiplicity is exponential in graph size by nature.
+    QueryDef(
+      "q_cypher_varlen_unbounded",
+      """WITH RECURSIVE dag AS (
+        |  SELECT a.p_partkey AS src, b.p_partkey AS dst
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |),
+        |capped AS (SELECT src, dst FROM dag WHERE src <= 30 AND dst <= 30),
+        |walk(dst, path) AS (
+        |  SELECT dst, [CAST(2 AS BIGINT), CAST(dst AS BIGINT)] FROM capped WHERE src = 2
+        |  UNION ALL
+        |  SELECT d.dst, list_append(w.path, CAST(d.dst AS BIGINT))
+        |  FROM walk w JOIN capped d ON d.src = w.dst
+        |  WHERE NOT list_contains(w.path, CAST(d.dst AS BIGINT))
+        |)
+        |SELECT CAST(dst AS BIGINT) AS dst, count(*) AS n_paths
+        |FROM walk GROUP BY dst
+        |ORDER BY dst NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph.partDagCapped(s, dir, 30)).cypher(
+        """MATCH (a:Part {name: '2'})-[:LINK*]->(b:Part)
+          |RETURN id(b) AS dst, count(*) AS n_paths
+          |ORDER BY dst""".stripMargin)
+    },
+
+    // Full path-variable binding: nodes(p) = the node-id walk array,
+    // relationships(p) = its consecutive pairs (Path value
+    // logical_type.rs:14-88; VariableLengthExpand path column).
+    QueryDef(
+      "q_cypher_pathnodes",
+      """WITH RECURSIVE dag AS (
+        |  SELECT a.p_partkey AS src, b.p_partkey AS dst
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |),
+        |capped AS (SELECT src, dst FROM dag WHERE src <= 30 AND dst <= 30),
+        |walk(dst, path) AS (
+        |  SELECT dst, [CAST(2 AS BIGINT), CAST(dst AS BIGINT)] FROM capped WHERE src = 2
+        |  UNION ALL
+        |  SELECT d.dst, list_append(w.path, CAST(d.dst AS BIGINT))
+        |  FROM walk w JOIN capped d ON d.src = w.dst
+        |  WHERE NOT list_contains(w.path, CAST(d.dst AS BIGINT))
+        |)
+        |SELECT CAST(dst AS BIGINT) AS dst, path,
+        |       CAST(len(path) - 1 AS INT) AS len,
+        |       CAST(len(path) - 1 AS INT) AS nrels
+        |FROM walk
+        |WHERE dst >= 20
+        |ORDER BY dst NULLS FIRST, len NULLS FIRST, path NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph.partDagCapped(s, dir, 30)).cypher(
+        """MATCH p = (a:Part {name: '2'})-[:LINK*]->(b:Part)
+          |WHERE id(b) >= 20
+          |RETURN id(b) AS dst, nodes(p) AS path, length(p) AS len,
+          |       size(relationships(p)) AS nrels
+          |ORDER BY dst, len, path""".stripMargin)
+    },
+
     QueryDef(
       "q_cypher_unwind",
       """SELECT y FROM (SELECT 2 * unnest([1, 2, 3, 4, 5]) AS y) ORDER BY y NULLS FIRST""") { (s, dir) =>

@@ -546,3 +546,82 @@ class EdgeVarGuardSpec extends AnyFunSuite {
     assert(byType == Map("CONTAINS" -> lines, "PLACED_BY" -> orders))
   }
 }
+
+/** Unbounded var-length expansion ([*], [*n..]) and full path binding
+  * (nodes(p)/relationships(p)) — the reference's VariableLengthExpand with
+  * max_hops: Option (plan.rs:195) and visited-set termination
+  * (variable_length_expand.rs:263).
+  */
+class UnboundedVarLenSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  // 4-node directed cycle 1→2→3→4→1 plus a tail 4→5: unbounded expansion
+  // must terminate (visited-set guard) and enumerate simple paths only.
+  lazy val cyclic: PropertyGraph = {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+      .toDF("id")
+      .select(col("id"), array(lit("N")).as("labels"),
+        col("id").cast("string").as("name"),
+        lit(null).cast("double").as("acctbal"),
+        lit(null).cast("string").as("category"))
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L))
+      .toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("E").as("rel"), lit(1.0).as("weight"))
+    PropertyGraph(nodes, edges)
+  }
+  lazy val session = new GraftSession(spark, cyclic)
+
+  test("[*] terminates on a cyclic graph and enumerates simple paths") {
+    val rows = session.cypher(
+      """MATCH (a:N {name: '1'})-[:E*]->(b:N)
+        |RETURN id(b) AS dst, count(*) AS n ORDER BY dst""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // simple paths from 1: 1→2, 1→2→3, 1→2→3→4, 1→2→3→4→5 (the cycle edge
+    // 4→1 would revisit 1 and is pruned)
+    assert(rows == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("[*2..] applies the lower bound to unbounded walks") {
+    val rows = session.cypher(
+      """MATCH (a:N {name: '1'})-[:E*2..]->(b:N)
+        |RETURN id(b) AS dst ORDER BY dst""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(3L, 4L, 5L))
+  }
+
+  test("nodes(p) carries the walk and relationships(p) derives its edges") {
+    val r = session.cypher(
+      """MATCH p = (a:N {name: '1'})-[:E*]->(b:N {name: '5'})
+        |RETURN nodes(p) AS path, length(p) AS len,
+        |       size(relationships(p)) AS nrels""".stripMargin)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getSeq[Long](0) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.head.getInt(1) == 4 && r.head.getInt(2) == 4)
+  }
+
+  test("relationships(p) yields consecutive (src, dst) structs") {
+    val r = session.cypher(
+      """MATCH p = (a:N {name: '3'})-[:E*]->(b:N {name: '2'})
+        |RETURN relationships(p) AS rels""".stripMargin)
+      .collect()
+    assert(r.length == 1)
+    val rels = r.head.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(rels == Seq((3L, 4L), (4L, 1L), (1L, 2L)))
+  }
+
+  test("safety cap bounds unbounded expansion depth") {
+    val capped = new GraftSession(
+      { spark.conf.set("spark.graft.varlen.maxHops", "2"); spark }, cyclic)
+    try {
+      val rows = capped.cypher(
+        """MATCH (a:N {name: '1'})-[:E*]->(b:N)
+          |RETURN id(b) AS dst ORDER BY dst""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(2L, 3L))
+    } finally spark.conf.unset("spark.graft.varlen.maxHops")
+  }
+}
