@@ -81,6 +81,45 @@ object LocalGraph {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Simple-path enumeration in one job — the below-threshold strategy for
+    * (unbounded) path-carrying var-length expands. Per-seed iterative DFS
+    * over the broadcast adjacency with the per-path visited guard: identical
+    * semantics to the distributed `varLengthExpandPaths` loop, minus its
+    * per-level scheduler round-trips (which dominate when the subgraph is
+    * broadcast-sized — measured 57 s → sub-second on a 30-node DAG).
+    * `edges`: (src, dst) Long pairs; `seeds`: (origin, start) Long pairs.
+    * Output: (origin, dst, hops, path) with path the full node-id walk.
+    */
+  def simplePaths(edges: DataFrame, seeds: DataFrame, minHops: Int,
+      cap: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = new java.util.HashMap[Long, ArrayBuffer[Long]]()
+    edges.collect().foreach { r =>
+      adj.computeIfAbsent(r.getLong(0), _ => new ArrayBuffer[Long]()) += r.getLong(1)
+    }
+    val bc = spark.sparkContext.broadcast(adj)
+    seeds.as[(Long, Long)].flatMap { case (origin, start) =>
+      val a = bc.value
+      val out = new ArrayBuffer[(Long, Long, Int, Seq[Long])]()
+      // explicit stack of reversed paths — recursion depth = path length,
+      // which can reach `cap` (chain graphs)
+      var stack: List[List[Long]] = List(List(start))
+      while (stack.nonEmpty) {
+        val p = stack.head
+        stack = stack.tail
+        val u = p.head
+        val depth = p.length - 1
+        if (depth >= minHops) out += ((origin, u, depth, p.reverse))
+        if (depth < cap) {
+          val vs = a.get(u)
+          if (vs != null) vs.foreach { v => if (!p.contains(v)) stack = (v :: p) :: stack }
+        }
+      }
+      out
+    }.toDF("origin", "dst", "hops", "path")
+  }
+
   /** Longest-incoming-path levels in one job — synchronous rounds identical
     * to the distributed propagation in `Algos.topoLevels` (bounded by
     * `maxIters`, so cyclic graphs converge to the same capped values).

@@ -159,6 +159,19 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
     })
     val ep = e.persist()
+    // Adaptive strategy (see bfs): below the broadcast threshold the whole
+    // enumeration runs as one job — per-seed DFS over a broadcast adjacency.
+    // A per-level join loop pays a scheduler round-trip per hop, and path
+    // enumeration can legitimately run to `cap` hops on chain graphs, which
+    // made the loop 50x slower than the work itself on small graphs. The
+    // distributed loop below is the at-scale path.
+    if (LocalGraph.atMost(ep, LocalGraph.maxEdges(sources.sparkSession))) {
+      val seeds = sources.select(col(srcCol).cast("long").as("__origin"),
+        col(srcCol).cast("long").as("__start")).distinct()
+      val res = LocalGraph.simplePaths(ep, seeds, minHops, cap)
+      ep.unpersist(blocking = false)
+      return res.select(col("origin").as(srcCol), col("dst"), col("hops"), col("path"))
+    }
     val batch = 3
     var frontier = sources.select(col(srcCol).as("__origin"),
       col(srcCol).as("__cur"), array(col(srcCol)).as("__path"))

@@ -142,6 +142,22 @@ class LocalGraphSpec extends AnyFunSuite {
     assert(local(1L) != local(11L))
   }
 
+  test("simplePaths: local and distributed paths agree exactly") {
+    // cycle 1-2-3-1 plus tail 3-4: exercises the visited guard both ways
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    val seeds = Seq(1L, 2L).toDF("id")
+    val (dist, local) = bothStrategies {
+      g.varLengthExpandPaths(seeds, "id", Nil, minHops = 1, maxHops = -1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getSeq[Long](3)))
+        .toSet
+    }
+    assert(dist == local)
+    // from 1: 1-2, 1-2-3, 1-2-3-4 (1-2-3-1 pruned by the guard)
+    assert(local.filter(_._1 == 1L).map(t => (t._2, t._4)) == Set(
+      (2L, Seq(1L, 2L)), (3L, Seq(1L, 2L, 3L)), (4L, Seq(1L, 2L, 3L, 4L))))
+  }
+
   test("atMost probes without scanning past the limit") {
     val big = spark.range(1000000).toDF("id")
     assert(LocalGraph.atMost(big, 1000000L))
