@@ -313,6 +313,10 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
           }
           next()
           acc = Some(ValuesP(acc.getOrElse(Bgp(Nil)), vars.result(), rows.result()))
+        case Some(Word(w)) if w.equalsIgnoreCase("SERVICE") =>
+          // SPARQL 1.1 Federated Query (ref sparql/ast.rs:325): parsed and
+          // rejected with a specific error — no egress to federate to.
+          fail("SPARQL SERVICE (federated query) is not supported in this deployment")
         case Some(Word(w)) if w.equalsIgnoreCase("GRAPH") =>
           next(); flushBgp()
           val t = parseTerm()
@@ -514,7 +518,8 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
 
 /** Pattern algebra + expression compiler over the triples DataFrame. */
 final class SparqlCompiler(graph: TripleGraph,
-    quads: Option[graft.graph.QuadStore] = None) {
+    quads: Option[graft.graph.QuadStore] = None,
+    graphVar: Option[String] = None) {
   import SparqlAst._
 
   def compile(q: Query): DataFrame = {
@@ -584,7 +589,13 @@ final class SparqlCompiler(graph: TripleGraph,
 
   def compilePattern(p: Pattern): DataFrame = p match {
     case Bgp(Nil)     => graph.triples.sparkSession.range(1).select(lit(1).as("__one"))
-    case Bgp(ts)      => graph.bgp(ts)
+    // inside GRAPH ?var scope every BGP leg carries the graph binding, so
+    // composed patterns (FILTER/OPTIONAL/UNION/MINUS) stay same-graph via
+    // the natural join on the variable (SPARQL 1.1 §13.3)
+    case Bgp(ts)      => graphVar match {
+      case Some(gv) => quads.get.bgp(gv, ts)
+      case None     => graph.bgp(ts)
+    }
     case GraphP(name, inner) =>
       val qs = quads.getOrElse(throw new IllegalArgumentException(
         "GRAPH pattern requires a dataset with named graphs (run with a QuadStore)"))
@@ -592,13 +603,12 @@ final class SparqlCompiler(graph: TripleGraph,
         // constant graph: the body compiles against that graph's triples —
         // the g filter reaches the quad scan (partition pruning shape)
         case L(g) => new SparqlCompiler(qs.graph(g), quads).compilePattern(inner)
-        // variable graph: every leg binds g, and the natural join on the
-        // variable enforces same-graph matching across the whole block
-        case V(gv) => inner match {
-          case Bgp(ts) if ts.nonEmpty => qs.bgp(gv, ts)
-          case _ => throw new IllegalArgumentException(
-            "GRAPH ?var takes a basic graph pattern body")
-        }
+        // variable graph: the whole inner group compiles in graph-var
+        // scope — every BGP leg binds g, and the natural join on the
+        // variable enforces same-graph matching across the block, including
+        // through FILTER/OPTIONAL/UNION/MINUS/BIND compositions
+        case V(gv) =>
+          new SparqlCompiler(graph, quads, Some(gv)).compilePattern(inner)
       }
     case Join(l, r)   => natJoin(compilePattern(l), compilePattern(r), "inner")
     case LeftJoin(l, r) => natJoin(compilePattern(l), compilePattern(r), "left_outer")

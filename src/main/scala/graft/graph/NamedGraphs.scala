@@ -47,6 +47,41 @@ final case class QuadStore(quads: DataFrame) {
     QuadStore(quads.unionByName(
       triples.select(lit(name).as("g"), col("s"), col("p"), col("o"))).distinct())
 
+  /** LOAD <uri> [INTO GRAPH g] (LoadGraphOp, plan.rs:694-701): read triples
+    * from a local N-Triples (.nt) or parquet (s, p, o) file into the named
+    * graph (SPARQL 1.1 Update §3.1.1; omitted graph = "default"). N-Triples
+    * parsing is a distributed line-wise regexp extraction — no driver-side
+    * file reads, so a 100 TB dump loads exactly like any other text source.
+    * Literal objects keep their lexical form without escape processing
+    * (matching the store's plain-string term encoding).
+    */
+  def load(spark: SparkSession, uri: String, into: Option[String]): QuadStore = {
+    val path = uri.stripPrefix("file://").stripPrefix("file:")
+    val name = into.getOrElse("default")
+    val triples =
+      if (path.endsWith(".parquet"))
+        spark.read.parquet(path).select("s", "p", "o")
+      else {
+        val line = trim(col("value"))
+        val re = "^(<[^>]*>|_:\\S+)\\s+(<[^>]*>)\\s+(.+?)\\s*\\.$"
+        def deIri(c: org.apache.spark.sql.Column) =
+          regexp_replace(c, "^<|>$", "")
+        spark.read.text(path)
+          .select(
+            regexp_extract(line, re, 1).as("s0"),
+            regexp_extract(line, re, 2).as("p0"),
+            regexp_extract(line, re, 3).as("o0"))
+          .filter(col("s0") =!= "") // blank/comment lines extract to ""
+          .select(
+            deIri(col("s0")).as("s"),
+            deIri(col("p0")).as("p"),
+            when(col("o0").startsWith("\""),
+                regexp_extract(col("o0"), "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1))
+              .otherwise(deIri(col("o0"))).as("o"))
+      }
+    insert(name, triples)
+  }
+
   /** BGP across the named graphs with the graph name bound as `gVar` —
     * `GRAPH ?g { … }` (SPARQL 1.1 §13.3). Mirrors TripleGraph.bgp, with
     * every leg carrying the g column so the natural join on `gVar` enforces

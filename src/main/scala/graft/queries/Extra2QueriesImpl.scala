@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.GraftSession
-import graft.frontends.sparql.SparqlFrontend
+import graft.frontends.sparql.{SparqlFrontend, SparqlUpdates}
 import graft.graph.{QuadStore, TpchGraph, TpchRdf}
 
 /** Third-wave coverage: named-graph management, SPARQL ASK/CONSTRUCT,
@@ -69,8 +69,35 @@ object Extra2QueriesImpl {
         |GROUP BY g
         |ORDER BY g NULLS FIRST""".stripMargin) { (s, dir) =>
       val store = QuadStore.fromDocuments(s, dir)
-      val mutated = store.copy("src0", "tmp").add("src1", "tmp").clear("src2")
+      // through the SPARQL 1.1 Update text front-end — same typed ops
+      val mutated = SparqlUpdates.run(s, store,
+        "COPY <src0> TO <tmp>; ADD <src1> TO <tmp>; CLEAR GRAPH <src2>")
       mutated.quads.groupBy("g").agg(count(lit(1)).as("n")).orderBy("g")
+    },
+
+    // SPARQL LOAD (LoadGraphOp, plan.rs:694-701): serialize the nation table
+    // as N-Triples, LOAD it INTO a named graph next to the documents quads,
+    // count triples per graph. The .nt parse is a distributed regexp extract.
+    QueryDef(
+      "q_sparql_load",
+      """WITH q AS (
+        |  SELECT source AS g FROM documents
+        |  UNION ALL SELECT source FROM documents
+        |  UNION ALL SELECT 'loaded' FROM nation
+        |)
+        |SELECT g, count(*) AS n FROM q GROUP BY g
+        |ORDER BY g NULLS FIRST""".stripMargin) { (s, dir) =>
+      val rows = graft.core.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+        .sortBy(_.getLong(0))
+        .map(r => s"""<n:${r.getLong(0)}> <name> "${r.getString(1)}" .""")
+      val nt = java.nio.file.Files.createTempFile("graft_load", ".nt")
+      java.nio.file.Files.writeString(nt,
+        rows.mkString("", "\n", "\n") + "# comment line\n\n")
+      val store = QuadStore.fromDocuments(s, dir)
+      val loaded = SparqlUpdates.run(s, store,
+        s"LOAD <file:$nt> INTO GRAPH <loaded>")
+      loaded.quads.groupBy("g").agg(count(lit(1)).as("n")).orderBy("g")
     },
 
     // SPARQL GRAPH patterns (SPARQL 1.1 §13.3; TripleScanOp graph field,

@@ -303,6 +303,69 @@ class SparqlSpec extends AnyFunSuite {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("GRAPH ?g accepts FILTER/OPTIONAL/UNION inside the block") {
+    val store = graft.graph.QuadStore.fromDocuments(spark, sf)
+    val default = TripleGraph(store.quads.select("s", "p", "o"))
+    // FILTER scoped to the named-graph block
+    val filtered = SparqlFrontend.run(default,
+      """SELECT ?g ?s WHERE {
+        |  GRAPH ?g { ?s lang ?l . FILTER(?l = 'en') }
+        |} ORDER BY ?g ?s""".stripMargin, store)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val expF = store.quads.filter(col("p") === "lang" && col("o") === "en")
+      .select("g", "s").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(filtered == expF && filtered.nonEmpty)
+    // OPTIONAL stays same-graph via the shared ?g binding
+    val opt = SparqlFrontend.run(default,
+      """SELECT ?g ?s ?n WHERE {
+        |  GRAPH ?g { ?s lang ?l OPTIONAL { ?s nchars ?n } }
+        |} ORDER BY ?g ?s""".stripMargin, store)
+      .collect()
+    assert(opt.length == expFUniverse(store) && opt.forall(!_.isNullAt(2)))
+    // UNION of two single-leg blocks
+    val uni = SparqlFrontend.run(default,
+      """SELECT ?g ?s WHERE {
+        |  GRAPH ?g { { ?s lang 'en' } UNION { ?s lang 'de' } }
+        |} ORDER BY ?g ?s""".stripMargin, store)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val expU = store.quads.filter(col("p") === "lang" && col("o").isin("en", "de"))
+      .select("g", "s").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(uni == expU)
+  }
+
+  private def expFUniverse(store: graft.graph.QuadStore): Long =
+    store.quads.filter(col("p") === "lang").count()
+
+  test("SERVICE is parsed and rejected with a federation error") {
+    val e = intercept[IllegalArgumentException](
+      SparqlFrontend.run(rdf,
+        "SELECT ?s WHERE { SERVICE <http://example.org/sparql> { ?s name ?o } }"))
+    assert(e.getMessage.contains("SERVICE"))
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("SPARQL update: LOAD reads N-Triples into a named graph") {
+    val nt = java.nio.file.Files.createTempFile("graft_spec", ".nt")
+    java.nio.file.Files.writeString(nt,
+      "<a> <p> <b> .\n<a> <p> \"lit value\" .\n# comment\n\n_:b1 <p> <c> .\n")
+    val store = graft.graph.QuadStore.fromDocuments(spark, sf)
+    val after = graft.frontends.sparql.SparqlUpdates.run(spark, store,
+      s"LOAD <file:$nt> INTO GRAPH <g1>")
+    val g1 = after.quads.filter(col("g") === "g1")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(g1 == Set(("a", "p", "b"), ("a", "p", "lit value"), ("_:b1", "p", "c")))
+    // graph-management statements compose with ';'
+    val gone = graft.frontends.sparql.SparqlUpdates.run(spark, after,
+      "CREATE GRAPH <g2>; COPY <g1> TO <g2>; CLEAR GRAPH <g1>")
+    assert(gone.quads.filter(col("g") === "g1").count() == 0)
+    assert(gone.quads.filter(col("g") === "g2").count() == 3)
+    val bad = intercept[IllegalArgumentException](
+      graft.frontends.sparql.SparqlUpdates.run(spark, store, "FROBNICATE <x>"))
+    assert(bad.getMessage.contains("unsupported"))
+  }
+
   test("GRAPH without a dataset is a clear error") {
     val e = intercept[IllegalArgumentException](
       SparqlFrontend.run(rdf, "SELECT ?s WHERE { GRAPH ?g { ?s name ?o } }"))
