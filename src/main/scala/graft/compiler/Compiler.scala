@@ -19,6 +19,12 @@ import graft.ir.{Expr, Op}
 final class Compiler(spark: SparkSession, graph: PropertyGraph) {
 
   private val propCols: Seq[String] = graph.nodes.columns.filterNot(_ == "id").toSeq
+  // schemaless fallback (SURVEY §1.3 hybrid; reference Value map,
+  // graph/lpg/store.rs:176-182): properties outside the typed columns live
+  // in an optional `props` map column; reads fall back to element_at
+  private val edgePropSet: Set[String] =
+    graph.edges.columns.filterNot(c => c == "src" || c == "dst").toSet
+  private val hasDynProps: Boolean = propCols.contains("props")
 
   private def nodeFor(v: String, label: Option[String]): DataFrame = {
     val base = label.map(graph.nodesWithLabel).getOrElse(graph.nodes)
@@ -226,7 +232,12 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
       case Expr.Lit(null)      => lit(null)
       case Expr.Lit(v)         => lit(v)
       case Expr.Var(n)         => env.getOrElse(n, col(n))
-      case Expr.Prop(v, k)     => col(s"${v}__$k")
+      case Expr.Prop(v, k)     =>
+        // typed column if declared (node OR edge property); otherwise the
+        // dynamic-map fallback when the graph carries one
+        if (hasDynProps && !propCols.contains(k) && !edgePropSet.contains(k))
+          element_at(col(s"${v}__props"), k)
+        else col(s"${v}__$k")
       case Expr.Neg(x)         => -rec(x)
       case Expr.Not(x)         => !rec(x)
       case Expr.IsNull(x, neg) => if (neg) rec(x).isNotNull else rec(x).isNull

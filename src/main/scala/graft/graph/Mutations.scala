@@ -18,16 +18,32 @@ import org.apache.spark.sql.functions._
 object Mutations {
 
   /** CreateNode (plan.rs:393-403): append rows; missing property columns are
-    * null-filled, unknown ones rejected (schema is the contract).
+    * null-filled. Properties outside the typed schema route into the `props`
+    * map fallback column (SURVEY §1.3 hybrid — typed projection for the
+    * declared catalog, schemaless Value map for the rest, reference
+    * graph/lpg/store.rs:176-182), added to the graph on first use. Values
+    * are stored as strings, matching the store's plain-string Value view.
     */
   def createNodes(g: PropertyGraph, newNodes: DataFrame): PropertyGraph = {
-    val extra = newNodes.columns.toSet -- g.nodes.columns.toSet
-    require(extra.isEmpty, s"unknown node columns: ${extra.mkString(",")}")
-    val aligned = g.nodes.columns.foldLeft(newNodes) { (df, c) =>
+    val extra = (newNodes.columns.toSet -- g.nodes.columns.toSet).toSeq.sorted
+    val (base, incoming) =
+      if (extra.isEmpty) (g.nodes, newNodes)
+      else {
+        val withMap = if (g.nodes.columns.contains("props")) g.nodes
+          else g.nodes.withColumn("props", lit(null).cast("map<string,string>"))
+        // null-valued keys are absent, same as a typed column's null
+        val routed = newNodes.withColumn("props",
+          map_filter(
+            map(extra.flatMap(k => Seq(lit(k), col(k).cast("string"))): _*),
+            (_, v) => v.isNotNull))
+          .drop(extra: _*)
+        (withMap, routed)
+      }
+    val aligned = base.columns.foldLeft(incoming) { (df, c) =>
       if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(g.nodes.schema(c).dataType))
-    }.select(g.nodes.columns.map(col): _*)
-    g.copy(nodes = g.nodes.unionByName(aligned))
+      else df.withColumn(c, lit(null).cast(base.schema(c).dataType))
+    }.select(base.columns.map(col): _*)
+    g.copy(nodes = base.unionByName(aligned))
   }
 
   /** CreateEdge (plan.rs:406-420). */
@@ -40,12 +56,27 @@ object Mutations {
   }
 
   /** SetProperty (plan.rs:445-455): set `prop` to `value` on nodes matching
-    * `cond` (all others untouched).
+    * `cond` (all others untouched). A property outside the typed schema
+    * writes into the `props` map fallback (added on first use), so
+    * `SET n.newProp = v` works without a schema migration — the reference's
+    * schemaless property semantics.
     */
   def setNodeProperty(g: PropertyGraph, cond: Column, prop: String,
       value: Column): PropertyGraph =
-    g.copy(nodes = g.nodes.withColumn(prop,
-      when(cond, value).otherwise(col(prop))))
+    if (g.nodes.columns.contains(prop))
+      g.copy(nodes = g.nodes.withColumn(prop,
+        when(cond, value).otherwise(col(prop))))
+    else {
+      val withMap = if (g.nodes.columns.contains("props")) g.nodes
+        else g.nodes.withColumn("props", lit(null).cast("map<string,string>"))
+      // drop any existing entry first: map_concat refuses duplicate keys
+      // under the default dedup policy
+      g.copy(nodes = withMap.withColumn("props",
+        when(cond, map_concat(
+          map_filter(coalesce(col("props"), map()), (k, _) => k =!= prop),
+          map(lit(prop), value.cast("string"))))
+          .otherwise(col("props"))))
+    }
 
   /** AddLabel / RemoveLabel (plan.rs:458-475): labels is an array column;
     * add = distinct append, remove = filter out.
@@ -94,9 +125,22 @@ object Mutations {
 
   def setNodePropertyByIds(g: PropertyGraph, ids: DataFrame, prop: String,
       value: Column): PropertyGraph =
-    g.copy(nodes = flagByIds(g, ids)
-      .withColumn(prop, when(col("__hit"), value).otherwise(col(prop)))
-      .drop("__hit"))
+    if (g.nodes.columns.contains(prop))
+      g.copy(nodes = flagByIds(g, ids)
+        .withColumn(prop, when(col("__hit"), value).otherwise(col(prop)))
+        .drop("__hit"))
+    else {
+      // dynamic key → the `props` map fallback (see setNodeProperty)
+      val withMap = if (g.nodes.columns.contains("props")) g.nodes
+        else g.nodes.withColumn("props", lit(null).cast("map<string,string>"))
+      g.copy(nodes = flagByIds(g.copy(nodes = withMap), ids)
+        .withColumn("props",
+          when(col("__hit"), map_concat(
+            map_filter(coalesce(col("props"), map()), (k, _) => k =!= prop),
+            map(lit(prop), value.cast("string"))))
+            .otherwise(col("props")))
+        .drop("__hit"))
+    }
 
   def addLabelByIds(g: PropertyGraph, ids: DataFrame, label: String): PropertyGraph =
     g.copy(nodes = flagByIds(g, ids)

@@ -11,6 +11,36 @@ object MutationQueriesImpl {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // Schemaless property fallback (SURVEY §1.3 hybrid; reference Value map,
+    // graph/lpg/store.rs:176-182): CREATE with keys outside the typed schema
+    // routes them into the `props` map column; reads fall back to
+    // element_at, filters on dynamic keys still work; SET on a dynamic key
+    // writes through the same map.
+    QueryDef(
+      "q_dynamic_props",
+      """SELECT r_name AS nm, CAST(r_regionkey AS VARCHAR) AS rc,
+        |       CASE WHEN r_regionkey = 1 THEN 'hot' ELSE 'c' || r_regionkey END AS cx
+        |FROM region
+        |WHERE r_regionkey <> 2
+        |ORDER BY nm NULLS FIRST""".stripMargin) { (s, dir) =>
+      val g = TpchGraph(s, dir)
+      val widgets = graft.core.Tables.region(s, dir).select(
+        (lit(9L * TpchGraph.Stride) + col("r_regionkey")).as("id"),
+        array(lit("Widget")).as("labels"),
+        col("r_name").as("name"),
+        col("r_regionkey").cast("string").as("rcode"),
+        concat(lit("c"), col("r_regionkey")).as("colorx"))
+      val g2 = Mutations.createNodes(g, widgets)
+      val g3 = Mutations.setNodeProperty(g2,
+        array_contains(col("labels"), "Widget") && col("props")("rcode") === "1",
+        "colorx", lit("hot"))
+      new graft.GraftSession(s, g3).cypher(
+        """MATCH (w:Widget)
+          |WHERE w.rcode <> '2'
+          |RETURN w.name AS nm, w.rcode AS rc, w.colorx AS cx
+          |ORDER BY nm""".stripMargin)
+    },
+
     // GQL INSERT (gql_translator.rs; gql ast.rs insert statements) through
     // the GQL front-end: insert a node, read it back via a GQL MATCH.
     QueryDef(

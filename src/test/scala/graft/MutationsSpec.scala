@@ -15,9 +15,12 @@ class MutationsSpec extends AnyFunSuite {
     PropertyGraph(n, e)
   }
 
-  test("createNodes rejects unknown columns, null-fills missing ones") {
-    assertThrows[IllegalArgumentException](
-      Mutations.createNodes(g0, Seq((4L, Seq("A"), "w", 1.0)).toDF("id", "labels", "name", "bogus")))
+  test("createNodes routes unknown columns to props, null-fills missing ones") {
+    // keys outside the typed schema land in the map fallback (SURVEY §1.3)
+    val g1 = Mutations.createNodes(g0,
+      Seq((4L, Seq("A"), "w", 1.0)).toDF("id", "labels", "name", "bogus"))
+    val r1 = g1.nodes.filter($"id" === 4).collect().head
+    assert(r1.getAs[Map[String, String]]("props") == Map("bogus" -> "1.0"))
     val g2 = Mutations.createNodes(g0, Seq((4L, Seq("C"))).toDF("id", "labels"))
     val row = g2.nodes.filter($"id" === 4).collect().head
     assert(row.getAs[String]("name") == null)
@@ -77,6 +80,37 @@ class CypherUpdateSpec extends AnyFunSuite {
     val g1 = session.cypherUpdate("MATCH (r:Region) REMOVE r:Region")
     assert(g1.nodesWithLabel("Region").count() == 0)
     assert(g1.nodes.count() == session.graph.nodes.count())
+  }
+
+  test("CREATE with ad-hoc keys routes them into the props map fallback") {
+    val g1 = session.cypherUpdate(
+      "CREATE (n:Gadget {id: 977000, name: 'gizmo', vendor: 'acme', tier: 3})")
+    val s2 = new GraftSession(spark, g1)
+    val row = s2.cypher(
+      """MATCH (n:Gadget) WHERE n.vendor = 'acme'
+        |RETURN n.name AS nm, n.vendor AS v, n.tier AS t""".stripMargin)
+      .collect()
+    assert(row.length == 1)
+    assert(row.head.getString(0) == "gizmo")
+    assert(row.head.getString(1) == "acme")
+    assert(row.head.getString(2) == "3") // dynamic values are strings
+    // typed columns of pre-existing nodes are untouched
+    assert(g1.nodes.filter(col("props").isNotNull).count() == 1)
+  }
+
+  test("SET on an unknown key writes through the props map") {
+    val g1 = session.cypherUpdate(
+      "MATCH (r:Region) SET r.zone = 'z1'")
+    val s2 = new GraftSession(spark, g1)
+    val zones = s2.cypher(
+      "MATCH (r:Region) RETURN r.zone AS z").collect().map(_.getString(0))
+    assert(zones.nonEmpty && zones.forall(_ == "z1"))
+    // overwrite an existing dynamic key (map_concat dedup guard)
+    val g2 = Mutations.setNodeProperty(g1,
+      array_contains(col("labels"), "Region"), "zone", lit("z2"))
+    val z2 = new GraftSession(spark, g2).cypher(
+      "MATCH (r:Region) RETURN r.zone AS z").collect().map(_.getString(0))
+    assert(z2.nonEmpty && z2.forall(_ == "z2"))
   }
 
   test("read-only query through cypherUpdate is rejected") {
