@@ -83,21 +83,38 @@ object Knn {
     * neighbor search only scores within-bucket candidates.
     */
   def lshBuckets(df: DataFrame, vecCol: String, dim: Int,
-      bits: Int = 12, tables: Int = 3, seed: Long = 42L): DataFrame = {
+      bits: Int = 12, tables: Int = 3, seed: Long = 42L,
+      probes: Int = 0): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Seq[Double]]] = // [table][bit][dim]
       Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
-    val sigs = planes.zipWithIndex.map { case (tbl, t) =>
-      val bitCols = tbl.map { plane =>
+    val sigs = planes.zipWithIndex.flatMap { case (tbl, t) =>
+      val dots = tbl.map { plane =>
         // native codegen dot product — zip_with/aggregate lambdas are
         // CodegenFallback and were the LSH hot-path bottleneck (VERDICT r1 #5)
-        val planeCol = array(plane.map(lit): _*)
-        (dotProduct(col(vecCol), planeCol) >= 0).cast("int")
+        dotProduct(col(vecCol), array(plane.map(lit): _*))
       }
-      val sig = bitCols.zipWithIndex
-        .map { case (b, i) => b * lit(1 << i) }
+      val sig = dots.zipWithIndex
+        .map { case (d, i) => (d >= 0).cast("int") * lit(1 << i) }
         .reduce(_ + _)
-      struct(lit(t).as("table"), sig.as("sig"))
+      val base = struct(lit(t).as("table"), sig.as("sig"))
+      // Multi-probe (Lv et al., VLDB'07): additionally probe the buckets
+      // reached by flipping the `probes` lowest-margin bits — the
+      // hyperplanes the vector sits closest to, i.e. the likeliest
+      // misassignments. Query-side only: recall of a (q, n) pair needs just
+      // one side to probe across the boundary, and keeping the corpus at
+      // one bucket per table leaves the index size unchanged.
+      val probed = if (probes <= 0) Seq.empty else {
+        val margins = array(dots.zipWithIndex.map { case (d, i) =>
+          struct(abs(d).as("m"), lit(i).as("i")) }: _*)
+        val flipOrder = array_sort(margins)
+        (1 to math.min(probes, bits)).map { j =>
+          val flip = element_at(flipOrder, j).getField("i")
+          struct(lit(t).as("table"),
+            sig.bitwiseXOR(call_function("shiftleft", lit(1), flip)).as("sig"))
+        }
+      }
+      base +: probed
     }
     df.withColumn("__buckets", array(sigs: _*))
   }
@@ -110,10 +127,11 @@ object Knn {
   def lshTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, metric: Metric = Cosine,
-      bits: Int = 12, tables: Int = 3, seed: Long = 42L): DataFrame = {
+      bits: Int = 12, tables: Int = 3, seed: Long = 42L,
+      probes: Int = 0): DataFrame = {
     val qb = lshBuckets(
       queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec")),
-      "__qvec", dim, bits, tables, seed)
+      "__qvec", dim, bits, tables, seed, probes)
       .select(col("__qid"), col("__qvec"), explode(col("__buckets")).as("__b"))
     val cb = lshBuckets(
       corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nvec")),
