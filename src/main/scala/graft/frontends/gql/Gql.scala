@@ -25,11 +25,17 @@ final case class GqlQuery(op: Op.T) extends GqlStatement
 final case class GqlMutation(query: Ast.Query) extends GqlStatement
 final case class GqlCreateVectorIndex(name: String, label: String,
     prop: String, method: String, options: Map[String, Int]) extends GqlStatement
+/** GQL catalog statement (gql/ast.rs:7-540 schema/catalog statements):
+  * CREATE GRAPH name — optionally LIKE another graph (same typed schema).
+  */
+final case class GqlCreateGraph(name: String, like: Option[String]) extends GqlStatement
 
 object GqlFrontend {
 
   private val VectorIndexRe =
     """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)(?:\s+USING\s+(\w+))?(?:\s+OPTIONS\s*\(([^)]*)\))?\s*""".r
+  private val CreateGraphRe =
+    """(?is)\s*CREATE\s+GRAPH\s+(\w+)(?:\s+LIKE\s+(\w+))?\s*""".r
 
   def parseStatement(q: String): GqlStatement = q match {
     case VectorIndexRe(name, label, prop, method, opts) =>
@@ -43,14 +49,20 @@ object GqlFrontend {
         }.toMap)
         .getOrElse(Map.empty[String, Int])
       GqlCreateVectorIndex(name, label, prop, m, options)
+    case CreateGraphRe(name, like) => GqlCreateGraph(name, Option(like))
     case _ =>
-      val ast = CypherFrontend.parse(q)
-      val isMutation = ast.clauses.exists {
+      // parseAll so query-level UNION works through the shared grammar the
+      // same as cypher(); mutations stay single-statement
+      val parts = CypherFrontend.parseAll(q)
+      val isMutation = parts.head._1.clauses.exists {
         case _: Ast.CreateClause | _: Ast.SetClause | _: Ast.DeleteClause |
             _: Ast.MergeClause | _: Ast.RemoveClause => true
         case _ => false
       }
-      if (isMutation) GqlMutation(ast) else GqlQuery(CypherFrontend.translate(ast))
+      if (isMutation) {
+        require(parts.size == 1, "UNION is not valid in a mutation statement")
+        GqlMutation(parts.head._1)
+      } else GqlQuery(CypherFrontend.translateText(q))
   }
 }
 

@@ -62,7 +62,15 @@ class CypherParserSpec extends AnyFunSuite {
   test("rejects malformed queries") {
     assertThrows[IllegalArgumentException](CypherFrontend.parse("MATCH (a RETURN a"))
     assertThrows[IllegalArgumentException](CypherFrontend.parse("RETURN"))
-    assertThrows[IllegalArgumentException](CypherFrontend.parse("MATCH (a)-[*]->(b) RETURN a"))
+  }
+
+  test("parses unbounded var-length forms") {
+    def range(q: String) = CypherFrontend.parse(q).clauses.head
+      .asInstanceOf[Ast.MatchClause].paths.head.tail.head._1.range
+    assert(range("MATCH (a)-[*]->(b) RETURN a").contains((1, -1)))
+    assert(range("MATCH (a)-[:T*2..]->(b) RETURN a").contains((2, -1)))
+    assert(range("MATCH (a)-[:T*..5]->(b) RETURN a").contains((1, 5)))
+    assert(range("MATCH (a)-[:T*3]->(b) RETURN a").contains((3, 3)))
   }
 
   test("pattern predicate parses to an exists subquery; parenthesized exprs survive") {

@@ -250,6 +250,38 @@ class LangSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](GraphQLFrontend.parse("{ Region { name }"))
   }
 
+  test("gql: UNION routes through the multi-statement grammar") {
+    val got = session.gql(
+      """MATCH (c:Customer) WHERE c.acctbal > 9900.0 RETURN c.name AS nm
+        |UNION
+        |MATCH (c:Customer) WHERE c.acctbal > 9500.0 RETURN c.name AS nm""".stripMargin)
+      .orderBy("nm").collect().map(_.getString(0)).toSeq
+    val exp = session.cypher(
+      "MATCH (c:Customer) WHERE c.acctbal > 9500.0 RETURN c.name AS nm ORDER BY nm")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("gql: CREATE GRAPH registers a catalog graph with the session schema") {
+    val summary = session.gql("CREATE GRAPH staging").collect()
+    assert(summary.head.getString(0) == "staging")
+    val g = session.graphNamed("staging").get
+    assert(g.nodes.columns.sameElements(session.graph.nodes.columns))
+    assert(g.nodes.count() == 0 && g.edges.count() == 0)
+    // contents arrive through the usual functional-mutation surface
+    val s2 = session.sessionFor("staging")
+    session.updateGraph("staging",
+      s2.gqlUpdate("INSERT (:Hub {id: 1, name: 'h1'})"))
+    val c = session.sessionFor("staging")
+      .gql("MATCH (h:Hub) RETURN count(*) AS c").collect().head.getLong(0)
+    assert(c == 1L)
+    // LIKE copies another cataloged graph's schema; duplicates are rejected
+    session.gql("CREATE GRAPH staging2 LIKE staging")
+    assert(session.graphNamed("staging2").isDefined)
+    val dup = intercept[IllegalArgumentException](session.gql("CREATE GRAPH staging"))
+    assert(dup.getMessage.contains("already exists"))
+  }
+
   test("gql shares cypher surface") {
     val a = session.gql("MATCH (r:Region) RETURN r.name AS n ORDER BY n").collect()
     val b = session.cypher("MATCH (r:Region) RETURN r.name AS n ORDER BY n").collect()
