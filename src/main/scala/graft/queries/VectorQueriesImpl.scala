@@ -135,6 +135,22 @@ object VectorQueriesImpl {
         .orderBy("qid", "rank")
     },
 
+    // Partitioned HNSW (the reference's own ANN engine, hnsw.rs; SURVEY
+    // §2.7's block-partitioned plan): one graph per corpus partition,
+    // broadcast queries, global top-k merge. Same planted top-1 contract —
+    // the exact copy sits at cosine 1.0, rank 1 by the beam search's
+    // distance order. Determinism: id-hashed layer levels, id tie-breaks.
+    QueryDef(
+      "q_knn_hnsw",
+      knnPlantedOracle) { (s, dir) =>
+      val aug = augmented(Tables.embeddings(s, dir), 5)
+      graft.vector.Hnsw.topK(
+          aug.filter(col("vec_id") < 5), "vec_id", "embedding",
+          aug, "vec_id", "embedding", k = 1, m = 16,
+          efConstruction = 100, efSearch = 64)
+        .orderBy("qid", "rank")
+    },
+
     // Scalar quantization (vector/quantization.rs): per-dimension min/max
     // codebook, code = floor((x-min)/(max-min)·255). min/max are exact
     // selections (not sums) and the map is one IEEE expression chain, so

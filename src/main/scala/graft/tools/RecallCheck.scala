@@ -64,6 +64,9 @@ object RecallCheck {
     recallOf("lsh bits=8 tables=8 probes=3",
       pairs(Knn.lshTopK(queries, "vec_id", "embedding",
         emb, "vec_id", "embedding", k, dim = 64, bits = 8, tables = 8, probes = 3)))
+    recallOf("hnsw m=16 efS=64",
+      pairs(graft.vector.Hnsw.topK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k, efSearch = 64)))
 
     // Clustered corpus — the data shape real embedding spaces have (and the
     // shape the reference's >95%@ef=64 HNSW claim is measured on): 12 jittered

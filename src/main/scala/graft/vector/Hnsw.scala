@@ -1,0 +1,198 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Partitioned HNSW — the Spark-native counterpart of the reference's ANN
+  * engine (crates/grafeo-core/src/index/vector/hnsw.rs: multi-layer NSW,
+  * Malkov & Yashunin 2018). One HNSW graph is built per corpus partition
+  * inside mapPartitions (SURVEY §2.7's block-partitioned plan); the
+  * broadcast query set searches every partition's graph and the
+  * per-partition top-k merge via [[Knn.TopKAgg]] — so partitioning costs no
+  * recall (every partition is searched), and both build and search scale
+  * out with the number of partitions.
+  *
+  * Determinism: layer assignment hashes the vector id (no RNG), neighbor
+  * sets and search frontiers break ties on ascending id — identical output
+  * across runs on the same partitioning; across partitionings the merged
+  * result agrees whenever each partition's beam finds its local true top-k
+  * (guaranteed-approximate, like any HNSW).
+  */
+object Hnsw {
+
+  /** In-memory single-graph HNSW over float vectors, cosine distance.
+    * `m` = max neighbors per layer (2m on layer 0), `efC` = construction
+    * beam width.
+    */
+  final class Index(m: Int, efC: Int) {
+    private[Hnsw] val ids = mutable.ArrayBuffer.empty[Long]
+    private[Hnsw] val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    private[Hnsw] val norms = mutable.ArrayBuffer.empty[Double]
+    // neighbors(layer)(node) = ArrayBuffer[node index]
+    private[Hnsw] val layers = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]]
+    private[Hnsw] val nodeLevel = mutable.ArrayBuffer.empty[Int]
+    private[Hnsw] var entry: Int = -1
+    private val mL = 1.0 / math.log(m.toDouble)
+
+    private def dist(a: Array[Float], na: Double, b: Array[Float], nb: Double): Double = {
+      var dot = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      val d = na * nb
+      if (d == 0) 1.0 else 1.0 - dot / d // cosine distance
+    }
+    private def distTo(q: Array[Float], nq: Double, v: Int): Double =
+      dist(q, nq, vecs(v), norms(v))
+
+    /** Deterministic "random" level from the id (splitmix-style mix). */
+    private def levelOf(id: Long): Int = {
+      var z = id + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      val u = ((z >>> 11).toDouble / (1L << 53).toDouble).max(1e-12)
+      (-math.log(u) * mL).toInt
+    }
+
+    /** Greedy beam search on one layer; returns up to ef (dist, node) pairs
+      * sorted ascending (closest first, ties on id).
+      */
+    private def searchLayer(q: Array[Float], nq: Double, ep: Seq[Int],
+        ef: Int, layer: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = mutable.HashSet.empty[Int]
+      implicit val ord: Ordering[(Double, Int)] =
+        Ordering.by { case (d, v) => (d, ids(v)) }
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse) // min-heap
+      val best = mutable.PriorityQueue.empty[(Double, Int)](ord)        // max-heap
+      ep.foreach { v =>
+        if (visited.add(v)) {
+          val d = distTo(q, nq, v)
+          cand.enqueue((d, v)); best.enqueue((d, v))
+        }
+      }
+      while (best.size > ef) best.dequeue()
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (best.nonEmpty && dc > best.head._1 && best.size >= ef) {
+          cand.clear()
+        } else {
+          val nbrs = layers(layer)(c)
+          var i = 0
+          while (i < nbrs.length) {
+            val v = nbrs(i)
+            if (visited.add(v)) {
+              val d = distTo(q, nq, v)
+              if (best.size < ef || d < best.head._1) {
+                cand.enqueue((d, v)); best.enqueue((d, v))
+                if (best.size > ef) best.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      while (best.nonEmpty) out += best.dequeue()
+      out.sortInPlace()(ord)
+    }
+
+    def insert(id: Long, vec: Array[Float]): Unit = {
+      val idx = ids.length
+      ids += id
+      vecs += vec
+      norms += math.sqrt(vec.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      val lvl = levelOf(id)
+      nodeLevel += lvl
+      while (layers.length <= lvl) layers += mutable.ArrayBuffer.empty
+      for (l <- layers.indices) {
+        while (layers(l).length <= idx) layers(l) += mutable.ArrayBuffer.empty[Int]
+      }
+      if (entry < 0) { entry = idx; return }
+      val nq = norms(idx)
+      var ep = Seq(entry)
+      // descend from the top to lvl+1 greedily
+      var l = nodeLevel(entry)
+      while (l > lvl) {
+        ep = Seq(searchLayer(vec, nq, ep, 1, l).head._2)
+        l -= 1
+      }
+      // connect on layers min(lvl, topOfEntry)..0
+      l = math.min(lvl, nodeLevel(entry))
+      while (l >= 0) {
+        val found = searchLayer(vec, nq, ep, efC, l)
+        val cap = if (l == 0) 2 * m else m
+        val chosen = found.take(cap)
+        chosen.foreach { case (_, v) =>
+          layers(l)(idx) += v
+          val back = layers(l)(v)
+          back += idx
+          if (back.length > cap) {
+            // prune v's neighbor list back to its cap, keeping the closest
+            val pruned = back.map(w => (dist(vecs(v), norms(v), vecs(w), norms(w)), w))
+              .sortBy { case (d, w) => (d, ids(w)) }.take(cap).map(_._2)
+            back.clear(); back ++= pruned
+          }
+        }
+        ep = found.map(_._2).toSeq
+        l -= 1
+      }
+      if (lvl > nodeLevel(entry)) entry = idx
+    }
+
+    /** Top-k (id, cosineSimilarity) for one query, ef-beam search. */
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Seq.empty
+      val nq = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      var ep = Seq(entry)
+      var l = nodeLevel(entry)
+      while (l > 0) {
+        ep = Seq(searchLayer(q, nq, ep, 1, l).head._2)
+        l -= 1
+      }
+      searchLayer(q, nq, ep, math.max(ef, k), 0)
+        .take(k).map { case (d, v) => (ids(v), 1.0 - d) }.toSeq
+    }
+  }
+
+  /** Distributed top-k: HNSW per corpus partition, queries broadcast, global
+    * merge. Same output contract as [[Knn.bruteForceTopK]]:
+    * (qid, nid, score, rank), score = cosine rounded to 6 decimals.
+    */
+  def topK(queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int = 16, efConstruction: Int = 100, efSearch: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bq = spark.sparkContext.broadcast(qRows)
+    val perPart = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val index = new Index(m, efConstruction)
+        it.foreach { case (id, v) => index.insert(id, v) }
+        bq.value.iterator.flatMap { case (qid, qv) =>
+          index.search(qv, if (excludeSelf) k + 1 else k, efSearch)
+            .collect { case (nid, s) if !excludeSelf || nid != qid =>
+              (qid, nid, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+            .take(k)
+        }
+      }
+      .toDF("__qid", "__nid", "__score")
+    val topk = udaf(new Knn.TopKAgg(k), ExpressionEncoder[(Double, Long)]())
+    perPart
+      .groupBy("__qid")
+      .agg(topk(col("__score"), col("__nid")).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
+      .select(col("__qid").as("qid"), col("__sn._2").as("nid"),
+        col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+  }
+}

@@ -362,3 +362,49 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.getLong(1) == sh2)
   }
 }
+
+/** Partitioned HNSW (reference index/vector/hnsw.rs; SURVEY §2.7
+  * block-partitioned plan): per-partition graphs, broadcast queries,
+  * global top-k merge.
+  */
+class HnswSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("finds planted exact copies at rank 1") {
+    val aug = emb.select($"vec_id", $"embedding").unionAll(
+      emb.filter($"vec_id" < 5)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val top = graft.vector.Hnsw.topK(
+      aug.filter($"vec_id" < 5), "vec_id", "embedding",
+      aug, "vec_id", "embedding", k = 1).collect()
+    assert(top.length == 5)
+    top.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 100000)
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
+  test("recall@10 vs brute force exceeds 0.9") {
+    val q = emb.filter($"vec_id" < 20)
+    val brute = Knn.bruteForceTopK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.vector.Hnsw.topK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 10, efSearch = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    info(f"hnsw recall@10 = $recall%.4f")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("results are identical across partitionings") {
+    val q = emb.filter($"vec_id" < 5)
+    def run(parts: Int) = graft.vector.Hnsw.topK(q, "vec_id", "embedding",
+      emb.repartition(parts), "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(run(2) == run(7))
+  }
+}
