@@ -86,12 +86,11 @@ object ExtraQueriesImpl {
       val tree = j(col("k2") === col("k") * 2 && col("k") >= 1)
         .unionByName(j(col("k2") === col("k") * 2 + 1 && col("k") >= 1))
       val nodes = p.select(col("k").as("id"), array(lit("Part")).as("labels"))
-      // binary-tree depth is exactly floor(log2(maxKey)); fixed iteration
-      // count avoids 2 convergence actions per level
-      val maxKey = p.agg(org.apache.spark.sql.functions.max(col("k"))).collect()(0).getLong(0)
-      val depth = (math.log(math.max(maxKey, 1).toDouble) / math.log(2)).floor.toInt + 1
-      Algos.topoLevels(PropertyGraph(nodes, tree), maxIters = depth,
-        checkConvergence = false)
+      // fixed iteration cap + convergence detection — no driver-side action
+      // before the plan builds (a scalar max() here forced an extra job;
+      // below the broadcast threshold the single-stage strategy converges
+      // via its changed-flag at no per-level cost anyway)
+      Algos.topoLevels(PropertyGraph(nodes, tree), maxIters = 64)
         .select(col("id"), col("level").cast("int").as("level"))
         .orderBy("id")
     },
