@@ -391,6 +391,13 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
       case "split"     => split(a0, java.util.regex.Pattern.quote(litStr(1)))
       case "replace"   => regexp_replace(a0, java.util.regex.Pattern.quote(litStr(1)), litStr(2))
       case "range"     => sequence(a0, a1, if (cols.size > 2) cols(2) else lit(1L))
+      // vector surface (filter.rs:994-1050): vector() list→vector cast plus
+      // the 4 distance functions as native codegen expressions
+      case "vector"             => a0.cast("array<float>")
+      case "cosine_similarity"  => graft.functions.VectorFunctions.cosineSimilarity(a0, a1)
+      case "euclidean_distance" => graft.functions.VectorFunctions.euclideanDistance(a0, a1)
+      case "dot_product"        => graft.functions.VectorFunctions.dotProduct(a0, a1)
+      case "manhattan_distance" => graft.functions.VectorFunctions.manhattanDistance(a0, a1)
       // relationships(p) over a node-id walk: consecutive (src, dst) pairs
       // (Path value logical_type.rs:14-88; edges carry no ids here)
       case "__path_rels" =>

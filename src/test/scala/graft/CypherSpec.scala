@@ -390,6 +390,25 @@ class CypherExprSpec extends AnyFunSuite {
   }
 }
 
+class CypherVectorFnSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("distance functions work in Cypher expressions") {
+    val s = new GraftSession(spark, TpchGraph(spark, sf))
+    val r = s.cypher(
+      """UNWIND [1] AS x
+        |RETURN round(cosine_similarity(vector([1.0, 0.0]), vector([1.0, 0.0])), 6) AS cs,
+        |       round(euclidean_distance(vector([0.0, 0.0]), vector([3.0, 4.0])), 6) AS ed,
+        |       round(dot_product(vector([1.0, 2.0]), vector([3.0, 4.0])), 6) AS dp,
+        |       round(manhattan_distance(vector([1.0, 1.0]), vector([4.0, 5.0])), 6) AS md""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getDouble(2) == 11.0)
+    assert(r.getDouble(3) == 7.0)
+  }
+}
+
 class CyclicPatternSpec extends AnyFunSuite {
   import TestSpark._
 
