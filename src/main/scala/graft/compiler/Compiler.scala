@@ -67,19 +67,45 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
           col(to) === col("__tid"))
         .drop("__tid")
 
-    case Op.ShortestPath(in, from, rel, to, dir, maxHops, targetLabel, lenAs) =>
+    case Op.ShortestPath(in, from, rel, to, dir, maxHops, targetLabel, lenAs, pathAs, all) =>
       val df = compile(in)
       // distributed frontier BFS from the bound sources; dist is minimal by
       // construction (level-synchronous visited-set BFS)
       // maxHops < 0 = unbounded (plan.rs:195): BFS terminates naturally via
       // its visited set once the reachable closure is exhausted
-      val paths = graph
-        .bfs(df.select(col(from)).distinct(), from, rel,
-          if (maxHops < 0) Int.MaxValue else maxHops, dir)
-        .withColumnRenamed("dst", to)
+      val sources = df.select(col(from)).distinct()
+      val paths = pathAs match {
+        case None =>
+          graph.bfs(sources, from, rel,
+              if (maxHops < 0) Int.MaxValue else maxHops, dir)
+            .withColumnRenamed("dst", to)
+            .withColumnRenamed("dist", "hops")
+        case Some(p) =>
+          // nodes(p) on shortestPath: enumerate simple paths (shortest paths
+          // never repeat a node, so the visited guard loses nothing) and
+          // keep the minimal-hop ones — all of them for allShortestPaths,
+          // else the lexicographically smallest (the deterministic pick
+          // where openCypher says "any one").
+          import org.apache.spark.sql.expressions.Window
+          val cap = graph.nodes.sparkSession.conf
+            .get("spark.graft.varlen.maxHops", "64").toInt
+          val walks = graph
+            .varLengthExpandPaths(sources, from, rel, 1, maxHops, dir, cap)
+            .withColumnRenamed("dst", to)
+          val w = Window.partitionBy(col(from), col(to))
+          val picked =
+            if (all) walks
+              .withColumn("__minh", min(col("hops")).over(w))
+              .filter(col("hops") === col("__minh")).drop("__minh")
+            else walks
+              .withColumn("__rn",
+                row_number().over(w.orderBy(col("hops"), col("path"))))
+              .filter(col("__rn") === 1).drop("__rn")
+          picked.withColumnRenamed("path", p)
+      }
       val withLen = lenAs match {
-        case Some(n) => paths.withColumnRenamed("dist", n)
-        case None    => paths.drop("dist")
+        case Some(n) => paths.withColumnRenamed("hops", n)
+        case None    => paths.drop("hops")
       }
       df.join(withLen, from)
         .join(nodeFor(to, targetLabel).withColumnRenamed(to, "__tid"),

@@ -73,13 +73,15 @@ object Ast {
   final case class RelPat(v: Option[String], relTypes: Seq[String],
       dir: Direction, range: Option[(Int, Int)])
   /** `shortest`: Some(pathVarOpt) when the pattern is wrapped in
-    * shortestPath()/allShortestPaths() (both bind minimal-hop reachability
-    * here — we bind endpoints + length, not path lists). `pathVar` is a
-    * plain `p = (…)` binding on an ordinary pattern: length(p) resolves to
-    * the walk length (fixed rel count + var-length hops).
+    * shortestPath()/allShortestPaths() (`shortestAll` tells them apart);
+    * binds endpoints + length(p), and nodes(p)/relationships(p) when the
+    * query consumes them (minimal-path enumeration). `pathVar` is a plain
+    * `p = (…)` binding on an ordinary pattern: length(p) resolves to the
+    * walk length (fixed rel count + var-length hops).
     */
   final case class PathPat(head: NodePat, tail: Seq[(RelPat, NodePat)],
-      shortest: Option[Option[String]] = None, pathVar: Option[String] = None)
+      shortest: Option[Option[String]] = None, pathVar: Option[String] = None,
+      shortestAll: Boolean = false)
   sealed trait Clause
   final case class MatchClause(paths: Seq[PathPat], where: Option[Expr.E],
       optional: Boolean = false) extends Clause
@@ -275,10 +277,12 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       case (Some(Ident(pv)), Some(Sym("="))) => pos += 2; Some(pv)
       case _ => None
     }
+    var isAll = false
     val isShortest = peek match {
       case Some(Ident(fn))
           if fn.equalsIgnoreCase("shortestPath") ||
-            fn.equalsIgnoreCase("allShortestPaths") => next(); true
+            fn.equalsIgnoreCase("allShortestPaths") =>
+        next(); isAll = fn.equalsIgnoreCase("allShortestPaths"); true
       case _ => false
     }
     if (isShortest) expect(Sym("("))
@@ -297,7 +301,8 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     if (isShortest) expect(Sym(")"))
     PathPat(head, tail.result(),
       if (isShortest) Some(pathVar) else None,
-      if (isShortest) None else pathVar)
+      if (isShortest) None else pathVar,
+      shortestAll = isAll)
   }
 
   private def parseNodePat(): NodePat = {
@@ -834,10 +839,13 @@ object CypherFrontend {
           val lenCol = path.shortest.get.map { pv =>
             val c = s"__plen_$pv"; pathLenExprs(pv) = Expr.Var(c); c
           }
+          val sPathCol = path.shortest.get.filter(wantsPathNodes.contains).map { pv =>
+            val c = s"__pnodes_$pv"; pathNodeCols(pv) = c; c
+          }
           var pathOp: Op.T = Op.NodeScan(headVar, path.head.label)
           pathOp = propFilters(pathOp, headVar, path.head.props)
           pathOp = Op.ShortestPath(pathOp, headVar, rel.relTypes, toVar,
-            rel.dir, hi, node.label, lenCol)
+            rel.dir, hi, node.label, lenCol, sPathCol, path.shortestAll)
           if (lo > 1) pathOp = Op.Filter(pathOp,
             Expr.Bin(">=", Expr.Var(lenCol.getOrElse(
               throw new IllegalArgumentException(

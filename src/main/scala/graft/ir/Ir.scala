@@ -205,10 +205,15 @@ object Op {
   /** ShortestPath (plan.rs:579-598; shortest_path.rs:18): for each binding
     * of `from`, the minimal-hop distance (1..maxHops) to every reachable
     * `to`; `lenAs` optionally binds the path length (Cypher `length(p)`).
+    * `pathAs` binds the node-id walk of a minimal path (Cypher `nodes(p)`;
+    * with `all` every minimal path, else one — lexicographically smallest —
+    * per endpoint pair, the deterministic choice where openCypher says
+    * "any").
     */
   final case class ShortestPath(input: T, from: String, relTypes: Seq[String],
       to: String, dir: Direction, maxHops: Int, targetLabel: Option[String],
-      lenAs: Option[String]) extends T
+      lenAs: Option[String], pathAs: Option[String] = None,
+      all: Boolean = false) extends T
 
   /** SingleRowOperator (single_row.rs:18) — standalone RETURN/UNWIND. */
   case object OneRow extends T

@@ -394,6 +394,43 @@ object CypherQueriesImpl {
           |ORDER BY dst, len, path""".stripMargin)
     },
 
+    // nodes(p) on shortestPath(): one deterministic (lexicographically
+    // smallest) minimal path per reachable endpoint — vs a recursive-CTE
+    // oracle ranking paths the same way.
+    QueryDef(
+      "q_cypher_shortest_nodes",
+      """WITH RECURSIVE dag AS (
+        |  SELECT a.p_partkey AS src, b.p_partkey AS dst
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey
+        |  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |),
+        |capped AS (SELECT src, dst FROM dag WHERE src <= 30 AND dst <= 30),
+        |walk(dst, path) AS (
+        |  SELECT dst, [CAST(1 AS BIGINT), CAST(dst AS BIGINT)] FROM capped WHERE src = 1
+        |  UNION ALL
+        |  SELECT d.dst, list_append(w.path, CAST(d.dst AS BIGINT))
+        |  FROM walk w JOIN capped d ON d.src = w.dst
+        |  WHERE NOT list_contains(w.path, CAST(d.dst AS BIGINT))
+        |),
+        |ranked AS (
+        |  SELECT dst, path, len(path) - 1 AS hops,
+        |         row_number() OVER (PARTITION BY dst ORDER BY len(path), path) AS rn
+        |  FROM walk
+        |)
+        |SELECT CAST(dst AS BIGINT) AS dst, CAST(hops AS INT) AS len, path
+        |FROM ranked WHERE rn = 1
+        |ORDER BY dst NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph.partDagCapped(s, dir, 30)).cypher(
+        """MATCH p = shortestPath((a:Part {name: '1'})-[:LINK*]->(b:Part))
+          |RETURN id(b) AS dst, length(p) AS len, nodes(p) AS path
+          |ORDER BY dst""".stripMargin)
+    },
+
     QueryDef(
       "q_cypher_unwind",
       """SELECT y FROM (SELECT 2 * unnest([1, 2, 3, 4, 5]) AS y) ORDER BY y NULLS FIRST""") { (s, dir) =>

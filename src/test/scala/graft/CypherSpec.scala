@@ -640,6 +640,39 @@ class UnboundedVarLenSpec extends AnyFunSuite {
     assert(rels == Seq((3L, 4L), (4L, 1L), (1L, 2L)))
   }
 
+  test("shortestPath binds nodes(p) to one minimal path") {
+    val r = session.cypher(
+      """MATCH p = shortestPath((a:N {name: '1'})-[:E*]->(b:N {name: '5'}))
+        |RETURN nodes(p) AS path, length(p) AS len""".stripMargin).collect()
+    assert(r.length == 1)
+    assert(r.head.getSeq[Long](0) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.head.getInt(1) == 4)
+  }
+
+  test("allShortestPaths enumerates every minimal path") {
+    import spark.implicits._
+    // diamond: two 2-hop routes 1→2→4 and 1→3→4
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+      .select(col("id"), array(lit("N")).as("labels"),
+        col("id").cast("string").as("name"),
+        lit(null).cast("double").as("acctbal"),
+        lit(null).cast("string").as("category"))
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("E").as("rel"), lit(1.0).as("weight"))
+    val s = new GraftSession(spark, PropertyGraph(nodes, edges))
+    val all = s.cypher(
+      """MATCH p = allShortestPaths((a:N {name: '1'})-[:E*]->(b:N {name: '4'}))
+        |RETURN nodes(p) AS path ORDER BY path""".stripMargin)
+      .collect().map(_.getSeq[Long](0))
+    assert(all.toSeq == Seq(Seq(1L, 2L, 4L), Seq(1L, 3L, 4L)))
+    val one = s.cypher(
+      """MATCH p = shortestPath((a:N {name: '1'})-[:E*]->(b:N {name: '4'}))
+        |RETURN nodes(p) AS path""".stripMargin)
+      .collect().map(_.getSeq[Long](0))
+    assert(one.toSeq == Seq(Seq(1L, 2L, 4L))) // lexicographically smallest
+  }
+
   test("safety cap bounds unbounded expansion depth") {
     val capped = new GraftSession(
       { spark.conf.set("spark.graft.varlen.maxHops", "2"); spark }, cyclic)
