@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.frontends.cypher.{Ast, CypherFrontend}
 import graft.ir.Op
-import graft.vector.{Ivf, Knn}
+import graft.vector.{Hnsw, Ivf, Knn}
 
 /** ISO-GQL front-end (SURVEY §2.8; reference
   * crates/grafeo-adapters/src/query/gql_translator.rs + gql/ast.rs). The
@@ -40,7 +40,8 @@ object GqlFrontend {
   def parseStatement(q: String): GqlStatement = q match {
     case VectorIndexRe(name, label, prop, method, opts) =>
       val m = Option(method).map(_.toLowerCase).getOrElse("lsh")
-      require(m == "lsh" || m == "ivf", s"unknown vector index method $m")
+      require(m == "lsh" || m == "ivf" || m == "hnsw",
+        s"unknown vector index method $m")
       val options = Option(opts).map(_.trim).filter(_.nonEmpty)
         .map(_.split(",").map { kv =>
           val parts = kv.trim.split("\\s+")
@@ -75,7 +76,8 @@ object GqlFrontend {
 object VectorIndexes {
 
   final case class VectorIndex(name: String, method: String, label: String,
-      prop: String, buckets: DataFrame, model: Option[Ivf.Model]) {
+      prop: String, buckets: DataFrame, model: Option[Ivf.Model],
+      hnsw: Option[org.apache.spark.rdd.RDD[Hnsw.Index]] = None) {
     /** One-row DDL result (name, method, entries) — what `gql()` returns. */
     def summary: DataFrame = {
       val spark = buckets.sparkSession
@@ -108,6 +110,15 @@ object VectorIndexes {
           .select(col(idCol), model.cellOf(col(stmt.prop)).as("bucket"))
           .persist()
         VectorIndex(stmt.name, "ivf", stmt.label, stmt.prop, b, Some(model))
+      case "hnsw" =>
+        // the reference's own index structure (hnsw.rs), one graph per
+        // corpus partition persisted in executor storage (graft.vector.Hnsw)
+        val m = stmt.options.getOrElse("m", 16)
+        val efc = stmt.options.getOrElse("efconstruction", 100)
+        val idxRdd = Hnsw.build(vectors.select(col(idCol), col(stmt.prop)),
+          idCol, stmt.prop, m, efc)
+        val b = vectors.select(col(idCol), lit(0).as("bucket")).persist()
+        VectorIndex(stmt.name, "hnsw", stmt.label, stmt.prop, b, None, Some(idxRdd))
     }
   }
 }

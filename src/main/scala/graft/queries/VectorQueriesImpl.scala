@@ -144,10 +144,13 @@ object VectorQueriesImpl {
       "q_knn_hnsw",
       knnPlantedOracle) { (s, dir) =>
       val aug = augmented(Tables.embeddings(s, dir), 5)
-      graft.vector.Hnsw.topK(
+      // build-once via the index registry (the CREATE VECTOR INDEX
+      // lifecycle); the query searches the stored per-partition graphs
+      val idx = graft.vector.Hnsw.buildCached(s"aug5:$dir", aug,
+        "vec_id", "embedding", m = 16, efConstruction = 100)
+      graft.vector.Hnsw.searchIndex(idx,
           aug.filter(col("vec_id") < 5), "vec_id", "embedding",
-          aug, "vec_id", "embedding", k = 1, m = 16,
-          efConstruction = 100, efSearch = 64)
+          k = 1, efSearch = 64)
         .orderBy("qid", "rank")
     },
 

@@ -25,9 +25,11 @@ object Hnsw {
 
   /** In-memory single-graph HNSW over float vectors, cosine distance.
     * `m` = max neighbors per layer (2m on layer 0), `efC` = construction
-    * beam width.
+    * beam width. Serializable so a built per-partition index can live in a
+    * persisted RDD — the registered-index lifecycle (`CREATE VECTOR INDEX
+    * … USING HNSW` builds once; queries search the stored graphs).
     */
-  final class Index(m: Int, efC: Int) {
+  final class Index(m: Int, efC: Int) extends Serializable {
     private[Hnsw] val ids = mutable.ArrayBuffer.empty[Long]
     private[Hnsw] val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     private[Hnsw] val norms = mutable.ArrayBuffer.empty[Double]
@@ -157,9 +159,77 @@ object Hnsw {
     }
   }
 
-  /** Distributed top-k: HNSW per corpus partition, queries broadcast, global
-    * merge. Same output contract as [[Knn.bruteForceTopK]]:
+  /** Build one HNSW per corpus partition and persist the graphs — the
+    * index-build half of `CREATE VECTOR INDEX … USING HNSW` (the reference
+    * builds hnsw.rs once and serves queries from it). The RDD of built
+    * graphs lives in executor storage; `count()` materializes it so the
+    * build cost is paid here, not on the first query.
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 16, efConstruction: Int = 100): org.apache.spark.rdd.RDD[Index] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idx = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .rdd
+      .mapPartitions { it =>
+        val index = new Index(m, efConstruction)
+        it.foreach { case (id, v) => index.insert(id, v) }
+        Iterator.single(index)
+      }
+      .persist()
+    idx.count()
+    idx
+  }
+
+  /** Process-lifetime index registry (same pattern as [[Ivf.fitCached]]):
+    * build once per (corpus, params), search the stored graphs after.
+    */
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.rdd.RDD[Index]]
+
+  def buildCached(corpusKey: String, corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int = 16, efConstruction: Int = 100): org.apache.spark.rdd.RDD[Index] =
+    indexCache.getOrElseUpdate(
+      Seq(corpusKey, idCol, vecCol, m, efConstruction).mkString("\u0001"),
+      build(corpus, idCol, vecCol, m, efConstruction))
+
+  /** Search a built index: broadcast queries, per-partition beam search,
+    * global top-k merge. Same output contract as [[Knn.bruteForceTopK]]:
     * (qid, nid, score, rank), score = cosine rounded to 6 decimals.
+    */
+  def searchIndex(index: org.apache.spark.rdd.RDD[Index],
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, efSearch: Int = 64, excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bq = spark.sparkContext.broadcast(qRows)
+    val perPart = index.flatMap { idx =>
+      bq.value.iterator.flatMap { case (qid, qv) =>
+        idx.search(qv, if (excludeSelf) k + 1 else k, efSearch)
+          .collect { case (nid, s) if !excludeSelf || nid != qid =>
+            (qid, nid, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          .take(k)
+      }
+    }.toDF("__qid", "__nid", "__score")
+    val topk = udaf(new Knn.TopKAgg(k), ExpressionEncoder[(Double, Long)]())
+    perPart
+      .groupBy("__qid")
+      .agg(topk(col("__score"), col("__nid")).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
+      .select(col("__qid").as("qid"), col("__sn._2").as("nid"),
+        col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+  }
+
+  /** One-shot distributed top-k (build + search in one pass) — the
+    * unregistered-index path; repeated queries should go through
+    * [[buildCached]] + [[searchIndex]].
     */
   def topK(queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,

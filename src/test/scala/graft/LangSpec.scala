@@ -153,8 +153,18 @@ class LangSpec extends AnyFunSuite {
     val cells = session.vectorIndex("e2").get.buckets
       .select("bucket").distinct().collect().map(_.getInt(0)).toSet
     assert(cells.forall(c2 => c2 >= 0 && c2 < 4))
+    // HNSW builds per-partition graphs and searches via the stored index
+    val hnsw = session.createVectorIndex(
+      "CREATE VECTOR INDEX e3 ON Embedding(embedding) USING HNSW OPTIONS(m 8)",
+      emb, "vec_id").collect().head
+    assert(hnsw.getString(1) == "hnsw" && hnsw.getLong(2) == emb.count())
+    val idx = session.vectorIndex("e3").flatMap(_.hnsw).get
+    val got = graft.vector.Hnsw.searchIndex(idx,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2),
+      "vec_id", "embedding", k = 3).collect()
+    assert(got.length == 6) // 2 queries x top-3
     val err = intercept[IllegalArgumentException](
-      session.gql("CREATE VECTOR INDEX e3 ON X(y) USING HNSW"))
+      session.gql("CREATE VECTOR INDEX e4 ON X(y) USING FLANN"))
     assert(err.getMessage.nonEmpty)
   }
 
