@@ -15,10 +15,12 @@ import graft.vector.{Hnsw, Ivf, Knn}
   *   - INSERT (pattern)[, (pattern)…]     (gql ast.rs insert statements;
   *     node/edge-pattern semantics of Cypher CREATE, run through the same
   *     functional Mutations executor)
-  *   - CREATE VECTOR INDEX name ON Label(prop) USING LSH|IVF
+  *   - CREATE VECTOR INDEX name ON Label(prop) USING LSH|IVF|HNSW
   *     [OPTIONS(k v, …)]                  (gql/ast.rs:386
-  *     CreateVectorIndexStatement, lowered onto the LSH-bucket / IVF build
-  *     paths of graft.vector)
+  *     CreateVectorIndexStatement, lowered onto the LSH-bucket / IVF /
+  *     partitioned-HNSW build paths of graft.vector)
+  *   - CREATE GRAPH name [LIKE other]     (gql/ast.rs catalog statements;
+  *     registers a schema-copy in the session graph catalog)
   */
 sealed trait GqlStatement
 final case class GqlQuery(op: Op.T) extends GqlStatement

@@ -23,13 +23,16 @@ import scala.collection.mutable
   */
 object Hnsw {
 
-  /** In-memory single-graph HNSW over float vectors, cosine distance.
-    * `m` = max neighbors per layer (2m on layer 0), `efC` = construction
-    * beam width. Serializable so a built per-partition index can live in a
-    * persisted RDD — the registered-index lifecycle (`CREATE VECTOR INDEX
-    * … USING HNSW` builds once; queries search the stored graphs).
+  /** In-memory single-graph HNSW over float vectors. `m` = max neighbors
+    * per layer (2m on layer 0), `efC` = construction beam width; `metric`
+    * covers the reference's four (plan.rs:777-786) with distance = the
+    * uniform lower-is-closer transform of [[Knn.score]]. Serializable so a
+    * built per-partition index can live in a persisted RDD — the
+    * registered-index lifecycle (`CREATE VECTOR INDEX … USING HNSW` builds
+    * once; queries search the stored graphs).
     */
-  final class Index(m: Int, efC: Int) extends Serializable {
+  final class Index(m: Int, efC: Int,
+      metric: Knn.Metric = Knn.Cosine) extends Serializable {
     private[Hnsw] val ids = mutable.ArrayBuffer.empty[Long]
     private[Hnsw] val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     private[Hnsw] val norms = mutable.ArrayBuffer.empty[Double]
@@ -39,13 +42,30 @@ object Hnsw {
     private[Hnsw] var entry: Int = -1
     private val mL = 1.0 / math.log(m.toDouble)
 
-    private def dist(a: Array[Float], na: Double, b: Array[Float], nb: Double): Double = {
-      var dot = 0.0
-      var i = 0
-      while (i < a.length) { dot += a(i) * b(i); i += 1 }
-      val d = na * nb
-      if (d == 0) 1.0 else 1.0 - dot / d // cosine distance
-    }
+    private def dist(a: Array[Float], na: Double, b: Array[Float], nb: Double): Double =
+      metric match {
+        case Knn.Cosine =>
+          var dot = 0.0
+          var i = 0
+          while (i < a.length) { dot += a(i) * b(i); i += 1 }
+          val d = na * nb
+          if (d == 0) 1.0 else 1.0 - dot / d
+        case Knn.Euclidean =>
+          var s = 0.0
+          var i = 0
+          while (i < a.length) { val x = a(i).toDouble - b(i); s += x * x; i += 1 }
+          math.sqrt(s)
+        case Knn.Dot =>
+          var dot = 0.0
+          var i = 0
+          while (i < a.length) { dot += a(i) * b(i); i += 1 }
+          -dot
+        case Knn.Manhattan =>
+          var s = 0.0
+          var i = 0
+          while (i < a.length) { s += math.abs(a(i).toDouble - b(i)); i += 1 }
+          s
+      }
     private def distTo(q: Array[Float], nq: Double, v: Int): Double =
       dist(q, nq, vecs(v), norms(v))
 
@@ -144,7 +164,10 @@ object Hnsw {
       if (lvl > nodeLevel(entry)) entry = idx
     }
 
-    /** Top-k (id, cosineSimilarity) for one query, ef-beam search. */
+    /** Top-k (id, score) for one query, ef-beam search; score follows the
+      * [[Knn.score]] higher-is-closer convention (cosine similarity,
+      * negated euclidean/manhattan, dot).
+      */
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
       if (entry < 0) return Seq.empty
       val nq = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x))
@@ -155,7 +178,14 @@ object Hnsw {
         l -= 1
       }
       searchLayer(q, nq, ep, math.max(ef, k), 0)
-        .take(k).map { case (d, v) => (ids(v), 1.0 - d) }.toSeq
+        .take(k).map { case (d, v) =>
+          val score = metric match {
+            case Knn.Cosine => 1.0 - d // distance back to similarity
+            case Knn.Dot    => -d
+            case _          => -d      // negated distance, as Knn.score
+          }
+          (ids(v), score)
+        }.toSeq
     }
   }
 
@@ -166,7 +196,8 @@ object Hnsw {
     * build cost is paid here, not on the first query.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 16, efConstruction: Int = 100): org.apache.spark.rdd.RDD[Index] = {
+      m: Int = 16, efConstruction: Int = 100,
+      metric: Knn.Metric = Knn.Cosine): org.apache.spark.rdd.RDD[Index] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val idx = corpus
@@ -174,7 +205,7 @@ object Hnsw {
       .as[(Long, Array[Float])]
       .rdd
       .mapPartitions { it =>
-        val index = new Index(m, efConstruction)
+        val index = new Index(m, efConstruction, metric)
         it.foreach { case (id, v) => index.insert(id, v) }
         Iterator.single(index)
       }
@@ -190,10 +221,11 @@ object Hnsw {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.rdd.RDD[Index]]
 
   def buildCached(corpusKey: String, corpus: DataFrame, idCol: String,
-      vecCol: String, m: Int = 16, efConstruction: Int = 100): org.apache.spark.rdd.RDD[Index] =
+      vecCol: String, m: Int = 16, efConstruction: Int = 100,
+      metric: Knn.Metric = Knn.Cosine): org.apache.spark.rdd.RDD[Index] =
     indexCache.getOrElseUpdate(
-      Seq(corpusKey, idCol, vecCol, m, efConstruction).mkString("\u0001"),
-      build(corpus, idCol, vecCol, m, efConstruction))
+      Seq(corpusKey, idCol, vecCol, m, efConstruction, metric).mkString("\u0001"),
+      build(corpus, idCol, vecCol, m, efConstruction, metric))
 
   /** Search a built index: broadcast queries, per-partition beam search,
     * global top-k merge. Same output contract as [[Knn.bruteForceTopK]]:
@@ -234,7 +266,7 @@ object Hnsw {
   def topK(queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, m: Int = 16, efConstruction: Int = 100, efSearch: Int = 64,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, metric: Knn.Metric = Knn.Cosine): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qRows: Array[(Long, Array[Float])] = queries
@@ -246,7 +278,7 @@ object Hnsw {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val index = new Index(m, efConstruction)
+        val index = new Index(m, efConstruction, metric)
         it.foreach { case (id, v) => index.insert(id, v) }
         bq.value.iterator.flatMap { case (qid, qv) =>
           index.search(qv, if (excludeSelf) k + 1 else k, efSearch)

@@ -400,6 +400,19 @@ class HnswSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("euclidean metric agrees with brute force") {
+    val q = emb.filter($"vec_id" < 10)
+    val brute = Knn.bruteForceTopK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, metric = Knn.Euclidean).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.vector.Hnsw.topK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, metric = Knn.Euclidean).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    info(f"hnsw euclidean recall@5 = $recall%.4f")
+    assert(recall >= 0.9)
+  }
+
   test("results are identical across partitionings") {
     val q = emb.filter($"vec_id" < 5)
     def run(parts: Int) = graft.vector.Hnsw.topK(q, "vec_id", "embedding",
