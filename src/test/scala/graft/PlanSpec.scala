@@ -128,6 +128,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"NOT pattern must anti-join:\n$p")
   }
 
+  test("dynamic-props query: no cartesian, map access stays in projection") {
+    val p = plan("q_dynamic_props")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs in:\n$p")
+    // the dynamic keys are read via element_at over the map column
+    assert(p.contains("props"), s"props map column expected in:\n$p")
+  }
+
+  test("unbounded path query plans carry no cartesian product") {
+    val p = plan("q_cypher_varlen_unbounded")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs in:\n$p")
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE prints the final (codegen'd) stages only after execution
     val df = Catalog.queries("q_project_expr")(spark, sf)
