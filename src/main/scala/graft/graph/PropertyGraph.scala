@@ -80,7 +80,15 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     */
   def varLengthExpand(sources: DataFrame, srcCol: String, rels: Seq[String],
       minHops: Int, maxHops: Int, dir: Direction = Out): DataFrame = {
-    require(minHops >= 1 && maxHops >= minHops, "need 1 <= minHops <= maxHops")
+    require(minHops >= 0 && maxHops >= math.max(minHops, 1),
+      "need 0 <= minHops <= maxHops")
+    // zero-length walks ([*0..n], openCypher): the source itself at 0 hops
+    if (minHops == 0) {
+      val zero = sources.select(col(srcCol), col(srcCol).as("dst"),
+        lit(0).as("hops"))
+      return zero.unionByName(
+        varLengthExpand(sources, srcCol, rels, 1, maxHops, dir))
+    }
     val e0 = edgeSel(rels)
     val e = (dir match {
       case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
@@ -148,8 +156,15 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   def varLengthExpandPaths(sources: DataFrame, srcCol: String, rels: Seq[String],
       minHops: Int, maxHops: Int, dir: Direction = Out,
       safetyCap: Int = 64): DataFrame = {
-    require(minHops >= 1 && (maxHops < 0 || maxHops >= minHops),
-      "need 1 <= minHops <= maxHops (or maxHops < 0 for unbounded)")
+    require(minHops >= 0 && (maxHops < 0 || maxHops >= math.max(minHops, 1)),
+      "need 0 <= minHops <= maxHops (or maxHops < 0 for unbounded)")
+    // zero-length walks ([*0..n]): the source itself, path = [src]
+    if (minHops == 0) {
+      val zero = sources.select(col(srcCol), col(srcCol).as("dst"),
+        lit(0).as("hops"), array(col(srcCol)).as("path"))
+      return zero.unionByName(
+        varLengthExpandPaths(sources, srcCol, rels, 1, maxHops, dir, safetyCap))
+    }
     val cap = if (maxHops < 0) safetyCap else maxHops
     val e0 = edgeSel(rels)
     val e = (dir match {

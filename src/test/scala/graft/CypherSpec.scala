@@ -673,6 +673,15 @@ class UnboundedVarLenSpec extends AnyFunSuite {
     assert(one.toSeq == Seq(Seq(1L, 2L, 4L))) // lexicographically smallest
   }
 
+  test("[*0..n] includes the zero-length walk") {
+    val rows = session.cypher(
+      """MATCH (a:N {name: '1'})-[:E*0..2]->(b:N)
+        |RETURN id(b) AS dst, count(*) AS n ORDER BY dst""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0 hops: 1 itself; 1 hop: 2; 2 hops: 3
+    assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("safety cap bounds unbounded expansion depth") {
     val capped = new GraftSession(
       { spark.conf.set("spark.graft.varlen.maxHops", "2"); spark }, cyclic)
