@@ -79,12 +79,62 @@ object VectorIndexes {
 
   final case class VectorIndex(name: String, method: String, label: String,
       prop: String, buckets: DataFrame, model: Option[Ivf.Model],
-      hnsw: Option[org.apache.spark.rdd.RDD[Hnsw.Index]] = None) {
+      hnsw: Option[org.apache.spark.rdd.RDD[Hnsw.Index]] = None,
+      vectors: DataFrame = null, idCol: String = "id",
+      options: Map[String, Int] = Map.empty, dim: Int = 0) {
     /** One-row DDL result (name, method, entries) — what `gql()` returns. */
     def summary: DataFrame = {
       val spark = buckets.sparkSession
       import spark.implicits._
       Seq((name, method, buckets.count())).toDF("index_name", "method", "entries")
+    }
+
+    /** db.vector_search over this registered index (reference
+      * database.rs:1128; batch form database.rs:1220 — a multi-row `queries`
+      * frame IS the batch). Output contract matches [[Knn.bruteForceTopK]]:
+      * (qid, nid, score, rank). LSH/IVF score only candidates colliding
+      * with the STORED corpus assignment (the point of registering), HNSW
+      * searches the stored graphs.
+      */
+    def search(queries: DataFrame, qIdCol: String, qVecCol: String,
+        k: Int): DataFrame = {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val topk = udaf(new Knn.TopKAgg(k), ExpressionEncoder[(Double, Long)]())
+      def merge(cands: DataFrame): DataFrame = cands
+        .filter(col("__qid") =!= col("__nid"))
+        .select(col("__qid"), col("__nid"),
+          round(graft.functions.VectorFunctions.cosineSimilarity(
+            col("__qvec"), col("__nvec")), 6).as("__score"))
+        .distinct()
+        .groupBy("__qid")
+        .agg(topk(col("__score"), col("__nid")).as("__top"))
+        .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
+        .select(col("__qid").as("qid"), col("__sn._2").as("nid"),
+          col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+      method match {
+        case "hnsw" =>
+          Hnsw.searchIndex(hnsw.get, queries, qIdCol, qVecCol, k)
+        case "lsh" =>
+          val bits = options.getOrElse("bits", 12)
+          val tables = options.getOrElse("tables", 3)
+          val probes = options.getOrElse("probes", 0)
+          val qb = Knn.lshBuckets(
+              queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec")),
+              "__qvec", dim, bits, tables, probes = probes)
+            .select(col("__qid"), col("__qvec"), explode(col("__buckets")).as("bucket"))
+          val cands = buckets.withColumnRenamed(idCol, "__nid")
+            .join(broadcast(qb), Seq("bucket"))
+            .join(vectors.select(col(idCol).as("__nid"), col(prop).as("__nvec")), "__nid")
+          merge(cands)
+        case "ivf" =>
+          val nprobe = options.getOrElse("nprobe", 3)
+          val q = queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"),
+            explode(model.get.probeCells(col(qVecCol), nprobe)).as("bucket"))
+          val cands = buckets.withColumnRenamed(idCol, "__nid")
+            .join(broadcast(q), Seq("bucket"))
+            .join(vectors.select(col(idCol).as("__nid"), col(prop).as("__nvec")), "__nid")
+          merge(cands)
+      }
     }
   }
 
@@ -103,7 +153,8 @@ object VectorIndexes {
             stmt.prop, dim, bits, tables)
           .select(col(idCol), explode(col("__buckets")).as("bucket"))
           .persist()
-        VectorIndex(stmt.name, "lsh", stmt.label, stmt.prop, b, None)
+        VectorIndex(stmt.name, "lsh", stmt.label, stmt.prop, b, None, None,
+          vectors, idCol, stmt.options, dim)
       case "ivf" =>
         val nlist = stmt.options.getOrElse("nlist", 16)
         val iters = stmt.options.getOrElse("iters", 3)
@@ -111,7 +162,8 @@ object VectorIndexes {
         val b = vectors
           .select(col(idCol), model.cellOf(col(stmt.prop)).as("bucket"))
           .persist()
-        VectorIndex(stmt.name, "ivf", stmt.label, stmt.prop, b, Some(model))
+        VectorIndex(stmt.name, "ivf", stmt.label, stmt.prop, b, Some(model),
+          None, vectors, idCol, stmt.options, dim)
       case "hnsw" =>
         // the reference's own index structure (hnsw.rs), one graph per
         // corpus partition persisted in executor storage (graft.vector.Hnsw)
@@ -120,7 +172,8 @@ object VectorIndexes {
         val idxRdd = Hnsw.build(vectors.select(col(idCol), col(stmt.prop)),
           idCol, stmt.prop, m, efc)
         val b = vectors.select(col(idCol), lit(0).as("bucket")).persist()
-        VectorIndex(stmt.name, "hnsw", stmt.label, stmt.prop, b, None, Some(idxRdd))
+        VectorIndex(stmt.name, "hnsw", stmt.label, stmt.prop, b, None,
+          Some(idxRdd), vectors, idCol, stmt.options, dim)
     }
   }
 }

@@ -168,6 +168,29 @@ class LangSpec extends AnyFunSuite {
     assert(err.getMessage.nonEmpty)
   }
 
+  test("vectorSearch queries registered indexes of every method") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val brute = graft.vector.Knn.bruteForceTopK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((ddl, name) <- Seq(
+        ("CREATE VECTOR INDEX s1 ON E(embedding) USING LSH OPTIONS(bits 4, tables 8)", "s1"),
+        ("CREATE VECTOR INDEX s2 ON E(embedding) USING IVF OPTIONS(nlist 4, nprobe 3)", "s2"),
+        ("CREATE VECTOR INDEX s3 ON E(embedding) USING HNSW", "s3"))) {
+      session.createVectorIndex(ddl, emb, "vec_id")
+      val got = session.vectorSearch(name, q, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.nonEmpty, s"$name returned nothing")
+      val overlap = (brute & got).size.toDouble / brute.size
+      info(f"$name%-3s overlap vs brute = $overlap%.2f")
+      assert(overlap >= 0.5, s"$name overlap $overlap too low")
+    }
+    val bad = intercept[IllegalArgumentException](
+      session.vectorSearch("nope", q, "vec_id", "embedding", 1))
+    assert(bad.getMessage.contains("unknown vector index"))
+  }
+
   test("graphql: mutation routing and delete semantics") {
     val g1 = session.graphqlMutation(
       """mutation { createHub(id: 999, name: "h", acctbal: 1.5) { id } }""")
