@@ -24,7 +24,8 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
   // in an optional `props` map column; reads fall back to element_at
   private val edgePropSet: Set[String] =
     graph.edges.columns.filterNot(c => c == "src" || c == "dst").toSet
-  private val hasDynProps: Boolean = propCols.contains("props")
+  private val hasDynProps: Boolean =
+    propCols.contains("props") || edgePropSet.contains("props")
 
   private def nodeFor(v: String, label: Option[String]): DataFrame = {
     val base = label.map(graph.nodesWithLabel).getOrElse(graph.nodes)
@@ -366,10 +367,18 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
       case "id" => a0 // node/edge variables hold their id column
       case "properties" => raw.head match {
         // map of the variable's property columns (schemaless Value view,
-        // SURVEY §1.3 map-column fallback) — keys sorted for determinism
+        // SURVEY §1.3 map-column fallback) — keys sorted for determinism;
+        // dynamic entries from the props map merge in (typed keys win on
+        // collision via the map_filter guard)
         case Expr.Var(v) =>
-          val props = propCols.filterNot(_ == "labels").sorted
-          map(props.flatMap(p2 => Seq(lit(p2), col(s"${v}__$p2").cast("string"))): _*)
+          val props = propCols.filterNot(c => c == "labels" || c == "props").sorted
+          val typed = map(props.flatMap(p2 =>
+            Seq(lit(p2), col(s"${v}__$p2").cast("string"))): _*)
+          if (!hasDynProps) typed
+          else map_concat(
+            map_filter(coalesce(col(s"${v}__props"), map()),
+              (k, _) => !props.foldLeft(lit(false))((acc, p2) => acc || k === p2)),
+            typed)
         case _ => throw new IllegalArgumentException("properties() needs a variable")
       }
       case "type" => raw.headOption.getOrElse(

@@ -46,13 +46,29 @@ object Mutations {
     g.copy(nodes = base.unionByName(aligned))
   }
 
-  /** CreateEdge (plan.rs:406-420). */
+  /** CreateEdge (plan.rs:406-420). Unknown edge properties route into a
+    * `props` map column like [[createNodes]] (previously they were silently
+    * dropped).
+    */
   def createEdges(g: PropertyGraph, newEdges: DataFrame): PropertyGraph = {
-    val aligned = g.edges.columns.foldLeft(newEdges) { (df, c) =>
+    val extra = (newEdges.columns.toSet -- g.edges.columns.toSet).toSeq.sorted
+    val (base, incoming) =
+      if (extra.isEmpty) (g.edges, newEdges)
+      else {
+        val withMap = if (g.edges.columns.contains("props")) g.edges
+          else g.edges.withColumn("props", lit(null).cast("map<string,string>"))
+        val routed = newEdges.withColumn("props",
+          map_filter(
+            map(extra.flatMap(k => Seq(lit(k), col(k).cast("string"))): _*),
+            (_, v) => v.isNotNull))
+          .drop(extra: _*)
+        (withMap, routed)
+      }
+    val aligned = base.columns.foldLeft(incoming) { (df, c) =>
       if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(g.edges.schema(c).dataType))
-    }.select(g.edges.columns.map(col): _*)
-    g.copy(edges = g.edges.unionByName(aligned))
+      else df.withColumn(c, lit(null).cast(base.schema(c).dataType))
+    }.select(base.columns.map(col): _*)
+    g.copy(edges = base.unionByName(aligned))
   }
 
   /** SetProperty (plan.rs:445-455): set `prop` to `value` on nodes matching

@@ -98,6 +98,36 @@ class CypherUpdateSpec extends AnyFunSuite {
     assert(g1.nodes.filter(col("props").isNotNull).count() == 1)
   }
 
+  test("createEdges routes unknown columns into the edge props map") {
+    import spark.implicits._
+    val base = session.graph
+    val e = Seq((TpchGraph.RegionTag * TpchGraph.Stride + 0L,
+        TpchGraph.RegionTag * TpchGraph.Stride + 1L))
+      .toDF("src", "dst")
+      .withColumn("rel", lit("LINKED"))
+      .withColumn("since", lit("2024"))
+    val g1 = Mutations.createEdges(base, e)
+    val row = g1.edges.filter(col("rel") === "LINKED").collect()
+    assert(row.length == 1)
+    assert(row.head.getAs[Map[String, String]]("props") == Map("since" -> "2024"))
+    // dynamic edge property reads back through the expand fallback
+    val got = new GraftSession(spark, g1).cypher(
+      """MATCH (a:Region)-[r:LINKED]->(b:Region)
+        |RETURN r.since AS s""".stripMargin).collect()
+    assert(got.length == 1 && got.head.getString(0) == "2024")
+  }
+
+  test("properties() merges dynamic entries with typed columns") {
+    val g1 = session.cypherUpdate(
+      "CREATE (n:Thing {id: 988000, name: 'th', extra: 'x1'})")
+    val m = new GraftSession(spark, g1).cypher(
+      "MATCH (n:Thing) RETURN properties(n) AS p").collect().head
+      .getMap[String, String](0)
+    assert(m("name") == "th")
+    assert(m("extra") == "x1")
+    assert(!m.contains("props"))
+  }
+
   test("SET on an unknown key writes through the props map") {
     val g1 = session.cypherUpdate(
       "MATCH (r:Region) SET r.zone = 'z1'")
