@@ -24,8 +24,13 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
   // in an optional `props` map column; reads fall back to element_at
   private val edgePropSet: Set[String] =
     graph.edges.columns.filterNot(c => c == "src" || c == "dst").toSet
-  private val hasDynProps: Boolean =
-    propCols.contains("props") || edgePropSet.contains("props")
+  // edge variables bound during compile (Op.Expand edgeVar) — the props
+  // fallback must gate per element kind: a node variable only has a
+  // `v__props` column when the NODE table carries one, and vice versa
+  private val edgeVars = scala.collection.mutable.Set.empty[String]
+  private def dynPropsFor(v: String): Boolean =
+    if (edgeVars.contains(v)) edgePropSet.contains("props")
+    else propCols.contains("props")
 
   private def nodeFor(v: String, label: Option[String]): DataFrame = {
     val base = label.map(graph.nodesWithLabel).getOrElse(graph.nodes)
@@ -36,6 +41,7 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
     case Op.NodeScan(v, label) => nodeFor(v, label)
 
     case Op.Expand(in, from, rel, to, dir, targetLabel, edgeVar) =>
+      edgeVar.foreach(edgeVars += _)
       val df = graph.expand(compile(in), from, rel, dir, to, edgeVar)
       df.join(nodeFor(to, targetLabel).withColumnRenamed(to, "__tid"),
           col(to) === col("__tid"))
@@ -82,27 +88,16 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
             .withColumnRenamed("dst", to)
             .withColumnRenamed("dist", "hops")
         case Some(p) =>
-          // nodes(p) on shortestPath: enumerate simple paths (shortest paths
-          // never repeat a node, so the visited guard loses nothing) and
-          // keep the minimal-hop ones — all of them for allShortestPaths,
-          // else the lexicographically smallest (the deterministic pick
-          // where openCypher says "any one").
-          import org.apache.spark.sql.expressions.Window
-          val cap = graph.nodes.sparkSession.conf
-            .get("spark.graft.varlen.maxHops", "64").toInt
-          val walks = graph
-            .varLengthExpandPaths(sources, from, rel, 1, maxHops, dir, cap)
+          // nodes(p) on shortestPath: level-synchronous BFS with
+          // parent-pointer path reconstruction (PropertyGraph.bfsPaths) —
+          // all minimal paths for allShortestPaths, else the
+          // lexicographically smallest (the deterministic pick where
+          // openCypher says "any one"). Same unbounded termination via the
+          // visited set as the length-only branch — no hop cap divergence.
+          graph.bfsPaths(sources, from, rel,
+              if (maxHops < 0) Int.MaxValue else maxHops, dir, all)
             .withColumnRenamed("dst", to)
-          val w = Window.partitionBy(col(from), col(to))
-          val picked =
-            if (all) walks
-              .withColumn("__minh", min(col("hops")).over(w))
-              .filter(col("hops") === col("__minh")).drop("__minh")
-            else walks
-              .withColumn("__rn",
-                row_number().over(w.orderBy(col("hops"), col("path"))))
-              .filter(col("__rn") === 1).drop("__rn")
-          picked.withColumnRenamed("path", p)
+            .withColumnRenamed("path", p)
       }
       val withLen = lenAs match {
         case Some(n) => paths.withColumnRenamed("hops", n)
@@ -261,8 +256,8 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
       case Expr.Var(n)         => env.getOrElse(n, col(n))
       case Expr.Prop(v, k)     =>
         // typed column if declared (node OR edge property); otherwise the
-        // dynamic-map fallback when the graph carries one
-        if (hasDynProps && !propCols.contains(k) && !edgePropSet.contains(k))
+        // dynamic-map fallback when this variable's element kind carries one
+        if (dynPropsFor(v) && !propCols.contains(k) && !edgePropSet.contains(k))
           element_at(col(s"${v}__props"), k)
         else col(s"${v}__$k")
       case Expr.Neg(x)         => -rec(x)
@@ -374,7 +369,7 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
           val props = propCols.filterNot(c => c == "labels" || c == "props").sorted
           val typed = map(props.flatMap(p2 =>
             Seq(lit(p2), col(s"${v}__$p2").cast("string"))): _*)
-          if (!hasDynProps) typed
+          if (!dynPropsFor(v)) typed
           else map_concat(
             map_filter(coalesce(col(s"${v}__props"), map()),
               (k, _) => !props.foldLeft(lit(false))((acc, p2) => acc || k === p2)),

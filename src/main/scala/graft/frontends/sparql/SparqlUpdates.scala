@@ -23,8 +23,25 @@ object SparqlUpdates {
   private val OneGraph =
     """(?is)\s*(CLEAR|DROP|CREATE)\s+(?:SILENT\s+)?GRAPH\s+<([^>]+)>\s*""".r
 
+  /** Statement split on `;` — but only OUTSIDE `<...>` IRI delimiters, where
+    * semicolons are legal characters (e.g. `LOAD <file:/tmp/a;b.nt>`).
+    */
+  private[graft] def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inIri = false
+    text.foreach {
+      case '<' if !inIri => inIri = true; cur += '<'
+      case '>' if inIri  => inIri = false; cur += '>'
+      case ';' if !inIri => out += cur.result(); cur.clear()
+      case c             => cur += c
+    }
+    out += cur.result()
+    out.result()
+  }
+
   def run(spark: SparkSession, store: QuadStore, text: String): QuadStore =
-    text.split(";").filter(_.trim.nonEmpty).foldLeft(store) { (st, stmt) =>
+    splitStatements(text).filter(_.trim.nonEmpty).foldLeft(store) { (st, stmt) =>
       stmt match {
         case Load(uri, g)        => st.load(spark, uri, Option(g))
         case TwoGraph(op, s, d)  => op.toUpperCase match {

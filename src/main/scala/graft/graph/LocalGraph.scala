@@ -81,6 +81,73 @@ object LocalGraph {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Shortest-path BFS with parent-pointer path reconstruction in one job —
+    * the below-threshold strategy for shortestPath/allShortestPaths with a
+    * bound path variable (nodes(p)). Level-synchronous BFS per seed; each
+    * level extends the retained shortest paths of the previous level, so the
+    * work is output-bounded (all = true) or node-bounded (all = false: only
+    * the lexicographically smallest path per node survives a level — its
+    * prefix is provably the min path to the parent, so per-level pruning is
+    * lossless). This replaces simple-path enumeration (exponential on cyclic
+    * or dense graphs) for the shortest-path case.
+    * `edges`: (src, dst) Long pairs; `seeds`: (origin, start) Long pairs.
+    * Output: (origin, dst, dist, path) with dist >= 1.
+    */
+  def bfsPaths(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+      all: Boolean): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = new java.util.HashMap[Long, ArrayBuffer[Long]]()
+    edges.collect().foreach { r =>
+      adj.computeIfAbsent(r.getLong(0), _ => new ArrayBuffer[Long]()) += r.getLong(1)
+    }
+    val bc = spark.sparkContext.broadcast(adj)
+    val lexLt: (Vector[Long], Vector[Long]) => Boolean = (a, b) => {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      var res = a.length < b.length // equal prefixes: shorter first
+      var decided = false
+      while (i < n && !decided) {
+        if (a(i) != b(i)) { res = a(i) < b(i); decided = true }
+        i += 1
+      }
+      res
+    }
+    seeds.as[(Long, Long)].flatMap { case (origin, start) =>
+      val a = bc.value
+      val out = new ArrayBuffer[(Long, Long, Int, Seq[Long])]()
+      val seen = new java.util.HashSet[Long]()
+      seen.add(start)
+      var frontier = new java.util.HashMap[Long, ArrayBuffer[Vector[Long]]]()
+      frontier.put(start, ArrayBuffer(Vector(start)))
+      var d = 0
+      while (!frontier.isEmpty && d < maxDepth) {
+        d += 1
+        val next = new java.util.HashMap[Long, ArrayBuffer[Vector[Long]]]()
+        frontier.forEach { (u, paths) =>
+          val vs = a.get(u)
+          if (vs != null) vs.foreach { v =>
+            if (!seen.contains(v)) {
+              val buf = next.computeIfAbsent(v, _ => new ArrayBuffer[Vector[Long]]())
+              paths.foreach { p =>
+                val cand = p :+ v
+                if (all) buf += cand
+                else if (buf.isEmpty) buf += cand
+                else if (lexLt(cand, buf(0))) buf(0) = cand
+              }
+            }
+          }
+        }
+        next.forEach { (v, paths) =>
+          seen.add(v)
+          paths.foreach(p => out += ((origin, v, d, p)))
+        }
+        frontier = next
+      }
+      out
+    }.toDF("origin", "dst", "dist", "path")
+  }
+
   /** Simple-path enumeration in one job — the below-threshold strategy for
     * (unbounded) path-carrying var-length expands. Per-seed iterative DFS
     * over the broadcast adjacency with the per-path visited guard: identical

@@ -80,12 +80,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     */
   def varLengthExpand(sources: DataFrame, srcCol: String, rels: Seq[String],
       minHops: Int, maxHops: Int, dir: Direction = Out): DataFrame = {
-    require(minHops >= 0 && maxHops >= math.max(minHops, 1),
+    require(minHops >= 0 && (maxHops >= math.max(minHops, 1) || (minHops == 0 && maxHops == 0)),
       "need 0 <= minHops <= maxHops")
-    // zero-length walks ([*0..n], openCypher): the source itself at 0 hops
+    // zero-length walks ([*0..n], openCypher): the source itself at 0 hops;
+    // [*0..0] is the legal zero-length-only walk — just the sources
     if (minHops == 0) {
       val zero = sources.select(col(srcCol), col(srcCol).as("dst"),
         lit(0).as("hops"))
+      if (maxHops == 0) return zero
       return zero.unionByName(
         varLengthExpand(sources, srcCol, rels, 1, maxHops, dir))
     }
@@ -156,12 +158,15 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   def varLengthExpandPaths(sources: DataFrame, srcCol: String, rels: Seq[String],
       minHops: Int, maxHops: Int, dir: Direction = Out,
       safetyCap: Int = 64): DataFrame = {
-    require(minHops >= 0 && (maxHops < 0 || maxHops >= math.max(minHops, 1)),
+    require(minHops >= 0 && (maxHops < 0 || maxHops >= math.max(minHops, 1) ||
+        (minHops == 0 && maxHops == 0)),
       "need 0 <= minHops <= maxHops (or maxHops < 0 for unbounded)")
-    // zero-length walks ([*0..n]): the source itself, path = [src]
+    // zero-length walks ([*0..n]): the source itself, path = [src];
+    // [*0..0] is the legal zero-length-only walk — just the sources
     if (minHops == 0) {
       val zero = sources.select(col(srcCol), col(srcCol).as("dst"),
         lit(0).as("hops"), array(col(srcCol)).as("path"))
+      if (maxHops == 0) return zero
       return zero.unionByName(
         varLengthExpandPaths(sources, srcCol, rels, 1, maxHops, dir, safetyCap))
     }
@@ -308,6 +313,105 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     ep.unpersist(blocking = false) // every frame is checkpoint-materialized
     frames.reduce(_ unionByName _).filter(col("dist") >= 1)
       .select(col("__origin").as(srcCol), col("__node").as("dst"), col("dist"))
+  }
+
+  /** Shortest-path BFS carrying the node-id walk (ShortestPathOperator's
+    * path output, shortest_path.rs:18; Path value logical_type.rs:14-88):
+    * level-synchronous BFS with parent-pointer path reconstruction — each
+    * level extends only the retained shortest paths of the previous level,
+    * so cost is frontier-bounded, NOT simple-path-enumeration (which is
+    * exponential on cyclic/dense graphs). `all = false` keeps one
+    * deterministic (lexicographically smallest) path per endpoint; the min
+    * path's prefix is provably the min path to its parent, so pruning each
+    * level to per-node minima is lossless. `all = true` keeps every minimal
+    * path (output-bounded by definition of allShortestPaths).
+    *
+    * Same adaptive split as `bfs`: broadcast-adjacency single job below the
+    * edge threshold, batched frontier loop with localCheckpoint above.
+    * Returns (srcCol, dst, hops, path), dist >= 1.
+    */
+  def bfsPaths(sources: DataFrame, srcCol: String, rels: Seq[String],
+      maxDepth: Int, dir: Direction = Out, all: Boolean = false): DataFrame = {
+    val e0 = edgeSel(rels)
+    val e = (dir match {
+      case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
+      case In   => e0.select(col("dst").as("__s"), col("src").as("__d"))
+      case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
+        .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
+    })
+    val ep = e.persist()
+    if (LocalGraph.atMost(ep, LocalGraph.maxEdges(sources.sparkSession))) {
+      val seeds = sources.select(col(srcCol).cast("long").as("__origin"),
+        col(srcCol).cast("long").as("__start")).distinct()
+      val res = LocalGraph.bfsPaths(ep, seeds, maxDepth, all)
+      ep.unpersist(blocking = false)
+      return res.select(col("origin").as(srcCol), col("dst"),
+        col("dist").as("hops"), col("path"))
+    }
+    // Distributed loop, the `bfs` shape with a path column. Per level the
+    // frontier joins the edge set and anti-joins the materialized visited
+    // set; for all = false each level then reduces to min(struct(dist, path))
+    // per (origin, node) — struct ordering = (dist, lexicographic path) —
+    // keeping the frontier node-bounded. Within-batch rediscoveries are
+    // absorbed by the batch-end min aggregation exactly as in `bfs`.
+    val batch = 3
+    var frames = List.empty[DataFrame]
+    var visitedFrames = List(sources
+      .select(col(srcCol).as("__origin"), col(srcCol).as("__node"))
+      .localCheckpoint())
+    var frontier = sources.select(col(srcCol).as("__origin"),
+      col(srcCol).as("__node"), array(col(srcCol)).as("__path"))
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      val steps = math.min(batch, maxDepth - depth)
+      val visitedAll = visitedFrames.reduce(_ unionByName _)
+      var levels = List.empty[DataFrame]
+      var cur = frontier
+      for (k <- 1 to steps) {
+        var next = cur.join(ep, col("__node") === col("__s"))
+          .select(col("__origin"), col("__d").as("__node"),
+            concat(col("__path"), array(col("__d"))).as("__path"))
+          .join(visitedAll, Seq("__origin", "__node"), "left_anti")
+        if (!all) next = next
+          .groupBy(col("__origin"), col("__node"))
+          .agg(min(col("__path")).as("__path"))
+        levels ::= next.withColumn("dist", lit(depth + k))
+        cur = next
+      }
+      val union = levels.reverse.reduce(_ unionByName _)
+      val got = (if (all) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("__origin"), col("__node"))
+        union.withColumn("__md", min(col("dist")).over(w))
+          .filter(col("dist") === col("__md")).drop("__md")
+      } else {
+        union.groupBy(col("__origin"), col("__node"))
+          .agg(min(struct(col("dist"), col("__path"))).as("__dp"))
+          .select(col("__origin"), col("__node"),
+            col("__dp.__path").as("__path"), col("__dp.dist").as("dist"))
+      }).join(visitedAll, Seq("__origin", "__node"), "left_anti")
+        .localCheckpoint()
+      val stats = got.agg(count(lit(1)).as("n"), max(col("dist")).as("m")).head()
+      if (stats.getLong(0) == 0L) done = true
+      else {
+        frames ::= got
+        visitedFrames ::= got.select("__origin", "__node").distinct().localCheckpoint()
+        frontier = got.filter(col("dist") === stats.getInt(1))
+          .select("__origin", "__node", "__path")
+        depth += steps
+      }
+    }
+    ep.unpersist(blocking = false)
+    frames match {
+      case Nil => sources.sparkSession.emptyDataFrame
+        .withColumn(srcCol, lit(0L)).withColumn("dst", lit(0L))
+        .withColumn("hops", lit(0)).withColumn("path", array(lit(0L)))
+        .limit(0)
+      case fs => fs.reduce(_ unionByName _)
+        .select(col("__origin").as(srcCol), col("__node").as("dst"),
+          col("dist").as("hops"), col("__path").as("path"))
+    }
   }
 
   /** Factorized multi-hop aggregation (reference FactorizedChunk,

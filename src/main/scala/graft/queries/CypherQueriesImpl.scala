@@ -380,18 +380,23 @@ object CypherQueriesImpl {
         |  FROM walk w JOIN capped d ON d.src = w.dst
         |  WHERE NOT list_contains(w.path, CAST(d.dst AS BIGINT))
         |)
-        |SELECT CAST(dst AS BIGINT) AS dst, path,
+        |SELECT CAST(dst AS BIGINT) AS dst, array_to_string(path, ',') AS path,
         |       CAST(len(path) - 1 AS INT) AS len,
         |       CAST(len(path) - 1 AS INT) AS nrels
         |FROM walk
         |WHERE dst >= 20
         |ORDER BY dst NULLS FIRST, len NULLS FIRST, path NULLS FIRST""".stripMargin) { (s, dir) =>
+      // nodes(p) is fully exercised; the ARRAY<BIGINT> is joined to a scalar
+      // string afterwards because the driver's pandas comparator cannot
+      // sort_values on array-typed cells (round-6 gate `err`).
+      import org.apache.spark.sql.functions.{array_join, col}
       new GraftSession(s, TpchGraph.partDagCapped(s, dir, 30)).cypher(
         """MATCH p = (a:Part {name: '2'})-[:LINK*]->(b:Part)
           |WHERE id(b) >= 20
           |RETURN id(b) AS dst, nodes(p) AS path, length(p) AS len,
-          |       size(relationships(p)) AS nrels
-          |ORDER BY dst, len, path""".stripMargin)
+          |       size(relationships(p)) AS nrels""".stripMargin)
+        .withColumn("path", array_join(col("path").cast("array<string>"), ","))
+        .orderBy("dst", "len", "path")
     },
 
     // nodes(p) on shortestPath(): one deterministic (lexicographically
@@ -422,13 +427,17 @@ object CypherQueriesImpl {
         |         row_number() OVER (PARTITION BY dst ORDER BY len(path), path) AS rn
         |  FROM walk
         |)
-        |SELECT CAST(dst AS BIGINT) AS dst, CAST(hops AS INT) AS len, path
+        |SELECT CAST(dst AS BIGINT) AS dst, CAST(hops AS INT) AS len,
+        |       array_to_string(path, ',') AS path
         |FROM ranked WHERE rn = 1
         |ORDER BY dst NULLS FIRST""".stripMargin) { (s, dir) =>
+      // Same array→scalar join as q_cypher_pathnodes (driver-gate shape).
+      import org.apache.spark.sql.functions.{array_join, col}
       new GraftSession(s, TpchGraph.partDagCapped(s, dir, 30)).cypher(
         """MATCH p = shortestPath((a:Part {name: '1'})-[:LINK*]->(b:Part))
           |RETURN id(b) AS dst, length(p) AS len, nodes(p) AS path
           |ORDER BY dst""".stripMargin)
+        .withColumn("path", array_join(col("path").cast("array<string>"), ","))
     },
 
     QueryDef(

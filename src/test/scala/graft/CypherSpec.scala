@@ -682,6 +682,14 @@ class UnboundedVarLenSpec extends AnyFunSuite {
     assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("[*0..0] is the legal zero-length-only walk") {
+    val rows = session.cypher(
+      """MATCH (a:N {name: '1'})-[:E*0..0]->(b:N)
+        |RETURN id(a) AS src, id(b) AS dst""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 1L))) // each source node, bound to itself
+  }
+
   test("safety cap bounds unbounded expansion depth") {
     val capped = new GraftSession(
       { spark.conf.set("spark.graft.varlen.maxHops", "2"); spark }, cyclic)

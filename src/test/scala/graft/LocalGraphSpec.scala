@@ -62,6 +62,31 @@ class LocalGraphSpec extends AnyFunSuite {
     assert(local.contains((4L, 2L.toInt))) // still reachable via 2
   }
 
+  test("bfsPaths: local and distributed paths agree exactly (single + all)") {
+    // diamond (two minimal routes 1→2→4, 1→3→4) + a cycle back 4→1 + tail
+    val g = mkGraph(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 1L), (4L, 5L)))
+    val seeds = Seq(1L).toDF("id")
+    val (distOne, localOne) = bothStrategies {
+      g.bfsPaths(seeds, "id", Nil, maxDepth = 10, all = false)
+        .collect().map(r => (r.getLong(1), r.getInt(2), r.getSeq[Long](3))).toSet
+    }
+    assert(distOne == localOne)
+    // one lexicographically-min path per endpoint; cycle edge adds nothing
+    assert(localOne == Set(
+      (2L, 1, Seq(1L, 2L)), (3L, 1, Seq(1L, 3L)),
+      (4L, 2, Seq(1L, 2L, 4L)), (5L, 3, Seq(1L, 2L, 4L, 5L))))
+    val (distAll, localAll) = bothStrategies {
+      g.bfsPaths(seeds, "id", Nil, maxDepth = 10, all = true)
+        .collect().map(r => (r.getLong(1), r.getInt(2), r.getSeq[Long](3))).toSet
+    }
+    assert(distAll == localAll)
+    // every minimal path: both diamond routes to 4 and both extensions to 5
+    assert(localAll == Set(
+      (2L, 1, Seq(1L, 2L)), (3L, 1, Seq(1L, 3L)),
+      (4L, 2, Seq(1L, 2L, 4L)), (4L, 2, Seq(1L, 3L, 4L)),
+      (5L, 3, Seq(1L, 2L, 4L, 5L)), (5L, 3, Seq(1L, 3L, 4L, 5L))))
+  }
+
   test("topoLevels: local and distributed paths agree exactly") {
     val g = mkGraph(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)))
     val (dist, local) = bothStrategies {

@@ -128,6 +128,25 @@ class CypherUpdateSpec extends AnyFunSuite {
     assert(!m.contains("props"))
   }
 
+  test("edges-only props map does not break node-variable reads") {
+    import spark.implicits._
+    // only the EDGE table carries a props column: properties(n) and typed
+    // node reads must compile against node columns only (per-kind gating)
+    val nodes = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .select(col("id"), array(lit("N")).as("labels"), col("name"))
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("E").as("rel"),
+        map(lit("since"), lit("2020")).as("props"))
+    val s2 = new GraftSession(spark, graft.graph.PropertyGraph(nodes, edges))
+    val p = s2.cypher("MATCH (n:N {name: 'a'}) RETURN properties(n) AS p")
+      .collect().head.getMap[String, String](0)
+    assert(p == Map("name" -> "a"))
+    // the edge variable still resolves its dynamic key through the map
+    val since = s2.cypher(
+      "MATCH (a:N)-[r:E]->(b:N) RETURN r.since AS s").collect().head.getString(0)
+    assert(since == "2020")
+  }
+
   test("SET on an unknown key writes through the props map") {
     val g1 = session.cypherUpdate(
       "MATCH (r:Region) SET r.zone = 'z1'")

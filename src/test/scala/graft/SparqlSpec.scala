@@ -366,6 +366,21 @@ class SparqlSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("unsupported"))
   }
 
+  test("update statement split ignores semicolons inside IRIs") {
+    import graft.frontends.sparql.SparqlUpdates.splitStatements
+    assert(splitStatements("LOAD <file:/tmp/a;b.nt>; CLEAR GRAPH <g;1>")
+      == Seq("LOAD <file:/tmp/a;b.nt>", " CLEAR GRAPH <g;1>"))
+    assert(splitStatements("CREATE GRAPH <g2>; COPY <g1> TO <g2>")
+      == Seq("CREATE GRAPH <g2>", " COPY <g1> TO <g2>"))
+    // a LOAD of an IRI containing ';' parses as one statement end-to-end
+    val nt = java.nio.file.Files.createTempFile("graft_semi;colon", ".nt")
+    java.nio.file.Files.writeString(nt, "<a> <p> <b> .\n")
+    val store = graft.graph.QuadStore.fromDocuments(spark, sf)
+    val after = graft.frontends.sparql.SparqlUpdates.run(spark, store,
+      s"LOAD <file:$nt> INTO GRAPH <gsemi>")
+    assert(after.quads.filter(col("g") === "gsemi").count() == 1)
+  }
+
   test("GRAPH without a dataset is a clear error") {
     val e = intercept[IllegalArgumentException](
       SparqlFrontend.run(rdf, "SELECT ?s WHERE { GRAPH ?g { ?s name ?o } }"))
