@@ -107,8 +107,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // the JSON line inside sbt output failed driver parsing in round 1 —
-    // also write it to a known file
+    // also write it to a known file, and to a repo-local copy (the driver's
+    // BENCH_r{N}.json keeps only a 2000-char tail that truncates the line,
+    // so the in-repo file is the durable per-query history)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), line)
+    catch { case _: Throwable => }
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_latest.json"), line)
     catch { case _: Throwable => }
     spark.stop()
   }

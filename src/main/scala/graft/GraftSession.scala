@@ -12,7 +12,11 @@ import graft.graph.PropertyGraph
   * lowers IR to a DataFrame, and Catalyst takes it from there.
   */
 final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
-  private val compiler = new Compiler(spark, graph)
+  // queries compile against the edge-id-carrying view: openCypher
+  // relationship-uniqueness and rel-var re-binding need edge identity
+  // (reference assigns edge ids at load, graph/lpg/store.rs) — the eid
+  // column prunes away whenever a plan doesn't use it
+  private val compiler = new Compiler(spark, graph.withEdgeIds)
 
   /** Per-session LRU plan cache (reference QueryCache, query/cache.rs:1-60,
     * consulted at session.rs:160). Read-only entry points route through it;

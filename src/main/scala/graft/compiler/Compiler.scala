@@ -47,18 +47,23 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
           col(to) === col("__tid"))
         .drop("__tid")
 
-    case Op.VarExpand(in, from, rel, to, dir, min, max, targetLabel, hopsAs, pathAs) =>
+    case Op.VarExpand(in, from, rel, to, dir, min, max, targetLabel, hopsAs, pathAs, uniq) =>
       val df = compile(in)
       val sourcesDf = df.select(col(from)).distinct()
-      // Unbounded walks need the visited-set guard for termination, and
-      // nodes(p) needs the accumulated walk — both come from the
-      // path-carrying expand; bounded hop-only patterns keep the cheaper
-      // walk-pair loop (no per-row path array in the shuffle).
+      val conf = graph.nodes.sparkSession.conf
+      // spark.graft.varlen.uniqueness overrides the op's contract (perf
+      // escape hatch: "nodes" restores the pre-edge-id simple-path walks)
+      val mode = conf.getOption("spark.graft.varlen.uniqueness").getOrElse(uniq)
+      // Edge-unique (openCypher relationship-uniqueness) and node-unique
+      // walks need the path-carrying expand for the visited guard; so do
+      // unbounded walks (termination) and nodes(p) (the walk itself).
+      // Unconstrained bounded hop-only walks keep the cheaper walk-pair
+      // loop (no per-row path array in the shuffle).
       val walk0 =
-        if (pathAs.isDefined || max < 0) {
-          val cap = graph.nodes.sparkSession.conf
-            .get("spark.graft.varlen.maxHops", "64").toInt
-          val w = graph.varLengthExpandPaths(sourcesDf, from, rel, min, max, dir, cap)
+        if (mode == "edges" || mode == "nodes" || pathAs.isDefined || max < 0) {
+          val cap = conf.get("spark.graft.varlen.maxHops", "64").toInt
+          val w = graph.varLengthExpandPaths(sourcesDf, from, rel, min, max, dir, cap,
+            edgeUnique = mode == "edges")
           pathAs match {
             case Some(p) => w.withColumnRenamed("path", p)
             case None    => w.drop("path")

@@ -855,15 +855,18 @@ object CypherFrontend {
           (path.head.v.toSeq ++ node.v.toSeq).foreach(boundVars += _)
           matchOp = Some(matchOp.map(Op.NaturalJoin(_, pathOp)).getOrElse(pathOp))
         }
+        // relationship-variable re-use (openCypher edge identity): a reused
+        // edge var binds a fresh variable plus an eid equality filter — the
+        // same rebind-through-binding-table the reference applies to node
+        // vars (cypher_translator.rs). Collisions with node variables stay
+        // rejected. Filters apply after the clause's joins (the original
+        // binding may live in an earlier pattern or clause).
+        val edgeRebinds = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         for (path <- paths if path.shortest.isEmpty) {
-          // edge variables are single-binding in this subset: reuse across
-          // patterns (openCypher edge-identity semantics) and collisions with
-          // node variables are rejected rather than silently mis-joined
           val nodeVars = (path.head.v.toSeq ++ path.tail.flatMap(_._2.v)).toSet
           path.tail.flatMap(_._1.v).foreach { ev =>
-            require(!boundVars.contains(ev) && !nodeVars.contains(ev),
-              s"relationship variable '$ev' is already bound; edge identity across patterns is not supported")
-            boundVars += ev
+            require(!nodeVars.contains(ev),
+              s"'$ev' is used as both a node and a relationship variable")
           }
           nodeVars.foreach(boundVars += _)
           val headVar = path.head.v.getOrElse(fresh())
@@ -909,10 +912,19 @@ object CypherFrontend {
                 require(rel.v.isEmpty,
                   "edge variables on var-length patterns are not supported (the walk has no single edge)")
                 Op.VarExpand(pathOp, fromVar, rel.relTypes, toVar, rel.dir, lo, hi,
-                  node.label, hopsCol, pathCol)
+                  node.label, hopsCol, pathCol, uniq = "edges")
               case None =>
+                val evUse = rel.v.map { ev =>
+                  if (boundVars.contains(ev)) {
+                    require(!optional,
+                      s"relationship variable '$ev' cannot be re-bound inside OPTIONAL MATCH")
+                    val f = fresh()
+                    edgeRebinds += ((f, ev))
+                    f
+                  } else { boundVars += ev; ev }
+                }
                 Op.Expand(pathOp, fromVar, rel.relTypes, toVar, rel.dir, node.label,
-                  rel.v)
+                  evUse)
             }
             rebindOf.foreach(orig => pathOp = Op.Filter(pathOp,
               Expr.Bin("=", Expr.Var(toVar), Expr.Var(orig))))
@@ -929,6 +941,13 @@ object CypherFrontend {
           cur = if (cur == Op.OneRow) rhs else Op.LeftNaturalJoin(cur, rhs)
         } else {
           cur = if (cur == Op.OneRow) rhs else Op.NaturalJoin(cur, rhs)
+          // edge-identity joins for reused relationship variables — after the
+          // clause join (the original binding may be in an earlier clause),
+          // before the user's WHERE
+          edgeRebinds.foreach { case (f, orig) =>
+            cur = Op.Filter(cur,
+              Expr.Bin("=", Expr.Prop(f, "eid"), Expr.Prop(orig, "eid")))
+          }
           where.foreach(w => cur = applyWhere(cur, w))
         }
 

@@ -148,39 +148,48 @@ object LocalGraph {
     }.toDF("origin", "dst", "dist", "path")
   }
 
-  /** Simple-path enumeration in one job — the below-threshold strategy for
+  /** Walk enumeration in one job — the below-threshold strategy for
     * (unbounded) path-carrying var-length expands. Per-seed iterative DFS
     * over the broadcast adjacency with the per-path visited guard: identical
     * semantics to the distributed `varLengthExpandPaths` loop, minus its
     * per-level scheduler round-trips (which dominate when the subgraph is
     * broadcast-sized — measured 57 s → sub-second on a 30-node DAG).
-    * `edges`: (src, dst) Long pairs; `seeds`: (origin, start) Long pairs.
+    * `edgeUnique = false`: node-unique simple paths, `edges` = (src, dst)
+    * Long pairs. `edgeUnique = true`: openCypher relationship-unique walks
+    * (nodes may repeat, edges may not), `edges` = (src, dst, eid).
+    * `seeds`: (origin, start) Long pairs.
     * Output: (origin, dst, hops, path) with path the full node-id walk.
     */
   def simplePaths(edges: DataFrame, seeds: DataFrame, minHops: Int,
-      cap: Int): DataFrame = {
+      cap: Int, edgeUnique: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val adj = new java.util.HashMap[Long, ArrayBuffer[Long]]()
+    val adj = new java.util.HashMap[Long, ArrayBuffer[(Long, Long)]]()
     edges.collect().foreach { r =>
-      adj.computeIfAbsent(r.getLong(0), _ => new ArrayBuffer[Long]()) += r.getLong(1)
+      val eid = if (edgeUnique) r.getLong(2) else 0L
+      adj.computeIfAbsent(r.getLong(0), _ => new ArrayBuffer[(Long, Long)]()) +=
+        ((r.getLong(1), eid))
     }
     val bc = spark.sparkContext.broadcast(adj)
     seeds.as[(Long, Long)].flatMap { case (origin, start) =>
       val a = bc.value
       val out = new ArrayBuffer[(Long, Long, Int, Seq[Long])]()
-      // explicit stack of reversed paths — recursion depth = path length,
-      // which can reach `cap` (chain graphs)
-      var stack: List[List[Long]] = List(List(start))
+      // explicit stack of (reversed node path, used edge ids) — recursion
+      // depth = path length, which can reach `cap` (chain graphs)
+      var stack: List[(List[Long], List[Long])] = List((List(start), Nil))
       while (stack.nonEmpty) {
-        val p = stack.head
+        val (p, used) = stack.head
         stack = stack.tail
         val u = p.head
         val depth = p.length - 1
         if (depth >= minHops) out += ((origin, u, depth, p.reverse))
         if (depth < cap) {
           val vs = a.get(u)
-          if (vs != null) vs.foreach { v => if (!p.contains(v)) stack = (v :: p) :: stack }
+          if (vs != null) vs.foreach { case (v, eid) =>
+            if (edgeUnique) {
+              if (!used.contains(eid)) stack = ((v :: p, eid :: used)) :: stack
+            } else if (!p.contains(v)) stack = ((v :: p, used)) :: stack
+          }
         }
       }
       out

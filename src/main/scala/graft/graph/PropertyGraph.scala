@@ -29,6 +29,40 @@ case object Both extends Direction
   */
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
+  /** The graph with a synthesized stable `eid` column on its edges — edge
+    * identity for openCypher relationship-uniqueness ([*] walks), rel-var
+    * re-binding across patterns, and parallel-edge disambiguation (the
+    * reference assigns edge ids at load, graph/lpg/store.rs).
+    *
+    * Scheme: bucket by hash(src, dst, rel), row_number within the bucket
+    * (ordered by (src, dst, rel) + a hash of the remaining columns for
+    * determinism across recomputations), eid = rank * B + bucket. Unique by
+    * construction, no global sort — each window partition is one bucket, so
+    * the computation distributes (B is sized by spark.graft.edgeid.buckets;
+    * raise it at cluster scale so buckets stay executor-sized). Exact
+    * duplicate rows are interchangeable, so their arbitrary rank order
+    * cannot change any result.
+    */
+  def withEdgeIds: PropertyGraph =
+    if (edges.columns.contains("eid")) this
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val b = edges.sparkSession.conf
+        .getOption("spark.graft.edgeid.buckets").map(_.toInt).getOrElse(1024)
+      val others = edges.columns.filterNot(c => c == "src" || c == "dst" || c == "rel")
+      val tie =
+        if (others.isEmpty) lit(0L)
+        else xxhash64(to_json(struct(others.map(col).toSeq: _*)))
+      val bucketed = edges.withColumn("__b",
+        pmod(xxhash64(col("src"), col("dst"), col("rel")), lit(b.toLong)))
+      val w = Window.partitionBy(col("__b"))
+        .orderBy(col("src"), col("dst"), col("rel"), tie)
+      PropertyGraph(nodes, bucketed
+        .withColumn("eid",
+          (row_number().over(w).cast("long") - 1L) * b + col("__b"))
+        .drop("__b"))
+    }
+
   def nodesWithLabel(label: String): DataFrame =
     nodes.filter(array_contains(col("labels"), label))
 
@@ -37,7 +71,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   /** Edge selection by type set: empty = any, several = alternation
     * (Cypher `[:A|B]`). The predicate reaches the edge scan either way.
     */
-  private def edgeSel(rels: Seq[String]): DataFrame = rels match {
+  private[graph] def edgeSel(rels: Seq[String]): DataFrame = rels match {
     case Seq()  => edges
     case Seq(r) => edgesOfType(r)
     case rs     => edges.filter(col("rel").isin(rs: _*))
@@ -157,7 +191,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     */
   def varLengthExpandPaths(sources: DataFrame, srcCol: String, rels: Seq[String],
       minHops: Int, maxHops: Int, dir: Direction = Out,
-      safetyCap: Int = 64): DataFrame = {
+      safetyCap: Int = 64, edgeUnique: Boolean = false): DataFrame = {
     require(minHops >= 0 && (maxHops < 0 || maxHops >= math.max(minHops, 1) ||
         (minHops == 0 && maxHops == 0)),
       "need 0 <= minHops <= maxHops (or maxHops < 0 for unbounded)")
@@ -168,15 +202,21 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         lit(0).as("hops"), array(col(srcCol)).as("path"))
       if (maxHops == 0) return zero
       return zero.unionByName(
-        varLengthExpandPaths(sources, srcCol, rels, 1, maxHops, dir, safetyCap))
+        varLengthExpandPaths(sources, srcCol, rels, 1, maxHops, dir, safetyCap, edgeUnique))
     }
     val cap = if (maxHops < 0) safetyCap else maxHops
-    val e0 = edgeSel(rels)
+    // edge-unique walks (openCypher relationship-uniqueness,
+    // variable_length_expand.rs edge-id de-dup) carry the synthesized edge
+    // id so a step is pruned when it would REUSE AN EDGE; node-unique walks
+    // prune on node revisit (simple paths). Both directions of a Both
+    // traversal share the eid — an undirected edge is one relationship.
+    val e0full = if (edgeUnique) withEdgeIds.edgeSel(rels) else edgeSel(rels)
+    val eidCols = if (edgeUnique) Seq(col("eid").as("__eid")) else Nil
     val e = (dir match {
-      case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
-      case In   => e0.select(col("dst").as("__s"), col("src").as("__d"))
-      case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
-        .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
+      case Out  => e0full.select(col("src").as("__s") +: col("dst").as("__d") +: eidCols: _*)
+      case In   => e0full.select(col("dst").as("__s") +: col("src").as("__d") +: eidCols: _*)
+      case Both => e0full.select(col("src").as("__s") +: col("dst").as("__d") +: eidCols: _*)
+        .unionByName(e0full.select(col("dst").as("__s") +: col("src").as("__d") +: eidCols: _*))
     })
     val ep = e.persist()
     // Adaptive strategy (see bfs): below the broadcast threshold the whole
@@ -188,13 +228,15 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     if (LocalGraph.atMost(ep, LocalGraph.maxEdges(sources.sparkSession))) {
       val seeds = sources.select(col(srcCol).cast("long").as("__origin"),
         col(srcCol).cast("long").as("__start")).distinct()
-      val res = LocalGraph.simplePaths(ep, seeds, minHops, cap)
+      val res = LocalGraph.simplePaths(ep, seeds, minHops, cap, edgeUnique)
       ep.unpersist(blocking = false)
       return res.select(col("origin").as(srcCol), col("dst"), col("hops"), col("path"))
     }
     val batch = 3
-    var frontier = sources.select(col(srcCol).as("__origin"),
-      col(srcCol).as("__cur"), array(col(srcCol)).as("__path"))
+    var frontier = sources.select(
+      col(srcCol).as("__origin") +: col(srcCol).as("__cur") +:
+        array(col(srcCol)).as("__path") +:
+        (if (edgeUnique) Seq(array().cast("array<long>").as("__epath")) else Nil): _*)
     var acc: Option[DataFrame] = None
     var i = 1
     var exhausted = false
@@ -203,10 +245,17 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       var cur = frontier
       var levels = List.empty[DataFrame]
       for (k <- 0 until steps) {
-        cur = cur.join(ep, col("__cur") === col("__s"))
-          .filter(!array_contains(col("__path"), col("__d")))
-          .select(col("__origin"), col("__d").as("__cur"),
-            concat(col("__path"), array(col("__d"))).as("__path"))
+        val joined = cur.join(ep, col("__cur") === col("__s"))
+        cur =
+          if (edgeUnique) joined
+            .filter(!array_contains(col("__epath"), col("__eid")))
+            .select(col("__origin"), col("__d").as("__cur"),
+              concat(col("__path"), array(col("__d"))).as("__path"),
+              concat(col("__epath"), array(col("__eid"))).as("__epath"))
+          else joined
+            .filter(!array_contains(col("__path"), col("__d")))
+            .select(col("__origin"), col("__d").as("__cur"),
+              concat(col("__path"), array(col("__d"))).as("__path"))
         levels ::= cur.withColumn("hops", lit(i + k))
       }
       val got = levels.reverse.reduce(_ unionByName _).localCheckpoint()
@@ -217,7 +266,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         exhausted = maxH < i + steps - 1
         val keep = got.filter(col("hops") >= minHops)
         acc = Some(acc.map(_.unionByName(keep)).getOrElse(keep))
-        frontier = got.filter(col("hops") === maxH)
+        frontier = got.filter(col("hops") === maxH).drop("hops")
       }
       i += steps
     }

@@ -101,6 +101,31 @@ object TpchGraph {
         g.edges.filter(col("src") <= cap && col("dst") <= cap).persist())
     })
 
+  /** Cyclic fixture over part keys 1..cap: chain k → k+1, the closing edge
+    * cap → 1, and a chord 1 → 3 — the smallest graph where openCypher
+    * edge-unique walks and node-unique simple paths genuinely differ (a walk
+    * may return to node 1 over the closing edge and leave again over the
+    * unused chord). Derivable in plain SQL for the oracle.
+    */
+  def partCycle(spark: SparkSession, dir: String, cap: Int): PropertyGraph =
+    cache.getOrElseUpdate(s"cycle$cap:$dir", {
+      val p = Tables.part(spark, dir).select(col("p_partkey").as("k"))
+        .filter(col("k") >= 1 && col("k") <= cap)
+      val chain = p.filter(col("k") < cap)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+      val closing = p.filter(col("k") === cap)
+        .select(col("k").as("src"), lit(1L).as("dst"))
+      val chord = p.filter(col("k") === 1)
+        .select(col("k").as("src"), lit(3L).as("dst"))
+      val edges = chain.unionByName(closing).unionByName(chord)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+          lit("LINK").as("rel"), lit(1.0).as("weight"))
+      val nodes = p.select(col("k").cast("long").as("id"), array(lit("Part")).as("labels"),
+        col("k").cast("string").as("name"), lit(null).cast("double").as("acctbal"),
+        lit(null).cast("string").as("category"))
+      PropertyGraph(nodes.persist(), edges.persist())
+    })
+
   def buildPartDag(spark: SparkSession, dir: String): PropertyGraph = {
     val p = Tables.part(spark, dir).select(col("p_partkey").as("k"))
     val dst = p.select(col("k").as("k2"))

@@ -138,12 +138,16 @@ object Op {
     * optionally binds the walk length (Cypher `length(p)` on a path-variable
     * var-length pattern); `pathAs` binds the full node-id walk as an
     * array<long> column (Cypher `nodes(p)`; Path value logical_type.rs:14-88).
-    * When unbounded or path-bound, walks are simple paths (node-unique).
+    * `uniq` is the walk-uniqueness contract (variable_length_expand.rs
+    * supports both via edge ids): "edges" = openCypher relationship-unique
+    * walks (Cypher/GQL patterns), "nodes" = node-unique simple paths,
+    * "none" = unconstrained walks (Gremlin repeat) — unbounded or path-bound
+    * "none" walks fall back to node-unique for termination.
     */
   final case class VarExpand(input: T, from: String, relTypes: Seq[String],
       to: String, dir: Direction, min: Int, max: Int,
       targetLabel: Option[String], hopsAs: Option[String] = None,
-      pathAs: Option[String] = None) extends T
+      pathAs: Option[String] = None, uniq: String = "none") extends T
 
   /** plan.rs:311-317. */
   final case class Filter(input: T, pred: E) extends T

@@ -357,6 +357,35 @@ object CypherQueriesImpl {
           |ORDER BY dst""".stripMargin)
     },
 
+    // openCypher relationship-uniqueness on a CYCLIC graph: edge-unique
+    // walks may revisit NODES over unused edges (here: back to 1 over the
+    // closing edge, out again over the chord), where node-unique simple
+    // paths cannot — the oracle CTE carries the USED-EDGE list, exactly the
+    // engine's guard (reference variable_length_expand.rs edge-id dedup).
+    QueryDef(
+      "q_cypher_walk_edges",
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS src, CAST(p_partkey + 1 AS BIGINT) AS dst
+        |  FROM part WHERE p_partkey BETWEEN 1 AND 7
+        |  UNION ALL SELECT 8, 1
+        |  UNION ALL SELECT 1, 3
+        |),
+        |walk(dst, epath) AS (
+        |  SELECT dst, [src * 100 + dst] FROM e WHERE src = 1
+        |  UNION ALL
+        |  SELECT d.dst, list_append(w.epath, d.src * 100 + d.dst)
+        |  FROM walk w JOIN e d ON d.src = w.dst
+        |  WHERE NOT list_contains(w.epath, d.src * 100 + d.dst)
+        |)
+        |SELECT CAST(dst AS BIGINT) AS dst, count(*) AS n_walks
+        |FROM walk GROUP BY dst
+        |ORDER BY dst NULLS FIRST""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph.partCycle(s, dir, 8)).cypher(
+        """MATCH (a:Part {name: '1'})-[:LINK*]->(b:Part)
+          |RETURN id(b) AS dst, count(*) AS n_walks
+          |ORDER BY dst""".stripMargin)
+    },
+
     // Full path-variable binding: nodes(p) = the node-id walk array,
     // relationships(p) = its consecutive pairs (Path value
     // logical_type.rs:14-88; VariableLengthExpand path column).

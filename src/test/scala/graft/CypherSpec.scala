@@ -478,11 +478,30 @@ class EdgeVarGuardSpec extends AnyFunSuite {
 
   lazy val session = new GraftSession(spark, TpchGraph(spark, sf))
 
-  test("reused relationship variable is rejected") {
-    assertThrows[IllegalArgumentException](session.cypher(
+  test("reused relationship variable joins on edge identity") {
+    // re-binding r in a second MATCH joins the two patterns on the SAME edge
+    // (openCypher edge identity): the second pattern adds no multiplicity,
+    // so the count equals the single-pattern count
+    val single = session.cypher(
+      """MATCH (a:Order)-[r:CONTAINS]->(b:Part)
+        |RETURN count(*) AS n""".stripMargin).collect().head.getLong(0)
+    val rebound = session.cypher(
       """MATCH (a:Order)-[r:CONTAINS]->(b:Part)
         |MATCH (c:Order)-[r:CONTAINS]->(d:Part)
-        |RETURN r.weight AS w LIMIT 1""".stripMargin))
+        |RETURN count(*) AS n""".stripMargin).collect().head.getLong(0)
+    assert(single > 0 && rebound == single)
+    // ...and the joined endpoints agree with the original binding
+    val mismatched = session.cypher(
+      """MATCH (a:Order)-[r:CONTAINS]->(b:Part)
+        |MATCH (c:Order)-[r:CONTAINS]->(d:Part)
+        |WHERE id(c) <> id(a)
+        |RETURN count(*) AS n""".stripMargin).collect().head.getLong(0)
+    assert(mismatched == 0L)
+  }
+
+  test("a name used as both node and relationship variable is rejected") {
+    assertThrows[IllegalArgumentException](session.cypher(
+      """MATCH (r:Region)-[r:IN_REGION]->(b) RETURN count(*) AS n"""))
   }
 
   test("edge variable on var-length pattern is rejected with a clear error") {
@@ -600,14 +619,24 @@ class UnboundedVarLenSpec extends AnyFunSuite {
   }
   lazy val session = new GraftSession(spark, cyclic)
 
-  test("[*] terminates on a cyclic graph and enumerates simple paths") {
+  test("[*] terminates on a cyclic graph with edge-unique walk semantics") {
     val rows = session.cypher(
       """MATCH (a:N {name: '1'})-[:E*]->(b:N)
         |RETURN id(b) AS dst, count(*) AS n ORDER BY dst""".stripMargin)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // simple paths from 1: 1→2, 1→2→3, 1→2→3→4, 1→2→3→4→5 (the cycle edge
-    // 4→1 would revisit 1 and is pruned)
-    assert(rows == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // openCypher relationship-uniqueness: edges are unique per walk, nodes
+    // may repeat — so the cycle edge 4→1 IS taken (walk 1→2→3→4→1), and the
+    // walk stops there because edge 1→2 is already used
+    assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // node-unique simple paths remain available via the conf escape hatch
+    spark.conf.set("spark.graft.varlen.uniqueness", "nodes")
+    try {
+      val simple = new GraftSession(spark, cyclic).cypher(
+        """MATCH (a:N {name: '1'})-[:E*]->(b:N)
+          |RETURN id(b) AS dst, count(*) AS n ORDER BY dst""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(simple == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    } finally spark.conf.unset("spark.graft.varlen.uniqueness")
   }
 
   test("[*2..] applies the lower bound to unbounded walks") {
@@ -615,7 +644,7 @@ class UnboundedVarLenSpec extends AnyFunSuite {
       """MATCH (a:N {name: '1'})-[:E*2..]->(b:N)
         |RETURN id(b) AS dst ORDER BY dst""".stripMargin)
       .collect().map(_.getLong(0)).toSeq
-    assert(rows == Seq(3L, 4L, 5L))
+    assert(rows == Seq(1L, 3L, 4L, 5L)) // 1 via the full cycle 1→2→3→4→1
   }
 
   test("nodes(p) carries the walk and relationships(p) derives its edges") {

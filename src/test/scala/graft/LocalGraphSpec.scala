@@ -183,6 +183,25 @@ class LocalGraphSpec extends AnyFunSuite {
       (2L, Seq(1L, 2L)), (3L, Seq(1L, 2L, 3L)), (4L, Seq(1L, 2L, 3L, 4L))))
   }
 
+  test("edge-unique walks: local and distributed paths agree exactly") {
+    // cycle 1-2-3-1 plus tail 3-4: an edge-unique walk returns to 1 over
+    // the closing edge (node repeat allowed) but can never reuse an edge
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    val seeds = Seq(1L).toDF("id")
+    val (dist, local) = bothStrategies {
+      g.varLengthExpandPaths(seeds, "id", Nil, minHops = 1, maxHops = -1,
+          edgeUnique = true)
+        .collect()
+        .map(r => (r.getLong(1), r.getInt(2), r.getSeq[Long](3)))
+        .toSet
+    }
+    assert(dist == local)
+    assert(local == Set(
+      (2L, 1, Seq(1L, 2L)), (3L, 2, Seq(1L, 2L, 3L)),
+      (1L, 3, Seq(1L, 2L, 3L, 1L)), // node 1 revisited over the unused edge
+      (4L, 3, Seq(1L, 2L, 3L, 4L)))) // stops at 1: edge 1→2 already used
+  }
+
   test("atMost probes without scanning past the limit") {
     val big = spark.range(1000000).toDF("id")
     assert(LocalGraph.atMost(big, 1000000L))
