@@ -162,6 +162,19 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   def cypherUpdate(query: String): graft.graph.PropertyGraph =
     graft.frontends.cypher.CypherUpdates.run(spark, graph, query)
 
+  /** Commit this session's graph as the next epoch of the versioned
+    * snapshot store at `path` (MVCC commit, reference mvcc.rs /
+    * transaction/manager.rs). Returns the epoch number.
+    */
+  def commitEpoch(path: String): Long =
+    graft.sources.GraphIO.Epochs.commit(graph, path)
+
+  /** Snapshot-isolation session over a committed epoch (MVCC as-of read,
+    * reference mvcc.rs:16-75).
+    */
+  def asOf(path: String, epoch: Long): GraftSession =
+    new GraftSession(spark, graft.sources.GraphIO.Epochs.asOf(spark, path, epoch))
+
   /** Gremlin entry point (reference processor.rs:282-291). */
   def gremlin(query: String): DataFrame = planCache.get("gremlin " + query) {
     compiler.compile(graft.frontends.gremlin.GremlinFrontend.translate(query))

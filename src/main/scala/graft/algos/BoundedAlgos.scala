@@ -324,6 +324,110 @@ object BoundedAlgos {
     } yield (back(i), back(j), dist(i)(j))).toDF("src", "dst", "dist")
   }
 
+  /** A* single-pair shortest path (reference plugins/algorithms/
+    * shortest_path.rs:230) with ALT landmark lower bounds (Goldberg &
+    * Harrelson, SODA 2005 — "Computing the Shortest Path: A* Search Meets
+    * Graph Theory"): pick `numLandmarks` landmarks, precompute exact
+    * Dijkstra distances from each landmark (forward) and to each landmark
+    * (reverse), and use the triangle-inequality bound
+    *
+    *   h(v) = max_L max( d(v,L) − d(t,L),  d(L,t) − d(L,v) ) ∨ 0
+    *
+    * which is admissible AND consistent on any nonnegative-weighted graph —
+    * schema-free included, resolving the earlier "no admissible heuristic"
+    * deferral (h = 0 degrades to Dijkstra; pass numLandmarks = 0 for that).
+    * Runs driver-side on the bounded induced subgraph (BoundedAlgos
+    * contract); the landmark tables are shared across all targets.
+    *
+    * Returns one row per reachable target: (id, dist, settled), `settled` =
+    * nodes popped by that A* run (the spec asserts settled < Dijkstra's).
+    */
+  def aStar(spark: SparkSession, g: PropertyGraph,
+      nodeFilter: org.apache.spark.sql.Column, source: Long, targets: Seq[Long],
+      numLandmarks: Int = 4, maxNodes: Int = 5000): DataFrame = {
+    val (ids, edges) = collectSubgraph(g, nodeFilter, maxNodes)
+    val fwd = mutable.Map.empty[Long, mutable.ArrayBuffer[(Long, Double)]]
+    val rev = mutable.Map.empty[Long, mutable.ArrayBuffer[(Long, Double)]]
+    edges.foreach { case (s, d, w) =>
+      require(w >= 0.0, s"A* needs nonnegative weights, got $w on ($s,$d)")
+      fwd.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((d, w))
+      rev.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += ((s, w))
+    }
+    def dijkstra(adj: mutable.Map[Long, mutable.ArrayBuffer[(Long, Double)]],
+        from: Long): mutable.Map[Long, Double] = {
+      val dist = mutable.Map.empty[Long, Double]
+      val pq = mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), Double](_._1).reverse)
+      pq.enqueue((0.0, from))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (!dist.contains(u)) {
+          dist(u) = d
+          adj.getOrElse(u, Nil).foreach { case (v, w) =>
+            if (!dist.contains(v)) pq.enqueue((d + w, v))
+          }
+        }
+      }
+      dist
+    }
+    // deterministic landmark pick: evenly spaced over the sorted id range
+    // (any pick is admissible; spread improves the bound)
+    val sortedIds = ids.sorted
+    val lms: Seq[Long] =
+      if (numLandmarks <= 0 || sortedIds.isEmpty) Nil
+      else (0 until math.min(numLandmarks, sortedIds.length))
+        .map(i => sortedIds(((sortedIds.length - 1).toLong * i /
+          math.max(1, numLandmarks - 1)).toInt)).distinct
+    val dFromL = lms.map(l => dijkstra(fwd, l)) // d(L, ·)
+    val dToL   = lms.map(l => dijkstra(rev, l)) // d(·, L)
+    val inf = Double.PositiveInfinity
+    def h(v: Long, t: Long): Double = {
+      var best = 0.0
+      var i = 0
+      while (i < lms.length) {
+        val vToL = dToL(i).getOrElse(v, inf)
+        val tToL = dToL(i).getOrElse(t, inf)
+        if (vToL != inf && tToL != inf && vToL - tToL > best) best = vToL - tToL
+        val lToV = dFromL(i).getOrElse(v, inf)
+        val lToT = dFromL(i).getOrElse(t, inf)
+        if (lToT != inf && lToV != inf && lToT - lToV > best) best = lToT - lToV
+        i += 1
+      }
+      best
+    }
+    // A* per target: pop order is f = g + h; consistency of h makes the
+    // first pop of the target optimal, like Dijkstra's invariant
+    def run(t: Long): Option[(Double, Int)] = {
+      val done = mutable.Set.empty[Long]
+      val gScore = mutable.Map.empty[Long, Double]
+      val pq = mutable.PriorityQueue.empty[(Double, Double, Long)](
+        Ordering.by[(Double, Double, Long), Double](_._1).reverse)
+      gScore(source) = 0.0
+      pq.enqueue((h(source, t), 0.0, source))
+      var settled = 0
+      var result: Option[(Double, Int)] = None
+      while (pq.nonEmpty && result.isEmpty) {
+        val (_, d, u) = pq.dequeue()
+        if (!done.contains(u)) {
+          done += u
+          settled += 1
+          if (u == t) result = Some((d, settled))
+          else fwd.getOrElse(u, Nil).foreach { case (v, w) =>
+            val nd = d + w
+            if (!done.contains(v) && nd < gScore.getOrElse(v, inf)) {
+              gScore(v) = nd
+              pq.enqueue((nd + h(v, t), nd, v))
+            }
+          }
+        }
+      }
+      result
+    }
+    import spark.implicits._
+    targets.flatMap(t => run(t).map { case (d, s2) => (t, d, s2) })
+      .toDF("id", "dist", "settled")
+  }
+
   /** Iterative DFS preorder (reference traversal.rs:198 DfsIterator) from
     * `start` over the bounded induced subgraph, directed edges, neighbors
     * visited in ascending id order — the deterministic visitor order an

@@ -146,6 +146,41 @@ object AlgoQueriesImpl {
         .orderBy("id")
     },
 
+    // A* with ALT landmarks (shortest_path.rs:230): exact shortest
+    // distances source 1 → targets 40..50 on the weighted part DAG capped
+    // at 50 nodes — hash-matches the exhaustive min-over-walks oracle (the
+    // DAG is acyclic, so the walk CTE terminates with no hop bound, unlike
+    // the Bellman-Ford-bounded q_sssp pair).
+    QueryDef(
+      "q_astar",
+      """WITH RECURSIVE dag AS (
+        |  SELECT a.p_partkey AS src, b.p_partkey AS dst, (b.p_partkey % 7) + 1.0 AS w
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey, (b.p_partkey % 7) + 1.0
+        |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+        |  UNION ALL
+        |  SELECT a.p_partkey, b.p_partkey, (b.p_partkey % 7) + 1.0
+        |  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |),
+        |capped AS (SELECT src, dst, w FROM dag WHERE src <= 50 AND dst <= 50),
+        |walk(dst, d) AS (
+        |  SELECT dst, w FROM capped WHERE src = 1
+        |  UNION ALL
+        |  SELECT g.dst, walk.d + g.w FROM walk JOIN capped g ON g.src = walk.dst
+        |)
+        |SELECT CAST(dst AS BIGINT) AS id, round(min(d), 2) AS dist
+        |FROM walk WHERE dst >= 40 GROUP BY dst
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val base = TpchGraph.partDag(s, dir)
+      val weighted = PropertyGraph(base.nodes,
+        base.edges.withColumn("weight", (col("dst") % 7 + 1).cast("double")))
+      graft.algos.BoundedAlgos.aStar(s, weighted, col("id") <= 50,
+          source = 1L, targets = 40L to 50L)
+        .select(col("id"), round(col("dist"), 2).as("dist"))
+        .orderBy("id")
+    },
+
     // k-core (structure.rs:282): iterative peeling to the 2-core of a ring
     // (parts 1..150 cyclically chained) with 50 pendant spokes — the pendants
     // peel away, the ring survives, so the 2-core is exactly parts 1..150.

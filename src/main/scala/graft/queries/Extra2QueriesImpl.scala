@@ -32,6 +32,34 @@ object Extra2QueriesImpl {
         .orderBy("rel")
     },
 
+    // Epoch-versioned snapshots / MVCC as-of reads (mvcc.rs:16-75): commit
+    // the region graph as e0, commit a 3-node-richer mutation as e1, then
+    // read BOTH epochs back — per-epoch node counts prove each epoch is an
+    // isolated immutable snapshot (e0 is unchanged by e1's commit).
+    QueryDef(
+      "q_snapshot_asof",
+      """SELECT CAST(0 AS BIGINT) AS epoch,
+        |       CAST((SELECT count(*) FROM region) AS BIGINT) AS n_nodes
+        |UNION ALL
+        |SELECT 1, (SELECT count(*) FROM region) + 3
+        |ORDER BY epoch NULLS FIRST""".stripMargin) { (s, dir) =>
+      val path = java.nio.file.Files.createTempDirectory("graft_epoch").toString
+      val base = TpchGraph(s, dir)
+      val regions = graft.graph.PropertyGraph(
+        base.nodes.filter(array_contains(col("labels"), "Region")),
+        base.edges.limit(0))
+      val s0 = new GraftSession(s, regions)
+      val e0 = s0.commitEpoch(path)
+      val mutated = Seq(990001L, 990002L, 990003L).foldLeft(regions) { (g, i) =>
+        new GraftSession(s, g).cypherUpdate(s"CREATE (:Region {id: $i})")
+      }
+      val e1 = new GraftSession(s, mutated).commitEpoch(path)
+      import s.implicits._
+      Seq(e0, e1).map { e =>
+        (e, s0.asOf(path, e).graph.nodes.count())
+      }.toDF("epoch", "n_nodes").orderBy("epoch")
+    },
+
     // Cypher update clauses end-to-end (plan.rs:393-475 via the front-end):
     // MATCH … SET, then query the mutated snapshot.
     QueryDef(

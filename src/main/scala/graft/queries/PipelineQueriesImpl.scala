@@ -190,6 +190,28 @@ object PipelineQueriesImpl {
         .orderBy("doc_id")
     },
 
+    // Real image decode (javax.imageio.ImageIO, JDK builtin): doc_ids become
+    // constant-gray PNGs via the real PNG ENCODER, then decode back through
+    // the real DECODER — width/height/pixel-count/mean-luma are all
+    // SQL-predictable because PNG is lossless and the fixture is
+    // deterministic. Exercises the per-partition batch decode shape
+    // (Multimodal.decodeImageMeta) end-to-end with genuine codec bytes.
+    QueryDef(
+      "q_multimodal_decode",
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        |       CAST(2 + doc_id % 5 AS INT) AS width,
+        |       CAST(3 + doc_id % 4 AS INT) AS height,
+        |       CAST((2 + doc_id % 5) * (3 + doc_id % 4) AS BIGINT) AS npixels,
+        |       CAST(20 + doc_id % 200 AS BIGINT) AS gray
+        |FROM documents WHERE doc_id <= 40
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val imgs = graft.pipeline.Multimodal.documentsAsImages(s, dir, cap = 40L)
+      graft.pipeline.Multimodal.decodeImageMeta(imgs, "id", "bytes")
+        .select(col("id"), col("width"), col("height"), col("npixels"),
+          round(col("mean_lum")).cast("long").as("gray"))
+        .orderBy("id")
+    },
+
     // MinHash-LSH near-duplicates: approximate candidate generation → exact
     // Jaccard verify. The signature/banding step is engine-specific (xxhash64)
     // so the driver check is rows-only; DedupSpec asserts planted-dup recall

@@ -27,17 +27,55 @@ object GraphIO {
 
   // ---- property-graph snapshot ----
 
+  /** Schema manifests ride along with the data: an EMPTY dataset writes no
+    * parquet files (only _SUCCESS), so reload would have nothing to infer
+    * from — the manifest makes empty nodes/edges round-trip, and fixes the
+    * reloaded column order (partitionBy would otherwise move `rel` last).
+    */
+  private def writeSchema(spark: SparkSession, file: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(schema.json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readSchema(spark: SparkSession,
+      file: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(new String(bytes, "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
   def save(g: PropertyGraph, path: String): Unit = {
+    val spark = g.nodes.sparkSession
     g.nodes.write.mode(SaveMode.Overwrite).parquet(s"$path/nodes")
     g.edges.write.mode(SaveMode.Overwrite)
       // cluster by rel: expand(rel=…) reloads prune whole files
       .partitionBy("rel").parquet(s"$path/edges")
+    writeSchema(spark, s"$path/_schema_nodes.json", g.nodes.schema)
+    writeSchema(spark, s"$path/_schema_edges.json", g.edges.schema)
   }
 
-  def load(spark: SparkSession, path: String): PropertyGraph =
+  def load(spark: SparkSession, path: String): PropertyGraph = {
+    def read(dir: String, schemaFile: String) =
+      readSchema(spark, schemaFile) match {
+        case Some(s) => spark.read.schema(s).parquet(dir)
+        case None    => spark.read.parquet(dir) // pre-manifest snapshots
+      }
     PropertyGraph(
-      spark.read.parquet(s"$path/nodes"),
-      spark.read.parquet(s"$path/edges"))
+      read(s"$path/nodes", s"$path/_schema_nodes.json"),
+      read(s"$path/edges", s"$path/_schema_edges.json"))
+  }
 
   // ---- RDF snapshot ----
 
@@ -59,6 +97,76 @@ object GraphIO {
 
   def loadQuads(spark: SparkSession, path: String): QuadStore =
     QuadStore(spark.read.parquet(s"$path/quads").select("g", "s", "p", "o"))
+
+  // ---- epoch-versioned snapshots: MVCC as-of reads ----
+
+  /** Epoch-versioned snapshot store (reference mvcc.rs:16-75 version chains
+    * + transaction/manager.rs commit sequencing, recast Spark-native): each
+    * commit writes a self-contained immutable epoch directory
+    *
+    *   <path>/e<N>/{nodes,edges}/   (the [[save]] layout)
+    *   <path>/_epochs/<N>           (zero-byte commit marker)
+    *
+    * and `asOf(epoch)` reads exactly that epoch — snapshot-isolation reads
+    * with no locks, the table-format pattern (Delta/Iceberg) SURVEY §7.2
+    * maps MVCC to. The marker is created atomically AFTER the data commit
+    * (create-exclusive), so concurrent writers race on the marker, not the
+    * data: the loser retries with the next epoch number — optimistic
+    * concurrency exactly like the reference's commit-time conflict check.
+    * Readers only ever see marker-committed epochs; a torn write leaves an
+    * unmarked directory that no read path touches.
+    */
+  object Epochs {
+    private def fs(spark: SparkSession, path: String) =
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Committed epoch numbers, ascending (empty if none). */
+    def list(spark: SparkSession, path: String): Seq[Long] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/_epochs")
+      val f = fs(spark, path)
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq
+        .map(_.getPath.getName).flatMap(n => scala.util.Try(n.toLong).toOption)
+        .sorted
+    }
+
+    /** Commit `g` as the next epoch; returns the epoch number. */
+    def commit(g: PropertyGraph, path: String): Long = {
+      val spark = g.nodes.sparkSession
+      val f = fs(spark, path)
+      var epoch = list(spark, path).lastOption.map(_ + 1).getOrElse(0L)
+      var committed = false
+      while (!committed) {
+        save(g, s"$path/e$epoch")
+        // atomic create-exclusive: the commit point. A concurrent winner
+        // makes this throw → retry with the next number (the data dir is
+        // rewritten; epochs are cheap because they are just parquet dirs).
+        try {
+          f.create(new org.apache.hadoop.fs.Path(s"$path/_epochs/$epoch"), false).close()
+          committed = true
+        } catch {
+          case _: java.io.IOException =>
+            epoch = list(spark, path).lastOption.map(_ + 1).getOrElse(epoch + 1)
+        }
+      }
+      epoch
+    }
+
+    /** Snapshot-isolation read of one committed epoch. */
+    def asOf(spark: SparkSession, path: String, epoch: Long): PropertyGraph = {
+      require(list(spark, path).contains(epoch),
+        s"epoch $epoch is not committed at $path")
+      load(spark, s"$path/e$epoch")
+    }
+
+    /** The newest committed epoch. */
+    def latest(spark: SparkSession, path: String): PropertyGraph = {
+      val es = list(spark, path)
+      require(es.nonEmpty, s"no committed epochs at $path")
+      load(spark, s"$path/e${es.last}")
+    }
+  }
 
   // ---- CSV interchange (CLI import path, data.rs:51) ----
 

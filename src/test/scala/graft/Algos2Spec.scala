@@ -53,6 +53,26 @@ class Algos2Spec extends AnyFunSuite {
     assert(BoundedAlgos.maxFlow(g, lit(true), 1L, 4L) == 2.0)
   }
 
+  test("A* with ALT landmarks matches Dijkstra and settles fewer nodes") {
+    // weighted grid-ish chain with shortcuts: 1..60 chain (weight 2) plus
+    // doubling shortcuts k→2k (weight 3) — long graph, far target, the
+    // shape where a goal-directed heuristic prunes most of the frontier
+    val chain = (1L until 60L).map(k => (k, k + 1))
+    val jumps = (1L to 30L).map(k => (k, 2 * k))
+    val edges = chain ++ jumps
+    val g = mkGraph(edges, w = i => if (i < chain.length) 2.0 else 3.0)
+    val dij = BoundedAlgos.aStar(spark, g, lit(true), 1L, Seq(57L),
+        numLandmarks = 0).collect().head
+    val alt = BoundedAlgos.aStar(spark, g, lit(true), 1L, Seq(57L),
+        numLandmarks = 4).collect().head
+    assert(alt.getDouble(1) == dij.getDouble(1)) // identical optimal distance
+    assert(alt.getInt(2) < dij.getInt(2),        // strictly fewer settled
+      s"ALT settled ${alt.getInt(2)} vs Dijkstra ${dij.getInt(2)}")
+    // unreachable targets yield no row
+    assert(BoundedAlgos.aStar(spark, g, lit(true), 57L, Seq(1L),
+      numLandmarks = 2).collect().isEmpty)
+  }
+
   test("bounded algos refuse oversized subgraphs") {
     val g = mkGraph((1L to 50L).map(i => (i, i + 1)))
     assertThrows[IllegalArgumentException](

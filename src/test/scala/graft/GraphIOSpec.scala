@@ -27,6 +27,30 @@ class GraphIOSpec extends AnyFunSuite {
     assert(missing == 0 && extra == 0)
   }
 
+  test("epoch store: commit e0, mutate to e1, as-of reads see both") {
+    val dir = tmp()
+    def mk(ids: Seq[Long]): PropertyGraph = PropertyGraph(
+      ids.toDF("id").withColumn("labels", array(lit("N")))
+        .withColumn("name", col("id").cast("string")),
+      Seq.empty[(Long, Long)].toDF("src", "dst")
+        .withColumn("rel", lit("E")).withColumn("weight", lit(1.0)))
+    val e0 = GraphIO.Epochs.commit(mk(Seq(1L, 2L)), dir)
+    val e1 = GraphIO.Epochs.commit(mk(Seq(1L, 2L, 3L)), dir)
+    assert(e0 == 0L && e1 == 1L)
+    assert(GraphIO.Epochs.list(spark, dir) == Seq(0L, 1L))
+    // snapshot isolation: e0 is unchanged by e1's commit
+    assert(GraphIO.Epochs.asOf(spark, dir, 0L).nodes.count() == 2)
+    assert(GraphIO.Epochs.asOf(spark, dir, 1L).nodes.count() == 3)
+    assert(GraphIO.Epochs.latest(spark, dir).nodes.count() == 3)
+    // uncommitted epochs are unreadable
+    assertThrows[IllegalArgumentException](GraphIO.Epochs.asOf(spark, dir, 7L))
+    // a session-level round trip: commitEpoch + asOf
+    val s2 = new GraftSession(spark, mk(Seq(9L)))
+    val e2 = s2.commitEpoch(dir)
+    assert(e2 == 2L)
+    assert(s2.asOf(dir, e2).graph.nodes.count() == 1)
+  }
+
   test("rdf snapshot round-trips with canonical column order") {
     val g = TpchRdf(spark, sf)
     val dir = tmp()

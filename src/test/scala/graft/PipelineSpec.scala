@@ -228,6 +228,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
     assert(frames.forall(_.getInt(1) % 2 == 0))
   }
+
+  test("real PNG decodes through ImageIO to exact pixels") {
+    // hand-built 2×2 PNG: pure red/green/blue/white — known BT.601 lumas
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((w, h, lum)) = Multimodal.decodeImage(bos.toByteArray)
+    assert(w == 2 && h == 2)
+    val exp = Seq(0.299f, 0.587f, 0.114f, 1.0f).map(_ * 255f)
+    assert(lum.toSeq.zip(exp).forall { case (a, b) => math.abs(a - b) < 0.01f })
+    // a non-image payload is rejected, not crashed
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+    // a corrupt payload WITH the PNG magic is rejected via the codec error
+    assert(Multimodal.decodeImage(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4)).isEmpty)
+  }
+
+  test("extractFeatures routes image payloads through the real decoder") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 4).foreach(x =>
+      img.setRGB(x, y, 0x646464))) // constant gray 100
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      Multimodal.Media(1L, "image", bos.toByteArray, 4, 4),
+      Multimodal.Media(2L, "text", "plain text payload".getBytes, 0, 0)).toDS()
+    val feats = Multimodal.extractFeatures(media, 6).collect().sortBy(_.id)
+    // image row: [w, h, cell means...] — constant gray ⇒ every cell = 100
+    assert(feats(0).features(0) == 4f && feats(0).features(1) == 4f)
+    assert(feats(0).features.drop(2).forall(v => math.abs(v - 100f) < 0.01f))
+    // text row keeps the deterministic stand-in (its values live in [0,1),
+    // where the image path would put width/height/lumas)
+    assert(feats(1).features.length == 6)
+    assert(feats(1).features.forall(v => v >= 0f && v < 1f))
+  }
+
+  test("decodeImageMeta round-trips the synthetic PNG corpus") {
+    val imgs = Multimodal.documentsAsImages(spark, sf, cap = 10L)
+    val meta = Multimodal.decodeImageMeta(imgs, "id", "bytes").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        math.round(r.getDouble(4))))).toMap
+    assert(meta.nonEmpty)
+    meta.foreach { case (id, (w, h, np, gray)) =>
+      assert(w == 2 + id % 5 && h == 3 + id % 4)
+      assert(np == w.toLong * h && gray == 20 + id % 200)
+    }
+  }
 }
 
 class IvfSpec extends AnyFunSuite {
