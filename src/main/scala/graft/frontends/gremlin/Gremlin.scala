@@ -425,7 +425,21 @@ object GremlinFrontend {
           (Expr.Prop(cur, k): Expr.E, nm) })
         valueCol = Some(names.head)
       case "where" | "filter" =>
-        op = Op.Filter(op, wherePred(cur, s.args.head))
+        // traversal conditions (gremlin/ast.rs:19-187 anonymous traversals):
+        // where(out('T')) keeps traversers WITH a match — a semi join, the
+        // set-based equivalent of per-traverser sub-traversal evaluation;
+        // where(not(out('T'))) is the anti join
+        s.args.head match {
+          case Pred(d @ ("out" | "in" | "both"), args2) =>
+            val sub = Op.Expand(Op.NodeScan(cur, None), cur,
+              args2.map(_.asInstanceOf[String]), fresh(), dirOf(d), None)
+            op = Op.SemiNaturalJoin(op, sub)
+          case Pred("not", Seq(Pred(d @ ("out" | "in" | "both"), args2))) =>
+            val sub = Op.Expand(Op.NodeScan(cur, None), cur,
+              args2.map(_.asInstanceOf[String]), fresh(), dirOf(d), None)
+            op = Op.AntiNaturalJoin(op, sub)
+          case a => op = Op.Filter(op, wherePred(cur, a))
+        }
       case "and" | "or" | "not" =>
         op = Op.Filter(op, wherePred(cur, Pred(s.name, s.args)))
       case "coalesce" =>
@@ -433,8 +447,19 @@ object GremlinFrontend {
           (Expr.Func("coalesce", s.args.map(valTraversal(cur, _))), "v")))
         valueCol = Some("v")
       case "choose" =>
-        val condE = wherePred(cur, s.args.head)
-        op = Op.Project(op, Seq((Expr.CaseW(
+        // the condition is a boolean predicate OR an anonymous traversal
+        // (choose(out('T'), t, f) branches on sub-traversal non-emptiness —
+        // compiled as a correlated count, so it stays one distributed plan)
+        val (op2, condE) = s.args.head match {
+          case Pred(d @ ("out" | "in" | "both"), args2) =>
+            val c = fresh()
+            val sub = Op.Expand(Op.NodeScan(cur, None), cur,
+              args2.map(_.asInstanceOf[String]), fresh(), dirOf(d), None)
+            (Op.CorrelatedCount(op, sub, c),
+              Expr.Bin(">", Expr.Var(c), Expr.Lit(0L)))
+          case pred => (op, wherePred(cur, pred))
+        }
+        op = Op.Project(op2, Seq((Expr.CaseW(
           Seq((condE, valTraversal(cur, s.args(1)))),
           Some(valTraversal(cur, s.args(2)))), "v")))
         valueCol = Some("v")

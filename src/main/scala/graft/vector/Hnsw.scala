@@ -227,29 +227,48 @@ object Hnsw {
       Seq(corpusKey, idCol, vecCol, m, efConstruction, metric).mkString("\u0001"),
       build(corpus, idCol, vecCol, m, efConstruction, metric))
 
-  /** Search a built index: broadcast queries, per-partition beam search,
-    * global top-k merge. Same output contract as [[Knn.bruteForceTopK]]:
-    * (qid, nid, score, rank), score = cosine rounded to 6 decimals.
+  /** The query side collects to the driver for broadcast (the reference's
+    * batch_vector_search shape) — but in BOUNDED CHUNKS: one query
+    * partition per wave, so driver memory never holds more than a
+    * partition of queries regardless of query-set size. A corpus-sized
+    * query side becomes a sequence of broadcast waves instead of a driver
+    * OOM (the round-6 scale caveat).
+    */
+  private def queryBatches(queries: DataFrame, qIdCol: String,
+      qVecCol: String): Seq[Array[(Long, Array[Float])]] = {
+    val sc = queries.sparkSession.sparkContext
+    val rdd = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    rdd.partitions.indices.map { i =>
+      sc.runJob(rdd, (it: Iterator[(Long, Array[Float])]) => it.toArray, Seq(i)).head
+    }.filter(_.nonEmpty)
+  }
+
+  /** Search a built index: broadcast queries (chunked — see
+    * [[queryBatches]]), per-partition beam search, global top-k merge.
+    * Same output contract as [[Knn.bruteForceTopK]]: (qid, nid, score,
+    * rank), score = cosine rounded to 6 decimals.
     */
   def searchIndex(index: org.apache.spark.rdd.RDD[Index],
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, efSearch: Int = 64, excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val qRows: Array[(Long, Array[Float])] = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val bq = spark.sparkContext.broadcast(qRows)
-    val perPart = index.flatMap { idx =>
-      bq.value.iterator.flatMap { case (qid, qv) =>
-        idx.search(qv, if (excludeSelf) k + 1 else k, efSearch)
-          .collect { case (nid, s) if !excludeSelf || nid != qid =>
-            (qid, nid, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          }
-          .take(k)
-      }
-    }.toDF("__qid", "__nid", "__score")
+    val batches = queryBatches(queries, qIdCol, qVecCol)
+    val perPart = batches.map { qRows =>
+      val bq = spark.sparkContext.broadcast(qRows)
+      index.flatMap { idx =>
+        bq.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, if (excludeSelf) k + 1 else k, efSearch)
+            .collect { case (nid, s) if !excludeSelf || nid != qid =>
+              (qid, nid, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+            .take(k)
+        }
+      }.toDF("__qid", "__nid", "__score")
+    }.reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(Long, Long, Double)].toDF("__qid", "__nid", "__score"))
     val topk = udaf(new Knn.TopKAgg(k), ExpressionEncoder[(Double, Long)]())
     perPart
       .groupBy("__qid")
@@ -269,26 +288,26 @@ object Hnsw {
       excludeSelf: Boolean = true, metric: Knn.Metric = Knn.Cosine): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRows: Array[(Long, Array[Float])] = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val bq = spark.sparkContext.broadcast(qRows)
-    val perPart = corpus
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val index = new Index(m, efConstruction, metric)
-        it.foreach { case (id, v) => index.insert(id, v) }
-        bq.value.iterator.flatMap { case (qid, qv) =>
-          index.search(qv, if (excludeSelf) k + 1 else k, efSearch)
-            .collect { case (nid, s) if !excludeSelf || nid != qid =>
-              (qid, nid, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-            }
-            .take(k)
+    val batches = queryBatches(queries, qIdCol, qVecCol)
+    val perPart = batches.map { qRows =>
+      val bq = spark.sparkContext.broadcast(qRows)
+      corpus
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val index = new Index(m, efConstruction, metric)
+          it.foreach { case (id, v) => index.insert(id, v) }
+          bq.value.iterator.flatMap { case (qid, qv) =>
+            index.search(qv, if (excludeSelf) k + 1 else k, efSearch)
+              .collect { case (nid, s) if !excludeSelf || nid != qid =>
+                (qid, nid, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
+              .take(k)
+          }
         }
-      }
-      .toDF("__qid", "__nid", "__score")
+        .toDF("__qid", "__nid", "__score")
+    }.reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(Long, Long, Double)].toDF("__qid", "__nid", "__score"))
     val topk = udaf(new Knn.TopKAgg(k), ExpressionEncoder[(Double, Long)]())
     perPart
       .groupBy("__qid")

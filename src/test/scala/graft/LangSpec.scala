@@ -19,6 +19,34 @@ class LangSpec extends AnyFunSuite {
     assert(total != 0.0)
   }
 
+  test("gremlin: where(out(...)) filters by sub-traversal existence") {
+    // customers with at least one order = distinct o_custkey count
+    val withOrders = session.gremlin(
+      "g.V().hasLabel('Customer').where(in('PLACED_BY')).count()")
+      .collect().head.getLong(0)
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(withOrders == expected)
+    // the complement via where(not(...)) partitions the label set
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    val without = session.gremlin(
+      "g.V().hasLabel('Customer').where(not(in('PLACED_BY'))).count()")
+      .collect().head.getLong(0)
+    assert(withOrders + without == total)
+  }
+
+  test("gremlin: choose() with a traversal condition branches per traverser") {
+    // regions have no out-edges, nations do → choose(out(...)) splits them
+    val rows = session.gremlin(
+      "g.V().hasLabel('Region').choose(out('IN_REGION'), constant('linked'), constant('leaf'))")
+      .collect().map(_.getString(0))
+    assert(rows.nonEmpty && rows.forall(_ == "leaf"))
+    val nat = session.gremlin(
+      "g.V().hasLabel('Nation').choose(out('IN_REGION'), constant('linked'), constant('leaf'))")
+      .collect().map(_.getString(0))
+    assert(nat.nonEmpty && nat.forall(_ == "linked"))
+  }
+
   test("gremlin: out() with several edge labels unions them") {
     val orders = spark.read.parquet(s"$sf/orders.parquet").count()
     val lines = spark.read.parquet(s"$sf/lineitem.parquet").count()

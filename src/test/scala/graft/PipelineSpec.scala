@@ -472,4 +472,22 @@ class HnswSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(run(2) == run(7))
   }
+
+  test("query side processes in bounded chunks, identically") {
+    // the query collect is chunked per query partition (driver-memory bound
+    // at scale) — results must not depend on the query partitioning
+    val q = emb.filter($"vec_id" < 12)
+    def run(qdf: org.apache.spark.sql.DataFrame) =
+      graft.vector.Hnsw.topK(qdf, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(run(q.repartition(5)) == run(q.coalesce(1)))
+    val idx = graft.vector.Hnsw.buildCached("chunkspec", emb, "vec_id", "embedding")
+    def runIdx(qdf: org.apache.spark.sql.DataFrame) =
+      graft.vector.Hnsw.searchIndex(idx, qdf, "vec_id", "embedding", k = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(runIdx(q.repartition(5)) == runIdx(q.coalesce(1)))
+    assert(runIdx(q.coalesce(1)).nonEmpty)
+  }
 }

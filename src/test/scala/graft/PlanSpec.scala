@@ -30,6 +30,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "small dims must not sort-merge")
   }
 
+  test("AQE broadcasts TPC-H dimension joins without explicit hints") {
+    // CBO-hardening evidence (the 100× contract): the catalog's TPC-H
+    // queries hand-place broadcast() on nation/region/supplier, but the
+    // join order must not DEPEND on the hints — file-based tables carry no
+    // ANALYZE stats (spark.sql.cbo applies to catalog tables), so the
+    // at-scale guarantee is AQE's runtime size-based re-plan. Build the q5
+    // join chain hint-free and assert the finalized adaptive plan still
+    // broadcasts the dims.
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables
+    val df = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(sum("c_acctbal").as("bal"))
+    df.collect() // AQE finalizes the physical plan only after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), s"AQE off?\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join sort-merged:\n$p")
+  }
+
   test("ordered limit uses TakeOrderedAndProject, not a global sort") {
     val p = plan("q_sort_limit_skip")
     assert(p.contains("TakeOrderedAndProject"), s"got:\n$p")
