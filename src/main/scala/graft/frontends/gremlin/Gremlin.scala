@@ -365,14 +365,19 @@ object GremlinFrontend {
         }
         op = Op.Aggregate(op, Seq.empty, Seq((Expr.Func(fn, Seq(target)), s.name)))
       case "groupCount" =>
-        // expects .by('k') next; handled by peeking in by()? simpler: mark
-        // via pendingOrder-like state is overkill — require .by immediately.
-        val next = steps.lift(idx + 1)
-        require(next.exists(_.name == "by"), "groupCount() requires .by(key)")
-        val key = next.get.args.head.asInstanceOf[String]
-        op = Op.Aggregate(op, Seq((Expr.Prop(cur, key), key)),
-          Seq((Expr.Func("count", Seq(Expr.Lit("*"))), "count")))
-        consumedBy = idx + 1
+        steps.lift(idx + 1) match {
+          case Some(St("by", Seq(key: String))) =>
+            op = Op.Aggregate(op, Seq((Expr.Prop(cur, key), key)),
+              Seq((Expr.Func("count", Seq(Expr.Lit("*"))), "count")))
+            consumedBy = idx + 1
+          case _ =>
+            // bare groupCount(): group by the traverser VALUE itself (the
+            // Gremlin map-of-value→count form, e.g. after choose/constant)
+            val v = valueCol.map(Expr.Var(_): Expr.E).getOrElse(Expr.Var(cur))
+            op = Op.Aggregate(op, Seq((v, "key")),
+              Seq((Expr.Func("count", Seq(Expr.Lit("*"))), "count")))
+            valueCol = Some("key")
+        }
       case "valueMap" =>
         op = Op.Project(op, Seq(
           (Expr.Func("properties", Seq(Expr.Var(cur))), "valueMap")))

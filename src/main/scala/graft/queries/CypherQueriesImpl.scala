@@ -386,6 +386,22 @@ object CypherQueriesImpl {
           |ORDER BY dst""".stripMargin)
     },
 
+    // Relationship-variable re-binding across patterns (openCypher edge
+    // identity; reference plan.rs:180-212 edge ids): the second MATCH binds
+    // the SAME edge via an eid equality join, so it adds no multiplicity
+    // and the re-bound endpoints coincide with the originals.
+    QueryDef(
+      "q_cypher_rel_rebind",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (WHERE FALSE) AS BIGINT) AS mismatched
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin) { (s, dir) =>
+      new GraftSession(s, TpchGraph(s, dir)).cypher(
+        """MATCH (a:Order)-[r:CONTAINS]->(b:Part)
+          |MATCH (c:Order)-[r:CONTAINS]->(d:Part)
+          |RETURN count(*) AS n,
+          |       count(CASE WHEN id(c) <> id(a) THEN 1 END) AS mismatched""".stripMargin)
+    },
+
     // Full path-variable binding: nodes(p) = the node-id walk array,
     // relationships(p) = its consecutive pairs (Path value
     // logical_type.rs:14-88; VariableLengthExpand path column).

@@ -120,6 +120,24 @@ object LangQueriesImpl {
         .select(col("count").as("c"))
     },
 
+    // Gremlin choose() with an anonymous-TRAVERSAL condition
+    // (gremlin/ast.rs:19-187): nodes with an outgoing FROM_NATION edge take
+    // the true branch — compiled as a correlated count, one distributed plan.
+    QueryDef(
+      "q_gremlin_choose_trav",
+      """SELECT key, count FROM (
+        |  SELECT 'linked' AS key, CAST((SELECT count(*) FROM customer) +
+        |         (SELECT count(*) FROM supplier) AS BIGINT) AS count
+        |  UNION ALL
+        |  SELECT 'leaf', (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+        |         + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
+        |)
+        |ORDER BY key NULLS FIRST""".stripMargin) { (s, dir) =>
+      session(s, dir).gremlin(
+        "g.V().choose(out('FROM_NATION'), constant('linked'), constant('leaf')).groupCount()")
+        .orderBy("key")
+    },
+
     // Gremlin coalesce(values, values): category where present, else name.
     QueryDef(
       "q_gremlin_coalesce",

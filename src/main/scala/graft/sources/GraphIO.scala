@@ -109,21 +109,21 @@ object GraphIO {
     *
     * and `asOf(epoch)` reads exactly that epoch — snapshot-isolation reads
     * with no locks, the table-format pattern (Delta/Iceberg) SURVEY §7.2
-    * maps MVCC to. The marker is created atomically AFTER the data commit
-    * (create-exclusive), so concurrent writers race on the marker, not the
-    * data: the loser retries with the next epoch number — optimistic
-    * concurrency exactly like the reference's commit-time conflict check.
-    * Readers only ever see marker-committed epochs; a torn write leaves an
-    * unmarked directory that no read path touches.
+    * maps MVCC to. Two-phase optimistic commit, exactly the reference's
+    * commit-time conflict shape: (1) CLAIM the epoch number with an atomic
+    * create-exclusive marker — losers bump the number and retry, so no two
+    * writers ever touch the same data directory; (2) write the data;
+    * (3) PUBLISH with a second marker. Readers list only published
+    * markers, so a crashed writer leaves an unpublished claim that no
+    * read path touches (a skipped number, never a torn snapshot).
     */
   object Epochs {
     private def fs(spark: SparkSession, path: String) =
       new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    /** Committed epoch numbers, ascending (empty if none). */
-    def list(spark: SparkSession, path: String): Seq[Long] = {
-      val dir = new org.apache.hadoop.fs.Path(s"$path/_epochs")
+    private def marks(spark: SparkSession, path: String, sub: String): Seq[Long] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val f = fs(spark, path)
       if (!f.exists(dir)) Seq.empty
       else f.listStatus(dir).toSeq
@@ -131,27 +131,40 @@ object GraphIO {
         .sorted
     }
 
+    /** Committed (published) epoch numbers, ascending (empty if none). */
+    def list(spark: SparkSession, path: String): Seq[Long] =
+      marks(spark, path, "_epochs")
+
     /** Commit `g` as the next epoch; returns the epoch number. */
     def commit(g: PropertyGraph, path: String): Long = {
       val spark = g.nodes.sparkSession
       val f = fs(spark, path)
-      var epoch = list(spark, path).lastOption.map(_ + 1).getOrElse(0L)
-      var committed = false
-      while (!committed) {
-        save(g, s"$path/e$epoch")
-        // atomic create-exclusive: the commit point. A concurrent winner
-        // makes this throw → retry with the next number (the data dir is
-        // rewritten; epochs are cheap because they are just parquet dirs).
+      var epoch = marks(spark, path, "_claims").lastOption.map(_ + 1).getOrElse(0L)
+      var claimed = false
+      while (!claimed) {
+        // atomic create-exclusive claim: owns the number AND its data dir
         try {
-          f.create(new org.apache.hadoop.fs.Path(s"$path/_epochs/$epoch"), false).close()
-          committed = true
+          f.create(new org.apache.hadoop.fs.Path(s"$path/_claims/$epoch"), false).close()
+          claimed = true
         } catch {
           case _: java.io.IOException =>
-            epoch = list(spark, path).lastOption.map(_ + 1).getOrElse(epoch + 1)
+            epoch = math.max(epoch + 1,
+              marks(spark, path, "_claims").lastOption.map(_ + 1).getOrElse(epoch + 1))
         }
       }
+      // In-JVM writers serialize the data phase: Hadoop's FileOutputCommitter
+      // task-attempt bookkeeping is not safe for concurrent same-JVM jobs on
+      // some filesystems. CROSS-process isolation needs no lock — the claim
+      // marker already guarantees one writer per epoch directory.
+      writeLock.synchronized {
+        save(g, s"$path/e$epoch")
+      }
+      // publish: the commit point readers observe
+      f.create(new org.apache.hadoop.fs.Path(s"$path/_epochs/$epoch"), false).close()
       epoch
     }
+
+    private val writeLock = new Object
 
     /** Snapshot-isolation read of one committed epoch. */
     def asOf(spark: SparkSession, path: String, epoch: Long): PropertyGraph = {

@@ -51,6 +51,24 @@ class GraphIOSpec extends AnyFunSuite {
     assert(s2.asOf(dir, e2).graph.nodes.count() == 1)
   }
 
+  test("epoch store: concurrent commits race on the marker, both land") {
+    val dir = tmp()
+    def mk(id: Long): PropertyGraph = PropertyGraph(
+      Seq(id).toDF("id").withColumn("labels", array(lit("N"))),
+      Seq.empty[(Long, Long)].toDF("src", "dst").withColumn("rel", lit("E")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1L to 4L).map(i => Future(GraphIO.Epochs.commit(mk(i), dir)))
+    val epochs = Await.result(Future.sequence(fs), 120.seconds)
+    // optimistic concurrency: every writer lands on a DISTINCT epoch
+    assert(epochs.toSet.size == 4)
+    assert(GraphIO.Epochs.list(spark, dir).toSet == epochs.toSet)
+    // each committed epoch reads back a consistent one-node snapshot
+    epochs.foreach(e =>
+      assert(GraphIO.Epochs.asOf(spark, dir, e).nodes.count() == 1))
+  }
+
   test("rdf snapshot round-trips with canonical column order") {
     val g = TpchRdf(spark, sf)
     val dir = tmp()

@@ -51,6 +51,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"dim join sort-merged:\n$p")
   }
 
+  test("rel-var re-binding joins on eid — no cartesian product") {
+    // the two patterns share no node variables, so the naive plan is a
+    // cross join + eid filter; Catalyst must rewrite it to an equi-join
+    val df = Catalog.queries("q_cypher_rel_rebind")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"eid filter not pushed into join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"eid join degenerated:\n$p")
+  }
+
   test("ordered limit uses TakeOrderedAndProject, not a global sort") {
     val p = plan("q_sort_limit_skip")
     assert(p.contains("TakeOrderedAndProject"), s"got:\n$p")
