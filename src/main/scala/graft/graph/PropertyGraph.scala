@@ -44,24 +44,27 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * cannot change any result.
     */
   def withEdgeIds: PropertyGraph =
-    if (edges.columns.contains("eid")) this
-    else {
-      import org.apache.spark.sql.expressions.Window
-      val b = edges.sparkSession.conf
-        .getOption("spark.graft.edgeid.buckets").map(_.toInt).getOrElse(1024)
-      val others = edges.columns.filterNot(c => c == "src" || c == "dst" || c == "rel")
-      val tie =
-        if (others.isEmpty) lit(0L)
-        else xxhash64(to_json(struct(others.map(col).toSeq: _*)))
-      val bucketed = edges.withColumn("__b",
-        pmod(xxhash64(col("src"), col("dst"), col("rel")), lit(b.toLong)))
-      val w = Window.partitionBy(col("__b"))
-        .orderBy(col("src"), col("dst"), col("rel"), tie)
-      PropertyGraph(nodes, bucketed
-        .withColumn("eid",
-          (row_number().over(w).cast("long") - 1L) * b + col("__b"))
-        .drop("__b"))
-    }
+    if (edges.columns.contains("eid")) this else edgeIdGraph
+
+  // cached per graph instance: fixture graphs are themselves cached per
+  // directory, so every session over the same graph shares one eid plan
+  @transient private lazy val edgeIdGraph: PropertyGraph = {
+    import org.apache.spark.sql.expressions.Window
+    val b = edges.sparkSession.conf
+      .getOption("spark.graft.edgeid.buckets").map(_.toInt).getOrElse(1024)
+    val others = edges.columns.filterNot(c => c == "src" || c == "dst" || c == "rel")
+    val tie =
+      if (others.isEmpty) lit(0L)
+      else xxhash64(to_json(struct(others.map(col).toSeq: _*)))
+    val bucketed = edges.withColumn("__b",
+      pmod(xxhash64(col("src"), col("dst"), col("rel")), lit(b.toLong)))
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("src"), col("dst"), col("rel"), tie)
+    PropertyGraph(nodes, bucketed
+      .withColumn("eid",
+        (row_number().over(w).cast("long") - 1L) * b + col("__b"))
+      .drop("__b"))
+  }
 
   def nodesWithLabel(label: String): DataFrame =
     nodes.filter(array_contains(col("labels"), label))
