@@ -169,6 +169,16 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   def commitEpoch(path: String): Long =
     graft.sources.GraphIO.Epochs.commit(graph, path)
 
+  /** Begin a transaction (reference Session::begin_transaction,
+    * transaction/manager.rs): mutations stage on a private snapshot —
+    * reads INSIDE the transaction see them, this session never does.
+    * Commit hands back the staged graph (optionally publishing an epoch);
+    * rollback rewinds to the begin snapshot. Snapshot isolation falls out
+    * of the functional mutation model: the base graph is immutable, so
+    * there is nothing to lock and nothing to undo.
+    */
+  def beginTransaction(): GraftTransaction = new GraftTransaction(spark, graph)
+
   /** Snapshot-isolation session over a committed epoch (MVCC as-of read,
     * reference mvcc.rs:16-75).
     */
@@ -201,4 +211,54 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     */
   def graphqlMutation(query: String): graft.graph.PropertyGraph =
     graft.frontends.graphql.GraphQLMutations.run(spark, graph, query)
+}
+
+/** A staged mutation scope over one begin-snapshot (reference
+  * TransactionManager, transaction/manager.rs; MVCC view mvcc.rs:16-75).
+  * Reads route through a session over the CURRENT staged graph; updates
+  * replace it. Nothing is visible outside until the caller takes
+  * [[commit]]'s graph (or publishes it via [[commitEpoch]]).
+  */
+final class GraftTransaction private[graft] (spark: SparkSession,
+    base: PropertyGraph) {
+  private var staged: PropertyGraph = base
+  private var closed = false
+
+  private def open(): Unit =
+    require(!closed, "transaction already committed or rolled back")
+
+  /** Read inside the transaction — sees staged mutations. */
+  def cypher(query: String): DataFrame = {
+    open()
+    new GraftSession(spark, staged).cypher(query)
+  }
+
+  /** Stage a Cypher mutation (visible only to this transaction). */
+  def cypherUpdate(query: String): Unit = {
+    open()
+    staged = new GraftSession(spark, staged).cypherUpdate(query)
+  }
+
+  /** The staged graph as of now (still uncommitted). */
+  def graph: PropertyGraph = staged
+
+  /** Commit: closes the transaction, returns the final graph. */
+  def commit(): PropertyGraph = {
+    open()
+    closed = true
+    staged
+  }
+
+  /** Commit AND publish as the next epoch at `path` (durable MVCC commit). */
+  def commitEpoch(path: String): Long = {
+    val g = commit()
+    graft.sources.GraphIO.Epochs.commit(g, path)
+  }
+
+  /** Rollback: closes the transaction, discarding staged mutations. */
+  def rollback(): Unit = {
+    open()
+    staged = base
+    closed = true
+  }
 }

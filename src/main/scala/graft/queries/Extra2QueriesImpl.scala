@@ -60,6 +60,37 @@ object Extra2QueriesImpl {
       }.toDF("epoch", "n_nodes").orderBy("epoch")
     },
 
+    // Transaction begin/commit isolation (transaction/manager.rs;
+    // Session::begin_transaction): a staged CREATE is visible inside the
+    // transaction and in the committed graph, and invisible to the base
+    // session throughout — three views, three SQL-predictable counts.
+    QueryDef(
+      "q_tx_isolation",
+      """SELECT v, n FROM (
+        |  SELECT 'base' AS v, CAST((SELECT count(*) FROM region) AS BIGINT) AS n
+        |  UNION ALL SELECT 'committed', (SELECT count(*) FROM region) + 1
+        |  UNION ALL SELECT 'tx', (SELECT count(*) FROM region) + 1
+        |)
+        |ORDER BY v NULLS FIRST""".stripMargin) { (s, dir) =>
+      val base = TpchGraph(s, dir)
+      val regions = graft.graph.PropertyGraph(
+        base.nodes.filter(array_contains(col("labels"), "Region")),
+        base.edges.limit(0))
+      val session = new GraftSession(s, regions)
+      val tx = session.beginTransaction()
+      tx.cypherUpdate("CREATE (:Region {id: 992001})")
+      val inTx = tx.cypher("MATCH (r:Region) RETURN count(*) AS n")
+        .collect().head.getLong(0)
+      val inBase = session.cypher("MATCH (r:Region) RETURN count(*) AS n")
+        .collect().head.getLong(0)
+      val committed = new GraftSession(s, tx.commit())
+        .cypher("MATCH (r:Region) RETURN count(*) AS n")
+        .collect().head.getLong(0)
+      import s.implicits._
+      Seq(("base", inBase), ("committed", committed), ("tx", inTx))
+        .toDF("v", "n").orderBy("v")
+    },
+
     // Cypher update clauses end-to-end (plan.rs:393-475 via the front-end):
     // MATCH … SET, then query the mutated snapshot.
     QueryDef(

@@ -162,6 +162,32 @@ class CypherUpdateSpec extends AnyFunSuite {
     assert(z2.nonEmpty && z2.forall(_ == "z2"))
   }
 
+  test("transactions: staged writes isolated until commit, rollback discards") {
+    val before = session.cypher("MATCH (r:Region) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val tx = session.beginTransaction()
+    tx.cypherUpdate("CREATE (:Region {id: 991001, name: 'TX_REGION'})")
+    // the transaction sees its staged write…
+    val inside = tx.cypher("MATCH (r:Region) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(inside == before + 1)
+    // …the base session does not (snapshot isolation)
+    val outside = session.cypher("MATCH (r:Region) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(outside == before)
+    // commit hands back the staged graph; the tx is closed after
+    val committed = tx.commit()
+    assert(new GraftSession(spark, committed)
+      .cypher("MATCH (r:Region) RETURN count(*) AS n")
+      .collect().head.getLong(0) == before + 1)
+    assertThrows[IllegalArgumentException](tx.cypherUpdate("CREATE (:Region {id: 1})"))
+    // rollback rewinds to the begin snapshot
+    val tx2 = session.beginTransaction()
+    tx2.cypherUpdate("CREATE (:Region {id: 991002})")
+    tx2.rollback()
+    assert(tx2.graph.nodes.count() == session.graph.nodes.count())
+  }
+
   test("read-only query through cypherUpdate is rejected") {
     assertThrows[IllegalArgumentException](
       session.cypherUpdate("MATCH (n:Region) RETURN n.name AS x"))
