@@ -24,43 +24,50 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
   // in an optional `props` map column; reads fall back to element_at
   private val edgePropSet: Set[String] =
     graph.edges.columns.filterNot(c => c == "src" || c == "dst").toSet
-  // edge variables bound during compile (Op.Expand edgeVar) — the props
-  // fallback must gate per element kind: a node variable only has a
-  // `v__props` column when the NODE table carries one, and vice versa
+  // edge variables bound during the CURRENT compile (Op.Expand edgeVar) —
+  // the props fallback must gate per element kind: a node variable only
+  // has a `v__props` column when the NODE table carries one, and vice
+  // versa. Scoped per top-level compile() call: a session reuses one
+  // Compiler across queries, and a name used as an edge var in one query
+  // must not poison the same name used as a node var in the next.
   private val edgeVars = scala.collection.mutable.Set.empty[String]
   private def dynPropsFor(v: String): Boolean =
     if (edgeVars.contains(v)) edgePropSet.contains("props")
     else propCols.contains("props")
+
+  def compile(op: Op.T): DataFrame = {
+    edgeVars.clear()
+    compileRec(op)
+  }
 
   private def nodeFor(v: String, label: Option[String]): DataFrame = {
     val base = label.map(graph.nodesWithLabel).getOrElse(graph.nodes)
     base.select(col("id").as(v) +: propCols.map(c => col(c).as(s"${v}__$c")): _*)
   }
 
-  def compile(op: Op.T): DataFrame = op match {
+  private def compileRec(op: Op.T): DataFrame = op match {
     case Op.NodeScan(v, label) => nodeFor(v, label)
 
     case Op.Expand(in, from, rel, to, dir, targetLabel, edgeVar) =>
       edgeVar.foreach(edgeVars += _)
-      val df = graph.expand(compile(in), from, rel, dir, to, edgeVar)
+      val df = graph.expand(compileRec(in), from, rel, dir, to, edgeVar)
       df.join(nodeFor(to, targetLabel).withColumnRenamed(to, "__tid"),
           col(to) === col("__tid"))
         .drop("__tid")
 
     case Op.VarExpand(in, from, rel, to, dir, min, max, targetLabel, hopsAs, pathAs, uniq) =>
-      val df = compile(in)
+      val df = compileRec(in)
       val sourcesDf = df.select(col(from)).distinct()
       val conf = graph.nodes.sparkSession.conf
       // spark.graft.varlen.uniqueness overrides the op's contract (perf
       // escape hatch: "nodes" restores the pre-edge-id simple-path walks)
       val mode = conf.getOption("spark.graft.varlen.uniqueness").getOrElse(uniq)
-      // Edge-unique (openCypher relationship-uniqueness) and node-unique
-      // walks need the path-carrying expand for the visited guard; so do
-      // unbounded walks (termination) and nodes(p) (the walk itself).
-      // Unconstrained bounded hop-only walks keep the cheaper walk-pair
-      // loop (no per-row path array in the shuffle).
+      // nodes(p), unbounded termination, and node-unique walks need the
+      // path-carrying expand; bounded hop-only walks keep the cheaper
+      // walk-pair loop — for edge-unique semantics it carries just the
+      // used-edge-id array (one long per hop), not the node path.
       val walk0 =
-        if (mode == "edges" || mode == "nodes" || pathAs.isDefined || max < 0) {
+        if (mode == "nodes" || pathAs.isDefined || max < 0) {
           val cap = conf.get("spark.graft.varlen.maxHops", "64").toInt
           val w = graph.varLengthExpandPaths(sourcesDf, from, rel, min, max, dir, cap,
             edgeUnique = mode == "edges")
@@ -68,7 +75,8 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
             case Some(p) => w.withColumnRenamed("path", p)
             case None    => w.drop("path")
           }
-        } else graph.varLengthExpand(sourcesDf, from, rel, min, max, dir)
+        } else graph.varLengthExpand(sourcesDf, from, rel, min, max, dir,
+          edgeUnique = mode == "edges")
       val walk = walk0.withColumnRenamed("dst", to)
       val pairs = hopsAs match {
         case Some(h) => walk.withColumnRenamed("hops", h)
@@ -80,7 +88,7 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
         .drop("__tid")
 
     case Op.ShortestPath(in, from, rel, to, dir, maxHops, targetLabel, lenAs, pathAs, all) =>
-      val df = compile(in)
+      val df = compileRec(in)
       // distributed frontier BFS from the bound sources; dist is minimal by
       // construction (level-synchronous visited-set BFS)
       // maxHops < 0 = unbounded (plan.rs:195): BFS terminates naturally via
@@ -113,68 +121,68 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
           col(to) === col("__tid"))
         .drop("__tid")
 
-    case Op.Filter(in, pred) => compile(in).filter(expr(pred))
+    case Op.Filter(in, pred) => compileRec(in).filter(expr(pred))
 
     // RETURN * / WITH *: every bound variable column (internal and property
     // columns carry "__" and stay hidden)
     case Op.Project(in, Seq((Expr.Var("*"), _))) =>
-      val df = compile(in)
+      val df = compileRec(in)
       val cols = df.columns.filterNot(_.contains("__"))
       require(cols.nonEmpty, "RETURN * has no bound variables")
       df.select(cols.map(col): _*)
 
     case Op.Project(in, items) =>
-      compile(in).select(items.map { case (e, n) => expr(e).as(n) }: _*)
+      compileRec(in).select(items.map { case (e, n) => expr(e).as(n) }: _*)
 
     case Op.Aggregate(in, keys, aggs) =>
-      val df = compile(in)
+      val df = compileRec(in)
       val aggCols = aggs.map { case (e, n) => aggExpr(e).as(n) }
       if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
       else df.groupBy(keys.map { case (e, n) => expr(e).as(n) }: _*)
         .agg(aggCols.head, aggCols.tail: _*)
 
     case Op.Sort(in, keys) =>
-      compile(in).orderBy(keys.map { case (e, asc) =>
+      compileRec(in).orderBy(keys.map { case (e, asc) =>
         if (asc) expr(e).asc_nulls_first else expr(e).desc_nulls_last }: _*)
 
-    case Op.Limit(in, n)  => compile(in).limit(n.toInt)
-    case Op.Skip(in, n)   => compile(in).offset(n.toInt)
-    case Op.Distinct(in)  => compile(in).distinct()
-    case Op.UnionAll(l, r) => compile(l).unionByName(compile(r))
+    case Op.Limit(in, n)  => compileRec(in).limit(n.toInt)
+    case Op.Skip(in, n)   => compileRec(in).offset(n.toInt)
+    case Op.Distinct(in)  => compileRec(in).distinct()
+    case Op.UnionAll(l, r) => compileRec(l).unionByName(compileRec(r))
 
     case Op.NaturalJoin(l, r) =>
-      val (left, right, keys) = natJoinSides(compile(l), compile(r))
+      val (left, right, keys) = natJoinSides(compileRec(l), compileRec(r))
       if (keys.nonEmpty) left.join(right, keys) else left.crossJoin(right)
 
     case Op.LeftNaturalJoin(l, r) =>
-      val (left, right, keys) = natJoinSides(compile(l), compile(r))
+      val (left, right, keys) = natJoinSides(compileRec(l), compileRec(r))
       require(keys.nonEmpty, "OPTIONAL MATCH must share a variable with the prior pattern")
       left.join(right, keys, "left_outer")
 
     case Op.SemiNaturalJoin(l, r) =>
-      val (left, right, keys) = natJoinSides(compile(l), compile(r))
+      val (left, right, keys) = natJoinSides(compileRec(l), compileRec(r))
       require(keys.nonEmpty, "EXISTS { } subquery must share a variable with the outer query")
       left.join(right, keys, "left_semi")
 
     case Op.AntiNaturalJoin(l, r) =>
-      val (left, right, keys) = natJoinSides(compile(l), compile(r))
+      val (left, right, keys) = natJoinSides(compileRec(l), compileRec(r))
       require(keys.nonEmpty, "NOT EXISTS { } subquery must share a variable with the outer query")
       left.join(right, keys, "left_anti")
 
     case Op.CorrelatedCount(in, sub, as) =>
-      val left = compile(in)
-      val right = compile(sub)
+      val left = compileRec(in)
+      val right = compileRec(sub)
       val keys = left.columns.intersect(right.columns).filterNot(_.contains("__")).toSeq
       require(keys.nonEmpty, "COUNT { } subquery must share a variable with the outer query")
       // partial counts shuffle O(distinct keys); rows without a match get 0
       val counts = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
       left.join(counts, keys, "left_outer").na.fill(0L, Seq(as))
 
-    case Op.Bind(in, e, as) => compile(in).withColumn(as, expr(e))
+    case Op.Bind(in, e, as) => compileRec(in).withColumn(as, expr(e))
 
     case Op.CorrelatedCollect(in, sub, item, as) =>
-      val left = compile(in)
-      val right = compile(sub)
+      val left = compileRec(in)
+      val right = compileRec(sub)
       val keys = left.columns.intersect(right.columns).filterNot(_.contains("__")).toSeq
       require(keys.nonEmpty, "pattern comprehension must share a variable with the outer query")
       // partial collects shuffle O(matches); rows without a match get []
@@ -186,7 +194,7 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
     case Op.Unwind(in, list, as) =>
       val base = in match {
         case Op.OneRow => oneRow
-        case other     => compile(other)
+        case other     => compileRec(other)
       }
       base.withColumn(as, explode(expr(list)))
 

@@ -760,6 +760,10 @@ object CypherFrontend {
     def fresh(): String = { anon += 1; s"__n$anon" }
 
     val boundVars = scala.collection.mutable.Set.empty[String]
+    // names bound as RELATIONSHIP variables — re-binding joins on edge
+    // identity, but only when the original binding IS an edge (a node name
+    // reused as a rel var has no eid and must be rejected loudly)
+    val boundEdgeVars = scala.collection.mutable.Set.empty[String]
     // path variable -> length expression (length(p) resolves to it)
     val pathLenExprs = scala.collection.mutable.Map.empty[String, Expr.E]
     // path variable -> node-walk array column (nodes(p)/relationships(p))
@@ -868,7 +872,11 @@ object CypherFrontend {
             require(!nodeVars.contains(ev),
               s"'$ev' is used as both a node and a relationship variable")
           }
-          nodeVars.foreach(boundVars += _)
+          nodeVars.foreach { nv =>
+            require(!boundEdgeVars.contains(nv),
+              s"'$nv' is already bound as a relationship variable and cannot re-bind as a node")
+            boundVars += nv
+          }
           val headVar = path.head.v.getOrElse(fresh())
           var pathOp: Op.T = Op.NodeScan(headVar, path.head.label)
           pathOp = propFilters(pathOp, headVar, path.head.props)
@@ -915,13 +923,17 @@ object CypherFrontend {
                   node.label, hopsCol, pathCol, uniq = "edges")
               case None =>
                 val evUse = rel.v.map { ev =>
-                  if (boundVars.contains(ev)) {
+                  if (boundEdgeVars.contains(ev)) {
                     require(!optional,
                       s"relationship variable '$ev' cannot be re-bound inside OPTIONAL MATCH")
                     val f = fresh()
                     edgeRebinds += ((f, ev))
                     f
-                  } else { boundVars += ev; ev }
+                  } else {
+                    require(!boundVars.contains(ev),
+                      s"'$ev' is already bound as a node variable and cannot re-bind as a relationship")
+                    boundVars += ev; boundEdgeVars += ev; ev
+                  }
                 }
                 Op.Expand(pathOp, fromVar, rel.relTypes, toVar, rel.dir, node.label,
                   evUse)

@@ -29,7 +29,10 @@ object CypherUpdates {
       case _ => false
     }, "mutation clauses must come last")
 
-    val compiler = new Compiler(spark, graph)
+    // the reading prefix compiles against the edge-id view (same as
+    // GraftSession.cypher — rel-var re-binding needs eids); mutations apply
+    // to the ORIGINAL graph, so no synthesized column leaks into the result
+    val compiler = new Compiler(spark, graph.withEdgeIds)
     lazy val bindings: DataFrame = {
       require(readPrefix.nonEmpty, "this mutation needs a MATCH prefix")
       compiler.compile(CypherFrontend.translate(Query(readPrefix)))

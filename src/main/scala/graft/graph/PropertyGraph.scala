@@ -80,6 +80,24 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     case rs     => edges.filter(col("rel").isin(rs: _*))
   }
 
+  /** Directed (__s → __d) edge projection for a traversal loop; `Both` is
+    * the union of the two orientations. `extra` columns (e.g. the edge id)
+    * ride along under their aliases — shared by every iterative operator
+    * here so direction handling cannot diverge between strategies.
+    */
+  private def directedEdges(rels: Seq[String], dir: Direction,
+      extra: Seq[(String, String)] = Nil): DataFrame = {
+    val base = edgeSel(rels)
+    def sel(s: String, d: String) = base.select(
+      col(s).as("__s") +: col(d).as("__d") +:
+        extra.map { case (c, a) => col(c).as(a) }: _*)
+    dir match {
+      case Out  => sel("src", "dst")
+      case In   => sel("dst", "src")
+      case Both => sel("src", "dst").unionByName(sel("dst", "src"))
+    }
+  }
+
   /** Expand (plan.rs:180-212; ExpandOperator expand.rs:14): 1-hop neighbor
     * traversal from `rows.idCol` along `rel`, binding the neighbor id as
     * `dstAs`. `Both` is the union of the two directed expansions (matching
@@ -116,7 +134,8 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * soon as its successor exists.
     */
   def varLengthExpand(sources: DataFrame, srcCol: String, rels: Seq[String],
-      minHops: Int, maxHops: Int, dir: Direction = Out): DataFrame = {
+      minHops: Int, maxHops: Int, dir: Direction = Out,
+      edgeUnique: Boolean = false): DataFrame = {
     require(minHops >= 0 && (maxHops >= math.max(minHops, 1) || (minHops == 0 && maxHops == 0)),
       "need 0 <= minHops <= maxHops")
     // zero-length walks ([*0..n], openCypher): the source itself at 0 hops;
@@ -126,15 +145,15 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         lit(0).as("hops"))
       if (maxHops == 0) return zero
       return zero.unionByName(
-        varLengthExpand(sources, srcCol, rels, 1, maxHops, dir))
+        varLengthExpand(sources, srcCol, rels, 1, maxHops, dir, edgeUnique))
     }
-    val e0 = edgeSel(rels)
-    val e = (dir match {
-      case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
-      case In   => e0.select(col("dst").as("__s"), col("src").as("__d"))
-      case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
-        .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
-    })
+    // edge-unique walks (openCypher relationship-uniqueness) carry ONLY the
+    // used-edge-id array — no node path — so the guard costs one long per
+    // hop in the shuffle, not two arrays (the path-carrying expand is for
+    // nodes(p) and unbounded termination)
+    val e =
+      if (edgeUnique) withEdgeIds.directedEdges(rels, dir, Seq("eid" -> "__eid"))
+      else directedEdges(rels, dir)
     val ep = e.persist()
     // localCheckpoint truncates the logical plan: without it the plan (and
     // driver-side analysis time) grows exponentially with the hop count.
@@ -142,7 +161,9 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     // round-trip per batch, not per hop. On a multi-node cluster prefer
     // reliable checkpoint() for fault tolerance; the shape is identical.
     val batch = 3
-    var frontier = sources.select(col(srcCol).as("__origin"), col(srcCol).as("__cur"))
+    var frontier = sources.select(
+      col(srcCol).as("__origin") +: col(srcCol).as("__cur") +:
+        (if (edgeUnique) Seq(array().cast("array<long>").as("__epath")) else Nil): _*)
     var acc: Option[DataFrame] = None
     var i = 1
     var exhausted = false
@@ -151,8 +172,13 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       var cur = frontier
       var levels = List.empty[DataFrame]
       for (k <- 0 until steps) {
-        cur = cur.join(ep, col("__cur") === col("__s"))
-          .select(col("__origin"), col("__d").as("__cur"))
+        val joined = cur.join(ep, col("__cur") === col("__s"))
+        cur =
+          if (edgeUnique) joined
+            .filter(!array_contains(col("__epath"), col("__eid")))
+            .select(col("__origin"), col("__d").as("__cur"),
+              concat(col("__epath"), array(col("__eid"))).as("__epath"))
+          else joined.select(col("__origin"), col("__d").as("__cur"))
         levels ::= cur.withColumn("hops", lit(i + k))
       }
       val got = levels.reverse.reduce(_ unionByName _).localCheckpoint()
@@ -164,8 +190,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         exhausted = maxH < i + steps - 1 // a hop inside the batch was empty
         val keep = got.filter(col("hops") >= minHops)
         acc = Some(acc.map(_.unionByName(keep)).getOrElse(keep))
-        frontier = got.filter(col("hops") === maxH)
-          .select(col("__origin"), col("__cur"))
+        frontier = got.filter(col("hops") === maxH).drop("hops")
       }
       i += steps
     }
@@ -213,14 +238,9 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     // id so a step is pruned when it would REUSE AN EDGE; node-unique walks
     // prune on node revisit (simple paths). Both directions of a Both
     // traversal share the eid — an undirected edge is one relationship.
-    val e0full = if (edgeUnique) withEdgeIds.edgeSel(rels) else edgeSel(rels)
-    val eidCols = if (edgeUnique) Seq(col("eid").as("__eid")) else Nil
-    val e = (dir match {
-      case Out  => e0full.select(col("src").as("__s") +: col("dst").as("__d") +: eidCols: _*)
-      case In   => e0full.select(col("dst").as("__s") +: col("src").as("__d") +: eidCols: _*)
-      case Both => e0full.select(col("src").as("__s") +: col("dst").as("__d") +: eidCols: _*)
-        .unionByName(e0full.select(col("dst").as("__s") +: col("src").as("__d") +: eidCols: _*))
-    })
+    val e =
+      if (edgeUnique) withEdgeIds.directedEdges(rels, dir, Seq("eid" -> "__eid"))
+      else directedEdges(rels, dir)
     val ep = e.persist()
     // Adaptive strategy (see bfs): below the broadcast threshold the whole
     // enumeration runs as one job — per-seed DFS over a broadcast adjacency.
@@ -294,13 +314,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   def bfs(sources: DataFrame, srcCol: String, rels: Seq[String],
       maxDepth: Int, dir: Direction = Out,
       filterNodes: Option[Column] = None): DataFrame = {
-    val e0 = edgeSel(rels)
-    val e = (dir match {
-      case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
-      case In   => e0.select(col("dst").as("__s"), col("src").as("__d"))
-      case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
-        .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
-    })
+    val e = directedEdges(rels, dir)
     // a traversal-time node filter is equivalent to dropping edges whose
     // destination fails it (sources are exempt either way: dist-0 rows are
     // filtered at the end) — applying it once to the edge set beats
@@ -384,14 +398,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     */
   def bfsPaths(sources: DataFrame, srcCol: String, rels: Seq[String],
       maxDepth: Int, dir: Direction = Out, all: Boolean = false): DataFrame = {
-    val e0 = edgeSel(rels)
-    val e = (dir match {
-      case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
-      case In   => e0.select(col("dst").as("__s"), col("src").as("__d"))
-      case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
-        .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
-    })
-    val ep = e.persist()
+    val ep = directedEdges(rels, dir).persist()
     if (LocalGraph.atMost(ep, LocalGraph.maxEdges(sources.sparkSession))) {
       val seeds = sources.select(col(srcCol).cast("long").as("__origin"),
         col(srcCol).cast("long").as("__start")).distinct()
@@ -491,13 +498,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   def factorizedWalkAgg(hops: Int, rels: Seq[String], dir: Direction = Out,
       sumProp: Option[String] = None): DataFrame = {
     require(hops >= 1, "need hops >= 1")
-    val e0 = edgeSel(rels)
-    val e = (dir match {
-      case Out  => e0.select(col("src").as("__s"), col("dst").as("__d"))
-      case In   => e0.select(col("dst").as("__s"), col("src").as("__d"))
-      case Both => e0.select(col("src").as("__s"), col("dst").as("__d"))
-        .unionByName(e0.select(col("dst").as("__s"), col("src").as("__d")))
-    })
+    val e = directedEdges(rels, dir)
     val terminal = sumProp match {
       case None       => e.withColumn("__v", lit(0L))
       case Some("id") => e.withColumn("__v", col("__d"))

@@ -107,7 +107,8 @@ object TpchGraph {
     * may return to node 1 over the closing edge and leave again over the
     * unused chord). Derivable in plain SQL for the oracle.
     */
-  def partCycle(spark: SparkSession, dir: String, cap: Int): PropertyGraph =
+  def partCycle(spark: SparkSession, dir: String, cap: Int): PropertyGraph = {
+    require(cap >= 3, s"partCycle needs cap >= 3 (chord 1->3), got $cap")
     cache.getOrElseUpdate(s"cycle$cap:$dir", {
       val p = Tables.part(spark, dir).select(col("p_partkey").as("k"))
         .filter(col("k") >= 1 && col("k") <= cap)
@@ -125,6 +126,7 @@ object TpchGraph {
         lit(null).cast("string").as("category"))
       PropertyGraph(nodes.persist(), edges.persist())
     })
+  }
 
   def buildPartDag(spark: SparkSession, dir: String): PropertyGraph = {
     val p = Tables.part(spark, dir).select(col("p_partkey").as("k"))

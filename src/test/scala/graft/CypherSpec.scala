@@ -502,6 +502,34 @@ class EdgeVarGuardSpec extends AnyFunSuite {
   test("a name used as both node and relationship variable is rejected") {
     assertThrows[IllegalArgumentException](session.cypher(
       """MATCH (r:Region)-[r:IN_REGION]->(b) RETURN count(*) AS n"""))
+    // across clauses too: a node binding cannot re-bind as a relationship
+    // (it has no edge identity to join on) — and vice versa
+    assertThrows[IllegalArgumentException](session.cypher(
+      """MATCH (r:Region)
+        |MATCH (a:Nation)-[r:IN_REGION]->(b) RETURN count(*) AS n""".stripMargin))
+    assertThrows[IllegalArgumentException](session.cypher(
+      """MATCH (a:Nation)-[r:IN_REGION]->(b)
+        |MATCH (r:Region) RETURN count(*) AS n""".stripMargin))
+  }
+
+  test("an edge-var name in one query does not poison the next (session scope)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, lit, map}
+    // nodes carry a dynamic props map, edges do not: if query 1's edge var
+    // `x` leaked into query 2's compile, x.extra would wrongly resolve
+    // against the EDGE table and miss the node props fallback
+    val nodes = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .select(col("id"), array(lit("N")).as("labels"), col("name"),
+        map(lit("extra"), lit("v1")).as("props"))
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("E").as("rel"))
+    val s2 = new GraftSession(spark, graft.graph.PropertyGraph(nodes, edges))
+    val t = s2.cypher("MATCH (a:N)-[x:E]->(b:N) RETURN type(x) AS t")
+      .collect().head.getString(0)
+    assert(t == "E")
+    val extra = s2.cypher("MATCH (x:N {name: 'a'}) RETURN x.extra AS e")
+      .collect().head.getString(0)
+    assert(extra == "v1")
   }
 
   test("edge variable on var-length pattern is rejected with a clear error") {
