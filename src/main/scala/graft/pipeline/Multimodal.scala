@@ -55,9 +55,13 @@ object Multimodal {
     */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
     if (!looksLikeImage(bytes)) return None
+    // NonFatal, not just IOException: JDK image plugins throw runtime
+    // exceptions (AIOOBE, NegativeArraySize, IAE) on payloads that pass
+    // the magic sniff but are truncated/corrupt — a bad record must fall
+    // back to None, not kill the Spark task
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)

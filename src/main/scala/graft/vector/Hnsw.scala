@@ -1,6 +1,6 @@
 package graft.vector
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
@@ -228,21 +228,51 @@ object Hnsw {
       build(corpus, idCol, vecCol, m, efConstruction, metric))
 
   /** The query side collects to the driver for broadcast (the reference's
-    * batch_vector_search shape) — but in BOUNDED CHUNKS: one query
-    * partition per wave, so driver memory never holds more than a
-    * partition of queries regardless of query-set size. A corpus-sized
-    * query side becomes a sequence of broadcast waves instead of a driver
-    * OOM (the round-6 scale caveat).
+    * batch_vector_search shape) — but in BOUNDED CHUNKS: a LAZY iterator
+    * of one query partition per wave, and each wave is fully processed
+    * (materialized + its broadcast destroyed) before the next partition is
+    * collected — so driver memory holds at most one partition of queries
+    * at a time. A corpus-sized query side becomes a sequence of broadcast
+    * waves instead of a driver OOM (the round-6 scale caveat).
     */
   private def queryBatches(queries: DataFrame, qIdCol: String,
-      qVecCol: String): Seq[Array[(Long, Array[Float])]] = {
+      qVecCol: String): Iterator[Array[(Long, Array[Float])]] = {
     val sc = queries.sparkSession.sparkContext
     val rdd = queries
       .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
       .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    rdd.partitions.indices.map { i =>
+    rdd.partitions.indices.iterator.map { i =>
       sc.runJob(rdd, (it: Iterator[(Long, Array[Float])]) => it.toArray, Seq(i)).head
     }.filter(_.nonEmpty)
+  }
+
+  /** Per-wave search: each query batch runs to completion — beam search
+    * over every index partition, per-batch top-k merge, localCheckpoint to
+    * materialize the (small, k-bounded) result — then its broadcast is
+    * destroyed before the next batch is collected. Per-batch top-k is
+    * final because every qid lives in exactly one batch.
+    */
+  private def searchInWaves(spark: SparkSession,
+      searchBatch: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]] => DataFrame,
+      batches: Iterator[Array[(Long, Array[Float])]], k: Int): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(new Knn.TopKAgg(k), ExpressionEncoder[(Double, Long)]())
+    def finish(perPart: DataFrame): DataFrame = perPart
+      .groupBy("__qid")
+      .agg(topk(col("__score"), col("__nid")).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
+      .select(col("__qid").as("qid"), col("__sn._2").as("nid"),
+        col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+    val waves = batches.map { qRows =>
+      val bq = spark.sparkContext.broadcast(qRows)
+      val out = finish(searchBatch(bq)).localCheckpoint() // eager
+      bq.destroy()
+      out
+    }.toList
+    waves.reduceOption(_ unionByName _).getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Double, Int)].toDF("qid", "nid", "score", "rank")
+    }
   }
 
   /** Search a built index: broadcast queries (chunked — see
@@ -255,9 +285,7 @@ object Hnsw {
       k: Int, efSearch: Int = 64, excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val batches = queryBatches(queries, qIdCol, qVecCol)
-    val perPart = batches.map { qRows =>
-      val bq = spark.sparkContext.broadcast(qRows)
+    searchInWaves(spark, bq => {
       index.flatMap { idx =>
         bq.value.iterator.flatMap { case (qid, qv) =>
           idx.search(qv, if (excludeSelf) k + 1 else k, efSearch)
@@ -267,15 +295,7 @@ object Hnsw {
             .take(k)
         }
       }.toDF("__qid", "__nid", "__score")
-    }.reduceOption(_ unionByName _)
-      .getOrElse(Seq.empty[(Long, Long, Double)].toDF("__qid", "__nid", "__score"))
-    val topk = udaf(new Knn.TopKAgg(k), ExpressionEncoder[(Double, Long)]())
-    perPart
-      .groupBy("__qid")
-      .agg(topk(col("__score"), col("__nid")).as("__top"))
-      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
-      .select(col("__qid").as("qid"), col("__sn._2").as("nid"),
-        col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+    }, queryBatches(queries, qIdCol, qVecCol), k)
   }
 
   /** One-shot distributed top-k (build + search in one pass) — the
@@ -286,34 +306,12 @@ object Hnsw {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, m: Int = 16, efConstruction: Int = 100, efSearch: Int = 64,
       excludeSelf: Boolean = true, metric: Knn.Metric = Knn.Cosine): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val batches = queryBatches(queries, qIdCol, qVecCol)
-    val perPart = batches.map { qRows =>
-      val bq = spark.sparkContext.broadcast(qRows)
-      corpus
-        .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-        .as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val index = new Index(m, efConstruction, metric)
-          it.foreach { case (id, v) => index.insert(id, v) }
-          bq.value.iterator.flatMap { case (qid, qv) =>
-            index.search(qv, if (excludeSelf) k + 1 else k, efSearch)
-              .collect { case (nid, s) if !excludeSelf || nid != qid =>
-                (qid, nid, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-              }
-              .take(k)
-          }
-        }
-        .toDF("__qid", "__nid", "__score")
-    }.reduceOption(_ unionByName _)
-      .getOrElse(Seq.empty[(Long, Long, Double)].toDF("__qid", "__nid", "__score"))
-    val topk = udaf(new Knn.TopKAgg(k), ExpressionEncoder[(Double, Long)]())
-    perPart
-      .groupBy("__qid")
-      .agg(topk(col("__score"), col("__nid")).as("__top"))
-      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
-      .select(col("__qid").as("qid"), col("__sn._2").as("nid"),
-        col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+    // build ONCE (per-partition graphs persisted), then search wave by
+    // wave — the index insert loop is the dominant cost and must not be
+    // repeated per query batch. The waves materialize inside searchIndex
+    // (localCheckpoint), so the one-shot index can be released right away.
+    val index = build(corpus, idCol, vecCol, m, efConstruction, metric)
+    try searchIndex(index, queries, qIdCol, qVecCol, k, efSearch, excludeSelf)
+    finally index.unpersist(blocking = false)
   }
 }
