@@ -135,33 +135,40 @@ object GraphIO {
     def list(spark: SparkSession, path: String): Seq[Long] =
       marks(spark, path, "_epochs")
 
-    /** Commit `g` as the next epoch; returns the epoch number. */
+    /** Commit `g` as the next epoch; returns the epoch number.
+      *
+      * In-JVM writers serialize the WHOLE claim→write→publish sequence:
+      * Hadoop's FileOutputCommitter task-attempt bookkeeping is not safe
+      * for concurrent same-JVM jobs on some filesystems, and the local
+      * ChecksumFileSystem's `create(path, overwrite=false)` is a
+      * non-atomic exists-check-then-create — two threads can both "win"
+      * the same claim and then collide on the publish marker. CROSS-
+      * process writers need no lock on HDFS/object stores whose
+      * create-exclusive IS atomic: the claim marker guarantees one writer
+      * per epoch directory, and a loser bumps the number and retries.
+      */
     def commit(g: PropertyGraph, path: String): Long = {
       val spark = g.nodes.sparkSession
       val f = fs(spark, path)
-      var epoch = marks(spark, path, "_claims").lastOption.map(_ + 1).getOrElse(0L)
-      var claimed = false
-      while (!claimed) {
-        // atomic create-exclusive claim: owns the number AND its data dir
-        try {
-          f.create(new org.apache.hadoop.fs.Path(s"$path/_claims/$epoch"), false).close()
-          claimed = true
-        } catch {
-          case _: java.io.IOException =>
-            epoch = math.max(epoch + 1,
-              marks(spark, path, "_claims").lastOption.map(_ + 1).getOrElse(epoch + 1))
-        }
-      }
-      // In-JVM writers serialize the data phase: Hadoop's FileOutputCommitter
-      // task-attempt bookkeeping is not safe for concurrent same-JVM jobs on
-      // some filesystems. CROSS-process isolation needs no lock — the claim
-      // marker already guarantees one writer per epoch directory.
       writeLock.synchronized {
+        var epoch = marks(spark, path, "_claims").lastOption.map(_ + 1).getOrElse(0L)
+        var claimed = false
+        while (!claimed) {
+          // atomic create-exclusive claim: owns the number AND its data dir
+          try {
+            f.create(new org.apache.hadoop.fs.Path(s"$path/_claims/$epoch"), false).close()
+            claimed = true
+          } catch {
+            case _: java.io.IOException =>
+              epoch = math.max(epoch + 1,
+                marks(spark, path, "_claims").lastOption.map(_ + 1).getOrElse(epoch + 1))
+          }
+        }
         save(g, s"$path/e$epoch")
+        // publish: the commit point readers observe
+        f.create(new org.apache.hadoop.fs.Path(s"$path/_epochs/$epoch"), false).close()
+        epoch
       }
-      // publish: the commit point readers observe
-      f.create(new org.apache.hadoop.fs.Path(s"$path/_epochs/$epoch"), false).close()
-      epoch
     }
 
     private val writeLock = new Object
