@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.GraftSession
 import graft.frontends.sparql.{SparqlFrontend, SparqlUpdates}
-import graft.graph.{QuadStore, TpchGraph, TpchRdf}
+import graft.graph.{L, QuadStore, TpchGraph, TpchRdf, TripleGraph, TriplePattern, V}
 
 /** Third-wave coverage: named-graph management, SPARQL ASK/CONSTRUCT,
   * Cypher OPTIONAL MATCH.
@@ -58,6 +58,36 @@ object Extra2QueriesImpl {
       Seq(e0, e1).map { e =>
         (e, s0.asOf(path, e).graph.nodes.count())
       }.toDF("epoch", "n_nodes").orderBy("epoch")
+    },
+
+    // Epoch time travel on the RDF store (mvcc.rs:16-75 version chains
+    // applied to the triple side — the Delta-style pattern SURVEY §7.2 maps
+    // MVCC to): commit the customer-segment triples as e0, commit the
+    // BUILDING→RETAIL Modify as e1, then as-of read BOTH epochs — e0 still
+    // shows the pre-update distribution, proving update isolation.
+    QueryDef(
+      "q_rdf_asof",
+      """SELECT epoch, n_building, n_total FROM (
+        |  SELECT CAST(0 AS BIGINT) AS epoch,
+        |         CAST((SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS n_building,
+        |         CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total
+        |  UNION ALL
+        |  SELECT 1, 0, (SELECT count(*) FROM customer)
+        |)
+        |ORDER BY epoch NULLS FIRST""".stripMargin) { (s, dir) =>
+      val path = java.nio.file.Files.createTempDirectory("graft_rdf_epoch").toString
+      val seg = TripleGraph(TpchRdf(s, dir).triples.filter(col("p") === "segment"))
+      val e0 = graft.sources.GraphIO.Epochs.commitTriples(seg, path)
+      val retagged = seg.modify(
+        where = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
+        deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
+        insertTpl = Seq(TriplePattern(V("c"), L("segment"), L("RETAIL"))))
+      val e1 = graft.sources.GraphIO.Epochs.commitTriples(retagged, path)
+      import s.implicits._
+      Seq(e0, e1).map { e =>
+        val t = graft.sources.GraphIO.Epochs.asOfTriples(s, path, e).triples
+        (e, t.filter(col("o") === "BUILDING").count(), t.count())
+      }.toDF("epoch", "n_building", "n_total").orderBy("epoch")
     },
 
     // Transaction begin/commit isolation (transaction/manager.rs;

@@ -94,5 +94,36 @@ object TpchQueriesImpl {
         .orderBy(desc("revenue"), asc("c_custkey"))
         .limit(20)
     },
+
+    // CBO-planned join (reference optimizer/mod.rs:74-90 statistics
+    // seeding): ANALYZE'd catalog tables + spark.sql.cbo drive the join
+    // planning from row counts and column stats instead of raw file sizes
+    // — the compile-time complement to AQE's runtime re-planning. The
+    // result is materialized INSIDE the CBO scope (localCheckpoint) so the
+    // executed plan really is the stats-driven one.
+    QueryDef(
+      "q_cbo_join",
+      """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_urgent
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1
+        |ORDER BY nation NULLS FIRST""".stripMargin) { (s, dir) =>
+      graft.core.Stats.analyze(s, dir,
+        tables = Seq("nation", "customer", "orders"))
+      graft.core.Stats.withCbo(s) {
+        s.table("graft_stats.orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .join(s.table("graft_stats.customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(s.table("graft_stats.nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_urgent"))
+          .orderBy("nation")
+          .localCheckpoint()
+      }
+    },
   )
 }

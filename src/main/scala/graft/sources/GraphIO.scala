@@ -79,6 +79,14 @@ object GraphIO {
 
   // ---- RDF snapshot ----
 
+  // RDF terms are stored in lexical string form (typed literals keep their
+  // ^^datatype suffix), so the reload schemas are FIXED — which also makes
+  // an EMPTY store round-trip (a partitioned empty write leaves only
+  // _SUCCESS, nothing to infer a schema from).
+  private def stringSchema(cols: String*): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+
   def saveTriples(g: TripleGraph, path: String): Unit =
     // vertical-partitioning by predicate: a BGP pattern with a bound
     // predicate reads only its own partition directories
@@ -86,7 +94,7 @@ object GraphIO {
       .parquet(s"$path/triples")
 
   def loadTriples(spark: SparkSession, path: String): TripleGraph = {
-    val t = spark.read.parquet(s"$path/triples")
+    val t = spark.read.schema(stringSchema("s", "p", "o")).parquet(s"$path/triples")
     // partitionBy moved `p` to the end; restore canonical (s, p, o) order
     TripleGraph(t.select("s", "p", "o"))
   }
@@ -96,7 +104,8 @@ object GraphIO {
       .parquet(s"$path/quads")
 
   def loadQuads(spark: SparkSession, path: String): QuadStore =
-    QuadStore(spark.read.parquet(s"$path/quads").select("g", "s", "p", "o"))
+    QuadStore(spark.read.schema(stringSchema("g", "s", "p", "o"))
+      .parquet(s"$path/quads").select("g", "s", "p", "o"))
 
   // ---- epoch-versioned snapshots: MVCC as-of reads ----
 
@@ -135,11 +144,41 @@ object GraphIO {
     def list(spark: SparkSession, path: String): Seq[Long] =
       marks(spark, path, "_epochs")
 
-    /** Commit `g` as the next epoch; returns the epoch number.
+    /** Commit `g` as the next epoch; returns the epoch number. */
+    def commit(g: PropertyGraph, path: String): Long =
+      claimAndPublish(g.nodes.sparkSession, path)(dir => save(g, dir))
+
+    /** Epoch-commit an RDF triple store — Delta-style time travel for the
+      * SPARQL side: each LOAD/Modify result lands as an immutable epoch,
+      * [[asOfTriples]] reads any committed one.
+      */
+    def commitTriples(g: TripleGraph, path: String): Long =
+      claimAndPublish(g.triples.sparkSession, path)(dir => saveTriples(g, dir))
+
+    def asOfTriples(spark: SparkSession, path: String, epoch: Long): TripleGraph = {
+      require(list(spark, path).contains(epoch),
+        s"epoch $epoch is not committed at $path")
+      loadTriples(spark, s"$path/e$epoch")
+    }
+
+    /** Epoch-commit a named-graph quad store (same contract as
+      * [[commitTriples]], with the `g` column riding along).
+      */
+    def commitQuads(q: QuadStore, path: String): Long =
+      claimAndPublish(q.quads.sparkSession, path)(dir => saveQuads(q, dir))
+
+    def asOfQuads(spark: SparkSession, path: String, epoch: Long): QuadStore = {
+      require(list(spark, path).contains(epoch),
+        s"epoch $epoch is not committed at $path")
+      loadQuads(spark, s"$path/e$epoch")
+    }
+
+    /** The shared claim→write→publish core: `write` persists the payload
+      * into the claimed epoch directory, whatever the payload's shape.
       *
-      * In-JVM writers serialize the WHOLE claim→write→publish sequence:
-      * Hadoop's FileOutputCommitter task-attempt bookkeeping is not safe
-      * for concurrent same-JVM jobs on some filesystems, and the local
+      * In-JVM writers serialize the WHOLE sequence: Hadoop's
+      * FileOutputCommitter task-attempt bookkeeping is not safe for
+      * concurrent same-JVM jobs on some filesystems, and the local
       * ChecksumFileSystem's `create(path, overwrite=false)` is a
       * non-atomic exists-check-then-create — two threads can both "win"
       * the same claim and then collide on the publish marker. CROSS-
@@ -147,8 +186,8 @@ object GraphIO {
       * create-exclusive IS atomic: the claim marker guarantees one writer
       * per epoch directory, and a loser bumps the number and retries.
       */
-    def commit(g: PropertyGraph, path: String): Long = {
-      val spark = g.nodes.sparkSession
+    private def claimAndPublish(spark: SparkSession, path: String)(
+        write: String => Unit): Long = {
       val f = fs(spark, path)
       writeLock.synchronized {
         var epoch = marks(spark, path, "_claims").lastOption.map(_ + 1).getOrElse(0L)
@@ -164,7 +203,7 @@ object GraphIO {
                 marks(spark, path, "_claims").lastOption.map(_ + 1).getOrElse(epoch + 1))
           }
         }
-        save(g, s"$path/e$epoch")
+        write(s"$path/e$epoch")
         // publish: the commit point readers observe
         f.create(new org.apache.hadoop.fs.Path(s"$path/_epochs/$epoch"), false).close()
         epoch

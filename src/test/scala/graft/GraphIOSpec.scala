@@ -90,6 +90,41 @@ class GraphIOSpec extends AnyFunSuite {
     assert(back.quads.collect().toSet == q.quads.collect().toSet)
   }
 
+  test("epoch store: triple epochs are isolated immutable snapshots") {
+    val dir = tmp()
+    val t0 = graft.graph.TripleGraph(
+      Seq(("s1", "p1", "o1"), ("s2", "p1", "o2")).toDF("s", "p", "o"))
+    val e0 = GraphIO.Epochs.commitTriples(t0, dir)
+    val t1 = graft.graph.TripleGraph(t0.triples.unionByName(
+      Seq(("s3", "p2", "o3")).toDF("s", "p", "o")))
+    val e1 = GraphIO.Epochs.commitTriples(t1, dir)
+    assert(GraphIO.Epochs.asOfTriples(spark, dir, e0).triples.count() == 2)
+    assert(GraphIO.Epochs.asOfTriples(spark, dir, e1).triples.count() == 3)
+    assertThrows[IllegalArgumentException](
+      GraphIO.Epochs.asOfTriples(spark, dir, 9L))
+    // an EMPTY store round-trips via the fixed reload schema (a partitioned
+    // empty write leaves only _SUCCESS — nothing to infer from)
+    val e2 = GraphIO.Epochs.commitTriples(
+      graft.graph.TripleGraph(t0.triples.limit(0)), dir)
+    val empty = GraphIO.Epochs.asOfTriples(spark, dir, e2).triples
+    assert(empty.columns.toSeq == Seq("s", "p", "o") && empty.count() == 0)
+  }
+
+  test("epoch store: quad epochs commit and as-of read, empty included") {
+    val dir = tmp()
+    val q0 = QuadStore(Seq(("g1", "s1", "p1", "o1")).toDF("g", "s", "p", "o"))
+    val e0 = GraphIO.Epochs.commitQuads(q0, dir)
+    val q1 = q0.insert("g2", Seq(("s2", "p2", "o2")).toDF("s", "p", "o"))
+    val e1 = GraphIO.Epochs.commitQuads(q1, dir)
+    assert(GraphIO.Epochs.asOfQuads(spark, dir, e0).quads.count() == 1)
+    val back1 = GraphIO.Epochs.asOfQuads(spark, dir, e1)
+    assert(back1.quads.columns.toSeq == Seq("g", "s", "p", "o"))
+    assert(back1.quads.count() == 2)
+    val e2 = GraphIO.Epochs.commitQuads(q1.drop("g1").drop("g2"), dir)
+    val empty = GraphIO.Epochs.asOfQuads(spark, dir, e2).quads
+    assert(empty.columns.toSeq == Seq("g", "s", "p", "o") && empty.count() == 0)
+  }
+
   test("csv interchange round-trips nodes, labels, and edge properties") {
     val g = PropertyGraph(
       Seq((1L, Seq("A", "B"), "x"), (2L, Seq("A"), "y")).toDF("id", "labels", "name"),
