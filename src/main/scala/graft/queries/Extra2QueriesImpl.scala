@@ -90,6 +90,34 @@ object Extra2QueriesImpl {
       }.toDF("epoch", "n_building", "n_total").orderBy("epoch")
     },
 
+    // Epoch change data feed: the e0→e1 diff of the q_rdf_asof shape is
+    // exactly the retagged customers — counted per (change, object), it is
+    // SQL-predictable without the engine seeing either epoch's full data.
+    // This is the incremental-processing primitive: downstream consumers
+    // read the delta, not the corpus.
+    QueryDef(
+      "q_epoch_diff",
+      """SELECT change, o, n FROM (
+        |  SELECT 'add' AS change, 'RETAIL' AS o,
+        |         CAST((SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS n
+        |  UNION ALL
+        |  SELECT 'remove', 'BUILDING',
+        |         (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING')
+        |)
+        |ORDER BY change NULLS FIRST""".stripMargin) { (s, dir) =>
+      val path = java.nio.file.Files.createTempDirectory("graft_rdf_cdf").toString
+      val seg = TripleGraph(TpchRdf(s, dir).triples.filter(col("p") === "segment"))
+      val e0 = graft.sources.GraphIO.Epochs.commitTriples(seg, path)
+      val retagged = seg.modify(
+        where = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
+        deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
+        insertTpl = Seq(TriplePattern(V("c"), L("segment"), L("RETAIL"))))
+      val e1 = graft.sources.GraphIO.Epochs.commitTriples(retagged, path)
+      graft.sources.GraphIO.Epochs.diffTriples(s, path, e0, e1)
+        .groupBy("change", "o").agg(count(lit(1)).as("n"))
+        .orderBy("change")
+    },
+
     // Transaction begin/commit isolation (transaction/manager.rs;
     // Session::begin_transaction): a staged CREATE is visible inside the
     // transaction and in the committed graph, and invisible to the base

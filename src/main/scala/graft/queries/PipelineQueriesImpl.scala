@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.{Dedup, Ranking, Sampling, TextAnalysis}
 
 /** Training-data pipeline operator coverage: dedup (exact / MinHash-LSH /
   * n-gram Jaccard), text analysis (tokens, quality, language ID,
@@ -256,6 +256,118 @@ object PipelineQueriesImpl {
       Dedup.minHashNearDuplicates(doubled, "doc_id", "text",
           n = 3, numHashes = 16, threshold = 1.0)
         .orderBy("id1", "id2")
+    },
+
+    // TF-IDF weighting (smoothed idf): top-3 terms per document for a
+    // 10-doc slice, ranked on the ROUNDED score so float ulp noise cannot
+    // flip ties; term asc breaks exact ties identically on both sides.
+    QueryDef(
+      "q_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+        |), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         round(tf.tf * (ln((n.n + 1.0) / (dfx.df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf, dfx, n WHERE tf.term = dfx.term
+        |),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM scored WHERE doc_id < 10
+        |)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id NULLS FIRST, score DESC, term NULLS FIRST""".stripMargin) { (s, dir) =>
+      val scored = Ranking.tfidf(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("doc_id") < 10)
+        .withColumn("score", round(col("score"), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+
+    // BM25 retrieval (k1=1.2, b=0.75): top-10 documents for a 3-term
+    // bag-of-words query, scores rounded before the ranking cut.
+    QueryDef(
+      "q_bm25",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+        |), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) * 1.0 AS dl FROM tok2 GROUP BY 1),
+        |dfx AS (
+        |  SELECT term, ln(1.0 + ((SELECT count(*) * 1.0 FROM documents) - count(*) + 0.5)
+        |                        / (count(*) + 0.5)) AS idf
+        |  FROM tf WHERE term IN ('spark', 'vector', 'query') GROUP BY term
+        |)
+        |SELECT tf.doc_id AS doc_id,
+        |       round(sum(dfx.idf * (tf.tf * (1.2 + 1)) /
+        |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avg(dl) FROM dl)))), 4) AS score
+        |FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id NULLS FIRST
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      Ranking.bm25(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "vector", "query"))
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+
+    // Deterministic hash sampling (portable multiplicative hash — the
+    // SAME rows are kept by the DuckDB oracle evaluating the identical
+    // integer arithmetic): ~20% per language stratum with no per-stratum
+    // pass, membership stable under repartitioning and append.
+    QueryDef(
+      "q_sample",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |FROM documents
+        |WHERE ((doc_id * 2654435761) % 1000000007) % 1000 < 200
+        |GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
+      Sampling.sampleByKey(Tables.documents(s, dir), "doc_id", 200)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    },
+
+    // Exact proportional stratified sample: each language keeps exactly
+    // ceil(n_lang * 20%) rows (hash-ranked inside the stratum).
+    QueryDef(
+      "q_sample_exact",
+      """SELECT lang, CAST(ceil(count(*) * 200 / 1000.0) AS BIGINT) AS n
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
+      Sampling.stratifiedExact(Tables.documents(s, dir), "lang", "doc_id", 200)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    },
+
+    // Deterministic train/test split: disjoint and exhaustive by
+    // construction, ~10% test, reproducible from the key alone.
+    QueryDef(
+      "q_split",
+      """SELECT part, n FROM (
+        |  SELECT 'test' AS part,
+        |         CAST(count(*) FILTER (WHERE ((doc_id * 2654435761) % 1000000007) % 1000 < 100) AS BIGINT) AS n
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'train',
+        |         count(*) FILTER (WHERE ((doc_id * 2654435761) % 1000000007) % 1000 >= 100)
+        |  FROM documents
+        |)
+        |ORDER BY part NULLS FIRST""".stripMargin) { (s, dir) =>
+      val (train, test) = Sampling.trainTestSplit(
+        Tables.documents(s, dir), "doc_id", 100)
+      import s.implicits._
+      Seq(("test", test.count()), ("train", train.count()))
+        .toDF("part", "n").orderBy("part")
     },
   )
 }

@@ -173,6 +173,22 @@ object GraphIO {
       loadQuads(spark, s"$path/e$epoch")
     }
 
+    /** Change data feed between two committed triple epochs: one row per
+      * triple added or removed going `from` → `to` (`change` ∈ add |
+      * remove) — the incremental-processing primitive: downstream jobs
+      * consume what changed since their last epoch instead of rescanning
+      * the corpus. Two hash anti-joins on the full (s, p, o) key.
+      */
+    def diffTriples(spark: SparkSession, path: String,
+        from: Long, to: Long): DataFrame = {
+      val a = asOfTriples(spark, path, from).triples
+      val b = asOfTriples(spark, path, to).triples
+      val key = Seq("s", "p", "o")
+      b.join(a, key, "left_anti").withColumn("change", lit("add"))
+        .unionByName(a.join(b, key, "left_anti").withColumn("change", lit("remove")))
+        .select("change", "s", "p", "o")
+    }
+
     /** The shared claim→write→publish core: `write` persists the payload
       * into the claimed epoch directory, whatever the payload's shape.
       *

@@ -110,6 +110,26 @@ class GraphIOSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("s", "p", "o") && empty.count() == 0)
   }
 
+  test("epoch store: diffTriples is the exact add/remove delta") {
+    val dir = tmp()
+    val t0 = graft.graph.TripleGraph(
+      Seq(("a", "p", "1"), ("b", "p", "2"), ("c", "q", "3")).toDF("s", "p", "o"))
+    val e0 = GraphIO.Epochs.commitTriples(t0, dir)
+    // e1: drop (b,p,2), add (d,p,4) — (a,p,1)/(c,q,3) unchanged
+    val t1 = graft.graph.TripleGraph(
+      Seq(("a", "p", "1"), ("c", "q", "3"), ("d", "p", "4")).toDF("s", "p", "o"))
+    val e1 = GraphIO.Epochs.commitTriples(t1, dir)
+    val d = GraphIO.Epochs.diffTriples(spark, dir, e0, e1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(d == Set(("add", "d", "p", "4"), ("remove", "b", "p", "2")))
+    // reversed direction flips the change labels
+    val rev = GraphIO.Epochs.diffTriples(spark, dir, e1, e0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rev == Set(("add", "b"), ("remove", "d")))
+    // self-diff is empty
+    assert(GraphIO.Epochs.diffTriples(spark, dir, e0, e0).count() == 0)
+  }
+
   test("epoch store: quad epochs commit and as-of read, empty included") {
     val dir = tmp()
     val q0 = QuadStore(Seq(("g1", "s1", "p1", "o1")).toDF("g", "s", "p", "o"))

@@ -491,3 +491,78 @@ class HnswSpec extends AnyFunSuite {
     assert(runIdx(q.coalesce(1)).nonEmpty)
   }
 }
+
+class RankingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.pipeline.Ranking
+
+  private val docs = Seq(
+    (1L, "spark spark spark data"),
+    (2L, "data model data model"),
+    (3L, "data tuning guide"),
+    (4L, "data data data data")).toDF("doc_id", "text")
+
+  test("tfidf: a corpus-rare term outscores a corpus-wide term in its doc") {
+    val scored = Ranking.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // doc 1: 'spark' (df=1, tf=3) must beat 'data' (df=4, tf=1)
+    assert(scored((1L, "spark")) > scored((1L, "data")))
+    // same tf, different df: 'tuning' (df=1) beats 'data' (df=4) in doc 3
+    assert(scored((3L, "tuning")) > scored((3L, "data")))
+    // idf is smoothed strictly positive: even the everywhere-term scores > 0
+    assert(scored((4L, "data")) > 0.0)
+  }
+
+  test("bm25: more matching terms rank higher; tf saturates") {
+    val corpus = Seq(
+      (1L, "spark query engine"),
+      (2L, "spark spark spark spark spark spark spark spark"),
+      (3L, "unrelated words entirely"),
+      (4L, "spark query")).toDF("doc_id", "text")
+    val s = Ranking.bm25(corpus, "doc_id", "text", Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // both terms beat eight repeats of one term (k1 saturation)
+    assert(s(1L) > s(2L) && s(4L) > s(2L))
+    // no-match docs are absent, not zero-scored
+    assert(!s.contains(3L))
+  }
+}
+
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.pipeline.Sampling
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("split is disjoint, exhaustive, and repartition-invariant") {
+    val (train, test) = Sampling.trainTestSplit(docs, "doc_id", 100)
+    assert(train.count() + test.count() == docs.count())
+    assert(train.join(test, "doc_id").count() == 0)
+    // determinism: membership is a pure function of the key, so any
+    // repartitioning yields the SAME test set (df.sample would not)
+    val (_, test2) = Sampling.trainTestSplit(docs.repartition(7), "doc_id", 100)
+    val ids = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(test) == ids(test2) && ids(test).nonEmpty)
+  }
+
+  test("stratifiedExact keeps exactly ceil(n*p) rows per stratum") {
+    val per = Sampling.stratifiedExact(docs, "lang", "doc_id", 200)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.keySet == full.keySet)
+    full.foreach { case (lang, n) =>
+      assert(per(lang) == math.ceil(n * 200 / 1000.0).toLong,
+        s"stratum $lang: got ${per(lang)} of $n")
+    }
+  }
+
+  test("sampleByKey fraction lands near the target permille") {
+    val kept = Sampling.sampleByKey(docs, "doc_id", 200).count().toDouble
+    val frac = kept / docs.count()
+    assert(frac > 0.12 && frac < 0.28, s"kept fraction $frac far from 0.2")
+  }
+}
