@@ -90,6 +90,48 @@ object Extra2QueriesImpl {
       }.toDF("epoch", "n_building", "n_total").orderBy("epoch")
     },
 
+    // Delta epochs: e0 is a full snapshot, e1/e2 store only their diffs
+    // (O(changed rows) commit I/O), and as-of reads REPLAY the delta chain
+    // from the nearest full snapshot — every epoch's counts must match the
+    // same SQL the full-snapshot store would satisfy.
+    QueryDef(
+      "q_rdf_incremental",
+      """SELECT epoch, n_total, n_building, n_machinery FROM (
+        |  SELECT CAST(0 AS BIGINT) AS epoch,
+        |         CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+        |         CAST((SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS n_building,
+        |         CAST((SELECT count(*) FROM customer WHERE c_mktsegment = 'MACHINERY') AS BIGINT) AS n_machinery
+        |  UNION ALL
+        |  SELECT 1, (SELECT count(*) FROM customer), 0,
+        |         (SELECT count(*) FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |  UNION ALL
+        |  SELECT 2,
+        |         (SELECT count(*) FROM customer) - (SELECT count(*) FROM customer WHERE c_mktsegment = 'MACHINERY'),
+        |         0, 0
+        |)
+        |ORDER BY epoch NULLS FIRST""".stripMargin) { (s, dir) =>
+      val path = java.nio.file.Files.createTempDirectory("graft_rdf_inc").toString
+      val seg = TripleGraph(TpchRdf(s, dir).triples.filter(col("p") === "segment"))
+      val e0 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(seg, path)
+      val m1 = seg.modify(
+        where = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
+        deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
+        insertTpl = Seq(TriplePattern(V("c"), L("segment"), L("RETAIL"))))
+      val e1 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(m1, path)
+      val m2 = m1.modify(
+        where = Seq(TriplePattern(V("c"), L("segment"), L("MACHINERY"))),
+        deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("MACHINERY"))),
+        insertTpl = Seq.empty)
+      val e2 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(m2, path)
+      import s.implicits._
+      Seq(e0, e1, e2).map { e =>
+        val t = graft.sources.GraphIO.Epochs.asOfTriples(s, path, e).triples
+        (e, t.count(),
+          t.filter(col("o") === "BUILDING").count(),
+          t.filter(col("o") === "MACHINERY").count())
+      }.toDF("epoch", "n_total", "n_building", "n_machinery").orderBy("epoch")
+    },
+
     // Epoch change data feed: the e0→e1 diff of the q_rdf_asof shape is
     // exactly the retagged customers — counted per (change, object), it is
     // SQL-predictable without the engine seeing either epoch's full data.

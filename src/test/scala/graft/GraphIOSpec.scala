@@ -110,6 +110,36 @@ class GraphIOSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("s", "p", "o") && empty.count() == 0)
   }
 
+  test("epoch store: delta epochs replay against the nearest full snapshot") {
+    val dir = tmp()
+    def tg(rows: (String, String, String)*) =
+      graft.graph.TripleGraph(rows.toDF("s", "p", "o"))
+    def setOf(e: Long) = GraphIO.Epochs.asOfTriples(spark, dir, e).triples
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val e0 = GraphIO.Epochs.commitTriplesIncremental(
+      tg(("a", "p", "1"), ("b", "p", "2")), dir) // first commit = full
+    val e1 = GraphIO.Epochs.commitTriplesIncremental(
+      tg(("a", "p", "1"), ("c", "p", "3")), dir) // -b +c, delta
+    val e2 = GraphIO.Epochs.commitTriplesIncremental(
+      tg(("c", "p", "3")), dir)                  // -a, delta on delta
+    assert(setOf(e0) == Set(("a", "p", "1"), ("b", "p", "2")))
+    assert(setOf(e1) == Set(("a", "p", "1"), ("c", "p", "3")))
+    assert(setOf(e2) == Set(("c", "p", "3")))
+    // the delta epochs really stored deltas, not snapshots
+    assert(new java.io.File(s"$dir/e$e1/_delta").exists)
+    assert(!new java.io.File(s"$dir/e$e1/triples").exists)
+    // epoch numbers divisible by fullEvery force a fresh full snapshot
+    val e3 = GraphIO.Epochs.commitTriplesIncremental(
+      tg(("z", "p", "9")), dir, fullEvery = 3)
+    assert(e3 == 3L && new java.io.File(s"$dir/e3/triples").exists)
+    assert(setOf(e3) == Set(("z", "p", "9")))
+    assert(GraphIO.Epochs.latestTriples(spark, dir).triples.count() == 1)
+    // a bare delta commit with nothing underneath is rejected
+    assertThrows[IllegalArgumentException](
+      GraphIO.Epochs.commitTriplesDelta(spark, tmp(),
+        tg(("x", "p", "0")).triples, tg().triples))
+  }
+
   test("epoch store: diffTriples is the exact add/remove delta") {
     val dir = tmp()
     val t0 = graft.graph.TripleGraph(
