@@ -163,6 +163,27 @@ object VectorQueriesImpl {
         .orderBy("qid", "rank")
     },
 
+    // Persisted HNSW (the reference serializes its index with the
+    // database): save the built per-partition graphs to parquet, load
+    // them back, and search the LOADED index — the round-trip must still
+    // find every planted duplicate, same oracle as q_knn_hnsw.
+    QueryDef(
+      "q_knn_hnsw_persist",
+      knnPlantedOracle) { (s, dir) =>
+      val aug = augmented(Tables.embeddings(s, dir), 5)
+      val built = graft.vector.Hnsw.buildCached(s"aug5:$dir", aug,
+        "vec_id", "embedding", m = 16, efConstruction = 100)
+      val path = java.nio.file.Files.createTempDirectory("graft_hnsw").toString
+      graft.vector.Hnsw.save(built, path)
+      val loaded = graft.vector.Hnsw.load(s, path)
+      try graft.vector.Hnsw.searchIndex(loaded,
+          aug.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 1, efSearch = 64)
+        .orderBy("qid", "rank")
+        .localCheckpoint()
+      finally loaded.unpersist(blocking = false)
+    },
+
     // Scalar quantization (vector/quantization.rs): per-dimension min/max
     // codebook, code = floor((x-min)/(max-min)·255). min/max are exact
     // selections (not sums) and the map is one IEEE expression chain, so

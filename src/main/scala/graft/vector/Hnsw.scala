@@ -31,8 +31,8 @@ object Hnsw {
     * registered-index lifecycle (`CREATE VECTOR INDEX … USING HNSW` builds
     * once; queries search the stored graphs).
     */
-  final class Index(m: Int, efC: Int,
-      metric: Knn.Metric = Knn.Cosine) extends Serializable {
+  final class Index(private[Hnsw] val m: Int, private[Hnsw] val efC: Int,
+      private[Hnsw] val metric: Knn.Metric = Knn.Cosine) extends Serializable {
     private[Hnsw] val ids = mutable.ArrayBuffer.empty[Long]
     private[Hnsw] val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     private[Hnsw] val norms = mutable.ArrayBuffer.empty[Double]
@@ -210,6 +210,98 @@ object Hnsw {
         Iterator.single(index)
       }
       .persist()
+    idx.count()
+    idx
+  }
+
+  private def metricName(m: Knn.Metric): String = m match {
+    case Knn.Cosine    => "cosine"
+    case Knn.Euclidean => "euclidean"
+    case Knn.Dot       => "dot"
+    case Knn.Manhattan => "manhattan"
+  }
+  private def metricOf(s: String): Knn.Metric = s match {
+    case "cosine"    => Knn.Cosine
+    case "euclidean" => Knn.Euclidean
+    case "dot"       => Knn.Dot
+    case "manhattan" => Knn.Manhattan
+  }
+
+  /** Persist a built index to parquet — the durable half of the
+    * `CREATE VECTOR INDEX` lifecycle (the reference serializes its HNSW
+    * with the database; the registry here is process-lifetime, so a
+    * restart would otherwise pay the full rebuild). Layout:
+    *
+    *   <path>/nodes/  part, idx, id, level, vec, nbrs (per-layer adjacency)
+    *   <path>/meta/   part, entry, m, efc, metric, num_parts
+    *
+    * One row per corpus vector — the write is a distributed dump of the
+    * per-partition graphs, no driver materialization.
+    */
+  def save(index: org.apache.spark.rdd.RDD[Index], path: String): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val numParts = index.getNumPartitions
+    index.mapPartitionsWithIndex { (p, it) =>
+      it.flatMap { ix =>
+        ix.ids.indices.iterator.map { i =>
+          (p, i, ix.ids(i), ix.nodeLevel(i), ix.vecs(i),
+            ix.layers.iterator.map(l =>
+              if (i < l.length) l(i).toArray else Array.empty[Int]).toArray)
+        }
+      }
+    }.toDF("part", "idx", "id", "level", "vec", "nbrs")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/nodes")
+    index.mapPartitionsWithIndex { (p, it) =>
+      it.map(ix => (p, ix.entry, ix.m, ix.efC, metricName(ix.metric), numParts))
+    }.toDF("part", "entry", "m", "efc", "metric", "num_parts")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** Load a [[save]]d index: rows shuffle back to their original
+    * partition (HashPartitioner sends part k to partition k) and each
+    * partition reconstructs its graph — search results are identical to
+    * the pre-save index because the whole structure round-trips, nothing
+    * is rebuilt.
+    */
+  def load(spark: SparkSession, path: String): org.apache.spark.rdd.RDD[Index] = {
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.nonEmpty, s"no HNSW index stored at $path")
+    val h = metaRows.head
+    val (m, efc) = (h.getAs[Int]("m"), h.getAs[Int]("efc"))
+    val metric = metricOf(h.getAs[String]("metric"))
+    val numParts = h.getAs[Int]("num_parts")
+    val entries = metaRows.map(r => r.getAs[Int]("part") -> r.getAs[Int]("entry")).toMap
+    val rows = spark.read.parquet(s"$path/nodes")
+      .select("part", "idx", "id", "level", "vec", "nbrs").rdd
+      .map { r =>
+        (r.getInt(0), (r.getInt(1), r.getLong(2), r.getInt(3),
+          r.getSeq[Float](4).toArray,
+          r.getSeq[scala.collection.Seq[Int]](5).map(_.toArray).toArray))
+      }
+      .partitionBy(new org.apache.spark.HashPartitioner(numParts))
+    val idx = rows.mapPartitionsWithIndex { (p, it) =>
+      val ix = new Index(m, efc, metric)
+      val ns = it.map(_._2).toArray.sortBy(_._1)
+      ns.foreach { case (i, id, level, vec, _) =>
+        require(ix.ids.length == i, s"non-contiguous node index $i in part $p")
+        ix.ids += id
+        ix.vecs += vec
+        ix.norms += math.sqrt(vec.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+        ix.nodeLevel += level
+      }
+      val numLayers = ns.iterator.map(_._5.length).maxOption.getOrElse(0)
+      for (l <- 0 until numLayers) {
+        val layer = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
+        ns.foreach { case (_, _, _, _, nbrs) =>
+          layer += (if (l < nbrs.length) mutable.ArrayBuffer(nbrs(l).toSeq: _*)
+                    else mutable.ArrayBuffer.empty[Int])
+        }
+        ix.layers += layer
+      }
+      ix.entry = entries.getOrElse(p, -1)
+      Iterator.single(ix)
+    }.persist()
     idx.count()
     idx
   }

@@ -490,6 +490,25 @@ class HnswSpec extends AnyFunSuite {
     assert(runIdx(q.repartition(5)) == runIdx(q.coalesce(1)))
     assert(runIdx(q.coalesce(1)).nonEmpty)
   }
+
+  test("a saved index loads back with identical search results") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_persist").toString
+    val corpus = emb.repartition(3)
+    val built = graft.vector.Hnsw.build(corpus, "vec_id", "embedding")
+    graft.vector.Hnsw.save(built, dir)
+    val loaded = graft.vector.Hnsw.load(spark, dir)
+    val q = emb.filter($"vec_id" < 8)
+    def res(ix: org.apache.spark.rdd.RDD[graft.vector.Hnsw.Index]) =
+      graft.vector.Hnsw.searchIndex(ix, q, "vec_id", "embedding", k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // the whole graph round-trips — results are identical, not merely
+    // similar (same adjacency, same entry points, same tie-breaks)
+    assert(res(loaded) == res(built))
+    assert(res(loaded).nonEmpty)
+    built.unpersist(blocking = false)
+    loaded.unpersist(blocking = false)
+  }
 }
 
 class RankingSpec extends AnyFunSuite {
