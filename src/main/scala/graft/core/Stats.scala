@@ -19,11 +19,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Stats {
 
+  // db -> the config it was last analyzed with: a repeat call with the
+  // SAME config skips the re-scan (ANALYZE costs full table reads; the
+  // underlying parquet is immutable test data), a different config
+  // re-registers and re-analyzes.
+  private val analyzed = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Register the parquet tables under `dir` as EXTERNAL catalog tables in
     * database `db` (metadata only — the parquet stays in place) and run
     * ANALYZE over each: row count + size always, per-column min/max/NDV/
     * null-count when `columnStats` (unsupported column types are skipped
-    * by FOR ALL COLUMNS). Idempotent; re-running refreshes the stats.
+    * by FOR ALL COLUMNS). Re-running with identical arguments is a no-op
+    * within the process; changed arguments refresh the registration.
     *
     * `events` is excluded by default: its TIMESTAMP(NANOS) column needs
     * the [[Tables]] legacy-nanos read path, which a catalog scan bypasses.
@@ -31,6 +38,8 @@ object Stats {
   def analyze(spark: SparkSession, dir: String, db: String = "graft_stats",
       tables: Seq[String] = Tables.all.filterNot(_ == "events"),
       columnStats: Boolean = true): Unit = {
+    val key = (dir +: columnStats.toString +: tables).mkString("\u0001")
+    if (analyzed.get(db).contains(key)) return
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     tables.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $db.$t")
@@ -38,6 +47,7 @@ object Stats {
       spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS" +
         (if (columnStats) " FOR ALL COLUMNS" else ""))
     }
+    analyzed(db) = key
   }
 
   /** Run `body` with compile-time cost-based optimization enabled

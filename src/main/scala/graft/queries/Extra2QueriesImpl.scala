@@ -85,7 +85,8 @@ object Extra2QueriesImpl {
       val e1 = graft.sources.GraphIO.Epochs.commitTriples(retagged, path)
       import s.implicits._
       Seq(e0, e1).map { e =>
-        val t = graft.sources.GraphIO.Epochs.asOfTriples(s, path, e).triples
+        val t = graft.sources.GraphIO.Epochs.asOfTriples(s, path, e)
+          .triples.localCheckpoint()
         (e, t.filter(col("o") === "BUILDING").count(), t.count())
       }.toDF("epoch", "n_building", "n_total").orderBy("epoch")
     },
@@ -125,7 +126,10 @@ object Extra2QueriesImpl {
       val e2 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(m2, path)
       import s.implicits._
       Seq(e0, e1, e2).map { e =>
-        val t = graft.sources.GraphIO.Epochs.asOfTriples(s, path, e).triples
+        // materialize the replayed chain once — the three counts would
+        // otherwise each re-run the full delta replay
+        val t = graft.sources.GraphIO.Epochs.asOfTriples(s, path, e)
+          .triples.localCheckpoint()
         (e, t.count(),
           t.filter(col("o") === "BUILDING").count(),
           t.filter(col("o") === "MACHINERY").count())
