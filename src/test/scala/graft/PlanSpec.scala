@@ -178,4 +178,22 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*(") || p.contains("WholeStageCodegen"), s"got:\n$p")
   }
+
+  test("deterministic sampling evaluates in the scan stage, text never read") {
+    val p = plan("q_sample")
+    // the hash-bucket predicate is a pure column expression: it runs
+    // inside the scan's filter (DataFilters), costs no shuffle, and the
+    // wide text column is pruned from the read entirely
+    assert(p.split("DataFilters")(1).split("\n")(0).contains("pmod"),
+      s"hash filter should evaluate in the scan stage:\n$p")
+    assert(!p.split("ReadSchema")(1).split("\n")(0).contains("text"),
+      "text column must be pruned from the sampling scan")
+  }
+
+  test("tf-idf broadcasts the document-frequency table") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"idf table should broadcast, not shuffle the token table:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
