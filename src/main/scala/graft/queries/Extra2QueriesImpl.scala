@@ -54,10 +54,12 @@ object Extra2QueriesImpl {
         new GraftSession(s, g).cypherUpdate(s"CREATE (:Region {id: $i})")
       }
       val e1 = new GraftSession(s, mutated).commitEpoch(path)
-      import s.implicits._
+      // one action for both epochs' node counts (was count() per epoch)
       Seq(e0, e1).map { e =>
-        (e, s0.asOf(path, e).graph.nodes.count())
-      }.toDF("epoch", "n_nodes").orderBy("epoch")
+        s0.asOf(path, e).graph.nodes.select(lit(e).as("epoch"))
+      }.reduce(_ unionByName _)
+        .groupBy("epoch").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("epoch")
     },
 
     // Epoch time travel on the RDF store (mvcc.rs:16-75 version chains
@@ -83,12 +85,16 @@ object Extra2QueriesImpl {
         deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
         insertTpl = Seq(TriplePattern(V("c"), L("segment"), L("RETAIL"))))
       val e1 = graft.sources.GraphIO.Epochs.commitTriples(retagged, path)
-      import s.implicits._
+      // Both epochs' counts in ONE union+group-by job (an action per epoch
+      // per metric was 6 scheduler round-trips for 6 numbers).
       Seq(e0, e1).map { e =>
-        val t = graft.sources.GraphIO.Epochs.asOfTriples(s, path, e)
-          .triples.localCheckpoint()
-        (e, t.filter(col("o") === "BUILDING").count(), t.count())
-      }.toDF("epoch", "n_building", "n_total").orderBy("epoch")
+        graft.sources.GraphIO.Epochs.asOfTriples(s, path, e)
+          .triples.select(lit(e).as("epoch"), col("o"))
+      }.reduce(_ unionByName _)
+        .groupBy("epoch")
+        .agg(count(when(col("o") === "BUILDING", 1)).as("n_building"),
+             count(lit(1)).as("n_total"))
+        .orderBy("epoch")
     },
 
     // Delta epochs: e0 is a full snapshot, e1/e2 store only their diffs
@@ -124,16 +130,19 @@ object Extra2QueriesImpl {
         deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("MACHINERY"))),
         insertTpl = Seq.empty)
       val e2 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(m2, path)
-      import s.implicits._
+      // All nine counts in ONE union+group-by job: each epoch's replayed
+      // chain is tagged and unioned, so the delta replay runs once per
+      // epoch inside a single action (the per-epoch count loop was 12
+      // scheduler round-trips — checkpoint + 3 actions × 3 epochs).
       Seq(e0, e1, e2).map { e =>
-        // materialize the replayed chain once — the three counts would
-        // otherwise each re-run the full delta replay
-        val t = graft.sources.GraphIO.Epochs.asOfTriples(s, path, e)
-          .triples.localCheckpoint()
-        (e, t.count(),
-          t.filter(col("o") === "BUILDING").count(),
-          t.filter(col("o") === "MACHINERY").count())
-      }.toDF("epoch", "n_total", "n_building", "n_machinery").orderBy("epoch")
+        graft.sources.GraphIO.Epochs.asOfTriples(s, path, e)
+          .triples.select(lit(e).as("epoch"), col("o"))
+      }.reduce(_ unionByName _)
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_total"),
+             count(when(col("o") === "BUILDING", 1)).as("n_building"),
+             count(when(col("o") === "MACHINERY", 1)).as("n_machinery"))
+        .orderBy("epoch")
     },
 
     // Epoch change data feed: the e0→e1 diff of the q_rdf_asof shape is
