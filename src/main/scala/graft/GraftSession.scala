@@ -169,6 +169,42 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   def commitEpoch(path: String): Long =
     graft.sources.GraphIO.Epochs.commit(graph, path)
 
+  /** `DatabaseStats` as one row per metric (reference database.rs:1318
+    * `detailed_stats`; shape admin.rs:51).
+    */
+  def stats: DataFrame = graft.graph.Admin.stats(graph)
+
+  /** LPG schema introspection: `(kind: label|edge_type, name, count)`
+    * rows (reference database.rs:1365 `schema`; admin.rs:72-98).
+    */
+  def schemaInfo: DataFrame = graft.graph.Admin.schemaInfo(graph)
+
+  /** Referential-integrity audit: `(kind, code, n)` rows — dangling
+    * edge endpoints as counts (reference database.rs:1432 `validate`).
+    */
+  def validate: DataFrame = graft.graph.Admin.validate(graph)
+
+  /** Build a sorted-projection index over a node property (reference
+    * database.rs:998 `create_property_index`); [[findNodesByProperty]]
+    * lookups on `prop` then prune to O(matches) row groups.
+    */
+  def createPropertyIndex(prop: String, dir: String): Unit =
+    graft.graph.PropertyIndexes.create(graph, prop, dir)
+
+  /** database.rs:1245 `drop_property_index`. */
+  def dropPropertyIndex(prop: String): Boolean =
+    graft.graph.PropertyIndexes.drop(graph, prop)
+
+  /** database.rs:1251 `has_property_index`. */
+  def hasPropertyIndex(prop: String): Boolean =
+    graft.graph.PropertyIndexes.has(graph, prop)
+
+  /** Node ids with `prop = value` — via the index when one exists, full
+    * scan fallback otherwise (reference database.rs:1270).
+    */
+  def findNodesByProperty(prop: String, value: Any): DataFrame =
+    graft.graph.PropertyIndexes.findNodesByProperty(graph, prop, value)
+
   /** Begin a transaction (reference Session::begin_transaction,
     * transaction/manager.rs): mutations stage on a private snapshot —
     * reads INSIDE the transaction see them, this session never does.

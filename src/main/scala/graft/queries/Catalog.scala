@@ -43,6 +43,7 @@ object Catalog {
     Algo2Queries.defs,
     WindowQueries.defs,
     TpchQueries.defs,
+    AdminQueries.defs,
   )
 
   lazy val defs: Seq[QueryDef] = {

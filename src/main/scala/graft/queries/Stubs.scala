@@ -15,3 +15,4 @@ object Extra2Queries { def defs: Seq[QueryDef] = Extra2QueriesImpl.defs }
 object Algo2Queries { def defs: Seq[QueryDef] = Algo2QueriesImpl.defs }
 object WindowQueries { def defs: Seq[QueryDef] = WindowQueriesImpl.defs }
 object TpchQueries { def defs: Seq[QueryDef] = TpchQueriesImpl.defs }
+object AdminQueries { def defs: Seq[QueryDef] = AdminQueriesImpl.defs }
