@@ -169,6 +169,12 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   def commitEpoch(path: String): Long =
     graft.sources.GraphIO.Epochs.commit(graph, path)
 
+  /** First column of the first result row — the scalar-convenience
+    * entry point (reference database.rs:479 `query_scalar`; routes
+    * through the default GQL/Cypher `execute` path like the reference).
+    */
+  def queryScalar(query: String): Any = gql(query).head().get(0)
+
   /** `DatabaseStats` as one row per metric (reference database.rs:1318
     * `detailed_stats`; shape admin.rs:51).
     */

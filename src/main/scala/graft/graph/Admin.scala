@@ -97,6 +97,31 @@ object Admin {
       .orderBy("kind", "name")
   }
 
+  /** `RdfSchemaInfo` (database.rs:1400 `rdf_schema`; admin.rs:101-119)
+    * flattened to rows `(kind, name, count)`: one `predicate` row per
+    * distinct predicate with its triple count, plus `subject_count` /
+    * `object_count` summary rows (distinct terms). When the store is a
+    * [[QuadStore]], `named_graph` rows ride along (the reference stubs
+    * those out — its RdfStore has no named graphs; ours do). One job.
+    */
+  def rdfSchemaInfo(triples: DataFrame): DataFrame = {
+    val preds = triples.select(lit("predicate").as("kind"), col("p").as("name"))
+      .groupBy("kind", "name").agg(count(lit(1)).as("count"))
+    val subjects = triples
+      .agg(count_distinct(col("s")).as("count"))
+      .select(lit("summary").as("kind"), lit("subject_count").as("name"), col("count"))
+    val objects = triples
+      .agg(count_distinct(col("o")).as("count"))
+      .select(lit("summary").as("kind"), lit("object_count").as("name"), col("count"))
+    val graphs =
+      if (triples.columns.contains("g"))
+        triples.select(lit("named_graph").as("kind"), col("g").as("name"))
+          .groupBy("kind", "name").agg(count(lit(1)).as("count"))
+      else preds.limit(0)
+    preds.unionByName(graphs).unionByName(subjects).unionByName(objects)
+      .orderBy("kind", "name")
+  }
+
   /** `validate()` (database.rs:1432): referential-integrity audit as
     * rows `(kind: error|warning, code, n)` — counts instead of the
     * reference's per-entity error list, because at 100 TB a dangling-edge

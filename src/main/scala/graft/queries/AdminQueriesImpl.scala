@@ -81,6 +81,37 @@ object AdminQueriesImpl {
       new GraftSession(s, broken).validate
     },
 
+    // rdf_schema() (database.rs:1400; RdfSchemaInfo admin.rs:101-119):
+    // per-predicate triple counts plus distinct subject/object totals —
+    // the oracle mirrors the triple construction exactly (union of the
+    // same term families, distinct-counted).
+    QueryDef(
+      "q_rdf_schema",
+      """SELECT kind, name, count FROM (
+        |  SELECT 'predicate' AS kind, 'name' AS name,
+        |         CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+        |            + (SELECT count(*) FROM supplier) AS BIGINT) AS count
+        |  UNION ALL SELECT 'predicate', 'segment', (SELECT count(*) FROM customer)
+        |  UNION ALL SELECT 'predicate', 'inNation',
+        |            (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+        |  UNION ALL SELECT 'summary', 'subject_count',
+        |    (SELECT count(DISTINCT s) FROM (
+        |       SELECT 'c:' || c_custkey AS s FROM customer
+        |       UNION ALL SELECT 'n:' || n_nationkey FROM nation
+        |       UNION ALL SELECT 's:' || s_suppkey FROM supplier))
+        |  UNION ALL SELECT 'summary', 'object_count',
+        |    (SELECT count(DISTINCT o) FROM (
+        |       SELECT c_name AS o FROM customer
+        |       UNION ALL SELECT c_mktsegment FROM customer
+        |       UNION ALL SELECT 'n:' || c_nationkey FROM customer
+        |       UNION ALL SELECT n_name FROM nation
+        |       UNION ALL SELECT s_name FROM supplier
+        |       UNION ALL SELECT 'n:' || s_nationkey FROM supplier))
+        |)
+        |ORDER BY kind NULLS FIRST, name NULLS FIRST""".stripMargin) { (s, dir) =>
+      graft.graph.Admin.rdfSchemaInfo(graft.graph.TpchRdf(s, dir).triples)
+    },
+
     // Property index (database.rs:998/1270): index the shared `category`
     // column (Customer mktsegment / Part brand / Order status), then point
     // lookups through the sorted projection. The id_sum checksum proves the

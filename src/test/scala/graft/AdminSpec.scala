@@ -63,6 +63,24 @@ class AdminSpec extends AnyFunSuite {
     assert(w("NO_EDGES") == 1)
   }
 
+  test("rdfSchemaInfo reports named-graph rows for quad stores") {
+    import graft.graph.QuadStore
+    val quads = TestSpark.spark.range(4).selectExpr(
+      "concat('s:', id) AS s", "'p' AS p", "concat('o:', id) AS o",
+      "CASE WHEN id < 3 THEN 'g:a' ELSE 'g:b' END AS g")
+    val rows = Admin.rdfSchemaInfo(QuadStore(quads).quads).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows(("named_graph", "g:a")) == 3)
+    assert(rows(("named_graph", "g:b")) == 1)
+    assert(rows(("summary", "subject_count")) == 4)
+  }
+
+  test("queryScalar returns the first column of the first row") {
+    val n = new GraftSession(spark, g)
+      .queryScalar("MATCH (r:Region) RETURN count(*) AS n")
+    assert(n == 5L)
+  }
+
   test("property index returns exactly the scan-equivalent id set") {
     val dir = java.nio.file.Files.createTempDirectory("adminspec_idx").toString
     val session = new GraftSession(spark, g)
