@@ -111,6 +111,30 @@ object AlgoQueriesImpl {
         .orderBy("id")
     },
 
+    // Worst-case-optimal triangle enumeration (leapfrog_join.rs via
+    // HyperCube partitioning — graft.algos.Wcoj): exact triangle SET, not
+    // just counts — the id sums checksum every coordinate against the
+    // oracle's binary-join enumeration.
+    QueryDef(
+      "q_wcoj_triangle",
+      s"""WITH $DagSql,
+        |ue AS (SELECT src AS u, dst AS v FROM dag UNION SELECT dst, src FROM dag),
+        |tri AS (SELECT x.u AS a, x.v AS b, y.v AS c
+        |        FROM ue x JOIN ue y ON y.u = x.v
+        |        JOIN ue z ON z.u = y.v AND z.v = x.u
+        |        WHERE x.u < x.v AND x.v < y.v)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(a) AS BIGINT) AS sum_a,
+        |       CAST(sum(b) AS BIGINT) AS sum_b,
+        |       CAST(sum(c) AS BIGINT) AS sum_c
+        |FROM tri
+        |ORDER BY n NULLS FIRST""".stripMargin) { (s, dir) =>
+      graft.algos.Wcoj.triangles(TpchGraph.partDag(s, dir).edges, shares = 2)
+        .agg(count(lit(1)).as("n"), sum(col("a")).as("sum_a"),
+          sum(col("b")).as("sum_b"), sum(col("c")).as("sum_c"))
+        .orderBy("n")
+    },
+
     // Bounded weighted SSSP (shortest_path.rs:99/:346): Pregel Bellman-Ford,
     // <= 8 hops, weight = (dst % 7) + 1. Oracle enumerates the bounded walk
     // space and takes the min.
