@@ -52,8 +52,10 @@ final case class QuadStore(quads: DataFrame) {
     * graph (SPARQL 1.1 Update §3.1.1; omitted graph = "default"). N-Triples
     * parsing is a distributed line-wise regexp extraction — no driver-side
     * file reads, so a 100 TB dump loads exactly like any other text source.
-    * Literal objects keep their lexical form without escape processing
-    * (matching the store's plain-string term encoding).
+    * Literal objects unescape `\"` and `\\` (the two escapes
+    * GraphIO.exportNTriples emits — export → LOAD round-trips
+    * term-exact); other sequences keep their lexical form (matching the
+    * store's plain-string term encoding).
     */
   def load(spark: SparkSession, uri: String, into: Option[String]): QuadStore = {
     val path = uri.stripPrefix("file://").stripPrefix("file:")
@@ -76,7 +78,11 @@ final case class QuadStore(quads: DataFrame) {
             deIri(col("s0")).as("s"),
             deIri(col("p0")).as("p"),
             when(col("o0").startsWith("\""),
-                regexp_extract(col("o0"), "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1))
+                // unescape \" and \\ — the two escapes exportNTriples
+                // emits; other sequences keep their lexical form
+                regexp_replace(
+                  regexp_extract(col("o0"), "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1),
+                  "\\\\([\"\\\\])", "$1"))
               .otherwise(deIri(col("o0"))).as("o"))
       }
     insert(name, triples)
@@ -109,6 +115,14 @@ final case class QuadStore(quads: DataFrame) {
 }
 
 object QuadStore {
+  /** A store with no quads — the LOAD/import starting point. */
+  def empty(spark: SparkSession): QuadStore = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    QuadStore(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("g", "s", "p", "o").map(StructField(_, StringType)))))
+  }
+
   /** Deterministic quads view: documents keyed by their source as the named
     * graph — (g=source, s=doc:id, p, o).
     */

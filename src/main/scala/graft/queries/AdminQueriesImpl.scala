@@ -112,6 +112,36 @@ object AdminQueriesImpl {
       graft.graph.Admin.rdfSchemaInfo(graft.graph.TpchRdf(s, dir).triples)
     },
 
+    // Dump-format round-trip (reference DumpFormat Parquet|Turtle|Json,
+    // admin.rs; CLI backup/data commands): export the customer-segment
+    // triples as N-Triples AND as JSON-Lines, re-import both, and count
+    // per (format, predicate) — both registers must reproduce the exact
+    // triple multiset the parquet-born store carries.
+    QueryDef(
+      "q_rdf_export",
+      """SELECT fmt, p, n FROM (
+        |  SELECT 'jsonl' AS fmt, 'segment' AS p,
+        |         CAST((SELECT count(*) FROM customer) AS BIGINT) AS n
+        |  UNION ALL SELECT 'nt', 'segment', (SELECT count(*) FROM customer)
+        |)
+        |ORDER BY fmt NULLS FIRST, p NULLS FIRST""".stripMargin) { (s, dir) =>
+      import graft.sources.GraphIO
+      val seg = graft.graph.TripleGraph(
+        graft.graph.TpchRdf(s, dir).triples.filter(col("p") === "segment"))
+      val ntDir = java.nio.file.Files.createTempDirectory("graft_nt").toString
+      val jsDir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      GraphIO.exportNTriples(seg, ntDir)
+      GraphIO.exportJsonl(seg, jsDir)
+      val viaNt = graft.graph.QuadStore.empty(s)
+        .load(s, s"file:$ntDir", Some("nt")).quads
+        .select(lit("nt").as("fmt"), col("p"))
+      val viaJs = GraphIO.importJsonl(s, jsDir).triples
+        .select(lit("jsonl").as("fmt"), col("p"))
+      viaNt.unionByName(viaJs)
+        .groupBy("fmt", "p").agg(count(lit(1)).as("n"))
+        .orderBy("fmt", "p")
+    },
+
     // Property index (database.rs:998/1270): index the shared `category`
     // column (Customer mktsegment / Part brand / Order status), then point
     // lookups through the sorted projection. The id_sum checksum proves the

@@ -99,6 +99,31 @@ object GraphIO {
     TripleGraph(t.select("s", "p", "o"))
   }
 
+  /** Serialize a triple store as N-Triples text — the reference's
+    * Turtle-family dump (admin.rs DumpFormat, grafeo-cli backup/data
+    * commands). A distributed text write, one line per triple:
+    * subject/predicate as IRIs, object as a quoted literal with `\` and
+    * `"` backslash-escaped (QuadStore.load reverses exactly these two,
+    * so export → LOAD round-trips term-exact at any scale).
+    */
+  def exportNTriples(g: TripleGraph, path: String): Unit =
+    g.triples.select(concat(
+        lit("<"), col("s"), lit("> <"), col("p"), lit("> \""),
+        regexp_replace(col("o"), "([\"\\\\])", "\\\\$1"),
+        lit("\" .")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
+  /** JSON-Lines dump (reference DumpFormat::Json): one `{s, p, o}`
+    * object per line — schema-stable, so [[importJsonl]] reads it back
+    * with an explicit schema (no inference pass over the corpus).
+    */
+  def exportJsonl(g: TripleGraph, path: String): Unit =
+    g.triples.select("s", "p", "o").write.mode(SaveMode.Overwrite).json(path)
+
+  def importJsonl(spark: SparkSession, path: String): TripleGraph =
+    TripleGraph(spark.read.schema(stringSchema("s", "p", "o")).json(path)
+      .select("s", "p", "o"))
+
   def saveQuads(q: QuadStore, path: String): Unit =
     q.quads.write.mode(SaveMode.Overwrite).partitionBy("g")
       .parquet(s"$path/quads")

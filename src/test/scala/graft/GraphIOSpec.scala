@@ -200,4 +200,29 @@ class GraphIOSpec extends AnyFunSuite {
     // partition pruning shows up as a PartitionFilters entry on the scan
     assert(plan.contains("PartitionFilters: [isnotnull(p"), plan.take(500))
   }
+
+  test("N-Triples export → LOAD round-trips term-exact, escapes included") {
+    val nasty = Seq(
+      ("s:1", "p", "plain value"),
+      ("s:2", "p", "with \"quotes\" inside"),
+      ("s:3", "p", "back\\slash and trailing \\"),
+      ("s:4", "p", "\"both\" \\ mixed \"")).toDF("s", "p", "o")
+    val dir = tmp()
+    GraphIO.exportNTriples(graft.graph.TripleGraph(nasty), dir)
+    val back = QuadStore.empty(spark).load(spark, s"file:$dir", Some("g"))
+      .quads.select("s", "p", "o")
+    val want = nasty.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val got = back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want)
+  }
+
+  test("JSONL export/import round-trips term-exact") {
+    val t = TpchRdf(spark, sf).triples
+    val dir = tmp()
+    GraphIO.exportJsonl(graft.graph.TripleGraph(t), dir)
+    val back = GraphIO.importJsonl(spark, dir).triples
+    assert(back.count() == t.count())
+    assert(t.join(back, Seq("s", "p", "o"), "left_anti").count() == 0)
+    assert(back.join(t, Seq("s", "p", "o"), "left_anti").count() == 0)
+  }
 }
