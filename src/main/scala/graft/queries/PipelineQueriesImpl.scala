@@ -223,6 +223,51 @@ object PipelineQueriesImpl {
         .orderBy("id1", "id2")
     },
 
+    // MinHash-LSH near-dup with a FULL exact oracle: plant ~0.8-jaccard
+    // near-duplicates (80%-prefix truncation — prefix shingles are a
+    // subset, so the pair's jaccard is |prefix|/|full|), run the real
+    // signature→band→verify pipeline at r=1 (bands = numHashes, the
+    // high-recall banding: a pair is missed only if ALL 16 independent
+    // minhashes disagree — P ≈ (1−s)^16 ≈ 7e-12 at s = 0.8, and the
+    // fixed fixture makes the outcome deterministic), and verify with
+    // exact jaccard. The oracle computes exact 2-gram jaccard over ALL
+    // pairs directly — candidate generation must therefore be lossless
+    // on this fixture, proving the pipeline end-to-end, not rows-only.
+    QueryDef(
+      "q_neardup_verified",
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 150
+        |),
+        |planted AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(w[1 : GREATEST(CAST(floor(len(w)*4/5) AS INT), 3)], ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)
+        |),
+        |d AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d)
+        |  WHERE len(w) >= 2
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |               / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id1, id2, jac FROM pairs WHERE jac >= 0.5
+        |ORDER BY id1 NULLS FIRST, id2 NULLS FIRST""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val ws = split(col("text"), " ")
+      val k = greatest(floor(size(ws) * 4 / 5).cast("int"), lit(3))
+      val planted = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(ws, lit(1), k)).as("text"))
+      Dedup.minHashNearDuplicates(base.unionByName(planted), "doc_id", "text",
+          n = 2, numHashes = 16, bands = 16, threshold = 0.5)
+        .orderBy("id1", "id2")
+    },
+
     // MinHash-LSH at threshold 1.0 IS oracle-exact: jaccard = 1 means equal
     // shingle sets, equal sets hash to identical signatures and bands, so
     // every qualifying pair collides with probability 1 and verification
