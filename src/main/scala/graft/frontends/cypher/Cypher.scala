@@ -100,6 +100,7 @@ object Ast {
       onCreate: Seq[(Expr.Prop, Expr.E)] = Seq.empty,
       onMatch: Seq[(Expr.Prop, Expr.E)] = Seq.empty) extends Clause
   final case class RemoveClause(v: String, label: String) extends Clause
+  final case class RemovePropClause(v: String, prop: String) extends Clause
   final case class WithRet(items: Seq[(Expr.E, Option[String])],
       distinct: Boolean, where: Option[Expr.E], orderBy: Seq[(Expr.E, Boolean)],
       skip: Option[Long], limit: Option[Long], isReturn: Boolean) extends Clause
@@ -164,7 +165,7 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
         case Some(Kw("DETACH")) =>
           next(); expect(Kw("DELETE")("")); clauses += parseDelete(detach = true)
         case Some(Kw("DELETE")) => next(); clauses += parseDelete(detach = false)
-        case Some(Kw("REMOVE")) => next(); clauses += parseRemove()
+        case Some(Kw("REMOVE")) => next(); clauses ++= parseRemove()
         case other => fail(s"unexpected $other")
       }
     }
@@ -249,17 +250,36 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     DeleteClause(vars.result(), detach)
   }
 
-  private def parseRemove(): RemoveClause = {
-    val v = next() match {
-      case Ident(x) => x
-      case other => fail(s"REMOVE expects var:Label, got $other")
+  /** REMOVE items (reference cypher ast.rs:350-361 RemoveItem): either
+    * labels `n:A:B` (one clause per label) or a property `n.prop`;
+    * comma-separated items allowed.
+    */
+  private def parseRemove(): Seq[Clause] = {
+    val out = Seq.newBuilder[Clause]
+    def item(): Unit = {
+      val v = next() match {
+        case Ident(x) => x
+        case other => fail(s"REMOVE expects var:Label or var.prop, got $other")
+      }
+      if (eat(Sym("."))) {
+        val prop = next() match {
+          case Ident(p) => p
+          case other => fail(s"expected property name, got $other")
+        }
+        out += RemovePropClause(v, prop)
+      } else {
+        expect(Sym(":"))
+        def label(): Unit = next() match {
+          case Ident(l) => out += RemoveClause(v, l)
+          case other => fail(s"expected label, got $other")
+        }
+        label()
+        while (eat(Sym(":"))) label()
+      }
     }
-    expect(Sym(":"))
-    val label = next() match {
-      case Ident(l) => l
-      case other => fail(s"expected label, got $other")
-    }
-    RemoveClause(v, label)
+    item()
+    while (eat(Sym(","))) item()
+    out.result()
   }
 
   private def parseMatch(optional: Boolean = false): MatchClause = {
@@ -967,7 +987,7 @@ object CypherFrontend {
         cur = Op.Unwind(cur, list, as)
 
       case _: CreateClause | _: SetClause | _: DeleteClause | _: MergeClause |
-          _: RemoveClause =>
+          _: RemoveClause | _: RemovePropClause =>
         throw new IllegalArgumentException(
           "mutation clauses run through GraftSession.cypherUpdate, not cypher()")
 

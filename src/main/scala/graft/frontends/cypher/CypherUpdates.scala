@@ -19,13 +19,13 @@ object CypherUpdates {
     val q = CypherFrontend.parse(query)
     val (readPrefix, actions) = q.clauses.span {
       case _: CreateClause | _: SetClause | _: DeleteClause | _: MergeClause |
-          _: RemoveClause => false
+          _: RemoveClause | _: RemovePropClause => false
       case _ => true
     }
     require(actions.nonEmpty, "no mutation clause; use cypher() for reads")
     require(actions.forall {
       case _: CreateClause | _: SetClause | _: DeleteClause | _: MergeClause |
-          _: RemoveClause => true
+          _: RemoveClause | _: RemovePropClause => true
       case _ => false
     }, "mutation clauses must come last")
 
@@ -145,6 +145,9 @@ object CypherUpdates {
 
     case RemoveClause(v, label) =>
       Mutations.removeLabelByIds(g, bindings.select(col(v)), label)
+
+    case RemovePropClause(v, prop) =>
+      Mutations.removeNodePropertyByIds(g, bindings.select(col(v)), prop)
 
     case MergeClause(node, onCreate, onMatch) =>
       val label = node.label.getOrElse(

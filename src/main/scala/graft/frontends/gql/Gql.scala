@@ -59,7 +59,8 @@ object GqlFrontend {
       val parts = CypherFrontend.parseAll(q)
       val isMutation = parts.head._1.clauses.exists {
         case _: Ast.CreateClause | _: Ast.SetClause | _: Ast.DeleteClause |
-            _: Ast.MergeClause | _: Ast.RemoveClause => true
+            _: Ast.MergeClause | _: Ast.RemoveClause |
+            _: Ast.RemovePropClause => true
         case _ => false
       }
       if (isMutation) {

@@ -94,6 +94,34 @@ object Mutations {
           .otherwise(col("props"))))
     }
 
+  /** RemoveProperty (reference database.rs:966 remove_node_property /
+    * :974 remove_edge_property; Cypher `REMOVE n.prop`): a typed column
+    * nulls out for matched rows (NULL is the absent-property encoding —
+    * `properties()` and IS NULL tests agree); a dynamic key drops from
+    * the `props` map.
+    */
+  def removeNodeProperty(g: PropertyGraph, cond: Column, prop: String): PropertyGraph =
+    if (g.nodes.columns.contains(prop))
+      g.copy(nodes = g.nodes.withColumn(prop,
+        when(cond, lit(null).cast(g.nodes.schema(prop).dataType))
+          .otherwise(col(prop))))
+    else if (g.nodes.columns.contains("props"))
+      g.copy(nodes = g.nodes.withColumn("props",
+        when(cond, map_filter(coalesce(col("props"), map()), (k, _) => k =!= prop))
+          .otherwise(col("props"))))
+    else g // nothing to remove
+
+  def removeEdgeProperty(g: PropertyGraph, cond: Column, prop: String): PropertyGraph =
+    if (g.edges.columns.contains(prop))
+      g.copy(edges = g.edges.withColumn(prop,
+        when(cond, lit(null).cast(g.edges.schema(prop).dataType))
+          .otherwise(col(prop))))
+    else if (g.edges.columns.contains("props"))
+      g.copy(edges = g.edges.withColumn("props",
+        when(cond, map_filter(coalesce(col("props"), map()), (k, _) => k =!= prop))
+          .otherwise(col("props"))))
+    else g
+
   /** AddLabel / RemoveLabel (plan.rs:458-475): labels is an array column;
     * add = distinct append, remove = filter out.
     */
@@ -164,6 +192,21 @@ object Mutations {
         when(col("__hit") && !array_contains(col("labels"), label),
           array_append(col("labels"), label)).otherwise(col("labels")))
       .drop("__hit"))
+
+  def removeNodePropertyByIds(g: PropertyGraph, ids: DataFrame, prop: String): PropertyGraph =
+    if (g.nodes.columns.contains(prop))
+      g.copy(nodes = flagByIds(g, ids)
+        .withColumn(prop,
+          when(col("__hit"), lit(null).cast(g.nodes.schema(prop).dataType))
+            .otherwise(col(prop)))
+        .drop("__hit"))
+    else if (g.nodes.columns.contains("props"))
+      g.copy(nodes = flagByIds(g, ids)
+        .withColumn("props",
+          when(col("__hit"), map_filter(coalesce(col("props"), map()), (k, _) => k =!= prop))
+            .otherwise(col("props")))
+        .drop("__hit"))
+    else g
 
   def removeLabelByIds(g: PropertyGraph, ids: DataFrame, label: String): PropertyGraph =
     g.copy(nodes = flagByIds(g, ids)

@@ -131,6 +131,38 @@ object MutationQueriesImpl {
         .orderBy("k")
     },
 
+    // REMOVE n.prop (reference cypher ast.rs:350 RemoveItem::Property,
+    // database.rs:966 remove_node_property): BUILDING customers lose their
+    // category — the typed column nulls out for exactly the matched rows,
+    // driven through cypherUpdate so parse → bind → mutate is the path
+    // under test. A MACHINERY control row proves others are untouched.
+    QueryDef(
+      "q_mut_remove_prop",
+      """SELECT grp, n FROM (
+        |  SELECT 'removed' AS grp,
+        |         CAST((SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS n
+        |  UNION ALL SELECT 'still_building', 0
+        |  UNION ALL SELECT 'still_machinery',
+        |            (SELECT count(*) FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |)
+        |ORDER BY grp NULLS FIRST""".stripMargin) { (s, dir) =>
+      val g2 = new graft.GraftSession(s, TpchGraph(s, dir)).cypherUpdate(
+        "MATCH (c:Customer) WHERE c.category = 'BUILDING' REMOVE c.category")
+      val cust = g2.nodesWithLabel("Customer")
+      Seq(
+        cust.filter(col("category").isNull)
+          .select(lit("removed").as("grp")),
+        cust.filter(col("category") === "BUILDING")
+          .select(lit("still_building").as("grp")),
+        cust.filter(col("category") === "MACHINERY")
+          .select(lit("still_machinery").as("grp")))
+        .reduce(_ unionByName _)
+        .groupBy("grp").agg(count(lit(1)).as("n"))
+        .unionByName(s.range(1).select(lit("still_building").as("grp"), lit(0L).as("n")))
+        .groupBy("grp").agg(max(col("n")).as("n"))
+        .orderBy("grp")
+    },
+
     // SET n += {map} (merge), SET n = {map} (replace: other props null out)
     // and SET n:Label (ref cypher ast.rs SetItem AllProperties/
     // MergeProperties/Labels) — negative-balance customers are zeroed,

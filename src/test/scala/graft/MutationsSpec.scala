@@ -192,4 +192,45 @@ class CypherUpdateSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       session.cypherUpdate("MATCH (n:Region) RETURN n.name AS x"))
   }
+
+  private def tinyGraph = {
+    import spark.implicits._
+    PropertyGraph(
+      Seq((1L, Seq("A", "Hot"), "x"), (2L, Seq("A"), "y"), (3L, Seq("B"), "z"))
+        .toDF("id", "labels", "name"),
+      Seq((1L, 2L, "E", 1.5), (2L, 3L, "E", 2.5)).toDF("src", "dst", "rel", "w"))
+  }
+
+  test("REMOVE n.prop nulls a typed column for matched rows only") {
+    val g2 = Mutations.removeNodeProperty(tinyGraph, col("id") === 1L, "name")
+    val names = g2.nodes.orderBy("id").collect().map(r => Option(r.getString(2)))
+    assert(names.toSeq == Seq(None, Some("y"), Some("z")))
+  }
+
+  test("REMOVE n.prop drops a dynamic key from the props map") {
+    val g = tinyGraph
+    val withMap = g.copy(nodes = g.nodes.withColumn("props",
+      map(lit("k1"), lit("v1"), lit("k2"), lit("v2"))))
+    val g2 = Mutations.removeNodeProperty(withMap, col("id") === 2L, "k1")
+    val keys = g2.nodes.orderBy("id")
+      .select(map_keys(col("props"))).collect().map(_.getSeq[String](0).sorted)
+    assert(keys.toSeq == Seq(Seq("k1", "k2"), Seq("k2"), Seq("k1", "k2")))
+  }
+
+  test("cypherUpdate REMOVE handles property, label and mixed items") {
+    val s2 = new GraftSession(spark, tinyGraph)
+    val g2 = s2.cypherUpdate("MATCH (n:A) WHERE n.name = 'x' REMOVE n.name, n:Hot")
+    val row = g2.nodes.filter(col("id") === 1L).collect().head
+    assert(row.getSeq[String](1) == Seq("A"))
+    assert(row.isNullAt(2))
+    val other = g2.nodes.filter(col("id") === 2L).collect().head
+    assert(other.getString(2) == "y")
+  }
+
+  test("removeEdgeProperty nulls the matched edge rows only") {
+    val g2 = Mutations.removeEdgeProperty(tinyGraph, col("src") === 1L, "w")
+    val ws = g2.edges.orderBy("src").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(ws.toSeq == Seq(None, Some(2.5)))
+  }
 }
