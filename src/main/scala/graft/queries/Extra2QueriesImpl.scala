@@ -118,17 +118,22 @@ object Extra2QueriesImpl {
         |)
         |ORDER BY epoch NULLS FIRST""".stripMargin) { (s, dir) =>
       val path = java.nio.file.Files.createTempDirectory("graft_rdf_inc").toString
-      val seg = TripleGraph(TpchRdf(s, dir).triples.filter(col("p") === "segment"))
+      // Each commit's diff anti-joins AND the next commit's base evaluate
+      // the mutated store — checkpoint each (tiny) store once so its
+      // modify() join chain runs once, not once per consumer.
+      val seg = TripleGraph(TpchRdf(s, dir).triples
+        .filter(col("p") === "segment").localCheckpoint())
       val e0 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(seg, path)
-      val m1 = seg.modify(
+      val m1 = TripleGraph(seg.modify(
         where = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
         deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
         insertTpl = Seq(TriplePattern(V("c"), L("segment"), L("RETAIL"))))
+        .triples.localCheckpoint())
       val e1 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(m1, path)
-      val m2 = m1.modify(
+      val m2 = TripleGraph(m1.modify(
         where = Seq(TriplePattern(V("c"), L("segment"), L("MACHINERY"))),
         deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("MACHINERY"))),
-        insertTpl = Seq.empty)
+        insertTpl = Seq.empty).triples.localCheckpoint())
       val e2 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(m2, path)
       // All nine counts in ONE union+group-by job: each epoch's replayed
       // chain is tagged and unioned, so the delta replay runs once per

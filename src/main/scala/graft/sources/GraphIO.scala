@@ -181,8 +181,9 @@ object GraphIO {
       claimAndPublish(g.triples.sparkSession, path)(dir => saveTriples(g, dir))
 
     /** Write a DELTA epoch: only `adds` and `removes` relative to the
-      * previous epoch are persisted (layout `e<N>/{adds,removes}` plus an
-      * `_delta` marker), so commit I/O is O(changed rows), not O(corpus) —
+      * previous epoch are persisted (layout `e<N>/delta` with a `chg`
+      * add|remove column plus an `_delta` marker, written in ONE pass),
+      * so commit I/O is O(changed rows), not O(corpus) —
       * the table-format economics at 100 TB, where a full snapshot per
       * commit is the difference between seconds and hours. [[asOfTriples]]
       * replays deltas forward from the nearest full snapshot; bound the
@@ -201,10 +202,12 @@ object GraphIO {
       require(list(spark, path).nonEmpty,
         s"delta epoch needs a base epoch at $path")
       claimAndPublish(spark, path) { dir =>
-        adds.select("s", "p", "o").write.mode(SaveMode.Overwrite)
-          .parquet(s"$dir/adds")
-        removes.select("s", "p", "o").write.mode(SaveMode.Overwrite)
-          .parquet(s"$dir/removes")
+        // single write action: both change sets land in one pass over the
+        // store (two separate writes would evaluate the diff twice)
+        adds.select(lit("add").as("chg"), col("s"), col("p"), col("o"))
+          .unionByName(removes.select(
+            lit("remove").as("chg"), col("s"), col("p"), col("o")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/delta")
         val f = fs(spark, path)
         f.create(new org.apache.hadoop.fs.Path(s"$dir/_delta"), true).close()
       }
@@ -248,11 +251,10 @@ object GraphIO {
       var acc = loadTriples(spark, s"$path/e$base").triples
       val key = Seq("s", "p", "o")
       upTo.filter(_ > base).foreach { e =>
-        val dir = s"$path/e$e"
-        val adds = spark.read.schema(stringSchema("s", "p", "o"))
-          .parquet(s"$dir/adds")
-        val removes = spark.read.schema(stringSchema("s", "p", "o"))
-          .parquet(s"$dir/removes")
+        val delta = spark.read.schema(stringSchema("chg", "s", "p", "o"))
+          .parquet(s"$path/e$e/delta")
+        val adds = delta.filter(col("chg") === "add").select("s", "p", "o")
+        val removes = delta.filter(col("chg") === "remove").select("s", "p", "o")
         acc = acc.join(removes, key, "left_anti").unionByName(adds)
       }
       TripleGraph(acc)
