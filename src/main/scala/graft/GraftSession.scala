@@ -169,6 +169,13 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   def commitEpoch(path: String): Long =
     graft.sources.GraphIO.Epochs.commit(graph, path)
 
+  /** Commit this session's graph as a DELTA epoch when a base exists
+    * (O(changed rows) commit I/O; bounding full snapshot every
+    * `fullEvery` epochs) — the LPG side of the table-format log model.
+    */
+  def commitEpochIncremental(path: String, fullEvery: Int = 10): Long =
+    graft.sources.GraphIO.Epochs.commitIncremental(graph, path, fullEvery)
+
   /** First column of the first result row — the scalar-convenience
     * entry point (reference database.rs:479 `query_scalar`; routes
     * through the default GQL/Cypher `execute` path like the reference).

@@ -62,6 +62,34 @@ object Extra2QueriesImpl {
         .orderBy("epoch")
     },
 
+    // LPG delta epochs + change data feed (the triple-side log model on
+    // the property-graph side): commit the Customer subgraph as e0, retag
+    // BUILDING customers, commit the mutation as a DELTA epoch, then read
+    // the node change feed — each retagged customer is exactly one
+    // remove(old row) + one add(new row).
+    QueryDef(
+      "q_epoch_diff_lpg",
+      """SELECT change, n FROM (
+        |  SELECT 'add' AS change,
+        |         CAST((SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS n
+        |  UNION ALL SELECT 'remove',
+        |         (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING')
+        |)
+        |ORDER BY change NULLS FIRST""".stripMargin) { (s, dir) =>
+      val path = java.nio.file.Files.createTempDirectory("graft_lpg_cdf").toString
+      val base = TpchGraph(s, dir)
+      val customers = graft.graph.PropertyGraph(
+        base.nodes.filter(array_contains(col("labels"), "Customer")),
+        base.edges.limit(0))
+      val e0 = graft.sources.GraphIO.Epochs.commitIncremental(customers, path)
+      val retagged = graft.graph.Mutations.setNodeProperty(customers,
+        col("category") === "BUILDING", "category", lit("RETAIL"))
+      val e1 = graft.sources.GraphIO.Epochs.commitIncremental(retagged, path)
+      graft.sources.GraphIO.Epochs.diffNodes(s, path, e0, e1)
+        .groupBy("change").agg(count(lit(1)).as("n"))
+        .orderBy("change")
+    },
+
     // Epoch time travel on the RDF store (mvcc.rs:16-75 version chains
     // applied to the triple side — the Delta-style pattern SURVEY §7.2 maps
     // MVCC to): commit the customer-segment triples as e0, commit the

@@ -173,6 +173,83 @@ object GraphIO {
     def commit(g: PropertyGraph, path: String): Long =
       claimAndPublish(g.nodes.sparkSession, path)(dir => save(g, dir))
 
+    /** Delta epoch for a PROPERTY GRAPH — the same O(changed rows) log
+      * model as [[commitTriplesDelta]], on the LPG side. Layout:
+      * `e<N>/{nodes_delta,edges_delta}` parquet, each with a leading
+      * `chg` add|remove column (single write pass per side) plus schema
+      * manifests and the `_delta` marker. Change identity is the WHOLE
+      * row — a property update is remove(old row) + add(new row) —
+      * schema-agnostic, exactly how the triple side treats (s, p, o).
+      * Single-writer contract as [[commitTriplesDelta]].
+      */
+    def commitGraphDelta(spark: SparkSession, path: String,
+        nodeAdds: DataFrame, nodeRemoves: DataFrame,
+        edgeAdds: DataFrame, edgeRemoves: DataFrame): Long = {
+      require(list(spark, path).nonEmpty,
+        s"delta epoch needs a base epoch at $path")
+      def tag(add: DataFrame, remove: DataFrame): DataFrame =
+        add.select(lit("add").as("chg") +: add.columns.map(col): _*)
+          .unionByName(remove.select(
+            lit("remove").as("chg") +: remove.columns.map(col): _*))
+      claimAndPublish(spark, path) { dir =>
+        val nd = tag(nodeAdds, nodeRemoves)
+        val ed = tag(edgeAdds, edgeRemoves)
+        nd.write.mode(SaveMode.Overwrite).parquet(s"$dir/nodes_delta")
+        ed.write.mode(SaveMode.Overwrite).parquet(s"$dir/edges_delta")
+        writeSchema(spark, s"$dir/_schema_nodes_delta.json", nd.schema)
+        writeSchema(spark, s"$dir/_schema_edges_delta.json", ed.schema)
+        val f = fs(spark, path)
+        f.create(new org.apache.hadoop.fs.Path(s"$dir/_delta"), true).close()
+      }
+    }
+
+    /** Commit `g` as the next LPG epoch, writing a delta against the
+      * current latest (whole-row anti-join diffs on both sides) and a
+      * bounding full snapshot on the first commit or every `fullEvery`-th
+      * epoch number — mirrors [[commitTriplesIncremental]].
+      */
+    def commitIncremental(g: PropertyGraph, path: String,
+        fullEvery: Int = 10): Long = {
+      val spark = g.nodes.sparkSession
+      val es = list(spark, path)
+      if (es.isEmpty || (es.last + 1) % fullEvery == 0) commit(g, path)
+      else {
+        val prev = asOf(spark, path, es.last)
+        val nk = g.nodes.columns.toSeq
+        val ek = g.edges.columns.toSeq
+        commitGraphDelta(spark, path,
+          nodeAdds = g.nodes.join(prev.nodes, nk, "left_anti"),
+          nodeRemoves = prev.nodes.join(g.nodes, nk, "left_anti"),
+          edgeAdds = g.edges.join(prev.edges, ek, "left_anti"),
+          edgeRemoves = prev.edges.join(g.edges, ek, "left_anti"))
+      }
+    }
+
+    /** Change data feed between two committed LPG epochs: one row per
+      * changed node (`diffNodes`) / edge (`diffEdges`), tagged add |
+      * remove going `from` → `to` — downstream consumers read the delta,
+      * not the corpus (mirrors [[diffTriples]]).
+      */
+    def diffNodes(spark: SparkSession, path: String,
+        from: Long, to: Long): DataFrame = {
+      val a = asOf(spark, path, from).nodes
+      val b = asOf(spark, path, to).nodes
+      val k = a.columns.toSeq
+      b.join(a, k, "left_anti").withColumn("change", lit("add"))
+        .unionByName(a.join(b, k, "left_anti").withColumn("change", lit("remove")))
+        .select(col("change") +: k.map(col): _*)
+    }
+
+    def diffEdges(spark: SparkSession, path: String,
+        from: Long, to: Long): DataFrame = {
+      val a = asOf(spark, path, from).edges
+      val b = asOf(spark, path, to).edges
+      val k = a.columns.toSeq
+      b.join(a, k, "left_anti").withColumn("change", lit("add"))
+        .unionByName(a.join(b, k, "left_anti").withColumn("change", lit("remove")))
+        .select(col("change") +: k.map(col): _*)
+    }
+
     /** Epoch-commit an RDF triple store — Delta-style time travel for the
       * SPARQL side: each LOAD/Modify result lands as an immutable epoch,
       * [[asOfTriples]] reads any committed one.
@@ -334,18 +411,40 @@ object GraphIO {
 
     private val writeLock = new Object
 
-    /** Snapshot-isolation read of one committed epoch. */
+    /** Snapshot-isolation read of one committed LPG epoch. A delta epoch
+      * replays `acc − removes ∪ adds` per side forward from the nearest
+      * full snapshot (mirrors [[asOfTriples]]).
+      */
     def asOf(spark: SparkSession, path: String, epoch: Long): PropertyGraph = {
-      require(list(spark, path).contains(epoch),
-        s"epoch $epoch is not committed at $path")
-      load(spark, s"$path/e$epoch")
+      val es = list(spark, path)
+      require(es.contains(epoch), s"epoch $epoch is not committed at $path")
+      val upTo = es.filter(_ <= epoch)
+      val base = upTo.reverse.find(e => !isDelta(spark, path, e)).getOrElse(
+        throw new IllegalStateException(
+          s"no full snapshot at or before epoch $epoch at $path"))
+      var acc = load(spark, s"$path/e$base")
+      upTo.filter(_ > base).foreach { e =>
+        val dir = s"$path/e$e"
+        def side(name: String, cur: DataFrame): DataFrame = {
+          val schema = readSchema(spark, s"$dir/_schema_$name.json").getOrElse(
+            throw new IllegalStateException(s"missing $name schema manifest at $dir"))
+          val d = spark.read.schema(schema).parquet(s"$dir/$name")
+          val adds = d.filter(col("chg") === "add").drop("chg")
+          val removes = d.filter(col("chg") === "remove").drop("chg")
+          cur.join(removes, cur.columns.toSeq, "left_anti").unionByName(adds)
+        }
+        acc = PropertyGraph(
+          side("nodes_delta", acc.nodes),
+          side("edges_delta", acc.edges))
+      }
+      acc
     }
 
-    /** The newest committed epoch. */
+    /** The newest committed epoch (delta replay included). */
     def latest(spark: SparkSession, path: String): PropertyGraph = {
       val es = list(spark, path)
       require(es.nonEmpty, s"no committed epochs at $path")
-      load(spark, s"$path/e${es.last}")
+      asOf(spark, path, es.last)
     }
   }
 

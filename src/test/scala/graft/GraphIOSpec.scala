@@ -201,6 +201,34 @@ class GraphIOSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(p"), plan.take(500))
   }
 
+  test("epoch store: LPG delta epochs replay and diff as change feeds") {
+    val dir = tmp()
+    def pg(ns: Seq[(Long, Seq[String], String)], es: Seq[(Long, Long, String)]) =
+      PropertyGraph(ns.toDF("id", "labels", "name"), es.toDF("src", "dst", "rel"))
+    val g0 = pg(Seq((1L, Seq("A"), "x"), (2L, Seq("A"), "y")), Seq((1L, 2L, "E")))
+    val e0 = GraphIO.Epochs.commitIncremental(g0, dir) // first = full
+    val g1 = pg(
+      Seq((1L, Seq("A"), "x"), (2L, Seq("A"), "y2"), (3L, Seq("B"), "z")),
+      Seq((1L, 2L, "E"), (2L, 3L, "F")))
+    val e1 = GraphIO.Epochs.commitIncremental(g1, dir) // delta
+    assert(new java.io.File(s"$dir/e$e1/_delta").exists)
+    assert(!new java.io.File(s"$dir/e$e1/nodes").exists)
+
+    def names(e: Long) = GraphIO.Epochs.asOf(spark, dir, e).nodes
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(names(e0) == Set((1L, "x"), (2L, "y")))
+    assert(names(e1) == Set((1L, "x"), (2L, "y2"), (3L, "z")))
+    assert(GraphIO.Epochs.latest(spark, dir).edges.count() == 2)
+
+    val nd = GraphIO.Epochs.diffNodes(spark, dir, e0, e1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // node 2's rename is remove(old row) + add(new row); node 3 is a pure add
+    assert(nd == Set(("add", 2L), ("add", 3L), ("remove", 2L)))
+    val ed = GraphIO.Epochs.diffEdges(spark, dir, e0, e1)
+      .collect().map(r => (r.getString(0), r.getString(3))).toSet
+    assert(ed == Set(("add", "F")))
+  }
+
   test("N-Triples export → LOAD round-trips term-exact, escapes included") {
     val nasty = Seq(
       ("s:1", "p", "plain value"),
