@@ -112,10 +112,11 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     * a multi-row `queries` frame is the batch form, database.rs:1220).
     */
   def vectorSearch(indexName: String, queries: DataFrame, qIdCol: String,
-      qVecCol: String, k: Int): DataFrame =
+      qVecCol: String, k: Int, minScore: Option[Double] = None,
+      maxDist: Option[Double] = None): DataFrame =
     vectorIndexes.getOrElse(indexName,
         throw new IllegalArgumentException(s"unknown vector index '$indexName'"))
-      .search(queries, qIdCol, qVecCol, k)
+      .search(queries, qIdCol, qVecCol, k, minScore, maxDist)
 
   // GQL graph catalog (reference gql/ast.rs:7-540 catalog statements;
   // GrafeoDB holds many graphs, database.rs): named graphs registered on

@@ -98,7 +98,8 @@ object VectorIndexes {
       * searches the stored graphs.
       */
     def search(queries: DataFrame, qIdCol: String, qVecCol: String,
-        k: Int): DataFrame = {
+        k: Int, minScore: Option[Double] = None,
+        maxDist: Option[Double] = None): DataFrame = {
       import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
       val topk = udaf(new Knn.TopKAgg(k), ExpressionEncoder[(Double, Long)]())
       def merge(cands: DataFrame): DataFrame = cands
@@ -112,7 +113,7 @@ object VectorIndexes {
         .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
         .select(col("__qid").as("qid"), col("__sn._2").as("nid"),
           col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
-      method match {
+      val raw = method match {
         case "hnsw" =>
           Hnsw.searchIndex(hnsw.get, queries, qIdCol, qVecCol, k)
         case "lsh" =>
@@ -136,6 +137,13 @@ object VectorIndexes {
             .join(vectors.select(col(idCol).as("__nid"), col(prop).as("__nvec")), "__nid")
           merge(cands)
       }
+      // VectorScan thresholds (reference scan_vector.rs:61-63
+      // min_similarity / max_distance): scores follow the higher-is-closer
+      // convention (cosine similarity, or NEGATED distance for distance
+      // metrics), so min_similarity is score >= v and max_distance is
+      // score >= -v.
+      val bySim = minScore.map(v => raw.filter(col("score") >= v)).getOrElse(raw)
+      maxDist.map(v => bySim.filter(col("score") >= -v)).getOrElse(bySim)
     }
   }
 

@@ -219,6 +219,33 @@ class LangSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("unknown vector index"))
   }
 
+  test("vectorSearch min_similarity / max_distance thresholds filter results") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    session.createVectorIndex(
+      "CREATE VECTOR INDEX st ON E(embedding) USING LSH OPTIONS(bits 4, tables 8)",
+      emb, "vec_id")
+    val all = session.vectorSearch("st", q, "vec_id", "embedding", k = 5).collect()
+    val cut = all.map(_.getDouble(2)).sorted.apply(all.length / 2) // median score
+    val filtered = session.vectorSearch("st", q, "vec_id", "embedding", k = 5,
+      minScore = Some(cut)).collect()
+    assert(filtered.nonEmpty && filtered.length < all.length)
+    assert(filtered.forall(_.getDouble(2) >= cut))
+
+    // distance thresholding on a distance-metric index: score = -distance,
+    // so max_distance v keeps score >= -v
+    val l2 = graft.vector.Hnsw.buildCached("langspec_l2", emb, "vec_id",
+      "embedding", metric = graft.vector.Knn.Euclidean)
+    val idx = graft.frontends.gql.VectorIndexes.VectorIndex(
+      "sd", "hnsw", "E", "embedding", emb, None, Some(l2), emb, "vec_id")
+    val dAll = idx.search(q, "vec_id", "embedding", k = 5).collect()
+    val dCut = -dAll.map(_.getDouble(2)).sorted.apply(dAll.length / 2)
+    val dF = idx.search(q, "vec_id", "embedding", k = 5,
+      maxDist = Some(dCut)).collect()
+    assert(dF.nonEmpty && dF.length < dAll.length)
+    assert(dF.forall(-_.getDouble(2) <= dCut))
+  }
+
   test("graphql: mutation routing and delete semantics") {
     val g1 = session.graphqlMutation(
       """mutation { createHub(id: 999, name: "h", acctbal: 1.5) { id } }""")
