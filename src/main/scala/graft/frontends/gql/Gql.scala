@@ -26,7 +26,8 @@ sealed trait GqlStatement
 final case class GqlQuery(op: Op.T) extends GqlStatement
 final case class GqlMutation(query: Ast.Query) extends GqlStatement
 final case class GqlCreateVectorIndex(name: String, label: String,
-    prop: String, method: String, options: Map[String, Int]) extends GqlStatement
+    prop: String, method: String, options: Map[String, Int],
+    metric: Option[String] = None) extends GqlStatement
 /** GQL catalog statement (gql/ast.rs:7-540 schema/catalog statements):
   * CREATE GRAPH name — optionally LIKE another graph (same typed schema).
   */
@@ -44,14 +45,22 @@ object GqlFrontend {
       val m = Option(method).map(_.toLowerCase).getOrElse("lsh")
       require(m == "lsh" || m == "ivf" || m == "hnsw",
         s"unknown vector index method $m")
-      val options = Option(opts).map(_.trim).filter(_.nonEmpty)
+      // `metric` takes a string value (reference
+      // CreateVectorIndexStatement.metric, gql/ast.rs:395); every other
+      // option is an integer parameter
+      val kvs = Option(opts).map(_.trim).filter(_.nonEmpty)
         .map(_.split(",").map { kv =>
           val parts = kv.trim.split("\\s+")
           require(parts.length == 2, s"OPTIONS entries are `key value`, got '$kv'")
-          parts(0).toLowerCase -> parts(1).toInt
-        }.toMap)
-        .getOrElse(Map.empty[String, Int])
-      GqlCreateVectorIndex(name, label, prop, m, options)
+          parts(0).toLowerCase -> parts(1)
+        }.toSeq)
+        .getOrElse(Seq.empty)
+      val metric = kvs.collectFirst { case ("metric", v) => v.toLowerCase }
+      val options = kvs.filterNot(_._1 == "metric")
+        .map { case (k, v) => k -> v.toInt }.toMap
+      require(metric.forall(mt => m == "hnsw" || mt == "cosine"),
+        s"method $m supports only the cosine metric")
+      GqlCreateVectorIndex(name, label, prop, m, options, metric)
     case CreateGraphRe(name, like) => GqlCreateGraph(name, Option(like))
     case _ =>
       // parseAll so query-level UNION works through the shared grammar the
@@ -178,8 +187,16 @@ object VectorIndexes {
         // corpus partition persisted in executor storage (graft.vector.Hnsw)
         val m = stmt.options.getOrElse("m", 16)
         val efc = stmt.options.getOrElse("efconstruction", 100)
+        val metric = stmt.metric.getOrElse("cosine") match {
+          case "cosine" => Knn.Cosine
+          case "l2" | "euclidean" => Knn.Euclidean
+          case "dot" | "ip" => Knn.Dot
+          case "l1" | "manhattan" => Knn.Manhattan
+          case other => throw new IllegalArgumentException(
+            s"unknown metric '$other' (cosine|l2|dot|l1)")
+        }
         val idxRdd = Hnsw.build(vectors.select(col(idCol), col(stmt.prop)),
-          idCol, stmt.prop, m, efc)
+          idCol, stmt.prop, m, efc, metric)
         val b = vectors.select(col(idCol), lit(0).as("bucket")).persist()
         VectorIndex(stmt.name, "hnsw", stmt.label, stmt.prop, b, None,
           Some(idxRdd), vectors, idCol, stmt.options, dim)

@@ -232,18 +232,24 @@ class LangSpec extends AnyFunSuite {
     assert(filtered.nonEmpty && filtered.length < all.length)
     assert(filtered.forall(_.getDouble(2) >= cut))
 
-    // distance thresholding on a distance-metric index: score = -distance,
-    // so max_distance v keeps score >= -v
-    val l2 = graft.vector.Hnsw.buildCached("langspec_l2", emb, "vec_id",
-      "embedding", metric = graft.vector.Knn.Euclidean)
-    val idx = graft.frontends.gql.VectorIndexes.VectorIndex(
-      "sd", "hnsw", "E", "embedding", emb, None, Some(l2), emb, "vec_id")
-    val dAll = idx.search(q, "vec_id", "embedding", k = 5).collect()
+    // distance thresholding on a distance-metric index (DDL metric option,
+    // reference CreateVectorIndexStatement.metric): score = -distance, so
+    // max_distance v keeps score >= -v
+    session.createVectorIndex(
+      "CREATE VECTOR INDEX sd ON E(embedding) USING HNSW OPTIONS(metric l2)",
+      emb, "vec_id")
+    val dAll = session.vectorSearch("sd", q, "vec_id", "embedding", k = 5).collect()
+    assert(dAll.forall(_.getDouble(2) <= 0), "l2 scores are negated distances")
     val dCut = -dAll.map(_.getDouble(2)).sorted.apply(dAll.length / 2)
-    val dF = idx.search(q, "vec_id", "embedding", k = 5,
+    val dF = session.vectorSearch("sd", q, "vec_id", "embedding", k = 5,
       maxDist = Some(dCut)).collect()
     assert(dF.nonEmpty && dF.length < dAll.length)
     assert(dF.forall(-_.getDouble(2) <= dCut))
+
+    // non-hnsw methods are cosine-only — metric rejected at parse
+    val mbad = intercept[IllegalArgumentException](
+      session.gql("CREATE VECTOR INDEX sx ON E(y) USING LSH OPTIONS(metric l2)"))
+    assert(mbad.getMessage.contains("cosine"))
   }
 
   test("graphql: mutation routing and delete semantics") {
