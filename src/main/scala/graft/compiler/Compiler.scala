@@ -35,25 +35,55 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
     if (edgeVars.contains(v)) edgePropSet.contains("props")
     else propCols.contains("props")
 
+  // node variables whose property/label columns are provably never read in
+  // the current plan (Compiler.prunableNodeVars) — their node join is elided
+  private var prunable: Set[String] = Set.empty
+
   def compile(op: Op.T): DataFrame = {
     edgeVars.clear()
+    prunable =
+      if (spark.conf.get("spark.graft.pruneNodeJoins", "true").toBoolean)
+        Compiler.prunableNodeVars(op)
+      else Set.empty
     compileRec(op)
   }
 
   private def nodeFor(v: String, label: Option[String]): DataFrame = {
     val base = label.map(graph.nodesWithLabel).getOrElse(graph.nodes)
-    base.select(col("id").as(v) +: propCols.map(c => col(c).as(s"${v}__$c")): _*)
+    if (prunable(v)) base.select(col("id").as(v))
+    else base.select(col("id").as(v) +: propCols.map(c => col(c).as(s"${v}__$c")): _*)
   }
+
+  /** Attach the expand target's node bindings. When the analysis proved the
+    * variable's properties are never read, the per-hop node join is dead
+    * weight — a whole shuffle join at scale — and is dropped: unlabeled
+    * targets need no join at all (edge endpoints always reference live nodes,
+    * the store invariant Mutations maintains — non-detach delete refuses
+    * attached nodes, detach delete removes the edges), labeled ones a
+    * semi-join against the label's ids.
+    */
+  private def attachTarget(df: DataFrame, to: String, label: Option[String]): DataFrame =
+    if (prunable(to) && label.isEmpty) df
+    else if (prunable(to))
+      df.join(graph.nodesWithLabel(label.get).select(col("id").as(to)),
+        Seq(to), "left_semi")
+    else df.join(nodeFor(to, label).withColumnRenamed(to, "__tid"),
+        col(to) === col("__tid"))
+      .drop("__tid")
 
   private def compileRec(op: Op.T): DataFrame = op match {
     case Op.NodeScan(v, label) => nodeFor(v, label)
 
     case Op.Expand(in, from, rel, to, dir, targetLabel, edgeVar) =>
       edgeVar.foreach(edgeVars += _)
-      val df = graph.expand(compileRec(in), from, rel, dir, to, edgeVar)
-      df.join(nodeFor(to, targetLabel).withColumnRenamed(to, "__tid"),
-          col(to) === col("__tid"))
-        .drop("__tid")
+      val df = in match {
+        // unlabeled property-free source: node⨝edge is the identity (every
+        // edge endpoint is a live node), so the pattern is a pure edge scan
+        case Op.NodeScan(v, None) if v == from && prunable(v) =>
+          graph.expandAll(from, rel, dir, to, edgeVar)
+        case _ => graph.expand(compileRec(in), from, rel, dir, to, edgeVar)
+      }
+      attachTarget(df, to, targetLabel)
 
     case Op.VarExpand(in, from, rel, to, dir, min, max, targetLabel, hopsAs, pathAs, uniq) =>
       val df = compileRec(in)
@@ -82,10 +112,7 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
         case Some(h) => walk.withColumnRenamed("hops", h)
         case None    => walk.drop("hops")
       }
-      df.join(pairs, from)
-        .join(nodeFor(to, targetLabel).withColumnRenamed(to, "__tid"),
-          col(to) === col("__tid"))
-        .drop("__tid")
+      attachTarget(df.join(pairs, from), to, targetLabel)
 
     case Op.ShortestPath(in, from, rel, to, dir, maxHops, targetLabel, lenAs, pathAs, all) =>
       val df = compileRec(in)
@@ -116,10 +143,7 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
         case Some(n) => paths.withColumnRenamed("hops", n)
         case None    => paths.drop("hops")
       }
-      df.join(withLen, from)
-        .join(nodeFor(to, targetLabel).withColumnRenamed(to, "__tid"),
-          col(to) === col("__tid"))
-        .drop("__tid")
+      attachTarget(df.join(withLen, from), to, targetLabel)
 
     case Op.Filter(in, pred) => compileRec(in).filter(expr(pred))
 
@@ -448,5 +472,83 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
           (x, i) => struct(x.as("src"), element_at(a0, i + lit(2)).as("dst")))
       case other => throw new IllegalArgumentException(s"unknown function $other()")
     }
+  }
+}
+
+object Compiler {
+  import Expr.E
+
+  /** Functions whose compilation reads `v__*` binding columns off a bare
+    * variable argument (the comp() cases for properties/labels/hasLabel).
+    * `type()` reads `v__rel`, an edge column the expand itself provides, so
+    * it never forces the node join.
+    */
+  private val propFuncs = Set("properties", "labels", "haslabel")
+
+  /** Node variables bound by `root` whose property/label columns are never
+    * read. For these the compiler elides the per-hop target node join of
+    * Expand/VarExpand/ShortestPath and the NodeScan property projection —
+    * at 100 TB each elided join is a full shuffle of the node table saved.
+    * Conservative gate: only active when the plan's schema is fixed by an
+    * explicit projection root (Project/Aggregate under Sort/Limit/Skip/
+    * Distinct/Filter wrappers), so bare-pattern plans — mutation match
+    * prefixes, raw traversals whose callers read binding columns off the
+    * DataFrame — keep full bindings.
+    */
+  def prunableNodeVars(root: Op.T): Set[String] = {
+    if (!projectedRoot(root)) return Set.empty
+    val bound = scala.collection.mutable.Set.empty[String]
+    val needed = scala.collection.mutable.Set.empty[String]
+    def seeExpr(e: E): Unit = {
+      // identity rewrite as a traversal: visits every sub-expression,
+      // including expressions inside Exists/Count/Collect sub-plans
+      Expr.rewrite(e) {
+        case p @ Expr.Prop(v, _) => needed += v; p
+        case f @ Expr.Func(n, args, _) =>
+          if (propFuncs(n.toLowerCase))
+            args.foreach { case Expr.Var(v) => needed += v; case _ => () }
+          f
+        case other => other
+      }
+      ()
+    }
+    def walk(t: Op.T): Unit = t match {
+      case Op.NodeScan(v, _)  => bound += v
+      case e: Op.Expand       => bound += e.to; walk(e.input)
+      case e: Op.VarExpand    => bound += e.to; walk(e.input)
+      case e: Op.ShortestPath => bound += e.to; walk(e.input)
+      case Op.Filter(in, p)   => seeExpr(p); walk(in)
+      case Op.Project(in, items) => items.foreach(i => seeExpr(i._1)); walk(in)
+      case Op.Aggregate(in, ks, as2) =>
+        ks.foreach(i => seeExpr(i._1)); as2.foreach(i => seeExpr(i._1)); walk(in)
+      case Op.Sort(in, ks)    => ks.foreach(k => seeExpr(k._1)); walk(in)
+      case Op.Limit(in, _)    => walk(in)
+      case Op.Skip(in, _)     => walk(in)
+      case Op.Distinct(in)    => walk(in)
+      case Op.UnionAll(l, r)         => walk(l); walk(r)
+      case Op.NaturalJoin(l, r)      => walk(l); walk(r)
+      case Op.LeftNaturalJoin(l, r)  => walk(l); walk(r)
+      case Op.SemiNaturalJoin(l, r)  => walk(l); walk(r)
+      case Op.AntiNaturalJoin(l, r)  => walk(l); walk(r)
+      case Op.CorrelatedCount(in, sub, _) => walk(in); walk(sub)
+      case Op.CorrelatedCollect(in, sub, item, _) =>
+        seeExpr(item); walk(in); walk(sub)
+      case Op.Bind(in, e, _)  => seeExpr(e); walk(in)
+      case Op.Unwind(in, l, _) => seeExpr(l); walk(in)
+      case Op.OneRow          => ()
+    }
+    walk(root)
+    (bound -- needed).toSet
+  }
+
+  private def projectedRoot(t: Op.T): Boolean = t match {
+    case _: Op.Project | _: Op.Aggregate => true
+    case Op.Sort(in, _)    => projectedRoot(in)
+    case Op.Limit(in, _)   => projectedRoot(in)
+    case Op.Skip(in, _)    => projectedRoot(in)
+    case Op.Distinct(in)   => projectedRoot(in)
+    case Op.Filter(in, _)  => projectedRoot(in)
+    case Op.UnionAll(l, r) => projectedRoot(l) && projectedRoot(r)
+    case _                 => false
   }
 }

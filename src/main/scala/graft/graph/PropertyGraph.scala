@@ -123,6 +123,29 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     }
   }
 
+  /** Expand from EVERY node — the `(a)-[:T]->(b)` shape where `a` is
+    * unlabeled and its properties are never read. The node⨝edge join is the
+    * identity there (edge endpoints always reference live nodes, the
+    * invariant Mutations maintains), so the whole pattern is a single edge
+    * scan — no node-table shuffle at all.
+    */
+  def expandAll(srcAs: String, rels: Seq[String], dir: Direction,
+      dstAs: String, edgeAs: Option[String] = None): DataFrame = {
+    def step(from: String, to: String): DataFrame = {
+      val base = edgeSel(rels)
+      val edgeCols = edgeAs.toSeq.flatMap { v =>
+        base.columns.filterNot(c => c == "src" || c == "dst")
+          .map(c => col(c).as(s"${v}__$c"))
+      }
+      base.select(Seq(col(from).as(srcAs), col(to).as(dstAs)) ++ edgeCols: _*)
+    }
+    dir match {
+      case Out  => step("src", "dst")
+      case In   => step("dst", "src")
+      case Both => step("src", "dst").unionByName(step("dst", "src"))
+    }
+  }
+
   /** VariableLengthExpand (plan.rs:180-212 min/max hops;
     * VariableLengthExpandOperator variable_length_expand.rs:15): walks of
     * length min..max following `rel`, bag semantics (one row per walk, the
