@@ -68,8 +68,14 @@ object CypherLexer {
 }
 
 object Ast {
+  /** `label` is the primary (first) label, `extraLabels` the rest of a
+    * multi-label conjunction `(n:A:B)` — the node must carry ALL of them
+    * (reference cypher ast.rs:104 NodePattern.labels Vec). The split keeps
+    * the primary on the scan (label-pruned NodeScan) and compiles the rest
+    * to hasLabel() filters that Catalyst pushes into the same scan.
+    */
   final case class NodePat(v: Option[String], label: Option[String],
-      props: Seq[(String, Expr.E)])
+      props: Seq[(String, Expr.E)], extraLabels: Seq[String] = Nil)
   final case class RelPat(v: Option[String], relTypes: Seq[String],
       dir: Direction, range: Option[(Int, Int)])
   /** `shortest`: Some(pathVarOpt) when the pattern is wrapped in
@@ -332,11 +338,14 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       case Some(k: Kw) if !at(Sym(":")) && k.raw.nonEmpty => next(); Some(k.raw)
       case _ => None
     }
-    val label = if (eat(Sym(":"))) peek match {
-      case Some(Ident(l)) => next(); Some(l)
-      case Some(k: Kw) if k.raw.nonEmpty => next(); Some(k.raw)
+    val allLabels = Seq.newBuilder[String]
+    while (eat(Sym(":"))) allLabels += (peek match {
+      case Some(Ident(l)) => next(); l
+      case Some(k: Kw) if k.raw.nonEmpty => next(); k.raw
       case _ => fail("expected label")
-    } else None
+    })
+    val labels = allLabels.result()
+    val label = labels.headOption
     val props = Seq.newBuilder[(String, Expr.E)]
     if (eat(Sym("{"))) {
       var go = !at(Sym("}"))
@@ -353,7 +362,7 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
       expect(Sym("}"))
     }
     expect(Sym(")"))
-    NodePat(v, label, props.result())
+    NodePat(v, label, props.result(), labels.drop(1))
   }
 
   private def parseRelPat(): RelPat = {
@@ -867,7 +876,7 @@ object CypherFrontend {
             val c = s"__pnodes_$pv"; pathNodeCols(pv) = c; c
           }
           var pathOp: Op.T = Op.NodeScan(headVar, path.head.label)
-          pathOp = propFilters(pathOp, headVar, path.head.props)
+          pathOp = nodeFilters(pathOp, headVar, path.head)
           pathOp = Op.ShortestPath(pathOp, headVar, rel.relTypes, toVar,
             rel.dir, hi, node.label, lenCol, sPathCol, path.shortestAll)
           if (lo > 1) pathOp = Op.Filter(pathOp,
@@ -875,7 +884,7 @@ object CypherFrontend {
               throw new IllegalArgumentException(
                 "shortestPath() with min hops > 1 needs a path variable"))),
               Expr.Lit(lo.toLong)))
-          pathOp = propFilters(pathOp, toVar, node.props)
+          pathOp = nodeFilters(pathOp, toVar, node)
           (path.head.v.toSeq ++ node.v.toSeq).foreach(boundVars += _)
           matchOp = Some(matchOp.map(Op.NaturalJoin(_, pathOp)).getOrElse(pathOp))
         }
@@ -899,7 +908,7 @@ object CypherFrontend {
           }
           val headVar = path.head.v.getOrElse(fresh())
           var pathOp: Op.T = Op.NodeScan(headVar, path.head.label)
-          pathOp = propFilters(pathOp, headVar, path.head.props)
+          pathOp = nodeFilters(pathOp, headVar, path.head)
           var fromVar = headVar
           // `p = (…)` on an ordinary pattern: length(p) = fixed rel count
           // (+ the single var-length walk's hop column when present)
@@ -960,7 +969,7 @@ object CypherFrontend {
             }
             rebindOf.foreach(orig => pathOp = Op.Filter(pathOp,
               Expr.Bin("=", Expr.Var(toVar), Expr.Var(orig))))
-            pathOp = propFilters(pathOp, toVar, node.props)
+            pathOp = nodeFilters(pathOp, toVar, node)
             seenInPath += toVar
             fromVar = toVar
           }
@@ -1049,6 +1058,14 @@ object CypherFrontend {
     props.foldLeft(op) { case (acc, (k, value)) =>
       Op.Filter(acc, Expr.Bin("=", Expr.Prop(v, k), value))
     }
+
+  /** Multi-label conjunction `(n:A:B)`: the primary label rides the scan;
+    * each extra one becomes a hasLabel() filter Catalyst pushes into it. */
+  private def nodeFilters(op: Op.T, v: String, node: NodePat): Op.T =
+    propFilters(
+      node.extraLabels.foldLeft(op) { (acc, l) =>
+        Op.Filter(acc, Expr.Func("hasLabel", Seq(Expr.Var(v), Expr.Lit(l))))
+      }, v, node.props)
 
   private def defaultName(e: Expr.E): String = e match {
     case Expr.Var(n)     => n

@@ -93,7 +93,7 @@ object CypherUpdates {
       var row = spark.createDataFrame(
         java.util.List.of(Row(id)),
         StructType(Seq(StructField("id", LongType))))
-        .withColumn("labels", array(lit(label)))
+        .withColumn("labels", array((label +: node.extraLabels).map(lit): _*))
       for ((k, v) <- props if k != "id") row = row.withColumn(k, lit(v))
       Mutations.createNodes(g, row)
 
@@ -166,7 +166,7 @@ object CypherUpdates {
       var incoming = spark.createDataFrame(
         java.util.List.of(Row(id)),
         StructType(Seq(StructField("id", LongType))))
-        .withColumn("labels", array(lit(label)))
+        .withColumn("labels", array((label +: node.extraLabels).map(lit): _*))
       for ((k, v) <- props if k != "id") incoming = incoming.withColumn(k, lit(v))
       Mutations.mergeNodes(g, incoming, keyCol,
         onMatchSet = onMatch.map { case (p2, v) => p2.key -> nodeExpr(v) }.toMap,

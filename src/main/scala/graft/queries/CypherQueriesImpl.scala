@@ -501,5 +501,25 @@ object CypherQueriesImpl {
           |RETURN DISTINCT c.category AS seg
           |ORDER BY seg LIMIT 3""".stripMargin)
     },
+
+    // Multi-label conjunction `(n:A:B)` (reference cypher ast.rs:104
+    // NodePattern.labels is a Vec): tag filled orders with a second label,
+    // then require BOTH labels in the match — the second label compiles to
+    // a hasLabel() filter pushed into the same label-pruned scan, not a
+    // second node join.
+    QueryDef(
+      "q_cypher_multilabel",
+      """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY seg
+        |ORDER BY seg NULLS FIRST""".stripMargin) { (s, dir) =>
+      val mutated = new GraftSession(s, TpchGraph(s, dir)).cypherUpdate(
+        "MATCH (o:Order) WHERE o.category = 'F' SET o:Filled")
+      new GraftSession(s, mutated).cypher(
+        """MATCH (o:Order:Filled)-[:PLACED_BY]->(c:Customer)
+          |RETURN c.category AS seg, count(*) AS n
+          |ORDER BY seg""".stripMargin)
+    },
   )
 }
