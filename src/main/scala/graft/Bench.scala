@@ -79,11 +79,15 @@ object Bench {
       Thread.sleep(150) // let the async ContextCleaner drain unpersists
       lastClean = System.nanoTime()
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = measure(name, fn)
-      cleanContext()
-      name -> sec
-    }.toMap
+    // optional query-name filter (local iteration; the driver passes none)
+    val only = args.toSet
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+      .map { case (name, fn) =>
+        val sec = measure(name, fn)
+        cleanContext()
+        name -> sec
+      }.toMap
     // Second pass: re-measure the slowest queries in a settled context and
     // keep the min. Whatever pollution survives the per-query GC (evicted
     // broadcast state, checkpoint-block churn from a heavy neighbor) lands on

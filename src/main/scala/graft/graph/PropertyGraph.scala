@@ -60,10 +60,15 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       pmod(xxhash64(col("src"), col("dst"), col("rel")), lit(b.toLong)))
     val w = Window.partitionBy(col("__b"))
       .orderBy(col("src"), col("dst"), col("rel"), tie)
+    // persist: the id assignment (shuffle + per-bucket sort) runs once per
+    // graph instance — the reference likewise assigns edge ids at load, not
+    // per query (graph/lpg/store.rs). Instances are cached per fixture dir,
+    // so every query over the same graph reads the materialized ids.
     PropertyGraph(nodes, bucketed
       .withColumn("eid",
         (row_number().over(w).cast("long") - 1L) * b + col("__b"))
-      .drop("__b"))
+      .drop("__b")
+      .persist())
   }
 
   def nodesWithLabel(label: String): DataFrame =
