@@ -72,6 +72,24 @@ object CypherUpdates {
     case other => throw new IllegalArgumentException(s"expected literal, got $other")
   }
 
+  /** A variable bound by the MATCH prefix is a relationship when its binding
+    * carries the synthesized edge-id column (the compiler prefixes every edge
+    * column with `v__`). Routes SET/REMOVE/DELETE on it to the edge-table
+    * mutations (reference set_edge_property / delete_edge, database.rs:945,931).
+    */
+  private def isEdgeVar(bindings: DataFrame, v: String): Boolean =
+    bindings.columns.contains(s"${v}__eid")
+
+  /** Apply an eid-keyed edge mutation: run it against the edge-id view (same
+    * deterministic ids the bindings were compiled against) and drop the
+    * synthesized column from the result, so stored graphs stay eid-free.
+    */
+  private def edgeMutation(g: PropertyGraph)(
+      f: PropertyGraph => PropertyGraph): PropertyGraph = {
+    val out = f(g.withEdgeIds)
+    out.copy(edges = out.edges.drop("eid"))
+  }
+
   private def apply(spark: SparkSession, g: PropertyGraph, bindings: => DataFrame,
       clause: Clause): PropertyGraph = clause match {
 
@@ -114,6 +132,9 @@ object CypherUpdates {
 
     case SetClause(items) =>
       items.foldLeft(g) {
+        case (acc, SetProp(Expr.Prop(v, key), value)) if isEdgeVar(bindings, v) =>
+          edgeMutation(acc)(Mutations.setEdgePropertyByIds(_,
+            bindings.select(col(s"${v}__eid")), key, nodeExpr(value)))
         case (acc, SetProp(Expr.Prop(v, key), value)) =>
           Mutations.setNodePropertyByIds(acc, bindings.select(col(v)), key,
             nodeExpr(value))
@@ -141,10 +162,17 @@ object CypherUpdates {
 
     case DeleteClause(vars, detach) =>
       vars.foldLeft(g)((acc, v) =>
-        Mutations.deleteNodesByIds(acc, bindings.select(col(v)), detach))
+        if (isEdgeVar(bindings, v))
+          edgeMutation(acc)(Mutations.deleteEdgesByIds(_,
+            bindings.select(col(s"${v}__eid"))))
+        else Mutations.deleteNodesByIds(acc, bindings.select(col(v)), detach))
 
     case RemoveClause(v, label) =>
       Mutations.removeLabelByIds(g, bindings.select(col(v)), label)
+
+    case RemovePropClause(v, prop) if isEdgeVar(bindings, v) =>
+      edgeMutation(g)(Mutations.removeEdgePropertyByIds(_,
+        bindings.select(col(s"${v}__eid")), prop))
 
     case RemovePropClause(v, prop) =>
       Mutations.removeNodePropertyByIds(g, bindings.select(col(v)), prop)

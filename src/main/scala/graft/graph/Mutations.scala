@@ -230,6 +230,63 @@ object Mutations {
     }
   }
 
+  // ---- edge variants keyed by edge id (reference database.rs:945
+  // set_edge_property / :931 delete_edge / :974 remove_edge_property):
+  // eids come from a matched pattern's relationship binding; the join-based
+  // update is the scalable "WHERE eid IN (…)". Callers pass a graph whose
+  // edges carry `eid` (PropertyGraph.withEdgeIds). ----
+
+  private def flagEdgesByIds(g: PropertyGraph, eids: DataFrame): DataFrame = {
+    require(g.edges.columns.contains("eid"),
+      "edge mutations need withEdgeIds (no eid column on edges)")
+    g.edges.join(
+      eids.select(col(eids.columns.head).as("eid")).distinct()
+        .withColumn("__hit", lit(true)),
+      Seq("eid"), "left_outer")
+  }
+
+  def setEdgePropertyByIds(g: PropertyGraph, eids: DataFrame, prop: String,
+      value: Column): PropertyGraph =
+    if (g.edges.columns.contains(prop))
+      g.copy(edges = flagEdgesByIds(g, eids)
+        .withColumn(prop, when(col("__hit"), value).otherwise(col(prop)))
+        .drop("__hit"))
+    else {
+      // dynamic key → the `props` map fallback (see setNodePropertyByIds)
+      val withMap = if (g.edges.columns.contains("props")) g.edges
+        else g.edges.withColumn("props", lit(null).cast("map<string,string>"))
+      g.copy(edges = flagEdgesByIds(g.copy(edges = withMap), eids)
+        .withColumn("props",
+          when(col("__hit"), map_concat(
+            map_filter(coalesce(col("props"), map()), (k, _) => k =!= prop),
+            map(lit(prop), value.cast("string"))))
+            .otherwise(col("props")))
+        .drop("__hit"))
+    }
+
+  def removeEdgePropertyByIds(g: PropertyGraph, eids: DataFrame, prop: String): PropertyGraph =
+    if (g.edges.columns.contains(prop))
+      g.copy(edges = flagEdgesByIds(g, eids)
+        .withColumn(prop,
+          when(col("__hit"), lit(null).cast(g.edges.schema(prop).dataType))
+            .otherwise(col(prop)))
+        .drop("__hit"))
+    else if (g.edges.columns.contains("props"))
+      g.copy(edges = flagEdgesByIds(g, eids)
+        .withColumn("props",
+          when(col("__hit"), map_filter(coalesce(col("props"), map()), (k, _) => k =!= prop))
+            .otherwise(col("props")))
+        .drop("__hit"))
+    else g
+
+  def deleteEdgesByIds(g: PropertyGraph, eids: DataFrame): PropertyGraph = {
+    require(g.edges.columns.contains("eid"),
+      "edge mutations need withEdgeIds (no eid column on edges)")
+    g.copy(edges = g.edges.join(
+      eids.select(col(eids.columns.head).as("eid")).distinct(),
+      Seq("eid"), "left_anti"))
+  }
+
   /** Merge (plan.rs:558-576; merge.rs): match-or-create by a key column, with
     * ON MATCH / ON CREATE property updates — the MERGE INTO shape. `incoming`
     * must carry the node schema's columns (or a subset + nulls).

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.GraftSession
 import graft.graph.TpchGraph
+import org.apache.spark.sql.functions._
 
 /** End-to-end front-end coverage: Cypher text → parser → IR → compiler →
   * DataFrame, verified against the same plain-SQL oracles as the direct
@@ -500,6 +501,30 @@ object CypherQueriesImpl {
         """MATCH (c:Customer)
           |RETURN DISTINCT c.category AS seg
           |ORDER BY seg LIMIT 3""".stripMargin)
+    },
+
+    // Relationship-variable mutations (reference set_edge_property
+    // database.rs:945, delete_edge :931): double the weight of CONTAINS
+    // edges into Brand#13 parts, delete the ones into Brand#23, then
+    // aggregate what's left — both keyed by the synthesized edge id the
+    // MATCH prefix binds.
+    QueryDef(
+      "q_mut_edge_set",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN p_brand = 'Brand#13' THEN 2 * l_quantity
+        |                     ELSE l_quantity END) AS DOUBLE) AS total
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#23'""".stripMargin) { (s, dir) =>
+      val g1 = new GraftSession(s, TpchGraph(s, dir)).cypherUpdate(
+        """MATCH (:Order)-[r:CONTAINS]->(p:Part)
+          |WHERE p.category = 'Brand#13'
+          |SET r.weight = r.weight * 2""".stripMargin)
+      val g2 = new GraftSession(s, g1).cypherUpdate(
+        """MATCH (:Order)-[r:CONTAINS]->(p:Part)
+          |WHERE p.category = 'Brand#23'
+          |DELETE r""".stripMargin)
+      g2.edges.filter(col("rel") === "CONTAINS")
+        .agg(count(lit(1)).as("n"), sum(col("weight")).cast("double").as("total"))
     },
 
     // Multi-label conjunction `(n:A:B)` (reference cypher ast.rs:104

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** SET r.prop / REMOVE r.prop / DELETE r on relationship variables — the
+  * edge-table counterparts of the node mutations (reference database.rs:945
+  * set_edge_property, :974 remove_edge_property, :931 delete_edge), keyed by
+  * the synthesized eid the MATCH prefix binds.
+  */
+class EdgeMutationSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def g = {
+    val nodes = Seq(
+      (1L, Seq("Person"), "ann"), (2L, Seq("Person"), "bob"),
+      (3L, Seq("City"), "rome")
+    ).toDF("id", "labels", "name")
+    val edges = Seq(
+      (1L, 2L, "KNOWS", 1.0), (1L, 3L, "LIVES_IN", 2.0),
+      (2L, 3L, "LIVES_IN", 3.0)
+    ).toDF("src", "dst", "rel", "weight")
+    PropertyGraph(nodes, edges)
+  }
+
+  test("SET r.weight rewrites only the matched edges") {
+    val g2 = new GraftSession(spark, g).cypherUpdate(
+      "MATCH (:Person)-[r:LIVES_IN]->(:City) SET r.weight = r.weight * 10")
+    val weights = g2.edges.orderBy("src", "dst")
+      .select("weight").as[Double].collect().toSeq
+    assert(weights == Seq(1.0, 20.0, 30.0))
+    assert(!g2.edges.columns.contains("eid"), "synthesized eid must not leak")
+  }
+
+  test("SET r.prop with a dynamic key lands in the edge props map") {
+    val g2 = new GraftSession(spark, g).cypherUpdate(
+      "MATCH ()-[r:KNOWS]->() SET r.since = 2020")
+    val since = g2.edges.filter(col("rel") === "KNOWS")
+      .select(element_at(col("props"), "since")).as[String].collect().toSeq
+    assert(since == Seq("2020"))
+  }
+
+  test("REMOVE r.weight nulls the property on matched edges only") {
+    val g2 = new GraftSession(spark, g).cypherUpdate(
+      "MATCH ()-[r:KNOWS]->() REMOVE r.weight")
+    val rows = g2.edges.orderBy("src", "dst")
+      .select("rel", "weight").collect()
+    assert(rows.find(_.getString(0) == "KNOWS").get.isNullAt(1))
+    assert(rows.count(!_.isNullAt(1)) == 2)
+  }
+
+  test("DELETE r removes exactly the matched edges, nodes survive") {
+    val g2 = new GraftSession(spark, g).cypherUpdate(
+      "MATCH (p:Person {name: 'ann'})-[r:LIVES_IN]->(:City) DELETE r")
+    assert(g2.edges.count() == 2)
+    assert(g2.edges.filter(col("src") === 1L && col("rel") === "LIVES_IN").count() == 0)
+    assert(g2.nodes.count() == 3)
+  }
+
+  test("mixed DELETE: edge var and node var in one clause") {
+    val g2 = new GraftSession(spark, g).cypherUpdate(
+      "MATCH (p:Person {name: 'bob'})-[r:KNOWS]-() DELETE r")
+    assert(g2.edges.filter(col("rel") === "KNOWS").count() == 0)
+    assert(g2.edges.count() == 2)
+  }
+}
