@@ -229,6 +229,18 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     */
   def beginTransaction(): GraftTransaction = new GraftTransaction(spark, graph)
 
+  /** Begin a transaction against an epoch STORE: the base snapshot is the
+    * newest committed epoch, and [[GraftTransaction.commitEpochChecked]]
+    * validates against any epoch published after it (optimistic concurrency,
+    * reference transaction/manager.rs:208).
+    */
+  def beginTransaction(path: String): GraftTransaction = {
+    val head = graft.sources.GraphIO.Epochs.list(spark, path).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed epoch at $path"))
+    new GraftTransaction(spark,
+      graft.sources.GraphIO.Epochs.asOf(spark, path, head), Some((path, head)))
+  }
+
   /** Snapshot-isolation session over a committed epoch (MVCC as-of read,
     * reference mvcc.rs:16-75).
     */
@@ -270,9 +282,11 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   * [[commit]]'s graph (or publishes it via [[commitEpoch]]).
   */
 final class GraftTransaction private[graft] (spark: SparkSession,
-    base: PropertyGraph) {
+    base: PropertyGraph, epochBase: Option[(String, Long)] = None) {
   private var staged: PropertyGraph = base
   private var closed = false
+  private var readNodeSets = List.empty[org.apache.spark.sql.DataFrame]
+  private var readEdgeSets = List.empty[org.apache.spark.sql.DataFrame]
 
   private def open(): Unit =
     require(!closed, "transaction already committed or rolled back")
@@ -303,6 +317,37 @@ final class GraftTransaction private[graft] (spark: SparkSession,
   def commitEpoch(path: String): Long = {
     val g = commit()
     graft.sources.GraphIO.Epochs.commit(g, path)
+  }
+
+  /** Record entity reads for serializable (SSI) validation — explicit, like
+    * the reference's `record_read` (transaction/manager.rs:190). `nodeIds`:
+    * a single node-id column; `edgeKeys`: (src, dst, rel).
+    */
+  def recordRead(nodeIds: org.apache.spark.sql.DataFrame = null,
+      edgeKeys: org.apache.spark.sql.DataFrame = null): Unit = {
+    open()
+    Option(nodeIds).foreach(df => readNodeSets ::= df)
+    Option(edgeKeys).foreach(df => readEdgeSets ::= df)
+  }
+
+  /** Commit with optimistic conflict detection against epochs published
+    * after this transaction began (requires `beginTransaction(path)`).
+    * Write-write conflicts abort at every isolation level; read-write
+    * conflicts additionally abort at [[graft.tx.OptimisticTx.Serializable]].
+    * On conflict the transaction stays open so the caller can inspect;
+    * retry by beginning a fresh transaction from the new head.
+    */
+  def commitEpochChecked(
+      isolation: graft.tx.OptimisticTx.Isolation = graft.tx.OptimisticTx.Snapshot): Long = {
+    open()
+    val (path, baseEpoch) = epochBase.getOrElse(throw new IllegalStateException(
+      "commitEpochChecked needs a transaction begun with beginTransaction(path)"))
+    val epoch = graft.tx.OptimisticTx.commitChecked(spark, path, baseEpoch,
+      base, staged, isolation,
+      readNodes = readNodeSets.reduceOption(_ unionByName _),
+      readEdges = readEdgeSets.reduceOption(_ unionByName _))
+    closed = true
+    epoch
   }
 
   /** Rollback: closes the transaction, discarding staged mutations. */

@@ -237,6 +237,57 @@ object Extra2QueriesImpl {
         .toDF("v", "n").orderBy("v")
     },
 
+    // Optimistic concurrency (reference transaction/manager.rs:208): two
+    // transactions from the same base epoch with overlapping write sets —
+    // the second commit aborts with a write-write conflict, retries from
+    // the new head, and its WHERE re-evaluates against the first commit's
+    // doubled balances. The final per-segment aggregate is the serial
+    // tx1-then-tx2 outcome the oracle reproduces in SQL.
+    QueryDef(
+      "q_tx_conflict",
+      """WITH s1 AS (
+        |  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 2 * c_acctbal
+        |              ELSE c_acctbal END AS bal,
+        |         c_mktsegment AS seg0
+        |  FROM customer
+        |), s2 AS (
+        |  SELECT bal, CASE WHEN bal > 5000.0 THEN 'VIP' ELSE seg0 END AS seg FROM s1
+        |)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(sum(bal), 2) AS DOUBLE) AS total,
+        |       CAST(1 AS BIGINT) AS conflicts
+        |FROM s2 GROUP BY seg
+        |ORDER BY seg NULLS FIRST""".stripMargin) { (s, dir) =>
+      val path = java.nio.file.Files.createTempDirectory("graft_txc").toString
+      val sess = new GraftSession(s, TpchGraph(s, dir))
+      graft.sources.GraphIO.Epochs.commit(sess.graph, path)
+      val tx1 = sess.beginTransaction(path)
+      val tx2 = sess.beginTransaction(path)
+      tx1.cypherUpdate(
+        "MATCH (c:Customer) WHERE c.category = 'BUILDING' SET c.acctbal = c.acctbal * 2")
+      tx2.cypherUpdate(
+        "MATCH (c:Customer) WHERE c.acctbal > 5000.0 SET c.category = 'VIP'")
+      tx1.commitEpochChecked()
+      var conflicts = 0L
+      val epoch =
+        try tx2.commitEpochChecked()
+        catch {
+          case _: graft.tx.OptimisticTx.WriteConflictException =>
+            conflicts += 1
+            val retry = sess.beginTransaction(path)
+            retry.cypherUpdate(
+              "MATCH (c:Customer) WHERE c.acctbal > 5000.0 SET c.category = 'VIP'")
+            retry.commitEpochChecked()
+        }
+      graft.sources.GraphIO.Epochs.asOf(s, path, epoch).nodes
+        .filter(array_contains(col("labels"), "Customer"))
+        .groupBy(col("category").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("acctbal")), 2).cast("double").as("total"))
+        .withColumn("conflicts", lit(conflicts))
+        .orderBy("seg")
+    },
+
     // Cypher update clauses end-to-end (plan.rs:393-475 via the front-end):
     // MATCH … SET, then query the mutated snapshot.
     QueryDef(

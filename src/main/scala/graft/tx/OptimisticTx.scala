@@ -1,0 +1,118 @@
+package graft.tx
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+import graft.sources.GraphIO.Epochs
+
+/** Optimistic concurrency control for epoch commits (reference
+  * TransactionManager, transaction/manager.rs:208-330): a transaction
+  * begun at epoch `base` commits only if no epoch published after `base`
+  * touched the same entities.
+  *
+  * - **Write-write** (all isolation levels): this transaction's write set
+  *   vs the write sets of every epoch in `(base, head]`.
+  * - **Read-write / SSI** (serializable only): the transaction's
+  *   explicitly recorded read set (the reference's `record_read` is
+  *   likewise explicit, manager.rs:190) vs those same later write sets.
+  *
+  * Entities are node ids and edge `(src, dst, rel)` keys; write sets are
+  * symmetric row diffs projected to entity keys — every check is a
+  * DataFrame anti/semi-join, so validation distributes and never collects
+  * a corpus to the driver. The check+publish pair is serialized in-JVM
+  * (same scope as the reference's in-process manager).
+  */
+object OptimisticTx {
+
+  sealed trait Isolation
+  /** Write-write detection only (default, manager.rs "All isolation levels"). */
+  case object Snapshot extends Isolation
+  /** Write-write + read-write SSI validation (manager.rs "Serializable only"). */
+  case object Serializable extends Isolation
+
+  final class WriteConflictException(msg: String) extends RuntimeException(msg)
+  final class ReadConflictException(msg: String) extends RuntimeException(msg)
+
+  /** serializes conflict-check + publish so a concurrent in-JVM commit
+    * cannot slip between validation and the epoch claim */
+  private val commitLock = new Object
+
+  /** Changed-entity keys between two graph states: node ids and edge
+    * (src, dst, rel) keys appearing in the symmetric row difference —
+    * a property rewrite shows up in both sides' anti-joins, an insert or
+    * delete in one.
+    */
+  def writeSet(before: PropertyGraph, after: PropertyGraph): (DataFrame, DataFrame) = {
+    def sym(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+      val cols = a.columns.toSeq
+      b.join(a, cols, "left_anti").select(keys.map(col): _*)
+        .unionByName(a.join(b, cols, "left_anti").select(keys.map(col): _*))
+        .distinct()
+    }
+    (sym(before.nodes, after.nodes, Seq("id")),
+      sym(before.edges.drop("eid"), after.edges.drop("eid"),
+        Seq("src", "dst", "rel")))
+  }
+
+  private def nonEmpty(df: DataFrame): Boolean = !df.isEmpty
+
+  /** Validate `staged` (begun at epoch `base`) against every epoch
+    * committed after `base`, then publish it as the next epoch. Returns
+    * the new epoch number; throws [[WriteConflictException]] /
+    * [[ReadConflictException]] on validation failure (the transaction's
+    * effects are NOT published — the caller may retry from the new head).
+    *
+    * `readNodes` / `readEdges` are the recorded read set (entity keys),
+    * consulted only at [[Serializable]].
+    */
+  def commitChecked(spark: SparkSession, path: String, base: Long,
+      baseGraph: PropertyGraph, staged: PropertyGraph,
+      isolation: Isolation = Snapshot,
+      readNodes: Option[DataFrame] = None,
+      readEdges: Option[DataFrame] = None): Long = commitLock.synchronized {
+    val head = Epochs.list(spark, path).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed epoch at $path"))
+    var toPublish = staged
+    if (head > base) {
+      val (myNodes, myEdges) = writeSet(baseGraph, staged)
+      // one pass over the interval: entities touched by ANY later epoch
+      val (theirNodes, theirEdges) =
+        writeSet(Epochs.asOf(spark, path, base), Epochs.asOf(spark, path, head))
+      if (nonEmpty(myNodes.join(theirNodes, Seq("id"), "left_semi")))
+        throw new WriteConflictException(
+          s"write-write conflict: epochs ($base, $head] touched nodes this transaction also wrote")
+      if (nonEmpty(myEdges.join(theirEdges, Seq("src", "dst", "rel"), "left_semi")))
+        throw new WriteConflictException(
+          s"write-write conflict: epochs ($base, $head] touched edges this transaction also wrote")
+      if (isolation == Serializable) {
+        readNodes.foreach { rn =>
+          if (nonEmpty(rn.select(col(rn.columns.head).as("id")).distinct()
+              .join(theirNodes, Seq("id"), "left_semi")))
+            throw new ReadConflictException(
+              s"read-write conflict: epochs ($base, $head] wrote nodes this transaction read")
+        }
+        readEdges.foreach { re =>
+          if (nonEmpty(re.join(theirEdges, Seq("src", "dst", "rel"), "left_semi")))
+            throw new ReadConflictException(
+              s"read-write conflict: epochs ($base, $head] wrote edges this transaction read")
+        }
+      }
+      // Validation passed ⇒ the later epochs' changes are disjoint from this
+      // transaction's writes. Publishing the stale staged snapshot wholesale
+      // would silently revert them, so merge at entity granularity instead:
+      // the head state everywhere EXCEPT this transaction's write set, which
+      // takes the staged rows (absence there = a delete). The per-entity
+      // version-chain merge of the reference's MVCC, as two join passes.
+      val headGraph = Epochs.asOf(spark, path, head)
+      toPublish = PropertyGraph(
+        headGraph.nodes.join(myNodes, Seq("id"), "left_anti")
+          .unionByName(staged.nodes.join(myNodes, Seq("id"), "left_semi"),
+            allowMissingColumns = true),
+        headGraph.edges.join(myEdges, Seq("src", "dst", "rel"), "left_anti")
+          .unionByName(
+            staged.edges.drop("eid").join(myEdges, Seq("src", "dst", "rel"), "left_semi"),
+            allowMissingColumns = true))
+    }
+    Epochs.commit(toPublish, path)
+  }
+}

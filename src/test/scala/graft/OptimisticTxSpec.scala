@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+import graft.tx.OptimisticTx
+
+/** Optimistic concurrency over the epoch store (reference
+  * transaction/manager.rs:208-330): write-write conflicts abort at every
+  * isolation level; read-write (SSI) conflicts abort only at Serializable.
+  */
+class OptimisticTxSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshStore(): (GraftSession, String) = {
+    val nodes = Seq(
+      (1L, Seq("Person"), "ann", 10.0), (2L, Seq("Person"), "bob", 20.0),
+      (3L, Seq("Person"), "cat", 30.0)
+    ).toDF("id", "labels", "name", "score")
+    val edges = Seq((1L, 2L, "KNOWS", 1.0)).toDF("src", "dst", "rel", "weight")
+    val g = PropertyGraph(nodes, edges)
+    val path = java.nio.file.Files.createTempDirectory("graft_otx").toString
+    graft.sources.GraphIO.Epochs.commit(g, path)
+    (new GraftSession(spark, g), path)
+  }
+
+  test("write-write conflict on the same node aborts the second committer") {
+    val (sess, path) = freshStore()
+    val tx1 = sess.beginTransaction(path)
+    val tx2 = sess.beginTransaction(path)
+    tx1.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 11.0")
+    tx2.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 99.0")
+    tx1.commitEpochChecked()
+    val e = intercept[OptimisticTx.WriteConflictException](tx2.commitEpochChecked())
+    assert(e.getMessage.contains("write-write"))
+    // retry from the new head succeeds and sees tx1's write underneath
+    val tx3 = sess.beginTransaction(path)
+    tx3.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 99.0")
+    val e3 = tx3.commitEpochChecked()
+    val g = graft.sources.GraphIO.Epochs.asOf(spark, path, e3)
+    assert(g.nodes.filter(col("name") === "ann")
+      .select("score").as[Double].head() == 99.0)
+  }
+
+  test("disjoint write sets commit concurrently") {
+    val (sess, path) = freshStore()
+    val tx1 = sess.beginTransaction(path)
+    val tx2 = sess.beginTransaction(path)
+    tx1.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 11.0")
+    tx2.cypherUpdate("MATCH (n:Person {name: 'bob'}) SET n.score = 22.0")
+    tx1.commitEpochChecked()
+    val e2 = tx2.commitEpochChecked()
+    val g = graft.sources.GraphIO.Epochs.asOf(spark, path, e2)
+    assert(g.nodes.orderBy("id").select("score").as[Double].collect().toSeq
+      == Seq(11.0, 22.0, 30.0))
+  }
+
+  test("edge writes conflict on the same (src,dst,rel)") {
+    val (sess, path) = freshStore()
+    val tx1 = sess.beginTransaction(path)
+    val tx2 = sess.beginTransaction(path)
+    tx1.cypherUpdate("MATCH ()-[r:KNOWS]->() SET r.weight = 2.0")
+    tx2.cypherUpdate("MATCH ()-[r:KNOWS]->() DELETE r")
+    tx1.commitEpochChecked()
+    intercept[OptimisticTx.WriteConflictException](tx2.commitEpochChecked())
+  }
+
+  test("SSI: read-write conflict aborts only at Serializable") {
+    val (sess, path) = freshStore()
+    // tx1 writes ann; tx2 READS ann and writes cat
+    val tx1 = sess.beginTransaction(path)
+    val tx2 = sess.beginTransaction(path)
+    tx1.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 11.0")
+    tx2.recordRead(nodeIds = tx2.cypher(
+      "MATCH (n:Person {name: 'ann'}) RETURN id(n) AS id"))
+    tx2.cypherUpdate("MATCH (n:Person {name: 'cat'}) SET n.score = 33.0")
+    tx1.commitEpochChecked()
+    intercept[OptimisticTx.ReadConflictException](
+      tx2.commitEpochChecked(OptimisticTx.Serializable))
+    // the SAME situation passes at snapshot isolation (write sets disjoint)
+    val (sessB, pathB) = freshStore()
+    val t1 = sessB.beginTransaction(pathB)
+    val t2 = sessB.beginTransaction(pathB)
+    t1.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 11.0")
+    t2.recordRead(nodeIds = t2.cypher(
+      "MATCH (n:Person {name: 'ann'}) RETURN id(n) AS id"))
+    t2.cypherUpdate("MATCH (n:Person {name: 'cat'}) SET n.score = 33.0")
+    t1.commitEpochChecked()
+    assert(t2.commitEpochChecked() >= 0)
+  }
+
+  test("no later epochs → commit publishes without validation cost") {
+    val (sess, path) = freshStore()
+    val tx = sess.beginTransaction(path)
+    tx.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 11.0")
+    val e = tx.commitEpochChecked(OptimisticTx.Serializable)
+    assert(graft.sources.GraphIO.Epochs.list(spark, path) == Seq(0L, e))
+  }
+}
