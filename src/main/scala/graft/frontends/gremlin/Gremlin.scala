@@ -242,6 +242,11 @@ object GremlinFrontend {
       case "hasNot" =>
         op = Op.Filter(op, Expr.IsNull(
           Expr.Prop(cur, s.args.head.asInstanceOf[String]), negated = false))
+      case "hasKey" =>
+        // hasKey('k', …): element carries ALL the property keys (ast.rs HasKey)
+        op = s.args.foldLeft(op)((acc, k) => Op.Filter(acc, Expr.IsNull(
+          Expr.Prop(cur, k.asInstanceOf[String]), negated = true)))
+      case "identity" => () // pass-through traverser (ast.rs Identity)
       case "hasId" =>
         op = Op.Filter(op, Expr.Bin("in", Expr.Var(cur),
           Expr.ListLit(s.args.map(Expr.Lit))))

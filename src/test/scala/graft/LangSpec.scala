@@ -77,6 +77,19 @@ class LangSpec extends AnyFunSuite {
     assert(withBal > 0 && withoutBal > 0 && withBal + withoutBal == all)
   }
 
+  test("gremlin: hasKey conjunction and identity pass-through") {
+    // hasKey('a','b') = element carries ALL keys; identity() is a no-op
+    val both = session.gremlin("g.V().hasKey('acctbal', 'category').count()")
+      .collect().head.getLong(0)
+    val viaHas = session.gremlin("g.V().has('acctbal').has('category').count()")
+      .collect().head.getLong(0)
+    assert(both == viaHas && both > 0)
+    val n = session.gremlin("g.V().identity().hasLabel('Region').identity().count()")
+      .collect().head.getLong(0)
+    assert(n == session.gremlin("g.V().hasLabel('Region').count()")
+      .collect().head.getLong(0))
+  }
+
   test("gremlin: bothE/otherV sees both directions") {
     val rid = TpchGraph.RegionTag * TpchGraph.Stride
     // region 0 has only incoming IN_REGION edges; bothE still reaches them
