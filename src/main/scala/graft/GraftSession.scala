@@ -75,17 +75,72 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
           "CREATE VECTOR INDEX runs through createVectorIndex(query, vectors, idCol)")
       case graft.frontends.gql.GqlCreateGraph(name, like) =>
         createGraph(name, like)
+      case stmt: graft.frontends.gql.GqlCreateType =>
+        createType(stmt)
     }
 
   /** Parameterized GQL (same binding path as [[cypher]]). */
   def gql(query: String, params: Map[String, Any]): DataFrame =
     cypher(query, params)
 
+  // Typed-schema catalog (reference gql/ast.rs:346 CreateNodeTypeStatement /
+  // :357 CreateEdgeTypeStatement): declared types are introspectable via
+  // [[schemaTypes]] and enforce NOT NULL property presence on INSERT/CREATE
+  // of a typed label. The engine stays schema-flexible underneath — the
+  // catalog constrains writes, it does not change storage (the reference's
+  // LPG store is likewise schema-flexible with typed-schema validation).
+  private val typeCatalog = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[graft.frontends.gql.GqlPropertyDef]]
+
+  private def createType(stmt: graft.frontends.gql.GqlCreateType): DataFrame = {
+    require(!typeCatalog.contains((stmt.kind, stmt.name)),
+      s"${stmt.kind} type '${stmt.name}' already exists")
+    typeCatalog((stmt.kind, stmt.name)) = stmt.props
+    import spark.implicits._
+    Seq((stmt.kind, stmt.name, stmt.props.size.toLong))
+      .toDF("kind", "name", "n_props")
+  }
+
+  /** Declared schema types, one row per property (reference
+    * SchemaInfo node/edge types).
+    */
+  def schemaTypes: DataFrame = {
+    import spark.implicits._
+    typeCatalog.toSeq.flatMap { case ((kind, name), props) =>
+      props.map(p => (kind, name, p.name, p.dataType, p.nullable))
+    }.sortBy(t => (t._1, t._2, t._3))
+      .toDF("kind", "name", "property", "data_type", "nullable")
+  }
+
+  /** NOT NULL enforcement for typed labels on the write path. */
+  private def validateTyped(query: String): Unit = {
+    if (typeCatalog.isEmpty) return
+    val q = graft.frontends.cypher.CypherFrontend.parse(query)
+    q.clauses.foreach {
+      case c: graft.frontends.cypher.Ast.CreateClause =>
+        val nodes = c.path.head +: c.path.tail.map(_._2)
+        for (n <- nodes; l <- n.label.toSeq ++ n.extraLabels;
+             props <- typeCatalog.get(("node", l));
+             p <- props if !p.nullable)
+          require(n.props.exists(_._1 == p.name),
+            s"node type '$l' requires property '${p.name}' (NOT NULL)")
+        for ((r, _) <- c.path.tail; t <- r.relTypes;
+             props <- typeCatalog.get(("edge", t));
+             p <- props if !p.nullable)
+          require(false,
+            s"edge type '$t' requires property '${p.name}' (NOT NULL); " +
+              "relationship property maps are not supported in CREATE")
+      case _ => ()
+    }
+  }
+
   /** GQL INSERT (and the shared SET/DELETE/MERGE surface) — functional
     * semantics like [[cypherUpdate]]: returns the mutated graph.
     */
-  def gqlUpdate(query: String): PropertyGraph =
+  def gqlUpdate(query: String): PropertyGraph = {
+    validateTyped(query)
     graft.frontends.cypher.CypherUpdates.run(spark, graph, query)
+  }
 
   private val vectorIndexes =
     scala.collection.concurrent.TrieMap.empty[String, graft.frontends.gql.VectorIndexes.VectorIndex]

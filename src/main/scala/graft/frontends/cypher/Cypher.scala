@@ -26,7 +26,7 @@ object CypherLexer {
     "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS", "IS", "NULL",
     "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL",
     "OPTIONAL", "CREATE", "SET", "DELETE", "DETACH", "MERGE", "REMOVE", "ON",
-    "INSERT")
+    "INSERT", "HAVING")
 
   def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -451,7 +451,15 @@ final class CypherParser(tokens: Vector[CypherLexer.Tok]) {
     }
     item()
     while (eat(Sym(","))) item()
-    val where = if (eat(Kw("WHERE")(""))) Some(parseExpr()) else None
+    // GQL HAVING (gql/ast.rs:47 HavingClause, parsed after RETURN in the
+    // reference): same post-projection filter slot as WITH … WHERE — both
+    // apply after aggregation, so they share the `where` channel (AND'd).
+    val whereKw = if (eat(Kw("WHERE")(""))) Some(parseExpr()) else None
+    val having = if (eat(Kw("HAVING")(""))) Some(parseExpr()) else None
+    val where = (whereKw, having) match {
+      case (Some(w), Some(h)) => Some(Expr.Bin("and", w, h): Expr.E)
+      case (w, h)             => w.orElse(h)
+    }
     val orderBy = Seq.newBuilder[(Expr.E, Boolean)]
     if (eat(Kw("ORDER")(""))) {
       expect(Kw("BY")(""))

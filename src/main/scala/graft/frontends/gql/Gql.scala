@@ -32,6 +32,14 @@ final case class GqlCreateVectorIndex(name: String, label: String,
   * CREATE GRAPH name — optionally LIKE another graph (same typed schema).
   */
 final case class GqlCreateGraph(name: String, like: Option[String]) extends GqlStatement
+/** Typed-schema property definition (gql/ast.rs:404 PropertyDefinition). */
+final case class GqlPropertyDef(name: String, dataType: String, nullable: Boolean)
+/** CREATE NODE TYPE / CREATE EDGE TYPE (gql/ast.rs:346/357): registers the
+  * type in the session schema catalog; INSERTs of a typed label validate
+  * their NOT NULL properties against it.
+  */
+final case class GqlCreateType(kind: String, name: String,
+    props: Seq[GqlPropertyDef]) extends GqlStatement
 
 object GqlFrontend {
 
@@ -39,8 +47,22 @@ object GqlFrontend {
     """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)(?:\s+USING\s+(\w+))?(?:\s+OPTIONS\s*\(([^)]*)\))?\s*""".r
   private val CreateGraphRe =
     """(?is)\s*CREATE\s+GRAPH\s+(\w+)(?:\s+LIKE\s+(\w+))?\s*""".r
+  private val CreateTypeRe =
+    """(?is)\s*CREATE\s+(NODE|EDGE)\s+TYPE\s+(\w+)\s*\(([^)]*)\)\s*""".r
+
+  private def parsePropDefs(body: String): Seq[GqlPropertyDef] =
+    body.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { d =>
+      val m = """(?is)(\w+)\s+(\w+)(\s+NOT\s+NULL)?""".r
+      d match {
+        case m(n, t, notNull) => GqlPropertyDef(n, t.toUpperCase, notNull == null)
+        case other => throw new IllegalArgumentException(
+          s"property definitions are `name TYPE [NOT NULL]`, got '$other'")
+      }
+    }
 
   def parseStatement(q: String): GqlStatement = q match {
+    case CreateTypeRe(kind, name, body) =>
+      GqlCreateType(kind.toLowerCase, name, parsePropDefs(body))
     case VectorIndexRe(name, label, prop, method, opts) =>
       val m = Option(method).map(_.toLowerCase).getOrElse("lsh")
       require(m == "lsh" || m == "ivf" || m == "hnsw",

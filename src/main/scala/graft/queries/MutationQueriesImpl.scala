@@ -61,6 +61,41 @@ object MutationQueriesImpl {
           |ORDER BY nm""".stripMargin)
     },
 
+    // GQL typed-schema DDL + HAVING (gql ast.rs:346 CreateNodeTypeStatement,
+    // :47 HavingClause): register node/edge types, reject an INSERT missing
+    // a NOT NULL property, accept a conforming one, then read back the type
+    // catalog AND a HAVING-filtered aggregate in one result.
+    QueryDef(
+      "q_gql_types",
+      """SELECT kind, name, property, nullable FROM (
+        |  SELECT 'edge' AS kind, 'SHIPS_TO' AS name, 'eta' AS property, TRUE AS nullable
+        |  UNION ALL SELECT 'node', 'Warehouse', 'capacity', TRUE
+        |  UNION ALL SELECT 'node', 'Warehouse', 'wname', FALSE
+        |  UNION ALL SELECT 'seg', s, NULL, NULL FROM (
+        |    SELECT c_mktsegment AS s FROM customer
+        |    GROUP BY c_mktsegment HAVING count(*) > 5
+        |  )
+        |)
+        |ORDER BY kind NULLS FIRST, name NULLS FIRST, property NULLS FIRST""".stripMargin) { (s, dir) =>
+      val sess = new graft.GraftSession(s, TpchGraph(s, dir))
+      sess.gql("CREATE NODE TYPE Warehouse (wname STRING NOT NULL, capacity INT)")
+      sess.gql("CREATE EDGE TYPE SHIPS_TO (eta INT)")
+      val rejected =
+        try { sess.gqlUpdate("INSERT (:Warehouse {id: 991234, capacity: 10})"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejected, "INSERT missing a NOT NULL property must be rejected")
+      sess.gqlUpdate("INSERT (:Warehouse {id: 991234, wname: 'w1', capacity: 10})")
+      val types = sess.schemaTypes
+        .select(col("kind"), col("name"), col("property"), col("nullable"))
+      val segs = sess.gql(
+        """MATCH (c:Customer)
+          |RETURN 'seg' AS kind, c.category AS name, count(*) AS n
+          |HAVING n > 5""".stripMargin)
+        .select(col("kind"), col("name"), lit(null).cast("string").as("property"),
+          lit(null).cast("boolean").as("nullable"))
+      types.unionByName(segs).orderBy("kind", "name", "property")
+    },
+
     // GraphQL mutations (graphql_translator.rs:130): create a hub, update
     // its name, detach-delete a customer segment, read everything back.
     QueryDef(

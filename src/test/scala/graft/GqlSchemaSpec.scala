@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.PropertyGraph
+
+/** GQL typed-schema DDL (reference gql/ast.rs:346 CreateNodeTypeStatement,
+  * :357 CreateEdgeTypeStatement): CREATE NODE/EDGE TYPE registers in the
+  * session catalog, introspects via schemaTypes, and enforces NOT NULL
+  * property presence on the INSERT/CREATE write path.
+  */
+class GqlSchemaSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def emptySession = {
+    val nodes = Seq((1L, Seq("Seed"), "x")).toDF("id", "labels", "name")
+    val edges = Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel")
+    new GraftSession(spark, PropertyGraph(nodes, edges))
+  }
+
+  test("CREATE NODE TYPE registers and introspects") {
+    val sess = emptySession
+    val ddl = sess.gql("CREATE NODE TYPE Person (name STRING NOT NULL, age INT)")
+    assert(ddl.collect().head.getLong(2) == 2L)
+    sess.gql("CREATE EDGE TYPE KNOWS (since INT)")
+    val rows = sess.schemaTypes.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      ("edge", "KNOWS", "since", true),
+      ("node", "Person", "age", true),
+      ("node", "Person", "name", false)))
+    intercept[IllegalArgumentException](
+      sess.gql("CREATE NODE TYPE Person (x INT)"))
+  }
+
+  test("INSERT of a typed label enforces NOT NULL properties") {
+    val sess = emptySession
+    sess.gql("CREATE NODE TYPE Person (name STRING NOT NULL, age INT)")
+    // missing NOT NULL property rejected
+    val e = intercept[IllegalArgumentException](
+      sess.gqlUpdate("INSERT (:Person {id: 2, age: 30})"))
+    assert(e.getMessage.contains("name"))
+    // present → accepted; untyped labels stay schema-flexible
+    val g2 = sess.gqlUpdate("INSERT (:Person {id: 2, name: 'ann'})")
+    assert(g2.nodes.count() == 2)
+    val g3 = sess.gqlUpdate("INSERT (:Thing {id: 3})")
+    assert(g3.nodes.count() == 2)
+  }
+}
