@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines: PII
+  * redaction, rule-based quality filtering (the published Gopher/C4-style
+  * heuristics), and benchmark decontamination by n-gram overlap. Pure
+  * column expressions and equi-joins — no UDFs, no driver-side loops, so
+  * every operator keeps its shape at corpus scale.
+  */
+object Curation {
+
+  // ---- PII redaction -------------------------------------------------
+
+  /** Conservative, well-known patterns; a production pipeline would add
+    * locale-specific ones behind the same column contract.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+
+  /** Replace emails/phones with redaction tokens (order: emails first so a
+    * phone-looking fragment inside an address cannot resurface).
+    */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  // ---- Rule-based quality (Gopher rules 1-4, Rae et al. 2021 §A1.1) ---
+
+  /** Word-count bounds. */
+  def ruleWordCount(text: Column, min: Int = 5, max: Int = 100000): Column = {
+    val n = TextAnalysis.tokenCount(text)
+    n >= min && n <= max
+  }
+
+  /** Mean word length within [minLen, maxLen] characters. */
+  def ruleMeanWordLen(text: Column, minLen: Double = 2.0, maxLen: Double = 10.0): Column = {
+    val m = TextAnalysis.avgWordLen(text)
+    m >= minLen && m <= maxLen
+  }
+
+  /** At most `maxRatio` of tokens are symbolic (no alphanumeric character —
+    * the hash/ellipsis symbol-to-word screen).
+    */
+  def ruleSymbolRatio(text: Column, maxRatio: Double = 0.1): Column = {
+    val ws = TextAnalysis.tokens(text)
+    val symbolic = aggregate(ws, lit(0L),
+      (acc, w) => acc + when(w.rlike("[A-Za-z0-9]"), 0L).otherwise(1L))
+    symbolic.cast("double") <=
+      greatest(size(ws), lit(1)).cast("double") * maxRatio
+  }
+
+  /** At least `minHits` distinct-position stopword occurrences (the Gopher
+    * "contains at least two stop words" screen).
+    */
+  def ruleStopwords(text: Column, minHits: Int = 2): Column = {
+    val ws = TextAnalysis.tokens(text)
+    aggregate(ws, lit(0L),
+      (acc, w) => acc + when(w.isin(TextAnalysis.StopwordsEn: _*), 1L).otherwise(0L)) >=
+      minHits
+  }
+
+  /** Conjunction of the four rules — the keep flag. */
+  def gopherKeep(text: Column): Column =
+    ruleWordCount(text) && ruleMeanWordLen(text) &&
+      ruleSymbolRatio(text) && ruleStopwords(text)
+
+  // ---- Benchmark decontamination -------------------------------------
+
+  /** All `n`-token shingles of `text` as space-joined strings (empty array
+    * when the document is shorter than `n`).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val ws = TextAnalysis.tokens(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Training documents sharing at least one `n`-gram with the benchmark
+    * set — the published test-set-contamination screen (e.g. GPT-3 App. C /
+    * Gopher §A1.2 use 8-13-gram overlap). The check is a distinct-gram
+    * equi-join: O(collisions), never all-pairs, so it holds at 100 TB with
+    * the grams shuffled once on their hash.
+    *
+    * Returns (docId, n_hits): distinct benchmark grams matched per
+    * contaminated training doc.
+    */
+  def contaminated(train: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), explode(ngrams(col(textCol), n)).as("gram"))
+      .distinct()
+    grams(train)
+      .join(grams(bench).select(col("gram")).distinct(), Seq("gram"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("gram")).as("n_hits"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Dedup, Ranking, Sampling, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Ranking, Sampling, TextAnalysis}
 
 /** Training-data pipeline operator coverage: dedup (exact / MinHash-LSH /
   * n-gram Jaccard), text analysis (tokens, quality, language ID,
@@ -99,6 +99,130 @@ object PipelineQueriesImpl {
         .filter(col("jacRaw") >= 0.8)
         .select(col("d1"), col("d2"), round(col("jacRaw"), 6).as("jac"))
         .orderBy("d1", "d2")
+    },
+
+    // PII redaction (standard curation screen): deterministically inject
+    // emails/phones into a slice of the corpus, count + redact them with
+    // codegen'd regex columns, and prove zero residual matches survive.
+    QueryDef(
+      "q_pii_redact",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text
+        |           || CASE WHEN doc_id % 7 = 0
+        |                THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+        |           || CASE WHEN doc_id % 11 = 0
+        |                THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |           AS t
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_e,
+        |         len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_p,
+        |         regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |                        '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS red
+        |  FROM aug
+        |)
+        |SELECT CAST(count(CASE WHEN n_e > 0 THEN 1 END) AS BIGINT) AS docs_with_email,
+        |       CAST(sum(n_e) AS BIGINT) AS emails,
+        |       CAST(sum(n_p) AS BIGINT) AS phones,
+        |       CAST(count(CASE WHEN len(regexp_extract_all(red, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |                        + len(regexp_extract_all(red, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) > 0
+        |                  THEN 1 END) AS BIGINT) AS residual_docs
+        |FROM m""".stripMargin) { (s, dir) =>
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("t"))
+      val red = Curation.redact(col("t"))
+      aug.agg(
+        count(when(Curation.emailCount(col("t")) > 0, 1)).as("docs_with_email"),
+        sum(Curation.emailCount(col("t"))).cast("long").as("emails"),
+        sum(Curation.phoneCount(col("t"))).cast("long").as("phones"),
+        count(when(Curation.emailCount(red) + Curation.phoneCount(red) > 0, 1))
+          .as("residual_docs"))
+    },
+
+    // Rule-based quality filtering (the published Gopher heuristics, Rae et
+    // al. 2021 §A1.1): per-language pass counts for each rule + the final
+    // keep conjunction. Thresholds tightened to be discriminative on the
+    // synthetic corpus.
+    QueryDef(
+      "q_gopher_rules",
+      """WITH m AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' ')) AS wc,
+        |    list_sum(list_transform(string_split(text, ' '), w -> length(w))) * 1.0
+        |      / greatest(len(string_split(text, ' ')), 1) AS mwl,
+        |    list_sum(list_transform(string_split(text, ' '),
+        |      w -> CASE WHEN regexp_matches(w, '[A-Za-z0-9]') THEN 0 ELSE 1 END)) AS symb,
+        |    list_sum(list_transform(string_split(text, ' '),
+        |      w -> CASE WHEN w IN ('the','a','of','and','to','in','is','it','for','on') THEN 1 ELSE 0 END)) AS stops
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang,
+        |    wc BETWEEN 55 AND 100000 AS r_wc,
+        |    mwl BETWEEN 2.0 AND 10.0 AS r_mwl,
+        |    symb <= greatest(wc, 1) * 0.1 AS r_sym,
+        |    stops >= 3 AS r_stop
+        |  FROM m
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_wc,
+        |       CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,
+        |       CAST(sum(CASE WHEN r_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_sym,
+        |       CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |       CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |FROM r GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          Curation.ruleWordCount(t, 55).as("r_wc"),
+          Curation.ruleMeanWordLen(t).as("r_mwl"),
+          Curation.ruleSymbolRatio(t).as("r_sym"),
+          Curation.ruleStopwords(t, 3).as("r_stop"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("r_wc"), 1)).as("n_wc"),
+          count(when(col("r_mwl"), 1)).as("n_mwl"),
+          count(when(col("r_sym"), 1)).as("n_sym"),
+          count(when(col("r_stop"), 1)).as("n_stop"),
+          count(when(col("r_wc") && col("r_mwl") && col("r_sym") && col("r_stop"), 1))
+            .as("n_keep"))
+        .orderBy("lang")
+    },
+
+    // Benchmark decontamination (GPT-3 App. C / Gopher §A1.2 n-gram-overlap
+    // screen): flag training docs sharing any n-gram with the held-out
+    // benchmark slice (doc_id % 97 = 0) via a distinct-gram equi-join —
+    // O(collisions), never all-pairs. Production uses 8-13-grams; the
+    // synthetic corpus's 30-word vocabulary makes 3-grams the
+    // demonstrative scale.
+    QueryDef(
+      "q_decontaminate",
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |       UNNEST(range(0, greatest(len(w) - 2, 0))) AS u(i)
+        |)
+        |SELECT tr.doc_id AS doc_id, CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_hits
+        |FROM g tr JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) be USING (gram)
+        |WHERE tr.doc_id % 97 <> 0
+        |GROUP BY tr.doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Curation.contaminated(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 3)
+        .select(col("doc_id"), col("n_hits").cast("long").as("n_hits"))
+        .orderBy("doc_id")
     },
 
     // Corpus statistics per (lang, source).

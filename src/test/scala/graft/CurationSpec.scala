@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.Curation
+
+/** Corpus-curation operators: PII redaction, Gopher-style quality rules,
+  * n-gram benchmark decontamination.
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("redact replaces emails and phones, leaves the rest") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@ex-ample.co.uk or call 555-123-4567 today"),
+      (2L, "no pii here"),
+      (3L, "two mails x@y.io z@w.ai")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), Curation.redact(col("t")).as("r"),
+      Curation.emailCount(col("t")).as("ne"), Curation.phoneCount(col("t")).as("np"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "mail me at <EMAIL> or call <PHONE> today")
+    assert(out(0).getInt(2) == 1 && out(0).getInt(3) == 1)
+    assert(out(1).getString(1) == "no pii here")
+    assert(out(2).getInt(2) == 2)
+    // redacted text has zero residual matches
+    val residual = df.select(
+      (Curation.emailCount(Curation.redact(col("t"))) +
+        Curation.phoneCount(Curation.redact(col("t")))).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(residual == 0L)
+  }
+
+  test("gopher rules gate on count, word shape, symbols and stopwords") {
+    val df = Seq(
+      (1L, "the cat sat on the mat with a hat and a bat"), // passes (wc min 5)
+      (2L, "tiny doc"),                                    // fails word count
+      (3L, "### $$$ !!! ??? *** ((( ))) ^^^ %%% @@@ the of to"), // fails symbol ratio
+      (4L, "pneumonoultramicroscopic silicovolcanoconiosis " * 3 + "the of") // fails mean word len
+    ).toDF("id", "t")
+    val flags = df.select(col("id"), Curation.gopherKeep(col("t")).as("keep"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(1L))
+    assert(!flags(2L) && !flags(3L) && !flags(4L))
+  }
+
+  test("ngrams handles short docs and exact window count") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "t")
+    val g = df.select(col("id"), Curation.ngrams(col("t"), 3).as("g"))
+      .orderBy("id").collect()
+    assert(g(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(g(1).getSeq[String](1).isEmpty)
+  }
+
+  test("contaminated finds shared n-grams only across the join") {
+    val train = Seq((1L, "x y z q r"), (2L, "totally clean words here")).toDF("doc_id", "t")
+    val bench = Seq((100L, "p p x y z p")).toDF("doc_id", "t")
+    val hits = Curation.contaminated(train, bench, "t", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L)) // "x y z" shared; doc 2 untouched
+  }
+}
