@@ -29,16 +29,24 @@ object CypherUpdates {
       case _ => false
     }, "mutation clauses must come last")
 
-    // the reading prefix compiles against the edge-id view (same as
-    // GraftSession.cypher — rel-var re-binding needs eids); mutations apply
-    // to the ORIGINAL graph, so no synthesized column leaks into the result
-    val compiler = new Compiler(spark, graph.withEdgeIds)
+    // the reading prefix compiles against the edge-id view (rel-var
+    // re-binding needs eids), and the SAME eid-carrying graph threads
+    // through every mutation clause: eids are assigned once here and ride
+    // along as a column, so a later SET/REMOVE/DELETE on a rel var hits
+    // exactly the edge the bindings identified. (Re-deriving ids per clause
+    // is wrong — the tie-break hash over non-key columns changes when an
+    // earlier clause rewrites an edge property, so parallel-edge ids could
+    // swap mid-query.) The synthesized column is dropped once at the end,
+    // so stored graphs stay eid-free.
+    val gEid = graph.withEdgeIds
+    val compiler = new Compiler(spark, gEid)
     lazy val bindings: DataFrame = {
       require(readPrefix.nonEmpty, "this mutation needs a MATCH prefix")
       compiler.compile(CypherFrontend.translate(Query(readPrefix)))
     }
 
-    actions.foldLeft(graph)((g, a) => apply(spark, g, bindings, a))
+    val out = actions.foldLeft(gEid)((g, a) => apply(spark, g, bindings, a))
+    out.copy(edges = out.edges.drop("eid"))
   }
 
   /** Expression → Column in node-table context (SET values may reference the
@@ -80,14 +88,17 @@ object CypherUpdates {
   private def isEdgeVar(bindings: DataFrame, v: String): Boolean =
     bindings.columns.contains(s"${v}__eid")
 
-  /** Apply an eid-keyed edge mutation: run it against the edge-id view (same
-    * deterministic ids the bindings were compiled against) and drop the
-    * synthesized column from the result, so stored graphs stay eid-free.
+  /** Apply an eid-keyed edge mutation. The graph threading through run()'s
+    * mutation fold already carries the eid column assigned ONCE against the
+    * pre-mutation state (the same ids the bindings were compiled against);
+    * edges created mid-query ride along with a null eid, which no
+    * binding-derived id can match. run() drops the column at the end.
     */
   private def edgeMutation(g: PropertyGraph)(
       f: PropertyGraph => PropertyGraph): PropertyGraph = {
-    val out = f(g.withEdgeIds)
-    out.copy(edges = out.edges.drop("eid"))
+    require(g.edges.columns.contains("eid"),
+      "edge mutations must run inside run()'s eid-threaded fold")
+    f(g)
   }
 
   private def apply(spark: SparkSession, g: PropertyGraph, bindings: => DataFrame,

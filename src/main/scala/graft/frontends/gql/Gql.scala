@@ -113,7 +113,8 @@ object VectorIndexes {
       prop: String, buckets: DataFrame, model: Option[Ivf.Model],
       hnsw: Option[org.apache.spark.rdd.RDD[Hnsw.Index]] = None,
       vectors: DataFrame = null, idCol: String = "id",
-      options: Map[String, Int] = Map.empty, dim: Int = 0) {
+      options: Map[String, Int] = Map.empty, dim: Int = 0,
+      metric: String = "cosine") {
     /** One-row DDL result (name, method, entries) — what `gql()` returns. */
     def summary: DataFrame = {
       val spark = buckets.sparkSession
@@ -170,11 +171,20 @@ object VectorIndexes {
       }
       // VectorScan thresholds (reference scan_vector.rs:61-63
       // min_similarity / max_distance): scores follow the higher-is-closer
-      // convention (cosine similarity, or NEGATED distance for distance
-      // metrics), so min_similarity is score >= v and max_distance is
-      // score >= -v.
+      // convention, so min_similarity is always score >= v; max_distance
+      // depends on the metric's score convention — cosine scores are
+      // SIMILARITIES (distance = 1 − similarity, so the filter is
+      // score >= 1 − v), l1/l2 scores are negated distances (score >= −v),
+      // and dot has no distance interpretation at all (rejected).
       val bySim = minScore.map(v => raw.filter(col("score") >= v)).getOrElse(raw)
-      maxDist.map(v => bySim.filter(col("score") >= -v)).getOrElse(bySim)
+      maxDist.map { v =>
+        metric match {
+          case "cosine" => bySim.filter(col("score") >= 1 - v)
+          case "dot" | "ip" => throw new IllegalArgumentException(
+            "max_distance is not defined for the dot-product metric (scores are unbounded similarities)")
+          case _ => bySim.filter(col("score") >= -v)
+        }
+      }.getOrElse(bySim)
     }
   }
 
@@ -221,7 +231,8 @@ object VectorIndexes {
           idCol, stmt.prop, m, efc, metric)
         val b = vectors.select(col(idCol), lit(0).as("bucket")).persist()
         VectorIndex(stmt.name, "hnsw", stmt.label, stmt.prop, b, None,
-          Some(idxRdd), vectors, idCol, stmt.options, dim)
+          Some(idxRdd), vectors, idCol, stmt.options, dim,
+          metric = stmt.metric.getOrElse("cosine"))
     }
   }
 }

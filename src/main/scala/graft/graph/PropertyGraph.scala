@@ -29,6 +29,14 @@ case object Both extends Direction
   */
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
+  /** Process-unique instance token — registry key for per-graph caches
+    * (property indexes, fixtures). `System.identityHashCode` is NOT unique
+    * across a collected instance's lifetime, so keying a registry by it
+    * can silently serve another graph's stale entry; this never collides.
+    */
+  private[graft] lazy val instanceToken: String =
+    java.util.UUID.randomUUID().toString
+
   /** The graph with a synthesized stable `eid` column on its edges — edge
     * identity for openCypher relationship-uniqueness ([*] walks), rel-var
     * re-binding across patterns, and parallel-edge disambiguation (the

@@ -31,14 +31,16 @@ object PropertyIndexes {
         .select(col("id"))
   }
 
-  // Keyed by (graph identity, property) — same per-instance scoping as the
-  // fixture/vector registries: a rebuilt or mutated graph is a new instance
-  // and never sees a stale index.
+  // Keyed by (graph instance token, property) — same per-instance scoping
+  // as the fixture/vector registries: a rebuilt or mutated graph is a new
+  // instance and never sees a stale index. The token is a per-instance
+  // UUID (PropertyGraph.instanceToken), not identityHashCode, which can
+  // collide with a garbage-collected instance and serve a stale index.
   private val registry =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), PropertyIndex]
+    scala.collection.concurrent.TrieMap.empty[(String, String), PropertyIndex]
 
-  private def key(g: PropertyGraph, prop: String): (Int, String) =
-    (System.identityHashCode(g), prop)
+  private def key(g: PropertyGraph, prop: String): (String, String) =
+    (g.instanceToken, prop)
 
   /** Build and register the index for `prop` over `g`'s nodes. The
     * projection drops null values (a null never equality-matches) and is

@@ -215,13 +215,15 @@ object GraphIO {
       if (es.isEmpty || (es.last + 1) % fullEvery == 0) commit(g, path)
       else {
         val prev = asOf(spark, path, es.last)
-        val nk = g.nodes.columns.toSeq
-        val ek = g.edges.columns.toSeq
+        // RowDiff: null-safe whole-row diffs that tolerate map-typed props
+        // columns and schema evolution between epochs (both sides are
+        // aligned to the union of columns, so the delta parquet carries
+        // the evolved schema and replay stays consistent)
         commitGraphDelta(spark, path,
-          nodeAdds = g.nodes.join(prev.nodes, nk, "left_anti"),
-          nodeRemoves = prev.nodes.join(g.nodes, nk, "left_anti"),
-          edgeAdds = g.edges.join(prev.edges, ek, "left_anti"),
-          edgeRemoves = prev.edges.join(g.edges, ek, "left_anti"))
+          nodeAdds = graft.core.RowDiff.antiRows(g.nodes, prev.nodes),
+          nodeRemoves = graft.core.RowDiff.antiRows(prev.nodes, g.nodes),
+          edgeAdds = graft.core.RowDiff.antiRows(g.edges, prev.edges),
+          edgeRemoves = graft.core.RowDiff.antiRows(prev.edges, g.edges))
       }
     }
 
@@ -231,22 +233,20 @@ object GraphIO {
       * not the corpus (mirrors [[diffTriples]]).
       */
     def diffNodes(spark: SparkSession, path: String,
-        from: Long, to: Long): DataFrame = {
-      val a = asOf(spark, path, from).nodes
-      val b = asOf(spark, path, to).nodes
-      val k = a.columns.toSeq
-      b.join(a, k, "left_anti").withColumn("change", lit("add"))
-        .unionByName(a.join(b, k, "left_anti").withColumn("change", lit("remove")))
-        .select(col("change") +: k.map(col): _*)
-    }
+        from: Long, to: Long): DataFrame =
+      cdf(asOf(spark, path, from).nodes, asOf(spark, path, to).nodes)
 
     def diffEdges(spark: SparkSession, path: String,
-        from: Long, to: Long): DataFrame = {
-      val a = asOf(spark, path, from).edges
-      val b = asOf(spark, path, to).edges
-      val k = a.columns.toSeq
-      b.join(a, k, "left_anti").withColumn("change", lit("add"))
-        .unionByName(a.join(b, k, "left_anti").withColumn("change", lit("remove")))
+        from: Long, to: Long): DataFrame =
+      cdf(asOf(spark, path, from).edges, asOf(spark, path, to).edges)
+
+    /** add|remove-tagged change rows a → b via [[graft.core.RowDiff]]
+      * (map-props-safe, schema-evolution-safe, null-safe) */
+    private def cdf(a: DataFrame, b: DataFrame): DataFrame = {
+      val adds = graft.core.RowDiff.antiRows(b, a).withColumn("change", lit("add"))
+      val k = adds.columns.filterNot(_ == "change").toSeq
+      adds.unionByName(
+          graft.core.RowDiff.antiRows(a, b).withColumn("change", lit("remove")))
         .select(col("change") +: k.map(col): _*)
     }
 
@@ -431,7 +431,10 @@ object GraphIO {
           val d = spark.read.schema(schema).parquet(s"$dir/$name")
           val adds = d.filter(col("chg") === "add").drop("chg")
           val removes = d.filter(col("chg") === "remove").drop("chg")
-          cur.join(removes, cur.columns.toSeq, "left_anti").unionByName(adds)
+          // RowDiff.antiRows (not a name-list join): props map columns and
+          // columns introduced by later epochs must not break replay
+          graft.core.RowDiff.antiRows(cur, removes)
+            .unionByName(adds, allowMissingColumns = true)
         }
         acc = PropertyGraph(
           side("nodes_delta", acc.nodes),

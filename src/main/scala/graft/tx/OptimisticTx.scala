@@ -40,19 +40,15 @@ object OptimisticTx {
   /** Changed-entity keys between two graph states: node ids and edge
     * (src, dst, rel) keys appearing in the symmetric row difference —
     * a property rewrite shows up in both sides' anti-joins, an insert or
-    * delete in one.
+    * delete in one. Delegates to [[graft.core.RowDiff]], so a change to a
+    * schemaless map property, a brand-new typed column, or a row carrying
+    * nulls all diff correctly (plain whole-row anti-joins would miss the
+    * first, throw on the second, and over-report the third).
     */
-  def writeSet(before: PropertyGraph, after: PropertyGraph): (DataFrame, DataFrame) = {
-    def sym(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
-      val cols = a.columns.toSeq
-      b.join(a, cols, "left_anti").select(keys.map(col): _*)
-        .unionByName(a.join(b, cols, "left_anti").select(keys.map(col): _*))
-        .distinct()
-    }
-    (sym(before.nodes, after.nodes, Seq("id")),
-      sym(before.edges.drop("eid"), after.edges.drop("eid"),
-        Seq("src", "dst", "rel")))
-  }
+  def writeSet(before: PropertyGraph, after: PropertyGraph): (DataFrame, DataFrame) =
+    (graft.core.RowDiff.changedKeys(before.nodes, after.nodes, Seq("id")),
+      graft.core.RowDiff.changedKeys(before.edges.drop("eid"),
+        after.edges.drop("eid"), Seq("src", "dst", "rel")))
 
   private def nonEmpty(df: DataFrame): Boolean = !df.isEmpty
 

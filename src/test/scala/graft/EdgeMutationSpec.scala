@@ -59,6 +59,22 @@ class EdgeMutationSpec extends AnyFunSuite {
     assert(g2.nodes.count() == 3)
   }
 
+  test("parallel edges: a later clause hits the edge the bindings identified") {
+    // two parallel (1,2,KNOWS) edges distinguished only by weight — eids are
+    // assigned ONCE per run, so after the SET rewrites the matched edge's
+    // weight (changing the parallel-edge tie-break hash), the DELETE in the
+    // same query must still remove THAT edge, not its twin
+    val nodes = Seq((1L, Seq("P"), "a"), (2L, Seq("P"), "b"))
+      .toDF("id", "labels", "name")
+    val edges = Seq((1L, 2L, "KNOWS", 1.0), (1L, 2L, "KNOWS", 2.0))
+      .toDF("src", "dst", "rel", "weight")
+    val g2 = new GraftSession(spark, PropertyGraph(nodes, edges)).cypherUpdate(
+      "MATCH ()-[r:KNOWS]->() WHERE r.weight = 1.0 SET r.weight = 9.0 DELETE r")
+    val left = g2.edges.select("weight").as[Double].collect().toSeq
+    assert(left == Seq(2.0), s"the untouched parallel edge must survive, got $left")
+    assert(!g2.edges.columns.contains("eid"))
+  }
+
   test("mixed DELETE: edge var and node var in one clause") {
     val g2 = new GraftSession(spark, g).cypherUpdate(
       "MATCH (p:Person {name: 'bob'})-[r:KNOWS]-() DELETE r")

@@ -90,6 +90,56 @@ class OptimisticTxSpec extends AnyFunSuite {
     assert(t2.commitEpochChecked() >= 0)
   }
 
+  test("a write set of only a schemaless property is detected, not lost") {
+    // tx2's only change is SET of a prop OUTSIDE the typed schema — it
+    // lands in the map-typed `props` fallback column. The diff must still
+    // see the row change (map columns compare through a canonical JSON
+    // encoding, not raw — and not only the base side's columns).
+    val (sess, path) = freshStore()
+    val tx1 = sess.beginTransaction(path)
+    val tx2 = sess.beginTransaction(path)
+    tx1.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 11.0")
+    tx2.cypherUpdate("MATCH (n:Person {name: 'bob'}) SET n.nick = 'bobby'")
+    tx1.commitEpochChecked()
+    val e2 = tx2.commitEpochChecked() // head > base, disjoint → merge path
+    val g = graft.sources.GraphIO.Epochs.asOf(spark, path, e2)
+    assert(g.nodes.filter(col("name") === "bob")
+      .select(element_at(col("props"), "nick")).as[String].head() == "bobby",
+      "the schemaless write must survive the entity-granularity merge")
+    assert(g.nodes.filter(col("name") === "ann")
+      .select("score").as[Double].head() == 11.0)
+    // and the SAME-node case is a conflict, not a silent pass
+    val tx3 = sess.beginTransaction(path)
+    val tx4 = sess.beginTransaction(path)
+    tx3.cypherUpdate("MATCH (n:Person {name: 'cat'}) SET n.score = 31.0")
+    tx4.cypherUpdate("MATCH (n:Person {name: 'cat'}) SET n.nick = 'kitty'")
+    tx3.commitEpochChecked()
+    intercept[OptimisticTx.WriteConflictException](tx4.commitEpochChecked())
+  }
+
+  test("OCC over a graph already carrying the props map column") {
+    // map-typed columns are not legal raw join keys — validation and merge
+    // must canonicalize them rather than throw AnalysisException
+    val nodes = Seq((1L, Seq("Person"), "ann"), (2L, Seq("Person"), "bob"))
+      .toDF("id", "labels", "name")
+      .withColumn("props", map(lit("k"), lit("v")))
+    val edges = Seq((1L, 2L, "KNOWS")).toDF("src", "dst", "rel")
+    val g = PropertyGraph(nodes, edges)
+    val path = java.nio.file.Files.createTempDirectory("graft_otx_map").toString
+    graft.sources.GraphIO.Epochs.commit(g, path)
+    val sess = new GraftSession(spark, g)
+    val tx1 = sess.beginTransaction(path)
+    val tx2 = sess.beginTransaction(path)
+    tx1.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.k = 'x'")
+    tx2.cypherUpdate("MATCH (n:Person {name: 'bob'}) SET n.k = 'y'")
+    tx1.commitEpochChecked()
+    val e2 = tx2.commitEpochChecked()
+    val gg = graft.sources.GraphIO.Epochs.asOf(spark, path, e2)
+    val byName = gg.nodes.select(col("name"),
+      element_at(col("props"), "k").as("k")).as[(String, String)].collect().toMap
+    assert(byName == Map("ann" -> "x", "bob" -> "y"))
+  }
+
   test("no later epochs → commit publishes without validation cost") {
     val (sess, path) = freshStore()
     val tx = sess.beginTransaction(path)
