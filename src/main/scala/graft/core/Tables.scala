@@ -1,7 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -15,12 +16,22 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read
-      // natively; read the raw int64 nanos and truncate to microseconds
-      // (matching DuckDB's ns→µs truncation on the oracle side).
+      // events.ts varies across driver testdata versions: TIMESTAMP(NANOS)
+      // (unreadable natively — read via nanosAsLong and truncate to µs,
+      // matching DuckDB's ns→µs truncation on the oracle side) or
+      // TIMESTAMP(US) with isAdjustedToUTC=false (read as TIMESTAMP_NTZ —
+      // normalize to session-UTC TimestampType so interval arithmetic and
+      // the oracle compare see identical instants). Branch on the schema
+      // actually read, not on an assumed version.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
