@@ -24,16 +24,24 @@ object Tables {
       // the oracle compare see identical instants). Branch on the schema
       // actually read, not on an assumed version.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema("ts").dataType match {
-        case LongType =>
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case TimestampNTZType =>
-          df.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => df
-      }
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Normalize the events `ts` column to session-UTC TimestampType, branching
+    * on the type ACTUALLY read (never an assumed testdata version). Shared by
+    * the batch loader above and the streaming reader
+    * ([[graft.streaming.EventStreams.runOnce]]) so both faces decode
+    * identical instants.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
 
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")

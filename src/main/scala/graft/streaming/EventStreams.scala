@@ -80,14 +80,13 @@ object EventStreams {
     */
   def runOnce(spark: SparkSession, dir: String, name: String,
       transform: DataFrame => DataFrame, outputMode: String): DataFrame = {
-    val batchSchema = graft.core.Tables.events(spark, dir).schema
-    // readStream needs an explicit schema; reuse the batch loader's (with
-    // the nanos→micros conversion applied post-read).
+    // readStream needs an explicit schema; use the RAW parquet schema (ts may
+    // be int64-nanos or TIMESTAMP_NTZ depending on testdata version) and then
+    // apply the SAME normalization branch as the batch loader.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(
-        batchSchema.fields.map(f =>
-          if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+      .schema(rawSchema)
       .parquet {
         // FileStreamSource needs a directory; stage a symlink to the events
         // file (a real deployment streams from a directory of arriving files).
@@ -97,7 +96,7 @@ object EventStreams {
           java.nio.file.Paths.get(s"$dir/events.parquet"))
         stage.toString
       }
-    val events = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.core.Tables.normalizeEventTs(raw)
     val q = transform(events).writeStream
       .format("memory").queryName(name).outputMode(outputMode).start()
     q.processAllAvailable()

@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   *
   * Replication preserves referential integrity (every foreign key is offset
   * by the same per-copy stride as its target's primary key) and workload
-  * shape: text/embedding payloads are perturbed per copy so near-duplicate
-  * structure grows linearly with the data (10× pairs), not quadratically
-  * (identical payloads across copies would manufacture 45× cross-copy
-  * duplicate pairs and change the workload, not scale it).
+  * shape. Payload perturbation guarantees: embeddings get a per-copy
+  * ORTHOGONAL transform (cyclic coordinate shift + seeded sign flips) —
+  * intra-copy geometry (norms, distances, neighborhoods) is preserved
+  * EXACTLY while cross-copy cosine collapses to ~0, far below every
+  * near-dup/kNN threshold; document text gets a per-copy token interleaved
+  * between words — intra-copy shingle structure is order-preserved while
+  * cross-copy shingle Jaccard collapses to ~0. So BOTH exact- and
+  * near-duplicate structure grows linearly with the data (10× pairs), not
+  * quadratically (un-perturbed copies would manufacture C(10,2)=45×
+  * cross-copy near-dup pairs and change the workload, not scale it).
   */
 object ScaleUp {
 
@@ -36,9 +42,10 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     // Key stride per table: one comfortably above the source max, shared by
-    // every foreign-key reference so joins land on the same replica.
+    // every foreign-key reference so joins land on the same replica. Cast to
+    // bigint first so an int32-keyed testdata regeneration can't ClassCast.
     def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1
+      df.agg(max(col(key).cast("bigint"))).head.getLong(0) + 1
 
     def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(i => shift(df, i)).reduce(_ unionAll _)
@@ -93,22 +100,43 @@ object ScaleUp {
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val ds = stride(docs, "doc_id")
+    val hasNChars = docs.columns.contains("n_chars")
     write("documents", replicate(docs) { (d, i) =>
       if (i == 0) d
-      else d.withColumn("doc_id", col("doc_id") + lit(i * ds))
-        .withColumn("text", concat(col("text"), lit(s" rep$i")))
+      else {
+        // Interleave a copy-specific token between words: every word shingle
+        // of copy i contains the `cI` token, so cross-copy shingle Jaccard
+        // drops to ~0 (no manufactured near-dup pairs), while docs that were
+        // near-dups of each other WITHIN the source stay near-dups in every
+        // copy (both sides transformed identically, word order preserved).
+        val perturbed = d.withColumn("doc_id", col("doc_id") + lit(i * ds))
+          .withColumn("text",
+            regexp_replace(col("text"), " ", s" ·c$i "))
+        if (hasNChars) perturbed.withColumn("n_chars", length(col("text")))
+        else perturbed
+      }
     })
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val vs = stride(emb, "vec_id")
+    // Derive the dimension from the data, never hardcode it.
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
     write("embeddings", replicate(emb) { (d, i) =>
       if (i == 0) d
       else d.withColumn("vec_id", col("vec_id") + lit(i * vs))
-        // rotate one coordinate per copy: breaks exact-duplicate identity
-        // across copies while keeping the vector-space geometry (norms,
-        // neighborhoods) statistically identical.
-        .withColumn("embedding", transform(col("embedding"),
-          (x, j) => when(j === lit(i % 64), x + lit(0.01f * i)).otherwise(x)))
+        // Per-copy orthogonal transform: cyclically shift coordinates by a
+        // copy-specific offset, then flip signs from a seeded hash. Both are
+        // orthogonal maps applied uniformly within the copy, so EVERY
+        // intra-copy norm/distance/neighborhood is preserved exactly (the
+        // kNN / near-dup workload per replica is identical to the source),
+        // while cross-copy cosine decorrelates to ~0 — no cross-copy
+        // candidates survive any 0.8/0.9 similarity threshold.
+        .withColumn("embedding", transform(col("embedding"), (_, j) => {
+          val shifted = element_at(col("embedding"),
+            (pmod(j + lit(i * 7 % dim), lit(dim)) + 1).cast("int"))
+          when(pmod(hash(lit(i * 31), j), lit(2)) === 0, shifted)
+            .otherwise(-shifted)
+        }))
     })
 
     spark.stop()
