@@ -352,20 +352,32 @@ final class GraftTransaction private[graft] (spark: SparkSession,
     new GraftSession(spark, staged).cypher(query)
   }
 
-  /** Stage a Cypher mutation (visible only to this transaction). */
+  /** Stage a Cypher mutation (visible only to this transaction). Edge ids
+    * assigned for relationship-variable bindings stay on the staged edges
+    * between updates (`keepEids`), so a transaction chaining k edge
+    * mutations runs the id-assignment window ONCE, not k times — edge
+    * identity is stable for the transaction's lifetime, like the
+    * reference's load-time ids. [[commit]] seals the graph eid-free.
+    */
   def cypherUpdate(query: String): Unit = {
     open()
-    staged = new GraftSession(spark, staged).cypherUpdate(query)
+    staged = graft.frontends.cypher.CypherUpdates.run(spark, staged, query,
+      keepEids = true)
   }
 
+  // the synthesized eid column never leaves the transaction scope
+  private def seal(g: PropertyGraph): PropertyGraph =
+    if (g.edges.columns.contains("eid")) g.copy(edges = g.edges.drop("eid"))
+    else g
+
   /** The staged graph as of now (still uncommitted). */
-  def graph: PropertyGraph = staged
+  def graph: PropertyGraph = seal(staged)
 
   /** Commit: closes the transaction, returns the final graph. */
   def commit(): PropertyGraph = {
     open()
     closed = true
-    staged
+    seal(staged)
   }
 
   /** Commit AND publish as the next epoch at `path` (durable MVCC commit). */
@@ -398,7 +410,7 @@ final class GraftTransaction private[graft] (spark: SparkSession,
     val (path, baseEpoch) = epochBase.getOrElse(throw new IllegalStateException(
       "commitEpochChecked needs a transaction begun with beginTransaction(path)"))
     val epoch = graft.tx.OptimisticTx.commitChecked(spark, path, baseEpoch,
-      base, staged, isolation,
+      base, seal(staged), isolation,
       readNodes = readNodeSets.reduceOption(_ unionByName _),
       readEdges = readEdgeSets.reduceOption(_ unionByName _))
     closed = true

@@ -15,7 +15,14 @@ import graft.ir.Expr
 object CypherUpdates {
   import Ast._
 
-  def run(spark: SparkSession, graph: PropertyGraph, query: String): PropertyGraph = {
+  /** `keepEids = true` (transaction-internal) returns the eid-carrying
+    * graph, so a FOLLOWING staged update reuses the assigned edge identity
+    * instead of re-running the id window — the reference likewise assigns
+    * edge ids once and mutates in place. Callers outside GraftTransaction
+    * always get the eid-free form (stored graphs stay eid-free).
+    */
+  def run(spark: SparkSession, graph: PropertyGraph, query: String,
+      keepEids: Boolean = false): PropertyGraph = {
     val q = CypherFrontend.parse(query)
     val (readPrefix, actions) = q.clauses.span {
       case _: CreateClause | _: SetClause | _: DeleteClause | _: MergeClause |
@@ -46,7 +53,7 @@ object CypherUpdates {
     }
 
     val out = actions.foldLeft(gEid)((g, a) => apply(spark, g, bindings, a))
-    out.copy(edges = out.edges.drop("eid"))
+    if (keepEids) out else out.copy(edges = out.edges.drop("eid"))
   }
 
   /** Expression → Column in node-table context (SET values may reference the
@@ -142,18 +149,29 @@ object CypherUpdates {
       Mutations.createEdges(g, edges)
 
     case SetClause(items) =>
-      items.foldLeft(g) {
-        case (acc, SetProp(Expr.Prop(v, key), value)) if isEdgeVar(bindings, v) =>
-          edgeMutation(acc)(Mutations.setEdgePropertyByIds(_,
+      // Edge-var items stay per-item (eid-keyed edge joins); all node items
+      // targeting the same variable collapse into ONE flag join
+      // (Mutations.setNodeFieldsByIds) instead of one join per item — the
+      // per-item fold was the q_cypher_setmap latency hot spot (k SET items
+      // = k full-node-table exchanges). Node items expand to an ordered
+      // (prop, value) list; `n = {map}` (replace) expands against the node
+      // schema AS OF that item (nulling every other property column), same
+      // as the per-item fold it replaces. Node- and edge-table mutations
+      // commute (disjoint tables), so grouping by target preserves order.
+      val nodeItems = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Vector[(String, Column)], Vector[String])]
+      var acc = g
+      for (item <- items) item match {
+        case SetProp(Expr.Prop(v, key), value) if isEdgeVar(bindings, v) =>
+          acc = edgeMutation(acc)(Mutations.setEdgePropertyByIds(_,
             bindings.select(col(s"${v}__eid")), key, nodeExpr(value)))
-        case (acc, SetProp(Expr.Prop(v, key), value)) =>
-          Mutations.setNodePropertyByIds(acc, bindings.select(col(v)), key,
-            nodeExpr(value))
-        case (acc, SetAllProps(v, Expr.MapLit(kvs), merge)) =>
+        case SetProp(Expr.Prop(v, key), value) =>
+          val (ps, ls) = nodeItems.getOrElse(v, (Vector.empty, Vector.empty))
+          nodeItems(v) = (ps :+ (key -> nodeExpr(value)), ls)
+        case SetAllProps(v, Expr.MapLit(kvs), merge) =>
           // n += {map} merges the given keys; n = {map} additionally nulls
           // every other property column (the typed-column stand-in for
           // "remove all other properties", ref ast.rs AllProperties)
-          val ids = bindings.select(col(v))
           val given = kvs.toMap
           val targets: Seq[(String, Column)] =
             if (merge) kvs.map { case (k, e) => k -> nodeExpr(e) }
@@ -163,12 +181,16 @@ object CypherUpdates {
               propCols.map(k => k -> given.get(k).map(nodeExpr)
                 .getOrElse(lit(null)))
             }
-          targets.foldLeft(acc) { case (a, (k, valueCol)) =>
-            Mutations.setNodePropertyByIds(a, ids, k, valueCol)
-          }
-        case (acc, SetLabel(v, labels)) =>
-          labels.foldLeft(acc)((a, l) =>
-            Mutations.addLabelByIds(a, bindings.select(col(v)), l))
+          val (ps, ls) = nodeItems.getOrElse(v, (Vector.empty, Vector.empty))
+          nodeItems(v) = (ps ++ targets, ls)
+        case SetLabel(v, labels) =>
+          val (ps, ls) = nodeItems.getOrElse(v, (Vector.empty, Vector.empty))
+          nodeItems(v) = (ps, ls ++ labels)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported SET item $other")
+      }
+      nodeItems.foldLeft(acc) { case (a, (v, (props, labels))) =>
+        Mutations.setNodeFieldsByIds(a, bindings.select(col(v)), props, labels)
       }
 
     case DeleteClause(vars, detach) =>

@@ -186,6 +186,40 @@ object Mutations {
         .drop("__hit"))
     }
 
+  /** Apply a whole SET clause's node items (typed/dynamic properties +
+    * labels) against one id set in a SINGLE flag join. The per-item
+    * functions above each re-join the full node table — k items = k
+    * exchanges; a Cypher `SET n.a = …, n += {…}, n:L` collapses to one
+    * exchange here. Items apply in order via chained withColumn on the one
+    * flagged plan, so a later item's value expression sees an earlier
+    * item's write — identical semantics to folding the per-item functions.
+    */
+  def setNodeFieldsByIds(g: PropertyGraph, ids: DataFrame,
+      props: Seq[(String, Column)], labels: Seq[String] = Nil): PropertyGraph = {
+    val needsMap = props.exists { case (k, _) => !g.nodes.columns.contains(k) } &&
+      !g.nodes.columns.contains("props")
+    val base = if (needsMap)
+      g.nodes.withColumn("props", lit(null).cast("map<string,string>"))
+    else g.nodes
+    val flagged = flagByIds(g.copy(nodes = base), ids)
+    val withProps = props.foldLeft(flagged) { case (df, (prop, value)) =>
+      if (base.columns.contains(prop))
+        df.withColumn(prop, when(col("__hit"), value).otherwise(col(prop)))
+      else
+        df.withColumn("props",
+          when(col("__hit"), map_concat(
+            map_filter(coalesce(col("props"), map()), (k, _) => k =!= prop),
+            map(lit(prop), value.cast("string"))))
+            .otherwise(col("props")))
+    }
+    val withLabels = labels.foldLeft(withProps) { (df, l) =>
+      df.withColumn("labels",
+        when(col("__hit") && !array_contains(col("labels"), l),
+          array_append(col("labels"), l)).otherwise(col("labels")))
+    }
+    g.copy(nodes = withLabels.drop("__hit"))
+  }
+
   def addLabelByIds(g: PropertyGraph, ids: DataFrame, label: String): PropertyGraph =
     g.copy(nodes = flagByIds(g, ids)
       .withColumn("labels",
@@ -298,12 +332,12 @@ object Mutations {
   def mergeNodes(g: PropertyGraph, incoming: DataFrame, keyCol: String,
       onMatchSet: Map[String, Column] = Map.empty,
       onCreateSet: Map[String, Column] = Map.empty): PropertyGraph = {
+    // apply ON MATCH via a flag join against the incoming key set directly
+    // (a node is matched iff its key appears in `incoming`; intersecting
+    // with the node keys first would be a redundant extra exchange)
     val inKeys = incoming.select(col(keyCol)).distinct()
-    val matchedKeys = g.nodes.select(col(keyCol)).distinct()
-      .join(inKeys, Seq(keyCol), "left_semi")
-    // apply ON MATCH via semi-join flag
     val flagged = g.nodes.join(
-      matchedKeys.withColumn("__matched", lit(true)), Seq(keyCol), "left_outer")
+      inKeys.withColumn("__matched", lit(true)), Seq(keyCol), "left_outer")
     val updated = onMatchSet.foldLeft(flagged) { case (df, (p, v)) =>
       df.withColumn(p, when(col("__matched"), v).otherwise(col(p)))
     }.drop("__matched")

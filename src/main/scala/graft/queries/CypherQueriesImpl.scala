@@ -515,14 +515,20 @@ object CypherQueriesImpl {
         |                     ELSE l_quantity END) AS DOUBLE) AS total
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand <> 'Brand#23'""".stripMargin) { (s, dir) =>
-      val g1 = new GraftSession(s, TpchGraph(s, dir)).cypherUpdate(
+      // chained edge mutations run in one transaction: edge identity is
+      // assigned once and reused by the second update's bindings (a second
+      // standalone cypherUpdate would re-run the id window over the full
+      // edge set — the transaction is the unit where edge ids persist)
+      val tx = new GraftSession(s, TpchGraph(s, dir)).beginTransaction()
+      tx.cypherUpdate(
         """MATCH (:Order)-[r:CONTAINS]->(p:Part)
           |WHERE p.category = 'Brand#13'
           |SET r.weight = r.weight * 2""".stripMargin)
-      val g2 = new GraftSession(s, g1).cypherUpdate(
+      tx.cypherUpdate(
         """MATCH (:Order)-[r:CONTAINS]->(p:Part)
           |WHERE p.category = 'Brand#23'
           |DELETE r""".stripMargin)
+      val g2 = tx.commit()
       g2.edges.filter(col("rel") === "CONTAINS")
         .agg(count(lit(1)).as("n"), sum(col("weight")).cast("double").as("total"))
     },
