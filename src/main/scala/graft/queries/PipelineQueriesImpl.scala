@@ -392,6 +392,71 @@ object PipelineQueriesImpl {
         .orderBy("id1", "id2")
     },
 
+    // Epochs CDC → Structured Streaming → incremental near-dup
+    // (streaming/CdcStreams.scala): the SAME corpus as q_neardup_verified
+    // arrives over TWO epoch commits (base, then base + planted); each
+    // commit's change rows stream from the _cdc outbox and the pipeline
+    // signs only the delta, band-joining against the persisted signature
+    // store. The accumulated pairs must equal the full exact all-pairs
+    // oracle on the epoch head — proving incremental ≡ batch end-to-end
+    // under the driver's gate, not just in specs.
+    QueryDef(
+      "q_cdc_neardup",
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 150
+        |),
+        |planted AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(w[1 : GREATEST(CAST(floor(len(w)*4/5) AS INT), 3)], ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)
+        |),
+        |d AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d)
+        |  WHERE len(w) >= 2
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |               / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id1, id2, jac FROM pairs WHERE jac >= 0.5
+        |ORDER BY id1 NULLS FIRST, id2 NULLS FIRST""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{array => sqlArray}
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val ws = split(col("text"), " ")
+      val k = greatest(floor(size(ws) * 4 / 5).cast("int"), lit(3))
+      val planted = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(ws, lit(1), k)).as("text"))
+      def asGraph(docs: org.apache.spark.sql.DataFrame) =
+        graft.graph.PropertyGraph(
+          docs.select(col("doc_id").as("id"),
+            sqlArray(lit("Document")).as("labels"), col("text")),
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("src",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("dst",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("rel",
+                org.apache.spark.sql.types.StringType)))))
+      val store = java.nio.file.Files.createTempDirectory("graft_cdcq_store").toString
+      val work = java.nio.file.Files.createTempDirectory("graft_cdcq_work").toString
+      graft.streaming.CdcStreams.commitWithFeed(asGraph(base), store)
+      graft.streaming.CdcStreams.incrementalNearDupRun(s, store, work,
+        idCol = "id", textCol = "text")
+      graft.streaming.CdcStreams.commitWithFeed(
+        asGraph(base.unionByName(planted)), store)
+      graft.streaming.CdcStreams.incrementalNearDupRun(s, store, work,
+        idCol = "id", textCol = "text")
+      graft.streaming.CdcStreams.nearDupPairs(s, work)
+        .select(col("id1"), col("id2"), col("jac"))
+        .orderBy("id1", "id2")
+    },
+
     // MinHash-LSH at threshold 1.0 IS oracle-exact: jaccard = 1 means equal
     // shingle sets, equal sets hash to identical signatures and bands, so
     // every qualifying pair collides with probability 1 and verification
