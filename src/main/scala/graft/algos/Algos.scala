@@ -220,6 +220,19 @@ object Algos {
       .map { case (id, d) => (id, d) }.toDF("id", "dist")
   }
 
+  /** SSSP run to CONVERGENCE rather than a caller-supplied hop bound — the
+    * reference's Dijkstra semantics (shortest_path.rs:99 runs until the
+    * frontier empties). Both execution branches already terminate on
+    * quiescence: the local relaxation loop exits when a round changes no
+    * distance, and Pregel stops on an empty message set — so the hop bound
+    * is not needed for termination, only as an optional radius cap.
+    * Precondition as for Dijkstra/Bellman-Ford: no negative-weight cycles
+    * (a negative cycle relaxes forever under ANY convergence rule).
+    */
+  def ssspConverged(spark: SparkSession, g: PropertyGraph,
+      source: Long): DataFrame =
+    sssp(spark, g, source, Int.MaxValue)
+
   /** Strongly connected components via GraphX (reference components.rs:171).
     * Returns the lowest vertex id per SCC.
     */

@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: PNG/JPEG/BMP/GIF payloads (sniffed by magic bytes)
   * route through the JDK's `javax.imageio.ImageIO` into width/height plus a
-  * grid-luminance feature vector. Audio/video payloads keep the
-  * deterministic `fakeDecode` stand-in (no audio codecs in the JDK) — the
-  * Spark-side contract (schema, partition-wise batching, vector shape) is
-  * identical either way, so a deployment swaps in a JNI codec without
-  * touching the plan shape.
+  * grid-luminance feature vector. AUDIO decode is REAL too: WAV/AIFF/AU
+  * payloads route through the JDK's `javax.sound.sampled.AudioSystem` into
+  * sample-rate/duration plus a windowed-RMS feature vector. Video payloads
+  * keep the deterministic `fakeDecode` stand-in (the JDK has no video
+  * codec) — the Spark-side contract (schema, partition-wise batching,
+  * vector shape) is identical either way, so a deployment swaps in a JNI
+  * codec without touching the plan shape.
   */
 object Multimodal {
 
@@ -113,10 +115,85 @@ object Multimodal {
     out
   }
 
+  /** True iff the payload starts with a magic number AudioSystem can decode
+    * (RIFF/WAVE, FORM/AIFF-AIFC, Sun AU).
+    */
+  private[pipeline] def looksLikeAudio(b: Array[Byte]): Boolean =
+    b.length >= 12 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F') ||
+      (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
+
+  /** Real audio decode (JDK `javax.sound.sampled.AudioSystem` — WAV, AIFF,
+    * AU): (sampleRate, channels, frames, normalized [-1,1) samples,
+    * channel-interleaved), or None when the payload is not decodable audio.
+    * Whatever the container's encoding, the stream converts to 16-bit
+    * signed little-endian PCM first (the JDK converts between PCM
+    * variants), so the sample view is uniform.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Float, Int, Long, Array[Float])] = {
+    if (!looksLikeAudio(bytes)) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val src = in.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+        src.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      val raw = pcm.readAllBytes()
+      val n = raw.length / 2
+      val samples = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val lo = raw(2 * i) & 0xFF
+        val hi = raw(2 * i + 1).toInt
+        samples(i) = ((hi << 8) | lo) / 32768.0f
+        i += 1
+      }
+      val channels = math.max(1, src.getChannels)
+      Some((src.getSampleRate, channels, (n / channels).toLong, samples))
+    } catch {
+      // bad payloads that pass the sniff must fall back, not kill the task
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Audio → fixed-dim feature vector: [sampleRate, durationSec, windowed
+    * RMS over dim − 2 equal sample windows] — the audio analogue of the
+    * image grid descriptor: length-independent and deterministic.
+    */
+  private[pipeline] def audioFeatures(rate: Float, channels: Int,
+      samples: Array[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    out(0) = rate
+    if (dim > 1 && rate > 0 && channels > 0)
+      out(1) = (samples.length.toFloat / channels) / rate
+    val cells = math.max(1, dim - 2)
+    var c = 0
+    while (c < cells && c + 2 < dim) {
+      val lo = c * samples.length / cells
+      val hi = math.max(lo + 1, (c + 1) * samples.length / cells)
+      var sum = 0.0
+      var n = 0
+      var i = lo
+      while (i < hi && i < samples.length) {
+        sum += samples(i).toDouble * samples(i); n += 1; i += 1
+      }
+      out(c + 2) = if (n == 0) 0f else math.sqrt(sum / n).toFloat
+      c += 1
+    }
+    out
+  }
+
   /** Batch feature extraction: runs once per partition (the mapInPandas
     * shape), so a real decoder could amortize model/codec init per batch.
     * Image payloads (magic-sniffed) decode through ImageIO to real
-    * luminance-grid features; other modalities keep the declared stand-in.
+    * luminance-grid features; audio payloads through AudioSystem to real
+    * RMS-window features; other modalities keep the declared stand-in.
     */
   def extractFeatures(media: Dataset[Media], dim: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -125,11 +202,38 @@ object Multimodal {
       rows.map { m =>
         val feats = decodeImage(m.bytes) match {
           case Some((w, h, lum)) => imageFeatures(w, h, lum, dim)
-          case None              => fakeDecode(m.bytes, dim)
+          case None => decodeAudio(m.bytes) match {
+            case Some((rate, ch, _, samples)) => audioFeatures(rate, ch, samples, dim)
+            case None => fakeDecode(m.bytes, dim)
+          }
         }
         MediaFeatures(m.id, m.modality, dim, feats)
       }
     }
+  }
+
+  /** Decode metadata for a binary audio column — one row per decodable
+    * payload: (id, sample_rate, channels, n_frames, duration_s, rms).
+    * Per-partition batches over the opaque payload column, like
+    * [[decodeImageMeta]].
+    */
+  def decodeAudioMeta(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          decodeAudio(bytes).map { case (rate, channels, frames, samples) =>
+            val rms =
+              if (samples.isEmpty) 0.0
+              else math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length)
+            (id, rate.toInt, channels, frames,
+              frames.toDouble / rate, rms)
+          }
+        }
+      }
+      .toDF("id", "sample_rate", "channels", "n_frames", "duration_s", "rms")
   }
 
   /** Decode metadata for a binary image column — one row per decodable
@@ -196,6 +300,44 @@ object Multimodal {
           }
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("id", "bytes")
+  }
+
+  /** Synthetic WAV corpus derived from the documents table: doc_id becomes
+    * a constant-amplitude 16-bit mono PCM signal (amp = (20 + id%200)·100,
+    * frames = 100 + id%50, rate = 8000 Hz) ENCODED with the real
+    * AudioSystem WAV writer — the decode path round-trips genuine codec
+    * bytes while sample-rate/frames/duration/RMS stay SQL-predictable for
+    * the oracle (PCM is lossless; amp/32768 is exact in binary floating
+    * point, so RMS of the constant signal is exactly amp/32768).
+    */
+  def documentsAsAudio(spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("id"))
+      .filter(col("id") <= cap)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val amp = ((20 + id % 200) * 100).toInt
+          val frames = (100 + id % 50).toInt
+          val pcm = new Array[Byte](frames * 2)
+          var i = 0
+          while (i < frames) {
+            pcm(2 * i) = (amp & 0xFF).toByte
+            pcm(2 * i + 1) = ((amp >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            8000f, 16, 1, 2, 8000f, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           (id, bos.toByteArray)
         }
       }.toDF("id", "bytes")

@@ -20,9 +20,6 @@ object QueryDef {
   def apply(name: String, oracle: String)(
       run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, run, Some(oracle))
-
-  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, run, None)
 }
 
 /** Registry assembled by SparkEntry; each area object contributes defs. */

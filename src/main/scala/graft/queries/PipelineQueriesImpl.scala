@@ -336,6 +336,30 @@ object PipelineQueriesImpl {
         .orderBy("id")
     },
 
+    // Real audio decode (javax.sound.sampled.AudioSystem, JDK builtin):
+    // doc_ids become constant-amplitude 16-bit mono WAVs via the real WAV
+    // ENCODER, then decode back through the real DECODER —
+    // rate/frames/duration/RMS all SQL-predictable because PCM is lossless
+    // and amp/32768 is a power-of-two division (exact in floating point).
+    // The audio twin of q_multimodal_decode (Multimodal.decodeAudioMeta).
+    QueryDef(
+      "q_audio_decode",
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+        |       round((100 + doc_id % 50) / 8000.0, 6) AS duration_s,
+        |       round((20 + doc_id % 200) * 100 / 32768.0, 6) AS rms
+        |FROM documents WHERE doc_id <= 40
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val wavs = graft.pipeline.Multimodal.documentsAsAudio(s, dir, cap = 40L)
+      graft.pipeline.Multimodal.decodeAudioMeta(wavs, "id", "bytes")
+        .select(col("id"), col("sample_rate"), col("channels"), col("n_frames"),
+          round(col("duration_s"), 6).as("duration_s"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy("id")
+    },
+
     // RETIRED gate row `q_minhash_neardup` (was QueryDef.noOracle): at a
     // mid-threshold banding (bands=8 of 16 hashes) LSH recall is
     // signature-dependent — DuckDB cannot reproduce xxhash64 banding, so the
@@ -344,8 +368,10 @@ object PipelineQueriesImpl {
     // verify, Dedup.minHashNearDuplicates) is now proven end-to-end against
     // a FULL exact all-pairs oracle by `q_neardup_verified` below (r=1
     // banding makes candidate generation lossless on the planted fixture,
-    // so the hash must match, and does). Mid-threshold recall and
-    // candidate⊆verified soundness remain asserted in DedupSpec.
+    // so the hash must match, and does). Mid-threshold recall ("minhash
+    // finds planted near-duplicate") and verified⊆exact soundness
+    // ("mid-threshold output is sound") are asserted in DedupSpec
+    // (PipelineSpec.scala).
 
     // MinHash-LSH near-dup with a FULL exact oracle: plant ~0.8-jaccard
     // near-duplicates (80%-prefix truncation — prefix shingles are a

@@ -31,6 +31,26 @@ class AlgosSpec extends AnyFunSuite {
     assert(math.abs(gc - 0.6) < 1e-6)
   }
 
+  test("convergent sssp relaxes a chain deeper than a hop bound would") {
+    // 60-deep chain: a maxHops=5 run truncates at radius 5; the convergent
+    // variant must relax to the end on BOTH execution branches
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    val g = mkGraph(chain)
+    val bounded = Algos.sssp(spark, g, 1L, maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bounded.size == 6 && !bounded.contains(60L))
+    val localRun = Algos.ssspConverged(spark, g, 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(localRun.size == 60 && localRun(60L) == 59.0)
+    // force the distributed Pregel branch: converges on empty message set
+    spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, "0")
+    try {
+      val dist = Algos.ssspConverged(spark, g, 1L)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(dist == localRun, "distributed branch must match the local one")
+    } finally spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
+  }
+
   test("isDag detects cycles and self-loops") {
     assert(graft.algos.Algos.isDag(spark, mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L)))))
     assert(!graft.algos.Algos.isDag(spark, mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L)))))

@@ -115,6 +115,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("mid-threshold output is sound: verified pairs are a subset of exact all-pairs") {
+    // the q_neardup fixture shape: documents + planted 80%-prefix near-dups;
+    // at the mid-threshold 8×2 banding candidate generation may MISS pairs
+    // (recall < 1, signature-dependent) but exact-Jaccard verification must
+    // make every EMITTED pair true — zero false positives, with the exact
+    // jaccard value
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+    val ws = split(col("text"), " ")
+    val planted = base.select((col("id") + 1000L).as("id"),
+      concat_ws(" ", slice(ws, lit(1),
+        greatest(floor(size(ws) * 4 / 5).cast("int"), lit(3)))).as("text"))
+    val docs = base.unionByName(planted)
+    val out = Dedup.minHashNearDuplicates(docs, "id", "text",
+      n = 2, numHashes = 16, bands = 8, threshold = 0.5)
+    val sh = docs.select(col("id"), Dedup.shingles(col("text"), 2).as("s"))
+    val exact = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        round(Dedup.jaccard(col("a.s"), col("b.s")), 6).as("jac"))
+      .filter(col("jac") >= 0.5)
+    assert(out.join(exact, Seq("id1", "id2"), "left_anti").isEmpty,
+      "every verified pair must be a true >=threshold pair")
+    val joined = out.withColumnRenamed("jac", "j1").join(exact, Seq("id1", "id2"))
+    assert(joined.filter(col("j1") =!= col("jac")).isEmpty,
+      "verified jaccard must equal the exact jaccard")
+    info(s"soundness fixture: ${out.count()} verified of ${exact.count()} exact pairs")
+  }
+
   test("lshBands derives recall-biased banding from the threshold") {
     assert(Dedup.lshBands(16, 1.0) == 1)  // exact dup: one full-sig band
     assert(Dedup.lshBands(16, 0.5) == 8)  // the classic 8×2 at 0.5
@@ -267,6 +296,66 @@ class MultimodalSpec extends AnyFunSuite {
     // where the image path would put width/height/lumas)
     assert(feats(1).features.length == 6)
     assert(feats(1).features.forall(v => v >= 0f && v < 1f))
+  }
+
+  test("real WAV decodes through AudioSystem to exact samples") {
+    // hand-built 4-frame 16-bit mono WAV via the real encoder: known samples
+    val vals = Seq[Short](1000, -1000, 16384, 0)
+    val pcm = new Array[Byte](vals.size * 2)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xFF).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, vals.size.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((rate, channels, frames, samples)) =
+      Multimodal.decodeAudio(bos.toByteArray)
+    assert(rate == 8000f && channels == 1 && frames == 4L)
+    assert(samples.toSeq == vals.map(_ / 32768.0f))
+    // a non-audio payload is rejected, not crashed
+    assert(Multimodal.decodeAudio("not audio at all".getBytes).isEmpty)
+    // a corrupt payload WITH the RIFF magic is rejected via the codec error
+    assert(Multimodal.decodeAudio(
+      "RIFF0000WAVEgarbage".getBytes.take(16)).isEmpty)
+  }
+
+  test("extractFeatures routes audio payloads through the real decoder") {
+    import spark.implicits._
+    // constant amplitude 8192 ⇒ every RMS window is exactly 0.25
+    val pcm = new Array[Byte](64 * 2)
+    (0 until 64).foreach { i =>
+      pcm(2 * i) = 0x00.toByte; pcm(2 * i + 1) = 0x20.toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 64L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(Multimodal.Media(1L, "audio", bos.toByteArray, 0, 0)).toDS()
+    val feats = Multimodal.extractFeatures(media, 6).collect().head
+    assert(feats.features(0) == 8000f, "feature 0 is the sample rate")
+    assert(math.abs(feats.features(1) - 64f / 8000f) < 1e-6f, "feature 1 is duration")
+    assert(feats.features.drop(2).forall(v => math.abs(v - 0.25f) < 1e-6f))
+  }
+
+  test("decodeAudioMeta round-trips the synthetic WAV corpus") {
+    val wavs = Multimodal.documentsAsAudio(spark, sf, cap = 10L)
+    val meta = Multimodal.decodeAudioMeta(wavs, "id", "bytes").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(5)))).toMap
+    assert(meta.nonEmpty)
+    meta.foreach { case (id, (rate, ch, frames, rms)) =>
+      assert(rate == 8000 && ch == 1 && frames == 100 + id % 50)
+      assert(math.abs(rms - (20 + id % 200) * 100 / 32768.0) < 1e-9)
+    }
   }
 
   test("decodeImageMeta round-trips the synthetic PNG corpus") {
