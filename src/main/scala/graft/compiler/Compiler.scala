@@ -460,6 +460,12 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
       case "range"     => sequence(a0, a1, if (cols.size > 2) cols(2) else lit(1L))
       // vector surface (filter.rs:994-1050): vector() list→vector cast plus
       // the 4 distance functions as native codegen expressions
+      // deterministic 64-bit hash — the Gremlin shuffle step's seeded order
+      case "hash64"      => xxhash64(cols: _*)
+      // map → array<struct<key,value>> — Gremlin properties() step objects
+      case "map_entries" => map_entries(a0)
+      // struct field access (property objects' key()/value())
+      case "field"       => a0.getField(litStr(1))
       case "vector"             => a0.cast("array<float>")
       case "cosine_similarity"  => graft.functions.VectorFunctions.cosineSimilarity(a0, a1)
       case "euclidean_distance" => graft.functions.VectorFunctions.euclideanDistance(a0, a1)

@@ -314,6 +314,46 @@ object GremlinFrontend {
       case "id" =>
         op = Op.Project(op, Seq((Expr.Var(cur), "id")))
         valueCol = Some("id")
+      case "shuffle" =>
+        // seeded deterministic order (ref gremlin/ast.rs:94 Shuffle): sort
+        // by a 64-bit hash of the traverser value — stable across runs and
+        // cluster layouts (a physical-random order would be untestable and
+        // non-reproducible), "random" with respect to any natural order.
+        // An optional numeric argument reseeds: shuffle(7).
+        val seed = s.args.headOption.map(_.asInstanceOf[Long]).getOrElse(42L)
+        val target: Expr.E = valueCol.map(Expr.Var(_): Expr.E).getOrElse(Expr.Var(cur))
+        op = Op.Sort(op, Seq(
+          (Expr.Func("hash64", Seq(Expr.Lit(seed), target)), true),
+          (target, true))) // hash-collision tie-break keeps total determinism
+      case "properties" =>
+        // property objects (ref gremlin/ast.rs:262): one traverser per
+        // PRESENT property as a {key, value} struct; key()/value() project
+        // out of it. With explicit keys the objects come from the typed
+        // columns; bare properties() walks the full property map (typed +
+        // dynamic, the same view valueMap() returns). Values are strings —
+        // the schemaless Value view, uniform across keys of mixed types.
+        val owner = edgeCur.map(_.ev).getOrElse(cur)
+        val arr: Expr.E =
+          if (s.args.nonEmpty)
+            Expr.ListLit(s.args.map(_.asInstanceOf[String]).map(k =>
+              Expr.MapLit(Seq(
+                "key" -> Expr.Lit(k),
+                "value" -> Expr.Func("tostring", Seq(Expr.Prop(owner, k)))))))
+          else Expr.Func("map_entries",
+            Seq(Expr.Func("properties", Seq(Expr.Var(owner)))))
+        op = Op.Project(op, Seq((arr, "property")))
+        op = Op.Unwind(op, Expr.Var("property"), "property")
+        // an absent property yields no object (TinkerPop semantics)
+        op = Op.Filter(op, Expr.IsNull(
+          Expr.Func("field", Seq(Expr.Var("property"), Expr.Lit("value"))),
+          negated = true))
+        valueCol = Some("property")
+      case "key" | "value" =>
+        val target = valueCol.getOrElse(throw new IllegalArgumentException(
+          s"${s.name}() needs properties() first"))
+        op = Op.Project(op, Seq(
+          (Expr.Func("field", Seq(Expr.Var(target), Expr.Lit(s.name))), s.name)))
+        valueCol = Some(s.name)
       case "dedup" => op = Op.Distinct(op)
       case "limit" => op = Op.Limit(op, s.args.head.asInstanceOf[Long])
       case "skip"  => op = Op.Skip(op, s.args.head.asInstanceOf[Long])

@@ -314,9 +314,26 @@ final class SparqlParser(tokens: Vector[SparqlLexer.Tok]) {
           next()
           acc = Some(ValuesP(acc.getOrElse(Bgp(Nil)), vars.result(), rows.result()))
         case Some(Word(w)) if w.equalsIgnoreCase("SERVICE") =>
-          // SPARQL 1.1 Federated Query (ref sparql/ast.rs:325): parsed and
-          // rejected with a specific error — no egress to federate to.
-          fail("SPARQL SERVICE (federated query) is not supported in this deployment")
+          // SPARQL 1.1 Federated Query (ref sparql/ast.rs:325). The
+          // reference evaluates the inner pattern against the LOCAL store
+          // and ignores the endpoint (sparql_translator.rs:673-680); we
+          // grant that semantics only under SERVICE SILENT — the form
+          // whose spec meaning is "errors are not fatal", so local
+          // evaluation is a conforming degradation. A loud (non-SILENT)
+          // SERVICE keeps the specific rejection: this deployment has no
+          // egress to federate to, and silently answering from local data
+          // would misrepresent a remote query's result.
+          next(); flushBgp()
+          val silent = peek match {
+            case Some(Word(s)) if s.equalsIgnoreCase("SILENT") => next(); true
+            case _ => false
+          }
+          val _endpoint = parseTerm() // parsed, deliberately unused (local eval)
+          if (!silent)
+            fail("SPARQL SERVICE (federated query) is not supported in this " +
+              "deployment; SERVICE SILENT evaluates the pattern locally")
+          val inner = parseGroup()
+          acc = Some(acc.map(a => Join(a, inner): Pattern).getOrElse(inner))
         case Some(Word(w)) if w.equalsIgnoreCase("GRAPH") =>
           next(); flushBgp()
           val t = parseTerm()

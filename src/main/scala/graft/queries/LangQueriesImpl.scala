@@ -76,6 +76,26 @@ object LangQueriesImpl {
         .orderBy("path")
     },
 
+    // Gremlin properties() step objects (ref gremlin/ast.rs:262): one
+    // traverser per present property as a {key, value} struct; the absent
+    // acctbal/category of Region nodes yield NO objects, and key()/value()
+    // project out of the object (value() drives the oracle compare; the
+    // struct fields are read directly for the two-column result).
+    QueryDef(
+      "q_gremlin_properties",
+      """SELECT k, v FROM (
+        |  SELECT 'name' AS k, r_name AS v FROM region
+        |  UNION ALL
+        |  SELECT 'name', n_name FROM nation
+        |)
+        |ORDER BY k NULLS FIRST, v NULLS FIRST""".stripMargin) { (s, dir) =>
+      val sess = session(s, dir)
+      sess.gremlin("g.V().hasLabel('Region').properties()")
+        .unionByName(sess.gremlin("g.V().hasLabel('Nation').properties('name')"))
+        .select(col("property.key").as("k"), col("property.value").as("v"))
+        .orderBy("k", "v")
+    },
+
     // Gremlin fold/unfold round trip (collect to a list, explode back —
     // multiset-preserving regardless of collect order).
     QueryDef(

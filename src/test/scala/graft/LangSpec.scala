@@ -10,6 +10,43 @@ class LangSpec extends AnyFunSuite {
 
   lazy val session = new GraftSession(spark, TpchGraph(spark, sf))
 
+  test("gremlin: shuffle is a seeded deterministic permutation") {
+    val a = session.gremlin("g.V().hasLabel('Region').values('name').shuffle()")
+      .collect().map(_.getString(0)).toSeq
+    val b = session.gremlin("g.V().hasLabel('Region').values('name').shuffle()")
+      .collect().map(_.getString(0)).toSeq
+    assert(a == b, "same seed must give the same order")
+    assert(a.sorted != a, "hash order must differ from the natural order")
+    val reseeded = session.gremlin(
+      "g.V().hasLabel('Region').values('name').shuffle(7)")
+      .collect().map(_.getString(0)).toSeq
+    assert(reseeded.sorted == a.sorted, "reseeding permutes, never drops")
+    assert(reseeded != a, "a different seed gives a different permutation")
+  }
+
+  test("gremlin: properties() yields key/value step objects") {
+    val vals = session.gremlin(
+      "g.V().hasLabel('Region').properties('name').value().order().by()")
+      .collect().map(_.getString(0)).toSeq
+    val exp = spark.read.parquet(s"$sf/region.parquet")
+      .select("r_name").collect().map(_.getString(0)).toSeq.sorted
+    assert(vals == exp)
+    val keys = session.gremlin(
+      "g.V().hasLabel('Region').properties('name').key().dedup()")
+      .collect().map(_.getString(0)).toSeq
+    assert(keys == Seq("name"))
+    // absent properties yield no object: regions have no acctbal
+    val n = session.gremlin(
+      "g.V().hasLabel('Region').properties('acctbal').count()")
+      .collect().head.getLong(0)
+    assert(n == 0L)
+    // bare properties() walks every present property of the element
+    val all = session.gremlin(
+      "g.V().hasLabel('Region').properties().key().dedup().order().by()")
+      .collect().map(_.getString(0)).toSeq
+    assert(all.contains("name") && !all.contains("acctbal"))
+  }
+
   test("gremlin: count and sum aggregates") {
     val n = session.gremlin("g.V().hasLabel('Customer').count()")
       .collect().head.getLong(0)

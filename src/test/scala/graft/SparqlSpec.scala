@@ -346,6 +346,28 @@ class SparqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not supported"))
   }
 
+  test("SERVICE SILENT evaluates the inner pattern locally (reference semantics)") {
+    // sparql_translator.rs:673-680 evaluates the pattern against the local
+    // store and ignores the endpoint — SERVICE SILENT must equal the same
+    // query without the SERVICE wrapper, endpoint notwithstanding
+    val plain = SparqlFrontend.run(rdf,
+      "SELECT ?s ?o WHERE { ?s name ?o } ORDER BY ?s ?o")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val silent = SparqlFrontend.run(rdf,
+      """SELECT ?s ?o WHERE {
+        |  SERVICE SILENT <http://example.org/sparql> { ?s name ?o }
+        |} ORDER BY ?s ?o""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(silent == plain && plain.nonEmpty)
+    // and it joins with the enclosing group like any other pattern
+    val joined = SparqlFrontend.run(rdf,
+      """SELECT ?s ?o WHERE {
+        |  ?s segment ?seg .
+        |  SERVICE SILENT <http://example.org/sparql> { ?s name ?o }
+        |} ORDER BY ?s ?o""".stripMargin).collect()
+    assert(joined.nonEmpty && joined.length <= plain.length)
+  }
+
   test("SPARQL update: LOAD reads N-Triples into a named graph") {
     val nt = java.nio.file.Files.createTempFile("graft_spec", ".nt")
     java.nio.file.Files.writeString(nt,
