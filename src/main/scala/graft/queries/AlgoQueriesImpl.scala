@@ -309,7 +309,11 @@ object AlgoQueriesImpl {
       val tree = PropertyGraph(dag.nodes,
         dag.edges.filter(col("dst") === col("src") * 2 ||
           col("dst") === col("src") * 2 + 1))
-      graft.algos.BoundedAlgos.dfsPreorder(s, tree, 3L, lit(true), maxNodes = 100000)
+      // 1M-node bound: ids are 8 B and the induced tree edges ~24 B each,
+      // so the driver-side ceiling is tens of MB — roomy for the sf1 scale
+      // gate (200k-node DAG) while still refusing a melt at corpus scale
+      // (DFS preorder is inherently sequential; SURVEY §2.6 positioning)
+      graft.algos.BoundedAlgos.dfsPreorder(s, tree, 3L, lit(true), maxNodes = 1000000)
         .orderBy("ord")
     },
   )

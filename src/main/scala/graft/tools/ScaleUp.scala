@@ -104,14 +104,19 @@ object ScaleUp {
     write("documents", replicate(docs) { (d, i) =>
       if (i == 0) d
       else {
-        // Interleave a copy-specific token between words: every word shingle
-        // of copy i contains the `cI` token, so cross-copy shingle Jaccard
-        // drops to ~0 (no manufactured near-dup pairs), while docs that were
-        // near-dups of each other WITHIN the source stay near-dups in every
-        // copy (both sides transformed identically, word order preserved).
+        // Interleave a copy-specific token at every THIRD word boundary:
+        // every 2-/3-gram shingle window of copy i is broken by a `cI`
+        // token within distance 3, so cross-copy shingle Jaccard falls to
+        // ~0.14 (2-grams) / ~0 (3-grams) — under every near-dup threshold,
+        // no manufactured cross-copy pairs — while docs that were
+        // near-dups WITHIN the source stay near-dups in every copy (both
+        // sides transformed identically, word order preserved). Only every
+        // third space: text volume grows ~1.33×, keeping the text-query
+        // workload ~linear in the copy count (an every-space interleave
+        // doubled per-doc length and made 10× rows behave like 20× text).
         val perturbed = d.withColumn("doc_id", col("doc_id") + lit(i * ds))
           .withColumn("text",
-            regexp_replace(col("text"), " ", s" ·c$i "))
+            regexp_replace(col("text"), "((?:\\S+ ){2}\\S+) ", s"$$1 ·c$i "))
         if (hasNChars) perturbed.withColumn("n_chars", length(col("text")))
         else perturbed
       }
