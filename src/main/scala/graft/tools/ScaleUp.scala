@@ -104,19 +104,20 @@ object ScaleUp {
     write("documents", replicate(docs) { (d, i) =>
       if (i == 0) d
       else {
-        // Interleave a copy-specific token at every THIRD word boundary:
-        // every 2-/3-gram shingle window of copy i is broken by a `cI`
-        // token within distance 3, so cross-copy shingle Jaccard falls to
-        // ~0.14 (2-grams) / ~0 (3-grams) — under every near-dup threshold,
-        // no manufactured cross-copy pairs — while docs that were
-        // near-dups WITHIN the source stay near-dups in every copy (both
-        // sides transformed identically, word order preserved). Only every
-        // third space: text volume grows ~1.33×, keeping the text-query
-        // workload ~linear in the copy count (an every-space interleave
-        // doubled per-doc length and made 10× rows behave like 20× text).
+        // Tag every SECOND word with a copy-specific suffix: every 2-/3-gram
+        // shingle window then contains a tagged word, so cross-copy shingle
+        // Jaccard is EXACTLY 0 — zero manufactured near-dup pairs at the
+        // output AND zero cross-copy LSH candidates (a partial overlap like
+        // 0.4 would still band-collide ~75% of the C(10,2)=45 cross-copy
+        // pairs per source doc at the 0.5-threshold banding, the quadratic
+        // candidate distortion this perturbation exists to avoid). Word
+        // count is unchanged and text volume grows only ~20%, so the
+        // text-query workload stays ~linear in the copy count; docs that
+        // were near-dups WITHIN the source stay near-dups in every copy
+        // (both sides transformed identically, word order preserved).
         val perturbed = d.withColumn("doc_id", col("doc_id") + lit(i * ds))
           .withColumn("text",
-            regexp_replace(col("text"), "((?:\\S+ ){2}\\S+) ", s"$$1 ·c$i "))
+            regexp_replace(col("text"), "(\\S+\\s+\\S+)", s"$$1·c$i"))
         if (hasNChars) perturbed.withColumn("n_chars", length(col("text")))
         else perturbed
       }
