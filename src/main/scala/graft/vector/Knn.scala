@@ -194,12 +194,30 @@ object Knn {
     * guaranteed to collide (equal vectors hash to equal signatures in every
     * table). Approximate for mid-range thresholds: a true pair is missed
     * with probability (1-p^bits)^tables where p = 1 - angle/π.
+    *
+    * `bits <= 0` (the default) sizes the signature to the corpus: a FIXED
+    * signature width is asymptotically quadratic (bucket population grows
+    * linearly with n, so within-bucket candidate pairs grow n²); holding the
+    * expected bucket occupancy constant instead (bits ≈ log2(n/8), with
+    * tables doubled per +4 bits to hold high-similarity recall roughly flat
+    * — at s=0.9, recall stays ≈0.75 across 8→16 bits) keeps total candidate
+    * work ≈ O(n^1.25). Exact duplicates still collide in every table at any
+    * width. One count() of the id/vector projection pays for the sizing.
     */
   def nearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int,
-      bits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
+      bits: Int = 0, tables: Int = 0, seed: Long = 42L): DataFrame = {
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val b = lshBuckets(vecs, "__v", dim, bits, tables, seed)
+    val nBits =
+      if (bits > 0) bits
+      else {
+        val n = math.max(1L, vecs.count())
+        math.min(16, math.max(8,
+          math.ceil(math.log(n / 8.0) / math.log(2)).toInt))
+      }
+    val nTables =
+      if (tables > 0) tables else math.min(16, 4 << ((nBits - 8) / 4))
+    val b = lshBuckets(vecs, "__v", dim, nBits, nTables, seed)
       .select(col("__id"), explode(col("__buckets")).as("__b"))
     // dedup the bare id pairs BEFORE re-joining vectors: the multi-table
     // collision dedup shuffles (long, long) rows, not 2×dim floats — at
