@@ -88,6 +88,18 @@ object Knn {
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Seq[Double]]] = // [table][bit][dim]
       Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
+    // Bucket keys are longs: (table << 32) | sig. Base signatures come from
+    // the single native LshSigs expression — composing tables×bits VecDot
+    // calls scales the GENERATED CODE with the signature width and blows the
+    // JVM's 64 KB method limit at corpus-sized widths (12×8 = 96 dots), which
+    // silently dropped the whole projection out of codegen (see LshSigs doc).
+    if (probes <= 0)
+      return df.withColumn("__buckets",
+        graft.functions.LshExpressions.lshSigs(col(vecCol),
+          planes.map(_.flatten.toArray).toArray, dim))
+    // Multi-probe path (query-side only: small row count × default widths,
+    // well under codegen limits): needs the per-plane margins, so the dots
+    // stay composed.
     val sigs = planes.zipWithIndex.flatMap { case (tbl, t) =>
       val dots = tbl.map { plane =>
         // native codegen dot product — zip_with/aggregate lambdas are
@@ -97,22 +109,20 @@ object Knn {
       val sig = dots.zipWithIndex
         .map { case (d, i) => (d >= 0).cast("int") * lit(1 << i) }
         .reduce(_ + _)
-      val base = struct(lit(t).as("table"), sig.as("sig"))
+      val tblKey = lit(t.toLong << 32)
+      val base = tblKey + sig.cast("long")
       // Multi-probe (Lv et al., VLDB'07): additionally probe the buckets
       // reached by flipping the `probes` lowest-margin bits — the
       // hyperplanes the vector sits closest to, i.e. the likeliest
       // misassignments. Query-side only: recall of a (q, n) pair needs just
       // one side to probe across the boundary, and keeping the corpus at
       // one bucket per table leaves the index size unchanged.
-      val probed = if (probes <= 0) Seq.empty else {
+      val probed = (1 to math.min(probes, bits)).map { j =>
         val margins = array(dots.zipWithIndex.map { case (d, i) =>
           struct(abs(d).as("m"), lit(i).as("i")) }: _*)
         val flipOrder = array_sort(margins)
-        (1 to math.min(probes, bits)).map { j =>
-          val flip = element_at(flipOrder, j).getField("i")
-          struct(lit(t).as("table"),
-            sig.bitwiseXOR(call_function("shiftleft", lit(1), flip)).as("sig"))
-        }
+        val flip = element_at(flipOrder, j).getField("i")
+        tblKey + sig.bitwiseXOR(call_function("shiftleft", lit(1), flip)).cast("long")
       }
       base +: probed
     }
