@@ -98,6 +98,13 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * ride along under their aliases — shared by every iterative operator
     * here so direction handling cannot diverge between strategies.
     */
+  /** Session shuffle parallelism — the partition cap for the shuffle-free
+    * frontier loops below (their broadcast-join levels inherit and multiply
+    * the input partitioning instead of resetting it like a shuffle would).
+    */
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   private def directedEdges(rels: Seq[String], dir: Direction,
       extra: Seq[(String, String)] = Nil): DataFrame = {
     val base = edgeSel(rels)
@@ -217,7 +224,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
           else joined.select(col("__origin"), col("__d").as("__cur"))
         levels ::= cur.withColumn("hops", lit(i + k))
       }
-      val got = levels.reverse.reduce(_ unionByName _).localCheckpoint()
+      // coalesce before checkpointing: the levels chain is shuffle-free
+      // (broadcast joins + filters), so the batch union TRIPLES the
+      // partition count per batch — left unchecked that's 3^batches
+      // near-empty partitions and the checkpoint/stats jobs drown in task
+      // scheduling (measured 8 s/batch on a 30-node graph by depth 28).
+      // Capping at the session's shuffle parallelism keeps tasks rim-sized.
+      val got = levels.reverse.reduce(_ unionByName _)
+        .coalesce(shufflePartitions(sources)).localCheckpoint()
       // one stats scan over the materialized batch replaces per-hop isEmpty
       val stats = got.agg(count(lit(1)).as("n"), max(col("hops")).as("m")).head()
       if (stats.getLong(0) == 0L) exhausted = true
@@ -317,7 +331,11 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
               concat(col("__path"), array(col("__d"))).as("__path"))
         levels ::= cur.withColumn("hops", lit(i + k))
       }
-      val got = levels.reverse.reduce(_ unionByName _).localCheckpoint()
+      // coalesce before checkpoint — same 3^batches partition-explosion
+      // guard as varLengthExpand above (this loop's levels are also
+      // shuffle-free broadcast joins).
+      val got = levels.reverse.reduce(_ unionByName _)
+        .coalesce(shufflePartitions(sources)).localCheckpoint()
       val stats = got.agg(count(lit(1)).as("n"), max(col("hops")).as("m")).head()
       if (stats.getLong(0) == 0L) exhausted = true
       else {
