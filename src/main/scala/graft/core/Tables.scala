@@ -38,7 +38,19 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // An int64 ts is nanos on the known testdata vintage, but a future
+        // driver regeneration could silently emit epoch micros/millis/seconds
+        // (the r8 schema-drift class). Infer the unit from the magnitude per
+        // value instead of assuming: each unit's plausible range for
+        // 1973..2096 instants occupies a disjoint decade band (s ~1e8..4e9,
+        // ms ~1e11..4e12, µs ~1e14..4e15, ns ~1e17..4e18), so the first
+        // matching band decodes correctly for any sane generator. Pure
+        // codegen'd CASE — no extra job, identical plan shape.
+        df.withColumn("ts", expr(
+          """CASE WHEN ts >= 100000000000000000 THEN timestamp_micros(ts div 1000)
+            |     WHEN ts >= 100000000000000 THEN timestamp_micros(ts)
+            |     WHEN ts >= 100000000000 THEN timestamp_millis(ts)
+            |     ELSE timestamp_seconds(ts) END""".stripMargin))
       case TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df

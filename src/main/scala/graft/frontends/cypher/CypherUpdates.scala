@@ -52,8 +52,136 @@ object CypherUpdates {
       compiler.compile(CypherFrontend.translate(Query(readPrefix)))
     }
 
-    val out = actions.foldLeft(gEid)((g, a) => apply(spark, g, bindings, a))
+    val out = pushdownEdgeMutations(gEid, readPrefix, actions)
+      .getOrElse(actions.foldLeft(gEid)((g, a) => apply(spark, g, bindings, a)))
     if (keepEids) out else out.copy(edges = out.edges.drop("eid"))
+  }
+
+  private object Unsupported extends RuntimeException
+
+  /** Predicate-pushdown fast path for rel-var mutations: a single-hop
+    * `MATCH (a:A)-[r:T]->(b:B) WHERE …` whose WHERE splits into per-endpoint
+    * / per-edge conjuncts, followed only by mutations of `r`, compiles to
+    * one pass over the edge table with endpoint-id membership flags
+    * ([[Mutations.setEdgePropsWhere]] / [[Mutations.deleteEdgesWhere]])
+    * instead of match → eid set → eid re-join (two extra edge-table passes).
+    * Semantically identical because a physical edge matches such a pattern
+    * at most once and its endpoints are functionally determined. Returns
+    * None whenever the shape doesn't apply — the generic eid path runs.
+    */
+  private def pushdownEdgeMutations(g: PropertyGraph, readPrefix: Seq[Clause],
+      actions: Seq[Clause]): Option[PropertyGraph] = {
+    val (head, relPat, tail, where) = readPrefix match {
+      case Seq(MatchClause(Seq(PathPat(h, Seq((r, d)), None, None, false)), w, false)) =>
+        (h, r, d, w)
+      case _ => return None
+    }
+    if (relPat.range.nonEmpty) return None
+    // single action only: bindings are fixed against the INPUT snapshot, but
+    // this path re-derives the hit set from predicates — a second action
+    // after a SET that rewrote a predicate column would see the mutated
+    // values (EdgeMutationSpec "parallel edges": SET r.weight=9 DELETE r
+    // must still delete the matched edge). One action can't race itself.
+    if (actions.size != 1) return None
+    // orient the pattern onto the edge table's (src, dst); undirected and
+    // self-loop patterns keep the generic path (a Both-edge can match in
+    // either orientation; a self-loop adds a src=dst constraint)
+    val (srcPat, dstPat) = relPat.dir match {
+      case graft.graph.Out => (head, tail)
+      case graft.graph.In  => (tail, head)
+      case _               => return None
+    }
+    if (srcPat.v.isDefined && srcPat.v == dstPat.v) return None
+    val rv = relPat.v.getOrElse(return None)
+    val relType = relPat.relTypes match {
+      case Seq(t) => Some(t)
+      case Seq()  => None
+      case _      => return None // type alternation → generic path
+    }
+    // a rel var bound by the prefix and mutated more than once per clause
+    // list is fine; a rel var REUSED as a node var, or node vars referenced
+    // by the mutations, is not — checked structurally below.
+    try {
+      // which vars does a supported expression reference (None = unsupported)
+      def refVars(e: Expr.E): Set[String] = e match {
+        case Expr.Lit(_)        => Set.empty
+        case Expr.Prop(v, _)    => Set(v)
+        case Expr.Not(x)        => refVars(x)
+        case Expr.Bin(_, l, r)  => refVars(l) ++ refVars(r)
+        case _                  => throw Unsupported // Var/Func/subqueries
+      }
+      // expression → Column over the referenced entity's own columns
+      def toCol(e: Expr.E): Column = e match {
+        case Expr.Lit(v)     => lit(v)
+        case Expr.Prop(_, k) => col(k)
+        case Expr.Not(x)     => !toCol(x)
+        case Expr.Bin(op, l, r) =>
+          val (cl, cr) = (toCol(l), toCol(r))
+          op match {
+            case "="   => cl === cr
+            case "<>"  => cl =!= cr
+            case "<"   => cl < cr
+            case "<="  => cl <= cr
+            case ">"   => cl > cr
+            case ">="  => cl >= cr
+            case "and" => cl && cr
+            case "or"  => cl || cr
+            case "+"   => cl + cr
+            case "-"   => cl - cr
+            case "*"   => cl * cr
+            case "/"   => cl / cr
+            case "%"   => cl % cr
+            case "startswith" => cl.startsWith(cr)
+            case "endswith"   => cl.endsWith(cr)
+            case "contains"   => cl.contains(cr)
+            case _ => throw Unsupported
+          }
+        case _ => throw Unsupported
+      }
+      def conjuncts(e: Expr.E): Seq[Expr.E] = e match {
+        case Expr.Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      // route each WHERE conjunct to the single entity it references
+      var srcPreds = Vector.empty[Column]
+      var dstPreds = Vector.empty[Column]
+      var edgePreds = Vector.empty[Column]
+      for (c <- where.toSeq.flatMap(conjuncts)) refVars(c).toSeq match {
+        case Seq() => edgePreds :+= toCol(c) // var-free: constant, edge side
+        case Seq(v) if srcPat.v.contains(v) => srcPreds :+= toCol(c)
+        case Seq(v) if dstPat.v.contains(v) => dstPreds :+= toCol(c)
+        case Seq(v) if v == rv              => edgePreds :+= toCol(c)
+        case _                              => throw Unsupported // cross-entity
+      }
+      // endpoint membership sets: label conjunction + inline props + WHERE
+      def nodeSet(p: Ast.NodePat, preds: Seq[Column]): Option[DataFrame] = {
+        val labelPreds = (p.label.toSeq ++ p.extraLabels)
+          .map(l => array_contains(col("labels"), l))
+        val inline = p.props.map { case (k, v) => col(k) === toCol(v) }
+        val all = labelPreds ++ inline ++ preds
+        if (all.isEmpty) None // unconstrained endpoint: store invariant holds
+        else Some(all.foldLeft(g.nodes)((df, c) => df.filter(c)).select(col("id")))
+      }
+      val srcSet = nodeSet(srcPat, srcPreds)
+      val dstSet = nodeSet(dstPat, dstPreds)
+      val edgePred = edgePreds.reduceOption(_ && _)
+
+      val out = actions.foldLeft(g) { (acc, a) =>
+        a match {
+          case SetClause(items) =>
+            val props = items.map {
+              case SetProp(Expr.Prop(`rv`, k), value)
+                  if refVars(value).subsetOf(Set(rv)) => k -> toCol(value)
+              case _ => throw Unsupported
+            }
+            Mutations.setEdgePropsWhere(acc, relType, srcSet, dstSet, edgePred, props)
+          case DeleteClause(Seq(`rv`), _) =>
+            Mutations.deleteEdgesWhere(acc, relType, srcSet, dstSet, edgePred)
+          case _ => throw Unsupported // REMOVE etc. → generic eid path
+        }
+      }
+      Some(out)
+    } catch { case Unsupported => None }
   }
 
   /** Expression → Column in node-table context (SET values may reference the

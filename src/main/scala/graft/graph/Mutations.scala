@@ -321,6 +321,72 @@ object Mutations {
       Seq("eid"), "left_anti"))
   }
 
+  // ---- predicate-pushdown edge mutations (no eid materialization): when a
+  // single-hop MATCH's WHERE decomposes into per-endpoint and per-edge
+  // predicates, the mutation compiles to ONE pass over the edge table with
+  // (broadcastable) endpoint-id membership flags, instead of first running
+  // the match to materialize an eid set and then re-joining the edge table
+  // on it. At 100 TB that skips a billion-row id-set exchange AND a second
+  // full edge-table pass per mutation; the endpoint id sets are dimension-
+  // sized (filtered node ids), the natural broadcast side. ----
+
+  private def endpointFlagged(edges: DataFrame, relType: Option[String],
+      srcIds: Option[DataFrame], dstIds: Option[DataFrame],
+      edgePred: Option[Column]): (DataFrame, Column, Seq[String]) = {
+    var df = edges
+    var hit: Column = relType.map(t => col("rel") === lit(t)).getOrElse(lit(true))
+    edgePred.foreach(p => hit = hit && coalesce(p, lit(false)))
+    var flags = List.empty[String]
+    srcIds.foreach { s =>
+      df = df.join(s.select(col(s.columns.head).as("src")).distinct()
+        .withColumn("__hit_src", lit(true)), Seq("src"), "left_outer")
+      hit = hit && coalesce(col("__hit_src"), lit(false))
+      flags ::= "__hit_src"
+    }
+    dstIds.foreach { d =>
+      df = df.join(d.select(col(d.columns.head).as("dst")).distinct()
+        .withColumn("__hit_dst", lit(true)), Seq("dst"), "left_outer")
+      hit = hit && coalesce(col("__hit_dst"), lit(false))
+      flags ::= "__hit_dst"
+    }
+    (df, hit, flags)
+  }
+
+  /** SET on every edge matching (relType, srcIds-membership,
+    * dstIds-membership, edgePred) — the pushdown form of an eid-keyed SET
+    * when edge identity is not needed (each physical edge matches at most
+    * once; its endpoints are functionally determined).
+    */
+  def setEdgePropsWhere(g: PropertyGraph, relType: Option[String],
+      srcIds: Option[DataFrame], dstIds: Option[DataFrame],
+      edgePred: Option[Column], props: Seq[(String, Column)]): PropertyGraph = {
+    val needsMap = props.exists { case (k, _) => !g.edges.columns.contains(k) } &&
+      !g.edges.columns.contains("props")
+    val base = if (needsMap)
+      g.edges.withColumn("props", lit(null).cast("map<string,string>"))
+    else g.edges
+    val (flagged, hit, flags) = endpointFlagged(base, relType, srcIds, dstIds, edgePred)
+    val out = props.foldLeft(flagged) { case (df, (prop, value)) =>
+      if (base.columns.contains(prop))
+        df.withColumn(prop, when(hit, value).otherwise(col(prop)))
+      else
+        df.withColumn("props",
+          when(hit, map_concat(
+            map_filter(coalesce(col("props"), map()), (k, _) => k =!= prop),
+            map(lit(prop), value.cast("string"))))
+            .otherwise(col("props")))
+    }
+    g.copy(edges = out.drop(flags: _*))
+  }
+
+  /** DELETE of every matching edge — pushdown form of deleteEdgesByIds. */
+  def deleteEdgesWhere(g: PropertyGraph, relType: Option[String],
+      srcIds: Option[DataFrame], dstIds: Option[DataFrame],
+      edgePred: Option[Column]): PropertyGraph = {
+    val (flagged, hit, flags) = endpointFlagged(g.edges, relType, srcIds, dstIds, edgePred)
+    g.copy(edges = flagged.filter(!hit).drop(flags: _*))
+  }
+
   /** Merge (plan.rs:558-576; merge.rs): match-or-create by a key column, with
     * ON MATCH / ON CREATE property updates — the MERGE INTO shape. `incoming`
     * must carry the node schema's columns (or a subset + nulls).

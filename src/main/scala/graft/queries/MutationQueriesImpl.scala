@@ -221,15 +221,22 @@ object MutationQueriesImpl {
       val g3 = new graft.GraftSession(s, g2).cypherUpdate(
         "MATCH (r:Region) WHERE id(r) = 1000000000000 SET r = {category: 'zeroed'}")
       val g = g3
-      g.nodesWithLabel("Customer")
+      // Single pass over the mutated node store: the two-label read-back as
+      // one filter + conditional projection instead of two unioned
+      // nodesWithLabel() scans — the mutated plan (flag joins + CASE
+      // rewrites) is evaluated once, not twice. The Region row's nm/bal are
+      // null BY the mutation (SET r = {map} nulled them), so the unified
+      // projection needs no per-branch literals; flg stays null for Region
+      // via the label-guarded CASE. Same rows, same oracle.
+      val isCust = array_contains(col("labels"), "Customer")
+      g.nodes
+        .filter(isCust ||
+          (array_contains(col("labels"), "Region") && TpchGraph.key(col("id")) === 0))
         .select(TpchGraph.key(col("id")).as("k"), col("name").as("nm"),
-          round(col("acctbal"), 4).as("bal"), col("category").as("cat"),
-          array_contains(col("labels"), "Reset").as("flg"))
-        .unionByName(g.nodesWithLabel("Region")
-          .filter(TpchGraph.key(col("id")) === 0)
-          .select(TpchGraph.key(col("id")).as("k"), col("name").as("nm"),
-            col("acctbal").cast("double").as("bal"), col("category").as("cat"),
-            lit(null).cast("boolean").as("flg")))
+          round(col("acctbal"), 4).cast("double").as("bal"),
+          col("category").as("cat"),
+          when(isCust, array_contains(col("labels"), "Reset"))
+            .otherwise(lit(null).cast("boolean")).as("flg"))
         .orderBy(col("k").asc_nulls_first, col("cat").asc_nulls_first)
     },
 

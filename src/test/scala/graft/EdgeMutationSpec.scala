@@ -81,4 +81,26 @@ class EdgeMutationSpec extends AnyFunSuite {
     assert(g2.edges.filter(col("rel") === "KNOWS").count() == 0)
     assert(g2.edges.count() == 2)
   }
+
+  test("pushdown SET: endpoint + edge predicates, both pattern orientations") {
+    // single-action single-hop shape → the predicate-pushdown path (no eid
+    // materialization); must match the generic path's semantics exactly
+    val out = new GraftSession(spark, g).cypherUpdate(
+      """MATCH (p:Person)-[r:LIVES_IN]->(c:City)
+        |WHERE p.name = 'ann' AND c.name = 'rome' AND r.weight < 3.0
+        |SET r.weight = r.weight + 100""".stripMargin)
+    val w1 = out.edges.orderBy("src", "dst").select("weight").as[Double].collect().toSeq
+    assert(w1 == Seq(1.0, 102.0, 3.0))
+    // reversed arrow: (c)<-[r]-(p) must orient src/dst the same way
+    val out2 = new GraftSession(spark, g).cypherUpdate(
+      """MATCH (c:City)<-[r:LIVES_IN]-(p:Person)
+        |WHERE p.name = 'ann' AND c.name = 'rome' AND r.weight < 3.0
+        |SET r.weight = r.weight + 100""".stripMargin)
+    val w2 = out2.edges.orderBy("src", "dst").select("weight").as[Double].collect().toSeq
+    assert(w2 == w1)
+    // DELETE through the same path, label-only anonymous endpoint
+    val out3 = new GraftSession(spark, g).cypherUpdate(
+      "MATCH (:Person)-[r:LIVES_IN]->(c:City) WHERE c.name = 'rome' DELETE r")
+    assert(out3.edges.select("rel").as[String].collect().toSeq == Seq("KNOWS"))
+  }
 }

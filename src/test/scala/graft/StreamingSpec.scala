@@ -46,4 +46,17 @@ class StreamingSpec extends AnyFunSuite {
       .filter(finalStats("n") =!= batch("n")).count()
     assert(mismatches == 0)
   }
+
+  test("normalizeEventTs infers the epoch unit from int64 magnitude") {
+    import spark.implicits._
+    // one instant, four encodings — all must decode to the same timestamp
+    val instant = java.time.Instant.parse("2024-03-15T12:30:45Z")
+    val s = instant.getEpochSecond
+    val encodings = Seq(s, s * 1000L, s * 1000000L, s * 1000000000L)
+    val decoded = encodings.map { v =>
+      Tables.normalizeEventTs(Seq(v).toDF("ts"))
+        .select(col("ts").cast("long")).head.getLong(0)
+    }
+    assert(decoded.forall(_ == s), s"decoded=$decoded expected=$s")
+  }
 }
