@@ -86,21 +86,28 @@ object Curation {
 
   /** Training documents sharing at least one `n`-gram with the benchmark
     * set — the published test-set-contamination screen (e.g. GPT-3 App. C /
-    * Gopher §A1.2 use 8-13-gram overlap). The check is a distinct-gram
-    * equi-join: O(collisions), never all-pairs, so it holds at 100 TB with
-    * the grams shuffled once on their hash.
+    * Gopher §A1.2 use 8-13-gram overlap).
+    *
+    * Scale shape: the benchmark side is the eval suites — dimension-sized
+    * by definition — so its distinct gram set BROADCASTS and the train
+    * corpus (the 100 TB side) is filtered in a single map-side pass: no
+    * shuffle of train grams at all. The train side is deliberately NOT
+    * pre-deduplicated — the final per-doc `countDistinct` dedups the few
+    * surviving hits, whereas a train-side distinct would hash-shuffle
+    * every gram of the whole corpus just to avoid re-testing duplicates
+    * against a broadcast set (measured 2x on q_decontaminate). The only
+    * shuffle left is the per-doc aggregation of matched grams,
+    * O(contaminated hits).
     *
     * Returns (docId, n_hits): distinct benchmark grams matched per
     * contaminated training doc.
     */
   def contaminated(train: DataFrame, bench: DataFrame, textCol: String,
-      idCol: String, n: Int = 8): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol), explode(ngrams(col(textCol), n)).as("gram"))
-      .distinct()
-    grams(train)
-      .join(grams(bench).select(col("gram")).distinct(), Seq("gram"))
+      idCol: String, n: Int = 8): DataFrame =
+    train.select(col(idCol), explode(ngrams(col(textCol), n)).as("gram"))
+      .join(broadcast(
+        bench.select(explode(ngrams(col(textCol), n)).as("gram")).distinct()),
+        Seq("gram"))
       .groupBy(idCol)
       .agg(countDistinct(col("gram")).as("n_hits"))
-  }
 }

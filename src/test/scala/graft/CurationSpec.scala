@@ -56,8 +56,12 @@ class CurationSpec extends AnyFunSuite {
   test("contaminated finds shared n-grams only across the join") {
     val train = Seq((1L, "x y z q r"), (2L, "totally clean words here")).toDF("doc_id", "t")
     val bench = Seq((100L, "p p x y z p")).toDF("doc_id", "t")
-    val hits = Curation.contaminated(train, bench, "t", "doc_id", n = 3)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = Curation.contaminated(train, bench, "t", "doc_id", n = 3)
+    val hits = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits == Map(1L -> 1L)) // "x y z" shared; doc 2 untouched
+    // scale shape: the benchmark gram set broadcasts — the train corpus is
+    // filtered map-side, never shuffled on its grams
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$p")
   }
 }
