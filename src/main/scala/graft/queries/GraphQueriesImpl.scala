@@ -195,5 +195,36 @@ object GraphQueriesImpl {
         .select("c")
         .orderBy("c")
     },
+
+    // Bucketed store round-trip (GraphIO.saveBucketed): nodes bucketed by
+    // id, edges by src, so the reloaded expand join reads co-located
+    // buckets with no exchange (plan shape pinned in GraphIOSpec) — the
+    // write-once-shuffle storage layout for 100 TB traversals.
+    QueryDef(
+      "q_bucketed_expand",
+      """SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY region NULLS FIRST""".stripMargin) { (s, dir) =>
+      val nation = graft.core.Tables.nation(s, dir)
+      val region = graft.core.Tables.region(s, dir)
+      val nodes = region.select((col("r_regionkey").cast("long") + 1000000L).as("id"),
+          array(lit("Region")).as("labels"), col("r_name").as("name"))
+        .unionByName(nation.select(col("n_nationkey").cast("long").as("id"),
+          array(lit("Nation")).as("labels"), col("n_name").as("name")))
+      val edges = nation.select(
+        (col("n_regionkey").cast("long") + 1000000L).as("src"),
+        col("n_nationkey").cast("long").as("dst"), lit("HAS_NATION").as("rel"))
+      val db = "graft_bucketed_q"
+      graft.sources.GraphIO.saveBucketed(
+        graft.graph.PropertyGraph(nodes, edges), db,
+        java.nio.file.Files.createTempDirectory("graft_bq").toString, buckets = 4)
+      val back = graft.sources.GraphIO.loadBucketed(s, db)
+      back.edges.join(back.nodes, back.edges("src") === back.nodes("id"))
+        .groupBy(col("name").as("region"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("region"), col("n"))
+        .orderBy(col("region").asc_nulls_first)
+    },
   )
 }

@@ -77,6 +77,35 @@ object GraphIO {
       read(s"$path/edges", s"$path/_schema_edges.json"))
   }
 
+  // ---- bucketed store (co-located expand joins) ----
+
+  /** Save the graph BUCKETED on its join keys — nodes by `id`, edges by
+    * `src`, the same bucket count, both sorted within buckets — into the
+    * session catalog at `location`. Bucketing is the Spark-native answer to
+    * the reference's adjacency clustering (graph/lpg/store.rs keeps
+    * per-node out-adjacency): a reloaded graph satisfies expand joins
+    * (`edges.src = nodes.id`) and out-out edge chains with NO exchange on
+    * either side — the per-query shuffle of the whole store that dominates
+    * traversal cost at 100 TB is paid ONCE at write time. dst-side joins
+    * still exchange: one clustering cannot co-locate both endpoints (the
+    * classic graph-partitioning tradeoff; the reference's CSR out-adjacency
+    * makes the same choice). Catalog metadata lives in the session's
+    * in-memory catalog here; a deployment keeps the identical layout in a
+    * metastore or a table format with clustering metadata.
+    */
+  def saveBucketed(g: PropertyGraph, db: String, location: String,
+      buckets: Int = 32): Unit = {
+    val spark = g.nodes.sparkSession
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
+    g.nodes.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"$db.nodes")
+    g.edges.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "src").sortBy("src").saveAsTable(s"$db.edges")
+  }
+
+  def loadBucketed(spark: SparkSession, db: String): PropertyGraph =
+    PropertyGraph(spark.table(s"$db.nodes"), spark.table(s"$db.edges"))
+
   // ---- RDF snapshot ----
 
   // RDF terms are stored in lexical string form (typed literals keep their

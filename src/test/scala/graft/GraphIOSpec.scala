@@ -253,4 +253,40 @@ class GraphIOSpec extends AnyFunSuite {
     assert(t.join(back, Seq("s", "p", "o"), "left_anti").count() == 0)
     assert(back.join(t, Seq("s", "p", "o"), "left_anti").count() == 0)
   }
+
+  test("bucketed store: expand join runs with no exchange on either side") {
+    import org.apache.spark.sql.functions._
+    val nodes = spark.range(0, 2000).select(col("id"),
+      array(lit("N")).as("labels"), (col("id") % 7).as("grp"))
+    val edges = spark.range(0, 6000).select((col("id") % 2000).as("src"),
+      ((col("id") * 37 + 11) % 2000).as("dst"), lit("E").as("rel"))
+    val g = graft.graph.PropertyGraph(nodes, edges)
+    val db = "graft_bucket_spec"
+    GraphIO.saveBucketed(g, db, tmp(), buckets = 8)
+    val back = GraphIO.loadBucketed(spark, db)
+    // same rows back
+    assert(back.nodes.count() == 2000 && back.edges.count() == 6000)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path so the assertion is about bucket
+      // co-location, not broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val expand = back.edges.join(back.nodes,
+        back.edges("src") === back.nodes("id"))
+      val plan = expand.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expand join should read co-located buckets, got:\n$plan")
+      // out-out chain (two-hop fan-out grouped at the shared source)
+      val chain = back.edges.as("a").join(back.edges.as("b"), Seq("src"))
+      val chainPlan = chain.queryExecution.executedPlan.toString
+      assert(!chainPlan.contains("Exchange hashpartitioning"),
+        s"src-src self-join should be exchange-free, got:\n$chainPlan")
+      // and the answers match the unbucketed plan
+      assert(expand.count() ==
+        edges.join(nodes, edges("src") === nodes("id")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
 }
