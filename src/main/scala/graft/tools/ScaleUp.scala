@@ -69,14 +69,24 @@ object ScaleUp {
     val cs = stride(cust, "c_custkey"); val ss = stride(supp, "s_suppkey")
     val ps = stride(part, "p_partkey"); val os = stride(ords, "o_orderkey")
 
+    // Replicated entities are NEW entities, not clones: entity-name columns
+    // must be unique per copy, or name-keyed distinct semantics (Cypher
+    // UNION dedup, DISTINCT name projections) diverge from the key-scaled
+    // SQL oracles — with verbatim names the sf1 self-check's q_cypher_union
+    // returned 691 distinct names against the oracle's 6910 rows. Copy 0
+    // stays byte-identical to the source.
+    def renamed(d: DataFrame, i: Int, nameCol: String): DataFrame =
+      if (i == 0) d
+      else d.withColumn(nameCol, concat(col(nameCol), lit(s"_r$i")))
+
     write("customer", replicate(cust) { (d, i) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(i * cs))
+      renamed(d, i, "c_name").withColumn("c_custkey", col("c_custkey") + lit(i * cs))
     })
     write("supplier", replicate(supp) { (d, i) =>
-      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * ss))
+      renamed(d, i, "s_name").withColumn("s_suppkey", col("s_suppkey") + lit(i * ss))
     })
     write("part", replicate(part) { (d, i) =>
-      d.withColumn("p_partkey", col("p_partkey") + lit(i * ps))
+      renamed(d, i, "p_name").withColumn("p_partkey", col("p_partkey") + lit(i * ps))
     })
     write("orders", replicate(ords) { (d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * os))
