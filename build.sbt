@@ -29,6 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g proved too tight for the 140-query bench: cached fixtures +
   // checkpoint blocks + broadcast adjacencies accumulate, and GC/eviction
   // pauses land on whichever query runs next (multi-second outliers on
-  // random queries between otherwise-identical runs).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // random queries between otherwise-identical runs). 24g still evicted
+  // the fixture-graph cache mid-suite (q_cypher_setmap measured 1.2 s
+  // in-suite vs 0.4 s isolated purely from the cache re-read); 40g keeps
+  // the storage pool resident through all 192 queries on the 128 GiB box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
 )
