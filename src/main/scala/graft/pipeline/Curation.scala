@@ -110,4 +110,38 @@ object Curation {
         Seq("gram"))
       .groupBy(idCol)
       .agg(countDistinct(col("gram")).as("n_hits"))
+
+  // ---- sequence packing ----------------------------------------------
+
+  /** Concat-and-chunk sequence packing (the standard pretraining layout:
+    * documents concatenated in a deterministic order and cut into fixed
+    * token budgets); each document is assigned to the chunk where it
+    * STARTS — bin = exclusive-prefix token count div budget, one window
+    * cumsum, no driver loop. At 100 TB packing runs per shard (the order
+    * key becomes (shard, idCol) and the window partitions by shard — no
+    * global sort); the global-order form here is the oracle-checkable
+    * core with identical per-chunk statistics.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok"))
+      .withColumn("bin",
+        (coalesce(sum(col("tok")).over(w), lit(0L)) / budget).cast("long"))
+  }
+
+  // ---- corpus mixture control ----------------------------------------
+
+  /** Deterministic mixture resampling: keep a document iff
+    * `id mod 10 < rate` where `rate` is a per-group keep-rate column in
+    * tenths — the reproducible hash-gate downsampling that rebalances a
+    * corpus mix without materializing per-group samples. (At 100 TB the
+    * gate is `xxhash64(id) mod 10` so correlated id ranges cannot bias
+    * the kept set; the plain-modulo form keeps the DuckDB oracle
+    * bit-identical.)
+    */
+  def mixtureGate(docs: DataFrame, idCol: String, rate: Column): DataFrame =
+    docs.filter(pmod(col(idCol), lit(10)) < rate)
 }

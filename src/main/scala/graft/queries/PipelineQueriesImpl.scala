@@ -629,5 +629,68 @@ object PipelineQueriesImpl {
       Seq(("test", test.count()), ("train", train.count()))
         .toDF("part", "n").orderBy("part")
     },
+
+    // Concat-and-chunk sequence packing (Curation.packSequences): documents
+    // in doc_id order are conceptually concatenated and cut into 512-token
+    // chunks; each doc lands in the chunk where it starts. One window
+    // cumsum — the pretraining batch-layout op as a single declarative
+    // plan, per-chunk stats oracle-checked.
+    QueryDef(
+      "q_seq_packing",
+      """SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(tok) AS BIGINT) AS toks
+        |FROM (
+        |  SELECT doc_id, tok,
+        |         CAST(floor(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           / 512.0) AS BIGINT) AS bin
+        |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents)
+        |)
+        |GROUP BY bin
+        |ORDER BY bin NULLS FIRST""".stripMargin) { (s, dir) =>
+      Curation.packSequences(Tables.documents(s, dir), "doc_id", "text", 512)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("toks"))
+        .orderBy("bin")
+    },
+
+    // Vocabulary construction: exact global term counts (partial-agg
+    // shuffle on term) with a deterministic (count desc, term) top-k — the
+    // tokenizer-training prep op. VocabSpec cross-checks a count-min-sketch
+    // estimate against these exact counts (the sketch is the 100 TB path
+    // when the term domain outgrows a shuffle).
+    QueryDef(
+      "q_vocab_topk",
+      """SELECT term, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term
+        |ORDER BY n DESC, term NULLS FIRST
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc_nulls_first)
+        .limit(20)
+    },
+
+    // Corpus mixture control (Curation.mixtureGate): rebalance the language
+    // mix with a deterministic keep-gate (en 10/10, zh 5/10, rest 7/10) and
+    // report the retained per-language counts + token volume.
+    QueryDef(
+      "q_source_mix",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |FROM documents
+        |WHERE doc_id % 10 < (CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 5 ELSE 7 END)
+        |GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
+      val rate = when(col("lang") === "en", 10)
+        .when(col("lang") === "zh", 5).otherwise(7)
+      Curation.mixtureGate(Tables.documents(s, dir), "doc_id", rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long")).as("toks"))
+        .orderBy(col("lang").asc_nulls_first)
+    },
   )
 }
