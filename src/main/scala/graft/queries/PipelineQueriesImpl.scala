@@ -692,5 +692,46 @@ object PipelineQueriesImpl {
           sum(graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long")).as("toks"))
         .orderBy(col("lang").asc_nulls_first)
     },
+
+    // Within-document repetition screens (Gopher §A1.1 rules 5-8 family:
+    // duplicate-n-gram fraction and most-frequent-n-gram occupancy) as pure
+    // array expressions — per-lang counts of documents over each threshold.
+    // The per-doc top-gram count is O(grams²) in array form (docs here are
+    // ~50 words); a long-document corpus would switch the same screen to an
+    // explode + two-level aggregation, identical thresholds.
+    QueryDef(
+      "q_rep_rules",
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS grams
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2
+        |), f AS (
+        |  SELECT doc_id, lang,
+        |    1.0 - len(list_distinct(grams)) * 1.0 / len(grams) AS dupfrac,
+        |    list_max(list_transform(list_distinct(grams),
+        |      gg -> len(list_filter(grams, x -> x = gg)))) * 1.0 / len(grams) AS topfrac
+        |  FROM g)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN dupfrac > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(sum(CASE WHEN topfrac > 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_top
+        |FROM f GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
+      val grams = Curation.ngrams(col("text"), 2)
+      val dupfrac = lit(1.0) -
+        size(array_distinct(col("grams"))).cast("double") / size(col("grams"))
+      val topfrac = array_max(transform(array_distinct(col("grams")),
+        g => size(filter(col("grams"), x => x === g)))).cast("double") /
+        size(col("grams"))
+      Tables.documents(s, dir)
+        .filter(size(split(col("text"), " ")) >= 2)
+        .select(col("lang"), grams.as("grams"))
+        .select(col("lang"), dupfrac.as("dupfrac"), topfrac.as("topfrac"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dupfrac") > 0.05, 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("topfrac") > 0.06, 1L).otherwise(0L)).as("n_top"))
+        .orderBy(col("lang").asc_nulls_first)
+    },
   )
 }

@@ -60,6 +60,45 @@ object VectorQueriesImpl {
         .orderBy("qid", "rank")
     },
 
+    // Embedding cluster assignment (one k-means E-step with fixed, data-
+    // derived centroids — the topic-bucketing op for corpus analysis):
+    // every vector joins the BROADCAST 8-centroid table, takes its argmax
+    // cosine (rounded-then-ranked with a cid tie-break, the q_knn_brute
+    // determinism pattern), and cluster sizes + mean similarity come back.
+    // One map-side pass over the corpus + a tiny per-vector top-1 — the
+    // shape an iterative k-means repeats per step at 100 TB.
+    QueryDef(
+      "q_embed_cluster",
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+        |), a AS (
+        |  SELECT e.vec_id AS vid, c.cid,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS sim,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) DESC,
+        |                    c.cid) AS rn
+        |  FROM embeddings e, cent c
+        |)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n, round(avg(sim), 3) AS avg_sim
+        |FROM a WHERE rn = 1
+        |GROUP BY cid
+        |ORDER BY cid NULLS FIRST""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vid").orderBy(col("sim").desc, col("cid"))
+      e.select(col("vec_id").as("vid"), col("embedding"))
+        .crossJoin(broadcast(cent))
+        .select(col("vid"), col("cid"),
+          round(Knn.score(Knn.Cosine, col("embedding"), col("cvec")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), round(avg(col("sim")), 3).as("avg_sim"))
+        .orderBy(col("cid").asc_nulls_first)
+    },
+
     // Embedding-cosine near-duplicate pairs through the LSH-bucketed plan —
     // the 100-TB shape (band equi-join, no all-pairs). Exact copies of the
     // first 30 vectors are planted in-query (id + 100000): identical vectors
