@@ -277,9 +277,13 @@ object AlgoQueriesImpl {
       import s.implicits._
       val p = Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_brand").as("brand"))
       val nxt = p.select(col("k").as("k2"), col("brand").as("brand2"))
+      // persisted: both derived graphs reference fwd and each SCC pass
+      // re-evaluates its input — without the cache the part self-join runs
+      // four times per execution
       val fwd = p.join(nxt, col("k2") === col("k") + 1 && col("brand2") === col("brand"))
         .select(col("k").as("src"), col("k2").as("dst"),
           lit("B").as("rel"), lit(1.0).as("weight"))
+        .persist()
       val nodes = p.select(col("k").as("id"), array(lit("Part")).as("labels"))
       val dagG = PropertyGraph(nodes, fwd)
       val cyc = PropertyGraph(nodes, fwd.unionByName(

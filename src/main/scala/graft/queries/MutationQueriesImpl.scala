@@ -261,8 +261,15 @@ object MutationQueriesImpl {
           lit(hubId).as("src"), col("id").as("dst"), lit("LINKS").as("rel")))
       val regionIds = g3.nodesWithLabel("Region").select(col("id"))
         .unionByName(g3.nodesWithLabel("Hub").select(col("id")))
+      // semi-filter the edge table on the handful of wanted sources BEFORE
+      // aggregating: out-degree of 6 nodes must not shuffle-aggregate the
+      // whole edge store (at 100 TB that is the difference between one
+      // map-side filtered pass and a store-wide exchange)
       regionIds
-        .join(g3.edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
+        .join(g3.edges
+            .join(broadcast(regionIds.withColumnRenamed("id", "src")),
+              Seq("src"), "left_semi")
+            .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
           Seq("id"), "left_outer")
         .select(
           when(col("id") === hubId, lit(hubId))
