@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.pipeline.Curation
+
+/** Property tests (scalacheck generators, fixed seed, batched through ONE
+  * Spark job each so 200 cases cost one plan, not 200): the packing
+  * invariants hold for arbitrary corpora, and timestamp unit inference
+  * round-trips every epoch unit for arbitrary instants.
+  */
+class PackingPropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def sampled[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Iterator.iterate((Seed(seed), Option.empty[A])) { case (s, _) =>
+      val (v, s2) = g.pureApply(Gen.Parameters.default, s) -> s.next
+      (s2, Some(v))
+    }.drop(1).take(n).flatMap(_._2).toSeq
+
+  test("packSequences invariants hold on a generated corpus") {
+    // arbitrary word counts incl. empty and budget-straddling documents
+    val wcGen = Gen.frequency(3 -> Gen.choose(0, 30), 2 -> Gen.choose(200, 700),
+      1 -> Gen.const(0), 1 -> Gen.const(512))
+    val wcs = sampled(wcGen, 200, seed = 7L)
+    val docs = wcs.zipWithIndex.map { case (wc, i) =>
+      (i.toLong, Seq.fill(wc)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val budget = 512
+    val out = Curation.packSequences(docs, "doc_id", "text", budget)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // NOTE: split(" ") of "" yields one empty token, so wc=0 counts as 1 —
+    // mirror the engine's token definition when re-deriving prefixes
+    var prefix = 0L
+    var lastBin = -1L
+    for ((id, tok, bin) <- out) {
+      assert(bin == prefix / budget,
+        s"doc $id: bin $bin != exclusive-prefix ${prefix} / $budget")
+      assert(bin >= lastBin, s"bins must be nondecreasing in doc order at $id")
+      lastBin = bin
+      prefix += tok
+    }
+    assert(out.head._3 == 0L, "first document must land in bin 0")
+    assert(out.length == wcs.length, "no document may be dropped")
+  }
+
+  test("normalizeEventTs round-trips arbitrary instants in every epoch unit") {
+    // instants across the inference window, all four encodings per instant
+    val secGen = Gen.choose(
+      java.time.Instant.parse("1975-01-01T00:00:00Z").getEpochSecond,
+      java.time.Instant.parse("2090-01-01T00:00:00Z").getEpochSecond)
+    val secs = sampled(secGen, 200, seed = 11L)
+    val rows = secs.flatMap(s =>
+      Seq((s, s), (s * 1000L, s), (s * 1000000L, s), (s * 1000000000L, s)))
+    val df = rows.toDF("ts", "expect")
+    val bad = Tables.normalizeEventTs(df)
+      .filter(col("ts").cast("long") =!= col("expect"))
+      .count()
+    assert(bad == 0, s"$bad of ${rows.size} encodings decoded to a wrong instant")
+  }
+}

@@ -196,4 +196,30 @@ class PlanSpec extends AnyFunSuite {
       s"idf table should broadcast, not shuffle the token table:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("vocabulary top-k partial-aggregates and take-orders") {
+    val p = plan("q_vocab_topk")
+    // two-phase aggregation: the map side combines term counts before the
+    // exchange, and the k-row result is a TakeOrdered, never a global sort
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"expected partial aggregation before the exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must take-order, not global-sort:\n$p")
+  }
+
+  test("sequence packing is one window pass, text never read past token count") {
+    val p = plan("q_seq_packing")
+    // exactly one window operator (the cumulative token sum)
+    assert("(?m)^.*Window".r.findAllIn(p).size >= 1, s"expected a window:\n$p")
+    assert(!p.split("ReadSchema")(1).split("\n")(0).contains("lang"),
+      "untouched columns must be pruned from the packing scan")
+  }
+
+  test("embedding cluster assignment broadcasts the centroid table") {
+    val p = plan("q_embed_cluster")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 8-centroid table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "corpus x centroids must never be a partitioned cartesian")
+  }
 }
