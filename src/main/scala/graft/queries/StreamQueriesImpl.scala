@@ -39,6 +39,33 @@ object StreamQueriesImpl {
         .orderBy("ws", "event_type")
     },
 
+    // Native session_window sessionization (EventStreams.sessionCounts) —
+    // the streaming-capable operator, oracle-checked in batch against the
+    // classic lag/cumsum gap formulation. Boundary semantics pinned: a gap
+    // of EXACTLY 6h starts a new session (session windows are half-open),
+    // so the oracle's new-session rule is `>=`, not `>`.
+    QueryDef(
+      "q_session_window",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000 THEN 1
+        |              ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS ss, CAST(count(*) AS BIGINT) AS n
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id NULLS FIRST, ss NULLS FIRST""".stripMargin) { (s, dir) =>
+      EventStreams.sessionCounts(Tables.events(s, dir))
+        .orderBy("user_id", "ss")
+    },
+
     // Exact percentiles: continuous (linear interpolation, R-7 — both
     // engines) and discrete via an explicit sorted-list formula shared with
     // the oracle (no reliance on matching engine-specific disc semantics).

@@ -27,6 +27,21 @@ object EventStreams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
+  /** Gap-based sessionization via the NATIVE session_window operator —
+    * the streaming-capable face of q_sessionize's window-cumsum
+    * formulation: sessions merge while consecutive same-user events are
+    * less than `gap` apart (a gap of exactly `gap` starts a new session —
+    * session windows are half-open [start, last+gap)). Batch and stream
+    * share the plan; state expires with the watermark.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "6 hours",
+      withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("ss"), col("n"))
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserStat(user_id: Long, n: Long, total: Double)
 

@@ -47,6 +47,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("session_window sessionization: stream equals batch") {
+    val batch = EventStreams
+      .sessionCounts(Tables.events(spark, sf), withWatermark = false)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val streamed = EventStreams.runOnce(spark, sf, "sess_out",
+      df => EventStreams.sessionCounts(df, withWatermark = true), "complete")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("normalizeEventTs infers the epoch unit from int64 magnitude") {
     import spark.implicits._
     // one instant, four encodings — all must decode to the same timestamp
