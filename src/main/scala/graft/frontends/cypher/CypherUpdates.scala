@@ -103,6 +103,18 @@ object CypherUpdates {
     // by the mutations, is not — checked structurally below.
     try {
       // which vars does a supported expression reference (None = unsupported)
+      // every property key an expression touches must be a TYPED column of
+      // the table it will run against — a dynamic (props-map) key resolves
+      // only through the compiler, so it must take the generic path; an
+      // unguarded col(k) would fail analysis instead of falling back
+      def refKeys(e: Expr.E): Set[String] = e match {
+        case Expr.Prop(_, k)   => Set(k)
+        case Expr.Not(x)       => refKeys(x)
+        case Expr.Bin(_, l, r) => refKeys(l) ++ refKeys(r)
+        case _                 => Set.empty
+      }
+      def requireCols(e: Expr.E, cols: Array[String]): Unit =
+        if (!refKeys(e).subsetOf(cols.toSet)) throw Unsupported
       def refVars(e: Expr.E): Set[String] = e match {
         case Expr.Lit(_)        => Set.empty
         case Expr.Prop(v, _)    => Set(v)
@@ -148,16 +160,23 @@ object CypherUpdates {
       var edgePreds = Vector.empty[Column]
       for (c <- where.toSeq.flatMap(conjuncts)) refVars(c).toSeq match {
         case Seq() => edgePreds :+= toCol(c) // var-free: constant, edge side
-        case Seq(v) if srcPat.v.contains(v) => srcPreds :+= toCol(c)
-        case Seq(v) if dstPat.v.contains(v) => dstPreds :+= toCol(c)
-        case Seq(v) if v == rv              => edgePreds :+= toCol(c)
+        case Seq(v) if srcPat.v.contains(v) =>
+          requireCols(c, g.nodes.columns); srcPreds :+= toCol(c)
+        case Seq(v) if dstPat.v.contains(v) =>
+          requireCols(c, g.nodes.columns); dstPreds :+= toCol(c)
+        case Seq(v) if v == rv =>
+          requireCols(c, g.edges.columns); edgePreds :+= toCol(c)
         case _                              => throw Unsupported // cross-entity
       }
       // endpoint membership sets: label conjunction + inline props + WHERE
       def nodeSet(p: Ast.NodePat, preds: Seq[Column]): Option[DataFrame] = {
         val labelPreds = (p.label.toSeq ++ p.extraLabels)
           .map(l => array_contains(col("labels"), l))
-        val inline = p.props.map { case (k, v) => col(k) === toCol(v) }
+        val inline = p.props.map { case (k, v) =>
+          if (!g.nodes.columns.contains(k)) throw Unsupported
+          requireCols(v, g.nodes.columns)
+          col(k) === toCol(v)
+        }
         val all = labelPreds ++ inline ++ preds
         if (all.isEmpty) None // unconstrained endpoint: store invariant holds
         else Some(all.foldLeft(g.nodes)((df, c) => df.filter(c)).select(col("id")))
@@ -171,7 +190,11 @@ object CypherUpdates {
           case SetClause(items) =>
             val props = items.map {
               case SetProp(Expr.Prop(`rv`, k), value)
-                  if refVars(value).subsetOf(Set(rv)) => k -> toCol(value)
+                  if refVars(value).subsetOf(Set(rv)) =>
+                // the written key may be dynamic (routes to the props map),
+                // but every key the VALUE reads must be a typed edge column
+                requireCols(value, g.edges.columns)
+                k -> toCol(value)
               case _ => throw Unsupported
             }
             Mutations.setEdgePropsWhere(acc, relType, srcSet, dstSet, edgePred, props)

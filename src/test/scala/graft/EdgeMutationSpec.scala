@@ -82,6 +82,18 @@ class EdgeMutationSpec extends AnyFunSuite {
     assert(g2.edges.count() == 2)
   }
 
+  test("dynamic-key WHERE predicates fall back to the generic eid path") {
+    // r.since lives in the props map, not a typed column — the pushdown
+    // path must decline (an unguarded col("since") would fail analysis)
+    // and the generic compiled path must still resolve it
+    val g2 = new GraftSession(spark, g).cypherUpdate(
+      "MATCH ()-[r:KNOWS]->() SET r.since = 2020")
+    val g3 = new GraftSession(spark, g2).cypherUpdate(
+      "MATCH ()-[r:KNOWS]->() WHERE r.since = 2020 SET r.weight = 7.0")
+    assert(g3.edges.filter(col("rel") === "KNOWS")
+      .select("weight").as[Double].collect().toSeq == Seq(7.0))
+  }
+
   test("pushdown SET: endpoint + edge predicates, both pattern orientations") {
     // single-action single-hop shape → the predicate-pushdown path (no eid
     // materialization); must match the generic path's semantics exactly
