@@ -40,17 +40,20 @@ object Tables {
       case LongType =>
         // An int64 ts is nanos on the known testdata vintage, but a future
         // driver regeneration could silently emit epoch micros/millis/seconds
-        // (the r8 schema-drift class). Infer the unit from the magnitude per
-        // value instead of assuming: each unit's plausible range for
-        // 1973..2096 instants occupies a disjoint decade band (s ~1e8..4e9,
-        // ms ~1e11..4e12, µs ~1e14..4e15, ns ~1e17..4e18), so the first
-        // matching band decodes correctly for any sane generator. Pure
-        // codegen'd CASE — no extra job, identical plan shape.
+        // (the r8 schema-drift class). Infer the unit from the magnitude:
+        // each unit's plausible range for 1973..2096 instants occupies a
+        // disjoint decade band (s 1e8..4e9, ms 1e11..4e12, µs 1e14..4e15,
+        // ns 1e17..4e18). A value in the GAPS between bands (e.g. a nano
+        // timestamp for 1970..early-1973) is ambiguous — raise loudly rather
+        // than decode into the wrong century; a min/max per-load inference
+        // isn't an option because the streaming reader shares this path and
+        // can't run an aggregate. Pure codegen'd CASE — no extra job.
         df.withColumn("ts", expr(
-          """CASE WHEN ts >= 100000000000000000 THEN timestamp_micros(ts div 1000)
-            |     WHEN ts >= 100000000000000 THEN timestamp_micros(ts)
-            |     WHEN ts >= 100000000000 THEN timestamp_millis(ts)
-            |     ELSE timestamp_seconds(ts) END""".stripMargin))
+          """CASE WHEN ts >= 100000000000000000 AND ts < 4000000000000000000 THEN timestamp_micros(ts div 1000)
+            |     WHEN ts >= 100000000000000 AND ts < 4000000000000000 THEN timestamp_micros(ts)
+            |     WHEN ts >= 100000000000 AND ts < 4000000000000 THEN timestamp_millis(ts)
+            |     WHEN ts >= 100000000 AND ts < 4000000000 THEN timestamp_seconds(ts)
+            |     ELSE raise_error(concat('events.ts value outside every epoch-unit band (s/ms/us/ns, 1973..2096): ', ts)) END""".stripMargin))
       case TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df

@@ -174,6 +174,11 @@ object CypherUpdates {
           .map(l => array_contains(col("labels"), l))
         val inline = p.props.map { case (k, v) =>
           if (!g.nodes.columns.contains(k)) throw Unsupported
+          // like the WHERE-conjunct routing above, the VALUE may only
+          // reference this endpoint's own variable — a cross-variable inline
+          // prop ({y: a.x} on the other endpoint) would compile a.x as a
+          // column of THIS node table; fall back to the generic eid path
+          if (!refVars(v).subsetOf(p.v.toSet)) throw Unsupported
           requireCols(v, g.nodes.columns)
           col(k) === toCol(v)
         }

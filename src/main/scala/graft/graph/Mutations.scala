@@ -334,7 +334,10 @@ object Mutations {
       srcIds: Option[DataFrame], dstIds: Option[DataFrame],
       edgePred: Option[Column]): (DataFrame, Column, Seq[String]) = {
     var df = edges
-    var hit: Column = relType.map(t => col("rel") === lit(t)).getOrElse(lit(true))
+    // null-guard like every other term: a null rel would make hit null, and
+    // deleteEdgesWhere's filter(!hit) would DROP an edge the MATCH never binds
+    var hit: Column = relType.map(t => coalesce(col("rel") === lit(t), lit(false)))
+      .getOrElse(lit(true))
     edgePred.foreach(p => hit = hit && coalesce(p, lit(false)))
     var flags = List.empty[String]
     srcIds.foreach { s =>

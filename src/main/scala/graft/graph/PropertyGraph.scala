@@ -29,6 +29,22 @@ case object Both extends Direction
   */
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
+  /** Optional dst-clustered mirror of `edges` — SAME rows, physically
+    * bucketed by `dst` (the reference's optional backward adjacency,
+    * graph/lpg/store.rs:241-246). When present, dst-side (in-direction)
+    * expand steps read it instead of `edges`, so in-expands on a reloaded
+    * bucketed graph are exchange-free like out-expands. Deliberately NOT a
+    * constructor field: every `copy(edges = …)` (i.e. every mutation)
+    * produces a graph WITHOUT the mirror, so a stale mirror can never serve
+    * an in-expand over mutated edges. Set only by
+    * [[graft.sources.GraphIO.loadBucketed]].
+    */
+  @transient private[graft] var edgesByDst: Option[DataFrame] = None
+
+  private[graft] def withDstMirror(m: DataFrame): PropertyGraph = {
+    edgesByDst = Some(m); this
+  }
+
   /** Process-unique instance token — registry key for per-graph caches
     * (property indexes, fixtures). `System.identityHashCode` is NOT unique
     * across a collected instance's lifetime, so keying a registry by it
@@ -86,11 +102,16 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
   /** Edge selection by type set: empty = any, several = alternation
     * (Cypher `[:A|B]`). The predicate reaches the edge scan either way.
+    * `byDst = true` (a dst-side join follows) reads the dst-clustered
+    * mirror when one exists — identical rows, bucketed on the join key.
     */
-  private[graph] def edgeSel(rels: Seq[String]): DataFrame = rels match {
-    case Seq()  => edges
-    case Seq(r) => edgesOfType(r)
-    case rs     => edges.filter(col("rel").isin(rs: _*))
+  private[graph] def edgeSel(rels: Seq[String], byDst: Boolean = false): DataFrame = {
+    val base = if (byDst) edgesByDst.getOrElse(edges) else edges
+    rels match {
+      case Seq()  => base
+      case Seq(r) => base.filter(col("rel") === r)
+      case rs     => base.filter(col("rel").isin(rs: _*))
+    }
   }
 
   /** Directed (__s → __d) edge projection for a traversal loop; `Both` is
@@ -107,8 +128,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
   private def directedEdges(rels: Seq[String], dir: Direction,
       extra: Seq[(String, String)] = Nil): DataFrame = {
-    val base = edgeSel(rels)
-    def sel(s: String, d: String) = base.select(
+    def sel(s: String, d: String) = edgeSel(rels, byDst = s == "dst").select(
       col(s).as("__s") +: col(d).as("__d") +:
         extra.map { case (c, a) => col(c).as(a) }: _*)
     dir match {
@@ -127,7 +147,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       dir: Direction, dstAs: String,
       edgeAs: Option[String] = None): DataFrame = {
     def step(from: String, to: String): DataFrame = {
-      val base = edgeSel(rels)
+      val base = edgeSel(rels, byDst = from == "dst")
       val edgeCols = edgeAs.toSeq.flatMap { v =>
         base.columns.filterNot(c => c == "src" || c == "dst")
           .map(c => col(c).as(s"${v}__$c"))
@@ -152,7 +172,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   def expandAll(srcAs: String, rels: Seq[String], dir: Direction,
       dstAs: String, edgeAs: Option[String] = None): DataFrame = {
     def step(from: String, to: String): DataFrame = {
-      val base = edgeSel(rels)
+      val base = edgeSel(rels, byDst = from == "dst")
       val edgeCols = edgeAs.toSeq.flatMap { v =>
         base.columns.filterNot(c => c == "src" || c == "dst")
           .map(c => col(c).as(s"${v}__$c"))

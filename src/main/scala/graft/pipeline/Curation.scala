@@ -132,6 +132,48 @@ object Curation {
         (coalesce(sum(col("tok")).over(w), lit(0L)) / budget).cast("long"))
   }
 
+  /** The at-scale form of [[packSequences]]: packing runs independently PER
+    * SHARD (window partitioned by `shardCol`, ordered by `idCol` within it —
+    * no global sort, no single-partition exchange), and chunk ids are made
+    * globally unique by offsetting each shard's local bins with the chunk
+    * counts of the shards before it. The offsets come from ONE tiny
+    * aggregate — per-shard token totals, shard-count-sized by construction —
+    * collected and broadcast back; within a shard the output is identical to
+    * running the global form on that shard alone (PackingPropertySpec pins
+    * this, PlanSpec pins the no-single-partition plan shape).
+    */
+  def packSequencesSharded(docs: DataFrame, idCol: String, shardCol: String,
+      textCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val toks = docs.select(col(shardCol), col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok"))
+    val wLocal = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // shard-count-sized by construction: collecting it IS the "tiny
+    // aggregate + broadcast", not a driver-side loop over data. A shard with
+    // total tokens T occupies floor(max(T-1,0)/budget)+1 bins (every shard
+    // with rows uses at least bin 0).
+    val totals = toks.groupBy(col(shardCol)).agg(sum(col("tok")).as("__total"))
+      .orderBy(col(shardCol)).collect()
+    var acc = 0L
+    val offsetRows = totals.map { r =>
+      val row = org.apache.spark.sql.Row(r.get(0), acc)
+      val total = if (r.isNullAt(1)) 0L else r.getLong(1)
+      acc += math.max(total - 1L, 0L) / budget + 1L
+      row
+    }
+    val offsets = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offsetRows: _*),
+      StructType(Seq(StructField(shardCol, toks.schema(shardCol).dataType),
+        StructField("__offset", LongType))))
+    toks.withColumn("__local",
+        (coalesce(sum(col("tok")).over(wLocal), lit(0L)) / budget).cast("long"))
+      .join(broadcast(offsets), Seq(shardCol))
+      .withColumn("bin", col("__offset") + col("__local"))
+      .drop("__offset", "__local")
+  }
+
   // ---- corpus mixture control ----------------------------------------
 
   /** Deterministic mixture resampling: keep a document iff

@@ -288,8 +288,12 @@ object AlgoQueriesImpl {
       val dagG = PropertyGraph(nodes, fwd)
       val cyc = PropertyGraph(nodes, fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst"), col("rel"), col("weight"))))
-      Seq(("cyclic", Algos.isDag(s, cyc)), ("dag", Algos.isDag(s, dagG)))
-        .toDF("g", "is_dag").orderBy("g")
+      // isDag is eager (returns Boolean), so the cache is dead once both
+      // calls finish — release it here rather than pinning executor storage
+      // for the rest of the session across repeated bench iterations
+      val res = Seq(("cyclic", Algos.isDag(s, cyc)), ("dag", Algos.isDag(s, dagG)))
+      fwd.unpersist()
+      res.toDF("g", "is_dag").orderBy("g")
     },
 
     // DFS preorder (traversal.rs:198) from node 3 over the tree edges only

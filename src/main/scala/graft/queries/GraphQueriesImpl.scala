@@ -206,25 +206,63 @@ object GraphQueriesImpl {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY region NULLS FIRST""".stripMargin) { (s, dir) =>
-      val nation = graft.core.Tables.nation(s, dir)
-      val region = graft.core.Tables.region(s, dir)
-      val nodes = region.select((col("r_regionkey").cast("long") + 1000000L).as("id"),
-          array(lit("Region")).as("labels"), col("r_name").as("name"))
-        .unionByName(nation.select(col("n_nationkey").cast("long").as("id"),
-          array(lit("Nation")).as("labels"), col("n_name").as("name")))
-      val edges = nation.select(
-        (col("n_regionkey").cast("long") + 1000000L).as("src"),
-        col("n_nationkey").cast("long").as("dst"), lit("HAS_NATION").as("rel"))
-      val db = "graft_bucketed_q"
-      graft.sources.GraphIO.saveBucketed(
-        graft.graph.PropertyGraph(nodes, edges), db,
-        java.nio.file.Files.createTempDirectory("graft_bq").toString, buckets = 4)
-      val back = graft.sources.GraphIO.loadBucketed(s, db)
+      val back = bucketedRegionGraph(s, dir)
       back.edges.join(back.nodes, back.edges("src") === back.nodes("id"))
         .groupBy(col("name").as("region"))
         .agg(count(lit(1)).as("n"))
         .select(col("region"), col("n"))
         .orderBy(col("region").asc_nulls_first)
     },
+
+    // In-direction hop through the dst-clustered mirror (backward
+    // adjacency, ref store.rs:241-246): expand(In) from each Nation to its
+    // Region routes the dst-side join to edges_by_dst — exchange-free like
+    // the forward hop (plan pinned in GraphIOSpec).
+    QueryDef(
+      "q_bucketed_expand_in",
+      """SELECT CAST(n_nationkey AS BIGINT) AS nation_id,
+        |       CAST(n_regionkey + 1000000 AS BIGINT) AS region_id
+        |FROM nation
+        |ORDER BY nation_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val back = bucketedRegionGraph(s, dir)
+      val nations = back.nodes.filter(array_contains(col("labels"), "Nation"))
+        .select(col("id").as("nation_id"))
+      back.expand(nations, "nation_id", Seq("HAS_NATION"), graft.graph.In,
+          dstAs = "region_id")
+        .select(col("nation_id"), col("region_id"))
+        .orderBy(col("nation_id").asc_nulls_first)
+    },
   )
+
+  /** Region→Nation graph saved+reloaded through the bucketed store. One
+    * DETERMINISTIC location + db per sf dir, DROPped (CASCADE) before each
+    * rebuild — a fresh temp dir per invocation would be ignored by
+    * `CREATE DATABASE IF NOT EXISTS` and orphan a directory per run.
+    */
+  private def bucketedRegionGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.graph.PropertyGraph = {
+    val nation = graft.core.Tables.nation(s, dir)
+    val region = graft.core.Tables.region(s, dir)
+    val nodes = region.select((col("r_regionkey").cast("long") + 1000000L).as("id"),
+        array(lit("Region")).as("labels"), col("r_name").as("name"))
+      .unionByName(nation.select(col("n_nationkey").cast("long").as("id"),
+        array(lit("Nation")).as("labels"), col("n_name").as("name")))
+    val edges = nation.select(
+      (col("n_regionkey").cast("long") + 1000000L).as("src"),
+      col("n_nationkey").cast("long").as("dst"), lit("HAS_NATION").as("rel"))
+    val db = "graft_bucketed_q"
+    val loc = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_bq_${dir.hashCode.toHexString}")
+    s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    // the in-memory catalog dies with the session but managed-table files
+    // don't: a leftover location from a previous process would fail the
+    // saveAsTable with LOCATION_ALREADY_EXISTS — clear it too
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    graft.sources.GraphIO.saveBucketed(
+      graft.graph.PropertyGraph(nodes, edges), db, loc.toString, buckets = 4)
+    graft.sources.GraphIO.loadBucketed(s, db)
+  }
 }

@@ -654,6 +654,41 @@ object PipelineQueriesImpl {
         .orderBy("bin")
     },
 
+    // The at-scale packing form: per-shard windows (no global sort / no
+    // single-partition exchange — PlanSpec pins it) with globally unique
+    // chunk ids via shard-count-sized offsets. The oracle re-derives the
+    // same two-level scheme in SQL.
+    QueryDef(
+      "q_seq_packing_sharded",
+      """WITH toks AS (
+        |  SELECT doc_id % 8 AS shard, doc_id,
+        |         len(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), offsets AS (
+        |  SELECT shard,
+        |         COALESCE(SUM(CAST(floor(greatest(SUM(tok) - 1, 0) / 512.0) AS BIGINT) + 1)
+        |           OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM toks GROUP BY shard
+        |), local AS (
+        |  SELECT shard, doc_id, tok,
+        |         CAST(floor(COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS local_bin
+        |  FROM toks
+        |)
+        |SELECT CAST(l.local_bin + o.off AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(l.tok) AS BIGINT) AS toks
+        |FROM local l JOIN offsets o USING (shard)
+        |GROUP BY 1
+        |ORDER BY bin NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      Curation.packSequencesSharded(docs, "doc_id", "shard", "text", 512)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("toks"))
+        .orderBy("bin")
+    },
+
     // Vocabulary construction: exact global term counts (partial-agg
     // shuffle on term) with a deterministic (count desc, term) top-k — the
     // tokenizer-training prep op. VocabSpec cross-checks a count-min-sketch

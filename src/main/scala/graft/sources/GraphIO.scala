@@ -86,10 +86,13 @@ object GraphIO {
     * per-node out-adjacency): a reloaded graph satisfies expand joins
     * (`edges.src = nodes.id`) and out-out edge chains with NO exchange on
     * either side — the per-query shuffle of the whole store that dominates
-    * traversal cost at 100 TB is paid ONCE at write time. dst-side joins
-    * still exchange: one clustering cannot co-locate both endpoints (the
-    * classic graph-partitioning tradeoff; the reference's CSR out-adjacency
-    * makes the same choice). Catalog metadata lives in the session's
+    * traversal cost at 100 TB is paid ONCE at write time. One clustering
+    * cannot co-locate both endpoints (the classic graph-partitioning
+    * tradeoff), so like the reference's optional BACKWARD adjacency
+    * (graph/lpg/store.rs:241-246) a mirrored `edges_by_dst` copy — same
+    * rows, bucketed+sorted by `dst` — makes in-direction expands
+    * exchange-free too, at 2× edge storage (the same price the reference
+    * pays for its backward index). Catalog metadata lives in the session's
     * in-memory catalog here; a deployment keeps the identical layout in a
     * metastore or a table format with clustering metadata.
     */
@@ -101,10 +104,21 @@ object GraphIO {
       .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"$db.nodes")
     g.edges.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "src").sortBy("src").saveAsTable(s"$db.edges")
+    g.edges.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "dst").sortBy("dst").saveAsTable(s"$db.edges_by_dst")
   }
 
-  def loadBucketed(spark: SparkSession, db: String): PropertyGraph =
-    PropertyGraph(spark.table(s"$db.nodes"), spark.table(s"$db.edges"))
+  /** Reload; the returned graph carries the dst-clustered mirror (when the
+    * store has one — pre-r11 stores don't) so in-direction expands are also
+    * exchange-free. Any mutation drops the mirror (see
+    * [[PropertyGraph.edgesByDst]]).
+    */
+  def loadBucketed(spark: SparkSession, db: String): PropertyGraph = {
+    val g = PropertyGraph(spark.table(s"$db.nodes"), spark.table(s"$db.edges"))
+    if (spark.catalog.tableExists(s"$db.edges_by_dst"))
+      g.withDstMirror(spark.table(s"$db.edges_by_dst"))
+    else g
+  }
 
   // ---- RDF snapshot ----
 

@@ -284,6 +284,19 @@ class GraphIOSpec extends AnyFunSuite {
       // and the answers match the unbucketed plan
       assert(expand.count() ==
         edges.join(nodes, edges("src") === nodes("id")).count())
+      // in-direction expand through the dst-clustered mirror (backward
+      // adjacency): the expand API routes the dst-side step to edges_by_dst,
+      // so the dst = id join is also exchange-free
+      val inExpand = back.expand(back.nodes.select(col("id")), "id",
+        Seq("E"), graft.graph.In, dstAs = "nbr")
+      val inPlan = inExpand.queryExecution.executedPlan.toString
+      assert(!inPlan.contains("Exchange hashpartitioning"),
+        s"in-expand should read the dst-clustered mirror, got:\n$inPlan")
+      assert(inExpand.count() ==
+        edges.join(nodes, edges("dst") === nodes("id")).count())
+      // mutation drops the mirror: a copy() graph must fall back to `edges`
+      val mutated = back.copy(edges = back.edges.limit(10))
+      assert(mutated.edgesByDst.isEmpty)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")

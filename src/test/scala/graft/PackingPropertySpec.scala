@@ -50,6 +50,40 @@ class PackingPropertySpec extends AnyFunSuite {
     assert(out.length == wcs.length, "no document may be dropped")
   }
 
+  test("sharded packing ≡ global packing per shard, with disjoint bin ranges") {
+    val wcGen = Gen.frequency(3 -> Gen.choose(0, 30), 2 -> Gen.choose(200, 700),
+      1 -> Gen.const(0), 1 -> Gen.const(512))
+    val wcs = sampled(wcGen, 240, seed = 13L)
+    val docs = wcs.zipWithIndex.map { case (wc, i) =>
+      (i.toLong, i.toLong % 5L, Seq.fill(wc)("w").mkString(" "))
+    }.toDF("doc_id", "shard", "text")
+    val budget = 512
+    val sharded = Curation.packSequencesSharded(docs, "doc_id", "shard", "text", budget)
+      .select("shard", "doc_id", "tok", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+
+    // per shard: bins minus the shard's base bin reproduce the GLOBAL form
+    // run on that shard's documents alone
+    for (shard <- sharded.map(_._1).distinct) {
+      val mine = sharded.filter(_._1 == shard)
+      val base = mine.map(_._4).min
+      val alone = Curation.packSequences(
+          docs.filter(col("shard") === shard), "doc_id", "text", budget)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(mine.map(t => (t._2, t._4 - base)).toSeq == alone.toSeq,
+        s"shard $shard: sharded bins must equal the global form run per shard")
+    }
+    // global uniqueness: shards occupy pairwise-disjoint bin ranges
+    val ranges = sharded.groupBy(_._1).map { case (s2, rows) =>
+      (s2, rows.map(_._4).min, rows.map(_._4).max)
+    }.toSeq.sortBy(_._2)
+    for (Seq(a, b) <- ranges.sliding(2).toSeq if ranges.size > 1)
+      assert(a._3 < b._2,
+        s"bin ranges of shards ${a._1} and ${b._1} overlap: $a vs $b")
+  }
+
   test("normalizeEventTs round-trips arbitrary instants in every epoch unit") {
     // instants across the inference window, all four encodings per instant
     val secGen = Gen.choose(

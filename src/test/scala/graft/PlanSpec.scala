@@ -215,6 +215,16 @@ class PlanSpec extends AnyFunSuite {
       "untouched columns must be pruned from the packing scan")
   }
 
+  test("sharded packing partitions its window by shard — no single-partition exchange") {
+    val p = plan("q_seq_packing_sharded")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sharded packing must never funnel the corpus through one task:\n$p")
+    assert(p.contains("hashpartitioning"),
+      s"the per-shard window should shuffle by shard key:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the shard-offset table must broadcast:\n$p")
+  }
+
   test("embedding cluster assignment broadcasts the centroid table") {
     val p = plan("q_embed_cluster")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
