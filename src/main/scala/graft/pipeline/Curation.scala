@@ -111,6 +111,44 @@ object Curation {
       .groupBy(idCol)
       .agg(countDistinct(col("gram")).as("n_hits"))
 
+  // ---- within-document repetition screens (Gopher §A1.1 rules 5-8) ---
+
+  /** Per-document repetition statistics over word `n`-grams:
+    * `dupfrac` = 1 − distinct/total grams, `topfrac` = most-frequent-gram
+    * occupancy. Documents shorter than `n` words are dropped (no grams).
+    *
+    * Two physical forms, identical values: SHORT documents
+    * (< `longDocTokens` words) use pure array expressions — per-row
+    * compute, no shuffle — but the top-gram count there is O(grams²) per
+    * row, which is fine at tens of words and quadratic death on 10k-token
+    * web documents. LONG documents switch to explode → count per
+    * (doc, gram) → per-doc aggregate: two keyed, skew-safe shuffles whose
+    * cost is O(total grams). Both branches divide exact integer counts, so
+    * the union is bit-identical regardless of which side a document lands
+    * on (RepetitionSpec pins array ≡ explode on 5k-token docs).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, longDocTokens: Int = 256): DataFrame = {
+    val toks = TextAnalysis.tokenCount(col(textCol))
+    val gramsCol = ngrams(col(textCol), n)
+    val base = docs.filter(toks >= n)
+    val short = base.filter(toks < longDocTokens)
+      .withColumn("__grams", gramsCol)
+      .withColumn("dupfrac", lit(1.0) -
+        size(array_distinct(col("__grams"))).cast("double") / size(col("__grams")))
+      .withColumn("topfrac", array_max(transform(array_distinct(col("__grams")),
+        g => size(filter(col("__grams"), x => x === g)))).cast("double") /
+        size(col("__grams")))
+      .drop("__grams")
+    val long = base.filter(toks >= longDocTokens)
+    val longStats = long.select(col(idCol), explode(gramsCol).as("__gram"))
+      .groupBy(col(idCol), col("__gram")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol)).agg(
+        (lit(1.0) - count(lit(1)).cast("double") / sum(col("__cnt"))).as("dupfrac"),
+        (max(col("__cnt")).cast("double") / sum(col("__cnt"))).as("topfrac"))
+    short.unionByName(long.join(longStats, Seq(idCol)))
+  }
+
   // ---- sequence packing ----------------------------------------------
 
   /** Concat-and-chunk sequence packing (the standard pretraining layout:

@@ -729,11 +729,12 @@ object PipelineQueriesImpl {
     },
 
     // Within-document repetition screens (Gopher §A1.1 rules 5-8 family:
-    // duplicate-n-gram fraction and most-frequent-n-gram occupancy) as pure
-    // array expressions — per-lang counts of documents over each threshold.
-    // The per-doc top-gram count is O(grams²) in array form (docs here are
-    // ~50 words); a long-document corpus would switch the same screen to an
-    // explode + two-level aggregation, identical thresholds.
+    // duplicate-n-gram fraction and most-frequent-n-gram occupancy) — per-
+    // lang counts of documents over each threshold. Curation.repetitionStats
+    // routes short docs through pure array expressions and long docs
+    // (≥256 words) through the explode + two-level aggregation, so a real
+    // web corpus never pays the O(grams²) array-form top-gram count
+    // (RepetitionSpec pins the two forms bit-identical).
     QueryDef(
       "q_rep_rules",
       """WITH g AS (
@@ -752,16 +753,8 @@ object PipelineQueriesImpl {
         |       CAST(sum(CASE WHEN topfrac > 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_top
         |FROM f GROUP BY lang
         |ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
-      val grams = Curation.ngrams(col("text"), 2)
-      val dupfrac = lit(1.0) -
-        size(array_distinct(col("grams"))).cast("double") / size(col("grams"))
-      val topfrac = array_max(transform(array_distinct(col("grams")),
-        g => size(filter(col("grams"), x => x === g)))).cast("double") /
-        size(col("grams"))
-      Tables.documents(s, dir)
-        .filter(size(split(col("text"), " ")) >= 2)
-        .select(col("lang"), grams.as("grams"))
-        .select(col("lang"), dupfrac.as("dupfrac"), topfrac.as("topfrac"))
+      Curation.repetitionStats(Tables.documents(s, dir), "doc_id", "text", n = 2)
+        .select(col("lang"), col("dupfrac"), col("topfrac"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
           sum(when(col("dupfrac") > 0.05, 1L).otherwise(0L)).as("n_dup"),
