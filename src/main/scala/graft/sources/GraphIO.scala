@@ -237,8 +237,15 @@ object GraphIO {
       claimAndPublish(spark, path) { dir =>
         val nd = tag(nodeAdds, nodeRemoves)
         val ed = tag(edgeAdds, edgeRemoves)
-        nd.write.mode(SaveMode.Overwrite).parquet(s"$dir/nodes_delta")
-        ed.write.mode(SaveMode.Overwrite).parquet(s"$dir/edges_delta")
+        // node and edge delta writes are independent jobs — run them
+        // concurrently (the diffs are each a pair of anti-joins; serial
+        // execution just stacks their fixed job latencies)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(Seq(
+          Future(nd.write.mode(SaveMode.Overwrite).parquet(s"$dir/nodes_delta")),
+          Future(ed.write.mode(SaveMode.Overwrite).parquet(s"$dir/edges_delta")))),
+          scala.concurrent.duration.Duration.Inf)
         writeSchema(spark, s"$dir/_schema_nodes_delta.json", nd.schema)
         writeSchema(spark, s"$dir/_schema_edges_delta.json", ed.schema)
         val f = fs(spark, path)

@@ -63,47 +63,71 @@ object CdcStreams {
     val before = Epochs.list(spark, path)
     val epoch = Epochs.commitIncremental(g, path, fullEvery)
 
+    // outbox schema IS the delta schema (`chg` add|remove + row columns, the
+    // epoch is encoded in the copied file names): a delta commit publishes
+    // by COPYING its immutable delta part-files into the outbox — a
+    // driver-side filesystem op, zero Spark jobs, zero re-encode. Only
+    // non-delta commits (the first, or the periodic full snapshot) pay a
+    // write job for their diff.
     def allAdd(df: DataFrame): DataFrame =
-      df.select(lit("add").as("change") +: df.columns.map(col): _*)
+      df.select(lit("add").as("chg") +: df.columns.map(col): _*)
     val isDelta = exists(spark, s"$path/e$epoch/_delta")
-    def feedSide(deltaDir: String, full: DataFrame,
-        prevOf: PropertyGraph => DataFrame): DataFrame =
-      if (isDelta)
-        // the commit already wrote exactly these rows — O(delta) read-back
-        try spark.read.parquet(deltaDir).withColumnRenamed("chg", "change")
-        catch { case _: Exception => allAdd(full).limit(0) } // empty delta
-      else before.lastOption match {
-        case Some(prev) =>
-          val p = Epochs.asOf(spark, path, prev)
-          val cur = prevOf(PropertyGraph(g.nodes, g.edges))
-          val old = prevOf(p)
-          graft.core.RowDiff.antiRows(cur, old).withColumn("change", lit("add"))
-            .unionByName(graft.core.RowDiff.antiRows(old, cur)
-              .withColumn("change", lit("remove")))
-            .select(col("change") +: cur.columns.map(col): _*)
-        case None => allAdd(full)
+    def publish(deltaDir: String, full: DataFrame,
+        prevOf: PropertyGraph => DataFrame, dir: String): Unit = {
+      val fs = hfs(spark, dir)
+      val out = new org.apache.hadoop.fs.Path(dir)
+      if (isDelta) {
+        fs.mkdirs(out)
+        val src = new org.apache.hadoop.fs.Path(deltaDir)
+        if (fs.exists(src)) fs.listStatus(src).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("part-") && st.getLen > 0)
+            org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+              new org.apache.hadoop.fs.Path(out, s"e${epoch}_$name"),
+              false, spark.sparkContext.hadoopConfiguration)
+        }
+      } else {
+        val feed = before.lastOption match {
+          case Some(prev) =>
+            val p = Epochs.asOf(spark, path, prev)
+            val cur = prevOf(PropertyGraph(g.nodes, g.edges))
+            val old = prevOf(p)
+            graft.core.RowDiff.antiRows(cur, old).withColumn("chg", lit("add"))
+              .unionByName(graft.core.RowDiff.antiRows(old, cur)
+                .withColumn("chg", lit("remove")))
+              .select(col("chg") +: cur.columns.map(col): _*)
+          case None => allAdd(full)
+        }
+        feed.write.mode(SaveMode.Append).parquet(dir)
       }
+    }
 
-    feedSide(s"$path/e$epoch/nodes_delta", g.nodes, _.nodes)
-      .withColumn("epoch", lit(epoch))
-      .write.mode(SaveMode.Append).parquet(s"$path/_cdc/nodes")
-    feedSide(s"$path/e$epoch/edges_delta", g.edges, _.edges)
-      .withColumn("epoch", lit(epoch))
-      .write.mode(SaveMode.Append).parquet(s"$path/_cdc/edges")
+    // the two sides are independent (distinct dirs, distinct jobs) — overlap
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(publish(s"$path/e$epoch/nodes_delta", g.nodes, _.nodes,
+        s"$path/_cdc/nodes")),
+      Future(publish(s"$path/e$epoch/edges_delta", g.edges, _.edges,
+        s"$path/_cdc/edges")))),
+      scala.concurrent.duration.Duration.Inf)
     epoch
   }
 
   /** Streaming view of the node change feed — a plain FileStreamSource
-    * over the append-only outbox (new commits arrive as new files).
+    * over the append-only outbox (new commits arrive as new files); the
+    * stored `chg` column surfaces as `change` for consumers.
     */
   def nodeFeed(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(s"$path/_cdc/nodes").schema
     spark.readStream.schema(schema).parquet(s"$path/_cdc/nodes")
+      .withColumnRenamed("chg", "change")
   }
 
   def edgeFeed(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(s"$path/_cdc/edges").schema
     spark.readStream.schema(schema).parquet(s"$path/_cdc/edges")
+      .withColumnRenamed("chg", "change")
   }
 
   private def sigSchema: StructType = StructType(Seq(
@@ -150,19 +174,46 @@ object CdcStreams {
   private def nearDupBatch(batch: DataFrame, batchId: Long, workDir: String,
       idCol: String, textCol: String, n: Int, numHashes: Int, bands: Int,
       threshold: Double, seed: Long): Unit = {
+    val debug = sys.props.contains("graft.cdc.debug") || sys.env.contains("GRAFT_CDC_DEBUG")
+    def t[A](label: String)(f: => A): A =
+      if (!debug) f else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[cdc-batch $batchId] $label%-18s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
     val spark = batch.sparkSession
-    val removes = batch.filter(col("change") === "remove")
-      .select(col(idCol).cast("long").as("__id")).distinct()
-      .withColumn("__b", lit(batchId))
-    if (!removes.isEmpty)
-      removes.write.mode(SaveMode.Append).parquet(s"$workDir/tombstones")
+    // ONE pass over the batch files decides everything the control flow
+    // needs (tombstone write needed? delta small enough to broadcast?) and
+    // warms the cache every derived frame reads — the alternative is one
+    // scan per decision plus one per consumer
+    val b = batch.persist()
+    val counts = t("batch counts") {
+      b.groupBy("change").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val hasRemoves = counts.getOrElse("remove", 0L) > 0
+    // small-delta batches write through ONE task: state files stay few (the
+    // accumulated sig/pair stores are re-READ every batch — file count is
+    // latency there too) and task-commit overhead shrinks. Large deltas
+    // keep their full write parallelism.
+    val maxBcast = spark.conf.getOption("spark.graft.cdc.broadcastMaxDocs")
+      .map(_.toLong).getOrElse(65536L)
+    val smallDelta = counts.values.sum <= maxBcast
+    def narrow(df: DataFrame) = if (smallDelta) df.coalesce(1) else df
+
+    if (hasRemoves)
+      narrow(b.filter(col("change") === "remove")
+        .select(col(idCol).cast("long").as("__id")).distinct()
+        .withColumn("__b", lit(batchId)))
+        .write.mode(SaveMode.Append).parquet(s"$workDir/tombstones")
 
     val tomb = readOrEmpty(spark, s"$workDir/tombstones", tombSchema)
     // live prior signatures (updates/removes up to and incl. this batch)
     val store = pruneDead(
       readOrEmpty(spark, s"$workDir/sigs", sigSchema), tomb, Seq("__id"))
 
-    val adds = batch.filter(col("change") === "add")
+    val adds = b.filter(col("change") === "add")
       .select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
       .dropDuplicates("__id")
     val newSigs = adds
@@ -173,13 +224,21 @@ object CdcStreams {
         lit(batchId).as("__b"))
       .persist()
 
+    // steady-state CDC: the DELTA is small relative to the store, so the
+    // delta-derived sides (banded new signatures, then the candidate pair
+    // set — both bounded by the delta) are the broadcast sides and the
+    // store only ever STREAMS. Guarded by a doc-count gate so a bulk
+    // initial load (delta = corpus) falls back to shuffled joins instead
+    // of broadcasting the world.
+    def bcastIfSmall(df: DataFrame) = if (smallDelta) broadcast(df) else df
+
     // candidates = band-key matches with ≥1 NEW member (old×old pairs were
     // found when their later member arrived); least/greatest + distinct
     // canonicalizes the asymmetric new×all join
     val all = store.unionByName(newSigs)
     def banded(df: DataFrame) = df.select(col("__id"),
       explode(Dedup.bandKeys(col("__sig"), numHashes, bands)).as("__bk"))
-    val candidates = banded(newSigs).as("l")
+    val candidates = bcastIfSmall(banded(newSigs)).as("l")
       .join(banded(all).as("r"),
         col("l.__bk") === col("r.__bk") && col("l.__id") =!= col("r.__id"))
       .select(least(col("l.__id"), col("r.__id")).as("id1"),
@@ -187,15 +246,27 @@ object CdcStreams {
       .distinct()
     val g1 = all.select(col("__id").as("id1"), col("__grams").as("__g1"))
     val g2 = all.select(col("__id").as("id2"), col("__grams").as("__g2"))
-    candidates.join(g1, "id1").join(g2, "id2")
-      .select(col("id1"), col("id2"),
-        round(Dedup.jaccard(col("__g1"), col("__g2")), 6).as("jac"))
-      .filter(col("jac") >= threshold)
-      .withColumn("__b", lit(batchId))
-      .write.mode(SaveMode.Append).parquet(s"$workDir/pairs")
-    newSigs.select(sigSchema.fieldNames.map(col): _*)
-      .write.mode(SaveMode.Append).parquet(s"$workDir/sigs")
+    // the pair verification and the signature-store append both hang off
+    // the persisted newSigs and write to distinct dirs — overlap them
+    // (Spark's cache manager serializes the shared cache fill per block)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fPairs = Future { t("pairs write") {
+      bcastIfSmall(candidates).join(g1, "id1").join(g2, "id2")
+        .select(col("id1"), col("id2"),
+          round(Dedup.jaccard(col("__g1"), col("__g2")), 6).as("jac"))
+        .filter(col("jac") >= threshold)
+        .withColumn("__b", lit(batchId))
+        .write.mode(SaveMode.Append).parquet(s"$workDir/pairs")
+    }}
+    val fSigs = Future { t("sigs write") {
+      narrow(newSigs.select(sigSchema.fieldNames.map(col): _*))
+        .write.mode(SaveMode.Append).parquet(s"$workDir/sigs")
+    }}
+    Await.result(Future.sequence(Seq(fPairs, fSigs)),
+      scala.concurrent.duration.Duration.Inf)
     newSigs.unpersist()
+    b.unpersist()
   }
 
   /** The accumulated near-dup pairs over everything consumed so far —

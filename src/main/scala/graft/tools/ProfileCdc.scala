@@ -32,7 +32,7 @@ object ProfileCdc {
       r
     }
 
-    for (pass <- 1 to 2) {
+    for (pass <- 1 to 3) {
       println(s"-- pass $pass")
       val base = graft.core.Tables.documents(spark, sfDir).filter(col("doc_id") < 150)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -52,15 +52,11 @@ object ProfileCdc {
       time("commit 1 (full)") {
         graft.streaming.CdcStreams.commitWithFeed(asGraph(base), store)
       }
-      time("incremental run 1") {
-        graft.streaming.CdcStreams.incrementalNearDupRun(spark, store, work,
-          idCol = "id", textCol = "text")
-      }
       time("commit 2 (delta)") {
         graft.streaming.CdcStreams.commitWithFeed(
           asGraph(base.unionByName(planted)), store)
       }
-      time("incremental run 2") {
+      time("catch-up run (both)") {
         graft.streaming.CdcStreams.incrementalNearDupRun(spark, store, work,
           idCol = "id", textCol = "text")
       }
