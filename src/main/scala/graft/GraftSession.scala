@@ -107,29 +107,70 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   def schemaTypes: DataFrame = {
     import spark.implicits._
     typeCatalog.toSeq.flatMap { case ((kind, name), props) =>
-      props.map(p => (kind, name, p.name, p.dataType, p.nullable))
+      props.map(p => (kind, name, p.name, p.dataType, p.nullable, p.unique))
     }.sortBy(t => (t._1, t._2, t._3))
-      .toDF("kind", "name", "property", "data_type", "nullable")
+      .toDF("kind", "name", "property", "data_type", "nullable", "is_unique")
   }
 
-  /** NOT NULL enforcement for typed labels on the write path. */
+  /** NOT NULL + UNIQUE enforcement for typed labels on the write path
+    * (reference catalog/mod.rs:210-243: add_required_property /
+    * add_unique_constraint, checked per insert). NOT NULL is a static AST
+    * check; UNIQUE probes the live graph through
+    * [[graft.graph.Mutations.violatesUnique]] — a violating CREATE throws
+    * before anything mutates, while MERGE keyed ON the unique property is
+    * the sanctioned dedup form (match-or-create can't duplicate its own
+    * key) and a MERGE on a different key is only probed when it would
+    * actually take its create path.
+    */
   private def validateTyped(query: String): Unit = {
     if (typeCatalog.isEmpty) return
     val q = graft.frontends.cypher.CypherFrontend.parse(query)
+
+    def litOf(e: graft.ir.Expr.E): Option[Any] = e match {
+      case graft.ir.Expr.Lit(v) => Some(v)
+      case _ => None
+    }
+    def checkUnique(n: graft.frontends.cypher.Ast.NodePat, l: String,
+        props: Seq[graft.frontends.gql.GqlPropertyDef]): Unit =
+      for (p <- props if p.unique;
+           v <- n.props.collectFirst { case (k, e) if k == p.name => e };
+           value <- litOf(v))
+        if (graft.graph.Mutations.violatesUnique(graph, l, p.name, Seq(value)))
+          throw new IllegalStateException(
+            s"unique constraint violation: a node of type '$l' with " +
+              s"${p.name} = $value already exists")
+
     q.clauses.foreach {
       case c: graft.frontends.cypher.Ast.CreateClause =>
         val nodes = c.path.head +: c.path.tail.map(_._2)
         for (n <- nodes; l <- n.label.toSeq ++ n.extraLabels;
-             props <- typeCatalog.get(("node", l));
-             p <- props if !p.nullable)
-          require(n.props.exists(_._1 == p.name),
-            s"node type '$l' requires property '${p.name}' (NOT NULL)")
+             props <- typeCatalog.get(("node", l))) {
+          for (p <- props if !p.nullable)
+            require(n.props.exists(_._1 == p.name),
+              s"node type '$l' requires property '${p.name}' (NOT NULL)")
+          checkUnique(n, l, props)
+        }
         for ((r, _) <- c.path.tail; t <- r.relTypes;
              props <- typeCatalog.get(("edge", t));
              p <- props if !p.nullable)
           require(false,
             s"edge type '$t' requires property '${p.name}' (NOT NULL); " +
               "relationship property maps are not supported in CREATE")
+      case m: graft.frontends.cypher.Ast.MergeClause =>
+        for (l <- m.node.label.toSeq ++ m.node.extraLabels;
+             props <- typeCatalog.get(("node", l))) {
+          val keyCol = m.node.props.headOption.map(_._1)
+          val mergesOnUnique = keyCol.exists(k => props.exists(p => p.unique && p.name == k))
+          if (!mergesOnUnique) {
+            // probe the create path only if the merge key has no match
+            val wouldCreate = (for (k <- keyCol;
+                v <- m.node.props.collectFirst { case (`k`, e) => e };
+                value <- litOf(v)) yield
+              !graft.graph.Mutations.violatesUnique(graph, l, k, Seq(value)))
+              .getOrElse(true)
+            if (wouldCreate) checkUnique(m.node, l, props)
+          }
+        }
       case _ => ()
     }
   }

@@ -32,8 +32,11 @@ final case class GqlCreateVectorIndex(name: String, label: String,
   * CREATE GRAPH name — optionally LIKE another graph (same typed schema).
   */
 final case class GqlCreateGraph(name: String, like: Option[String]) extends GqlStatement
-/** Typed-schema property definition (gql/ast.rs:404 PropertyDefinition). */
-final case class GqlPropertyDef(name: String, dataType: String, nullable: Boolean)
+/** Typed-schema property definition (gql/ast.rs:404 PropertyDefinition;
+  * `unique` per reference catalog/mod.rs:210-223 add_unique_constraint).
+  */
+final case class GqlPropertyDef(name: String, dataType: String,
+    nullable: Boolean, unique: Boolean = false)
 /** CREATE NODE TYPE / CREATE EDGE TYPE (gql/ast.rs:346/357): registers the
   * type in the session schema catalog; INSERTs of a typed label validate
   * their NOT NULL properties against it.
@@ -52,12 +55,20 @@ object GqlFrontend {
 
   private def parsePropDefs(body: String): Seq[GqlPropertyDef] =
     body.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { d =>
-      val m = """(?is)(\w+)\s+(\w+)(\s+NOT\s+NULL)?""".r
-      d match {
-        case m(n, t, notNull) => GqlPropertyDef(n, t.toUpperCase, notNull == null)
+      val toks = d.split("\\s+").toSeq
+      require(toks.length >= 2,
+        s"property definitions are `name TYPE [NOT NULL] [UNIQUE]`, got '$d'")
+      val (name, tpe) = (toks(0), toks(1).toUpperCase)
+      var (nullable, unique) = (true, false)
+      var rest = toks.drop(2).map(_.toUpperCase)
+      while (rest.nonEmpty) rest match {
+        case Seq("NOT", "NULL", tail @ _*) => nullable = false; rest = tail
+        case Seq("UNIQUE", tail @ _*)      => unique = true; rest = tail
         case other => throw new IllegalArgumentException(
-          s"property definitions are `name TYPE [NOT NULL]`, got '$other'")
+          s"property definitions are `name TYPE [NOT NULL] [UNIQUE]`, got '$d'" +
+            s" (unrecognized: ${other.mkString(" ")})")
       }
+      GqlPropertyDef(name, tpe, nullable, unique)
     }
 
   def parseStatement(q: String): GqlStatement = q match {

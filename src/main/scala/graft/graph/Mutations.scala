@@ -24,6 +24,20 @@ object Mutations {
     * graph/lpg/store.rs:176-182), added to the graph on first use. Values
     * are stored as strings, matching the store's plain-string Value view.
     */
+  /** Uniqueness-constraint probe (reference catalog/mod.rs:210-223
+    * add_unique_constraint; violation = ConstraintViolation error): does any
+    * EXISTING node with `label` already carry one of `values` in `prop`?
+    * One filtered scan with the label/value predicates pushed down —
+    * dimension-sized output, the distributed form of the reference's
+    * per-insert unique-index probe. A property column absent from the
+    * schema means no node has it: vacuously no violation.
+    */
+  def violatesUnique(g: PropertyGraph, label: String, prop: String,
+      values: Seq[Any]): Boolean =
+    g.nodes.columns.contains(prop) && values.nonEmpty &&
+      g.nodes.filter(array_contains(col("labels"), label) &&
+        col(prop).isin(values: _*)).limit(1).count() > 0
+
   def createNodes(g: PropertyGraph, newNodes: DataFrame): PropertyGraph = {
     val extra = (newNodes.columns.toSet -- g.nodes.columns.toSet).toSeq.sorted
     val (base, incoming) =

@@ -46,4 +46,32 @@ class GqlSchemaSpec extends AnyFunSuite {
     val g3 = sess.gqlUpdate("INSERT (:Thing {id: 3})")
     assert(g3.nodes.count() == 2)
   }
+
+  test("UNIQUE constraint: violating CREATE errors, MERGE on the key dedups") {
+    val nodes = Seq((1L, Seq("User"), "a@x.com"))
+      .toDF("id", "labels", "email")
+    val edges = Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel")
+    val sess = new GraftSession(spark, PropertyGraph(nodes, edges))
+    sess.gql("CREATE NODE TYPE User (email STRING NOT NULL UNIQUE)")
+    // introspection carries the constraint
+    assert(sess.schemaTypes.collect().exists(r =>
+      r.getString(2) == "email" && r.getBoolean(5)))
+    // duplicate email → constraint violation, nothing mutates
+    val e = intercept[IllegalStateException](
+      sess.gqlUpdate("INSERT (:User {id: 2, email: 'a@x.com'})"))
+    assert(e.getMessage.contains("unique constraint"))
+    // fresh email → accepted
+    assert(sess.gqlUpdate("INSERT (:User {id: 2, email: 'b@x.com'})")
+      .nodes.count() == 2)
+    // MERGE keyed on the unique property is the dedup form: no create, no error
+    val merged = sess.gqlUpdate("MERGE (u:User {email: 'a@x.com', id: 1})")
+    assert(merged.nodes.count() == 1)
+    // MERGE on a DIFFERENT key that would create a duplicate email → error
+    val e2 = intercept[IllegalStateException](
+      sess.gqlUpdate("MERGE (u:User {id: 7, email: 'a@x.com'})"))
+    assert(e2.getMessage.contains("unique constraint"))
+    // MERGE on a different key that MATCHES takes the match path: no probe failure
+    assert(sess.gqlUpdate("MERGE (u:User {id: 1, email: 'a@x.com'})")
+      .nodes.count() == 1)
+  }
 }
