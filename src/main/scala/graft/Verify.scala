@@ -15,6 +15,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local-iteration hooks mirroring Bench (scale/flag gates verify hash
+    // equality under the SAME toggles the bench measures; driver passes none)
+    sys.env.get("SPARK_GRAFT_MAX_EDGES").foreach { v =>
+      spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, v)
+    }
+    sys.env.get("SPARK_GRAFT_CYCLE_SPLIT").foreach { v =>
+      spark.conf.set("spark.graft.cypher.cycleSplit", v)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()

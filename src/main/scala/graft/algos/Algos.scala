@@ -358,4 +358,73 @@ object Algos {
     }
     alive
   }
+
+  /** DFS preorder from `start`, DISTRIBUTED for the in-degree ≤ 1 case
+    * (trees/functional forests — e.g. the part-DAG tree edges q_dfs walks):
+    * with at most one incoming edge per node the root path is unique, and
+    * ascending-neighbor DFS preorder IS the lexicographic order of
+    * zero-padded root paths (the same identity the DuckDB oracle uses). So
+    * the whole traversal becomes a depth-bounded frontier loop building
+    * path keys + one distributed range-partitioned sort — no driver-side
+    * materialization, no node bound (the r10 sf10 gate found the bounded
+    * form refusing at 2M nodes, exactly the melt-guard doing its job; this
+    * is the scale path past it). General graphs (branching in-edges) fall
+    * back to the bounded driver-side kernel
+    * ([[BoundedAlgos.dfsPreorder]]), the reference's own positioning for
+    * inherently sequential DFS (traversal.rs:198).
+    *
+    * Rank assignment: sortWithinPartitions after a range repartition +
+    * per-partition offsets (zipWithIndex) — the distributed row_number; a
+    * global `Window.orderBy` would funnel the graph through one task.
+    */
+  def dfsPreorder(spark: SparkSession, g: PropertyGraph, start: Long,
+      maxNodes: Int = 1000000, maxDepth: Int = 100000): DataFrame = {
+    import spark.implicits._
+    // adaptive split (same graft.local.maxEdges gate as the other
+    // algorithms): a broadcast-sized graph runs the driver kernel — one
+    // collect beats ~depth distributed jobs on latency — and only a
+    // genuinely large tree pays the iterative distributed form
+    if (graft.graph.LocalGraph.atMost(g.edges,
+        graft.graph.LocalGraph.maxEdges(spark)))
+      return BoundedAlgos.dfsPreorder(spark, g, start, lit(true), maxNodes)
+    // parallel edges dedup first: they cannot change a preorder (the same
+    // neighbor is visited once) but they would double frontier rows AND
+    // make a tree look branching to the in-degree probe (the part-DAG
+    // fixture carries both k→2k and k→k+1 edges, which coincide at k=1)
+    val edges = g.edges.select(col("src"), col("dst")).distinct().persist()
+    val branching = edges.groupBy("dst").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count() > 0
+    if (branching) {
+      edges.unpersist(blocking = false)
+      return BoundedAlgos.dfsPreorder(spark, g, start, lit(true), maxNodes)
+    }
+    // frontier loop: (id, path) with path = concat of lpad(id, 8) along the
+    // unique root path. Ring guard: with in-degree ≤ 1 a revisited node r
+    // must be re-reached over its UNIQUE in-edge — whose source already
+    // expanded exactly once — so the only node that can ever be revisited
+    // is `start` itself (seeded without consuming its in-edge). A constant
+    // filter therefore replaces the anti-join against the (growing) visited
+    // set; per-iteration work stays frontier-sized and total work O(V).
+    var frontier = Seq((start, "")).toDF("id", "path").localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var depth = 0
+    var n = 1L
+    while (n > 0 && depth < maxDepth) {
+      frontier = frontier.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"),
+          concat(col("path"), lpad(col("dst").cast("string"), 8, "0")).as("path"))
+        .filter(col("id") =!= start)
+        .localCheckpoint()
+      n = frontier.count()
+      if (n > 0) levels += frontier
+      depth += 1
+    }
+    edges.unpersist(blocking = false)
+    val acc = levels.reduce(_ unionByName _)
+    // distributed rank: range-sorted partitions + per-partition offsets
+    val ranked = acc.orderBy("path").select(col("id")).rdd
+      .zipWithIndex()
+      .map { case (row, i) => (i + 1, row.getLong(0)) }
+    ranked.toDF("ord", "id")
+  }
 }

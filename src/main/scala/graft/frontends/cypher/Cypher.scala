@@ -903,7 +903,56 @@ object CypherFrontend {
         // rejected. Filters apply after the clause's joins (the original
         // binding may live in an earlier pattern or clause).
         val edgeRebinds = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        for (path <- paths if path.shortest.isEmpty) {
+
+        // ---- opt-in cyclic-pattern split (spark.graft.cypher.cycleSplit) --
+        // A long cycle `(a)-…->(a)` compiled left-to-right builds its widest
+        // intermediate just before the closing equality — the wedge
+        // explosion WCOJ-style evaluation avoids (algos/Wcoj.scala applies
+        // the same idea to triangles; the reference likewise never
+        // auto-selects its leapfrog operator, so this stays behind a conf
+        // flag, default off). The split is purely algebraic: the cycle
+        // breaks at its midpoint into two arms that BOTH start from the
+        // (selective) cycle variable, and the arms natural-join on
+        // {cycle var, midpoint var} — same conjunctive query, same bag of
+        // rows, but each arm's intermediates stay proportional to the
+        // filtered anchor instead of to the unfiltered far side.
+        def splitCycle(p: PathPat): Seq[PathPat] = {
+          val m = p.tail.size
+          val innerVars = p.head.v.toSeq ++ p.tail.init.flatMap(_._2.v)
+          val last = p.tail.last._2
+          val ok = p.pathVar.isEmpty && m >= 4 &&
+            p.tail.forall(_._1.range.isEmpty) &&
+            p.head.v.isDefined && last.v == p.head.v &&
+            last.label.isEmpty && last.extraLabels.isEmpty && last.props.isEmpty &&
+            innerVars.distinct.size == innerVars.size // only the one revisit
+          if (!ok) return Seq(p)
+          val k = m / 2
+          val mid = p.tail(k - 1)._2
+          val midNamed = if (mid.v.isDefined) mid else mid.copy(v = Some(fresh()))
+          def flip(r: RelPat) = r.dir match {
+            case graft.graph.Out => r.copy(dir = graft.graph.In)
+            case graft.graph.In  => r.copy(dir = graft.graph.Out)
+            case _               => r
+          }
+          val arm1 = PathPat(p.head,
+            p.tail.take(k).updated(k - 1, (p.tail(k - 1)._1, midNamed)))
+          // the second arm walks the remaining hops BACKWARDS from the
+          // revisited anchor to the midpoint (directions flipped, node
+          // patterns keep their labels/props/filters)
+          val arm2 = PathPat(p.head, ((k + 1) to m).reverse.map { j =>
+            (flip(p.tail(j - 1)._1),
+              if (j - 1 == k) midNamed else p.tail(j - 2)._2)
+          })
+          Seq(arm1, arm2)
+        }
+        val cycleSplitOn = org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.conf.getOption("spark.graft.cypher.cycleSplit")
+            .contains("true"))
+        val plainPaths = paths.filter(_.shortest.isEmpty)
+        val effPaths =
+          if (cycleSplitOn) plainPaths.flatMap(splitCycle) else plainPaths
+
+        for (path <- effPaths) {
           val nodeVars = (path.head.v.toSeq ++ path.tail.flatMap(_._2.v)).toSet
           path.tail.flatMap(_._1.v).foreach { ev =>
             require(!nodeVars.contains(ev),

@@ -317,11 +317,12 @@ object AlgoQueriesImpl {
       val tree = PropertyGraph(dag.nodes,
         dag.edges.filter(col("dst") === col("src") * 2 ||
           col("dst") === col("src") * 2 + 1))
-      // 1M-node bound: ids are 8 B and the induced tree edges ~24 B each,
-      // so the driver-side ceiling is tens of MB — roomy for the sf1 scale
-      // gate (200k-node DAG) while still refusing a melt at corpus scale
-      // (DFS preorder is inherently sequential; SURVEY §2.6 positioning)
-      graft.algos.BoundedAlgos.dfsPreorder(s, tree, 3L, lit(true), maxNodes = 1000000)
+      // tree edges have in-degree ≤ 1, so this takes Algos.dfsPreorder's
+      // DISTRIBUTED path (preorder = lexicographic root-path sort — no
+      // driver materialization, no node bound; the sf10 gate found the
+      // 1M-node driver-side bound refusing at 2M nodes). General graphs
+      // fall back to the bounded kernel inside the same entry point.
+      graft.algos.Algos.dfsPreorder(s, tree, 3L)
         .orderBy("ord")
     },
   )

@@ -63,6 +63,35 @@ class AlgosSpec extends AnyFunSuite {
     val ord = graft.algos.BoundedAlgos.dfsPreorder(spark, g, 1L, lit(true))
       .orderBy("ord").collect().map(_.getLong(1)).toSeq
     assert(ord == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // force the DISTRIBUTED tree path (in-degree ≤ 1) — must agree exactly
+    spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, "0")
+    try {
+      val dist = graft.algos.Algos.dfsPreorder(spark, g, 1L)
+        .orderBy("ord").collect().map(_.getLong(1)).toSeq
+      assert(dist == ord, "distributed path-sort preorder must equal the kernel")
+    } finally spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
+  }
+
+  test("dfsPreorder handles rings and falls back on branching in-edges") {
+    spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, "0")
+    try {
+      // ring reachable from the walk: 1 → 2 → 3 → 1 (in-degree ≤ 1 everywhere)
+      val ring = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+      val ordRing = graft.algos.Algos.dfsPreorder(spark, ring, 1L)
+        .orderBy("ord").collect().map(_.getLong(1)).toSeq
+      assert(ordRing == Seq(1L, 2L, 3L))
+      // parallel edges must neither dup the frontier nor fake a branch
+      val par = mkGraph(Seq((1L, 2L), (1L, 2L), (2L, 3L)))
+      val ordPar = graft.algos.Algos.dfsPreorder(spark, par, 1L)
+        .orderBy("ord").collect().map(_.getLong(1)).toSeq
+      assert(ordPar == Seq(1L, 2L, 3L))
+      // node 4 has two in-edges → general-graph fallback (driver kernel);
+      // preorder from 1 with ascending neighbors: 1, 2, 4, 3
+      val branching = mkGraph(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+      val ordB = graft.algos.Algos.dfsPreorder(spark, branching, 1L)
+        .orderBy("ord").collect().map(_.getLong(1)).toSeq
+      assert(ordB == Seq(1L, 2L, 4L, 3L))
+    } finally spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
   }
 
   test("pageRankDF matches an independent in-memory reference") {
