@@ -149,6 +149,70 @@ object Curation {
     short.unionByName(long.join(longStats, Seq(idCol)))
   }
 
+  // ---- cross-document repeated spans (ExactSubstr-style screen) ------
+
+  /** Cross-document repeated-span screen — the Spark shape of the
+    * exact-substring dedup used on web-scale pretraining corpora (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models Better":
+    * suffix-array ExactSubstr; here approximated with fixed-length token
+    * windows, the standard distributed stand-in). Per document: how many of
+    * its `n`-token windows also occur in at least one OTHER document.
+    *
+    * Shape: explode windows → two-level aggregation (count distinct docs
+    * per span via (span, doc) pre-dedup — skew-safe: the inner groupBy
+    * carries the doc key so no single span funnels a partition) → filter
+    * cross-doc spans → semi-side join back per doc. All keyed equi-joins
+    * and partial aggregations; nothing all-pairs, nothing driver-side.
+    *
+    * Returns (idCol, n_windows, n_repeated): total windows and windows
+    * shared with another document.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val win = docs
+      .select(col(idCol), explode(ngrams(col(textCol), n)).as("__span"))
+    // a doc repeating its own span twice must not count as cross-doc:
+    // distinct (span, doc) first, then docs-per-span
+    val spanDocs = win.distinct()
+    val crossDoc = spanDocs.groupBy("__span")
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2)
+      .select(col("__span"))
+    win.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
+      .join(
+        win.join(crossDoc, "__span")
+          .groupBy(idCol).agg(count(lit(1)).as("n_repeated")),
+        Seq(idCol), "left_outer")
+      .withColumn("n_repeated", coalesce(col("n_repeated"), lit(0L)))
+  }
+
+  // ---- paragraph-level dedup (MassiveText/Gopher pipeline op) --------
+
+  /** Paragraph-level exact dedup (Rae et al. 2021 §A1.2 repetition
+    * removal operates on sub-document units; C4 likewise dedups by
+    * three-sentence span): split each document into paragraphs, keep ONE
+    * representative per distinct normalized paragraph corpus-wide — the
+    * winner is the (lowest doc id, lowest position) occurrence, a total
+    * deterministic order. Returns (idCol, pos, para) of survivors.
+    *
+    * Shape: explode → one keyed min_by aggregation on the normalized
+    * paragraph (partial-aggregated map-side; the struct min is
+    * order-isomorphic to the (doc, pos) tuple order). No window over the
+    * corpus, no driver loop.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\\. "): DataFrame = {
+    val paras = docs.select(col(idCol),
+        posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+      .withColumn("__norm", lower(trim(col("para"))))
+    paras.groupBy("__norm")
+      .agg(min_by(struct(col(idCol), col("pos"), col("para")),
+        struct(col(idCol), col("pos"))).as("__w"))
+      .select(col("__w")(idCol).as(idCol), col("__w")("pos").as("pos"),
+        col("__w")("para").as("para"))
+  }
+
   // ---- sequence packing ----------------------------------------------
 
   /** Concat-and-chunk sequence packing (the standard pretraining layout:

@@ -692,6 +692,70 @@ object PipelineQueriesImpl {
         .orderBy("bin")
     },
 
+    // Cross-document repeated-span screen (Curation.repeatedSpans — the
+    // distributed stand-in for suffix-array ExactSubstr dedup, Lee et al.
+    // 2022): per-lang window totals, windows shared across documents, and
+    // documents carrying any shared span.
+    QueryDef(
+      "q_substr_spans",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(w) - 6),
+        |      i -> array_to_string(w[i : i+7], ' '))) AS span
+        |  FROM t WHERE len(w) >= 8
+        |),
+        |cd AS (
+        |  SELECT span FROM (SELECT DISTINCT doc_id, span FROM wins)
+        |  GROUP BY span HAVING count(*) >= 2
+        |),
+        |per_doc AS (
+        |  SELECT w.doc_id, w.lang, count(*) AS nw,
+        |         sum(CASE WHEN w.span IN (SELECT span FROM cd) THEN 1 ELSE 0 END) AS nr
+        |  FROM wins w GROUP BY 1, 2
+        |)
+        |SELECT lang, CAST(sum(nw) AS BIGINT) AS n_win,
+        |       CAST(sum(nr) AS BIGINT) AS n_rep,
+        |       CAST(count(*) FILTER (WHERE nr > 0) AS BIGINT) AS n_docs_hit
+        |FROM per_doc GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Curation.repeatedSpans(docs, "doc_id", "text", n = 8)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(sum(col("n_windows")).as("n_win"),
+          sum(col("n_repeated")).as("n_rep"),
+          sum(when(col("n_repeated") > 0, 1L).otherwise(0L)).as("n_docs_hit"))
+        .orderBy(col("lang").asc_nulls_first)
+    },
+
+    // Paragraph-level exact dedup (Curation.dedupParagraphs — the
+    // MassiveText/C4 sub-document dedup unit): one deterministic winner
+    // per distinct normalized paragraph, chosen by (doc_id, pos).
+    QueryDef(
+      "q_para_dedup",
+      """WITH p AS (
+        |  SELECT doc_id, u.pos, u.para FROM (
+        |    SELECT doc_id, unnest(list_transform(ps,
+        |        (x, i) -> struct_pack(pos := i - 1, para := x))) AS u
+        |    FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM documents)
+        |  ) WHERE len(trim(u.para)) > 0
+        |),
+        |w AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY lower(trim(para))
+        |                            ORDER BY doc_id, pos) AS rn
+        |  FROM p
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_paras,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(sum(pos) AS BIGINT) AS pos_sum
+        |FROM w WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Curation.dedupParagraphs(Tables.documents(s, dir), "doc_id", "text")
+        .agg(count(lit(1)).as("n_paras"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("pos")).as("pos_sum"))
+    },
+
     // Vocabulary construction: exact global term counts (partial-agg
     // shuffle on term) with a deterministic (count desc, term) top-k — the
     // tokenizer-training prep op. VocabSpec cross-checks a count-min-sketch

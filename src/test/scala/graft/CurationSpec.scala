@@ -64,4 +64,34 @@ class CurationSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$p")
   }
+
+  test("repeatedSpans counts only spans shared ACROSS documents") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // shares "a b c" with doc 2
+      (2L, "x a b c y z"),
+      (3L, "p q p q p q"),      // repeats its own span — NOT cross-doc
+      (4L, "one two")           // shorter than n: zero windows
+    ).toDF("doc_id", "text")
+    val out = Curation.repeatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 0L)),
+      "only the cross-doc span counts; self-repeats and short docs don't")
+  }
+
+  test("dedupParagraphs keeps one deterministic winner per paragraph") {
+    val docs = Seq(
+      (2L, "Hello world. Unique two"),
+      (1L, "Something else. hello world"),  // same para normalized, doc 1 pos 1
+      (3L, "HELLO WORLD. Tail")
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // "hello world" appears in all three docs; the (1, 1) occurrence wins
+    assert(out.count(_._3.toLowerCase.trim == "hello world") == 1)
+    assert(out.contains((1L, 1, "hello world")))
+    assert(out.map(_._3.toLowerCase.trim).distinct.length == out.length,
+      "no duplicate normalized paragraphs may survive")
+  }
 }
