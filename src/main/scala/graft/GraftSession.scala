@@ -130,15 +130,22 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
       case graft.ir.Expr.Lit(v) => Some(v)
       case _ => None
     }
+    // values this STATEMENT is about to create, per (label, prop): a
+    // multi-clause statement (CREATE … CREATE …) must not insert the same
+    // unique value twice even though each clause probes the pre-mutation
+    // graph (each probe alone would pass)
+    val inStatement = scala.collection.mutable.Set.empty[(String, String, Any)]
     def checkUnique(n: graft.frontends.cypher.Ast.NodePat, l: String,
         props: Seq[graft.frontends.gql.GqlPropertyDef]): Unit =
       for (p <- props if p.unique;
            v <- n.props.collectFirst { case (k, e) if k == p.name => e };
-           value <- litOf(v))
-        if (graft.graph.Mutations.violatesUnique(graph, l, p.name, Seq(value)))
+           value <- litOf(v)) {
+        if (!inStatement.add((l, p.name, value)) ||
+            graft.graph.Mutations.violatesUnique(graph, l, p.name, Seq(value)))
           throw new IllegalStateException(
             s"unique constraint violation: a node of type '$l' with " +
               s"${p.name} = $value already exists")
+      }
 
     q.clauses.foreach {
       case c: graft.frontends.cypher.Ast.CreateClause =>
@@ -162,11 +169,14 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
           val keyCol = m.node.props.headOption.map(_._1)
           val mergesOnUnique = keyCol.exists(k => props.exists(p => p.unique && p.name == k))
           if (!mergesOnUnique) {
-            // probe the create path only if the merge key has no match
+            // probe the create path only if the merge key has no match —
+            // LABEL-BLIND like mergeNodes' own key anti-join, else a merge
+            // that matches a differently-labeled node would be probed as
+            // creating and spuriously rejected
             val wouldCreate = (for (k <- keyCol;
                 v <- m.node.props.collectFirst { case (`k`, e) => e };
                 value <- litOf(v)) yield
-              !graft.graph.Mutations.violatesUnique(graph, l, k, Seq(value)))
+              !graft.graph.Mutations.existsByKey(graph, k, value))
               .getOrElse(true)
             if (wouldCreate) checkUnique(m.node, l, props)
           }

@@ -379,7 +379,7 @@ object Algos {
     * global `Window.orderBy` would funnel the graph through one task.
     */
   def dfsPreorder(spark: SparkSession, g: PropertyGraph, start: Long,
-      maxNodes: Int = 1000000, maxDepth: Int = 100000): DataFrame = {
+      maxNodes: Int = 1000000, maxDepth: Int = 10000): DataFrame = {
     import spark.implicits._
     // adaptive split (same graft.local.maxEdges gate as the other
     // algorithms): a broadcast-sized graph runs the driver kernel — one
@@ -413,13 +413,21 @@ object Algos {
     while (n > 0 && depth < maxDepth) {
       frontier = frontier.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"),
-          concat(col("path"), lpad(col("dst").cast("string"), 8, "0")).as("path"))
+          // width 20 >= max long digits: lpad TRUNCATES overlong inputs, so
+          // an 8-wide pad would silently collide 13-digit ids (e.g. the
+          // 5e12-offset TpchGraph node ids) into equal path components
+          concat(col("path"), lpad(col("dst").cast("string"), 20, "0")).as("path"))
         .filter(col("id") =!= start)
         .localCheckpoint()
       n = frontier.count()
       if (n > 0) levels += frontier
       depth += 1
     }
+    // a still-live frontier at the cap means nodes would be silently MISSING
+    // from the ranking (and the level-union plan would grow unboundedly) —
+    // refuse loudly, like the driver kernel's node bound
+    require(n == 0,
+      s"dfsPreorder: traversal deeper than maxDepth=$maxDepth - raise maxDepth")
     edges.unpersist(blocking = false)
     val acc = levels.reduce(_ unionByName _)
     // distributed rank: range-sorted partitions + per-partition offsets

@@ -48,8 +48,12 @@ object Tables {
         // than decode into the wrong century; a min/max per-load inference
         // isn't an option because the streaming reader shares this path and
         // can't run an aggregate. Pure codegen'd CASE — no extra job.
+        // ts = 0 decodes to 1970-01-01T00:00Z in EVERY unit — the one value
+        // outside the bands that is still unambiguous, and a near-universal
+        // int64 default/sentinel that must not abort a whole (streaming) job
         df.withColumn("ts", expr(
-          """CASE WHEN ts >= 100000000000000000 AND ts < 4000000000000000000 THEN timestamp_micros(ts div 1000)
+          """CASE WHEN ts = 0 THEN timestamp_seconds(0)
+            |     WHEN ts >= 100000000000000000 AND ts < 4000000000000000000 THEN timestamp_micros(ts div 1000)
             |     WHEN ts >= 100000000000000 AND ts < 4000000000000000 THEN timestamp_micros(ts)
             |     WHEN ts >= 100000000000 AND ts < 4000000000000 THEN timestamp_millis(ts)
             |     WHEN ts >= 100000000 AND ts < 4000000000 THEN timestamp_seconds(ts)

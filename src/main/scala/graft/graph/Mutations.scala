@@ -38,6 +38,15 @@ object Mutations {
       g.nodes.filter(array_contains(col("labels"), label) &&
         col(prop).isin(values: _*)).limit(1).count() > 0
 
+  /** Label-BLIND key-existence probe — mirrors [[mergeNodes]]'s match
+    * semantics exactly (its key anti-join runs over all nodes, not a
+    * label), so callers predicting whether a MERGE takes its create path
+    * must use this and not the label-filtered [[violatesUnique]].
+    */
+  def existsByKey(g: PropertyGraph, prop: String, value: Any): Boolean =
+    g.nodes.columns.contains(prop) &&
+      g.nodes.filter(col(prop) === lit(value)).limit(1).count() > 0
+
   def createNodes(g: PropertyGraph, newNodes: DataFrame): PropertyGraph = {
     val extra = (newNodes.columns.toSet -- g.nodes.columns.toSet).toSeq.sorted
     val (base, incoming) =

@@ -172,18 +172,18 @@ object Curation {
     val win = docs
       .select(col(idCol), explode(ngrams(col(textCol), n)).as("__span"))
     // a doc repeating its own span twice must not count as cross-doc:
-    // distinct (span, doc) first, then docs-per-span
-    val spanDocs = win.distinct()
-    val crossDoc = spanDocs.groupBy("__span")
+    // distinct (span, doc) first, then docs-per-span. crossDoc carries a
+    // hit marker so BOTH per-doc counts come out of ONE aggregation over a
+    // single pass of the exploded frame (the corpus tokenize+explode is the
+    // dominant cost — two scans total, not three)
+    val crossDoc = win.distinct().groupBy("__span")
       .agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") >= 2)
-      .select(col("__span"))
-    win.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
-      .join(
-        win.join(crossDoc, "__span")
-          .groupBy(idCol).agg(count(lit(1)).as("n_repeated")),
-        Seq(idCol), "left_outer")
-      .withColumn("n_repeated", coalesce(col("n_repeated"), lit(0L)))
+      .select(col("__span"), lit(1L).as("__hit"))
+    win.join(crossDoc, Seq("__span"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_repeated"))
   }
 
   // ---- paragraph-level dedup (MassiveText/Gopher pipeline op) --------
@@ -260,8 +260,17 @@ object Curation {
       .orderBy(col(shardCol)).collect()
     var acc = 0L
     val offsetRows = totals.map { r =>
+      // a null shard would silently VANISH in the equi-join below
+      // (null never equals null) — refuse instead of dropping documents
+      require(!r.isNullAt(0),
+        s"packSequencesSharded: null $shardCol - assign every document a shard")
       val row = org.apache.spark.sql.Row(r.get(0), acc)
       val total = if (r.isNullAt(1)) 0L else r.getLong(1)
+      // bins used by a shard with T total tokens = floor(max(T-1,0)/budget)+1.
+      // Sound because every document counts >= 1 token (split of "" is [""]),
+      // so the LAST doc's exclusive prefix <= T-1 — a hypothetical 0-token
+      // trailing doc at an exact budget boundary would need one more bin;
+      // any future tokenizer change must preserve tok >= 1 or revisit this
       acc += math.max(total - 1L, 0L) / budget + 1L
       row
     }

@@ -76,6 +76,15 @@ object CdcStreams {
         prevOf: PropertyGraph => DataFrame, dir: String): Unit = {
       val fs = hfs(spark, dir)
       val out = new org.apache.hadoop.fs.Path(dir)
+      // r11 renamed the outbox column change→chg (= the delta schema, so
+      // delta publishes are file copies). A pre-r11 outbox would produce a
+      // MIXED-schema dir whose reader silently nulls one side's rows —
+      // refuse loudly instead; the outbox is derivable state (re-bootstrap
+      // a fresh dir and re-run the consumer from a fresh checkpoint).
+      if (fs.exists(out) && fs.listStatus(out).exists(_.getPath.getName.startsWith("part-")) &&
+          spark.read.parquet(dir).columns.contains("change"))
+        throw new IllegalStateException(s"$dir was written by a pre-chg-format " +
+          "version; start a new outbox dir (and consumer checkpoint)")
       if (isDelta) {
         fs.mkdirs(out)
         val src = new org.apache.hadoop.fs.Path(deltaDir)

@@ -37,15 +37,21 @@ class CycleSplitSpec extends AnyFunSuite {
   }
 
   test("flag-on plan joins two arms instead of one linear chain") {
-    spark.conf.set("spark.graft.cypher.cycleSplit", "true")
-    try {
-      val df = new GraftSession(spark, TpchGraph(spark, sf)).cypher(cycle)
-      val joins = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
-        .findAllIn(df.queryExecution.executedPlan.toString).size
-      // two labeled arms meeting in a join: the chain shape has exactly one
-      // join per hop (6); the split shape adds the arm-merge join
-      assert(joins >= 2, "expected a multi-join split plan")
-    } finally spark.conf.unset("spark.graft.cypher.cycleSplit")
+    def joinCount(split: Boolean): Int = {
+      spark.conf.set("spark.graft.cypher.cycleSplit", split.toString)
+      try {
+        val df = new GraftSession(spark, TpchGraph(spark, sf)).cypher(cycle)
+        "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      } finally spark.conf.unset("spark.graft.cypher.cycleSplit")
+    }
+    // the DISTINGUISHING shape: both arms re-anchor at the cycle variable
+    // and meet in an extra arm-merge join, so the split plan must carry
+    // strictly MORE joins than the default linear chain (a vacuous >= k
+    // would pass even if the splitCycle guard regressed to never firing)
+    val (chain, split) = (joinCount(split = false), joinCount(split = true))
+    assert(split > chain,
+      s"split plan must add the arm-merge join: chain=$chain split=$split")
   }
 
   test("non-cyclic and short-cycle patterns are untouched by the flag") {

@@ -73,5 +73,23 @@ class GqlSchemaSpec extends AnyFunSuite {
     // MERGE on a different key that MATCHES takes the match path: no probe failure
     assert(sess.gqlUpdate("MERGE (u:User {id: 1, email: 'a@x.com'})")
       .nodes.count() == 1)
+    // one STATEMENT creating the same unique value twice must also violate
+    // (each clause alone probes the pre-mutation graph and would pass)
+    val e3 = intercept[IllegalStateException](sess.gqlUpdate(
+      "CREATE (:User {id: 8, email: 'c@x.com'}) CREATE (:User {id: 9, email: 'c@x.com'})"))
+    assert(e3.getMessage.contains("unique constraint"))
+  }
+
+  test("MERGE probe is label-blind, matching mergeNodes' key semantics") {
+    // an Other node already owns key id=7; MERGE (:User {id: 7, email: dup})
+    // takes the MATCH path label-blind, so the unique probe must not fire
+    val nodes = Seq(
+      (7L, Seq("Other"), null.asInstanceOf[String]),
+      (1L, Seq("User"), "a@x.com")).toDF("id", "labels", "email")
+    val edges = Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel")
+    val sess = new GraftSession(spark, PropertyGraph(nodes, edges))
+    sess.gql("CREATE NODE TYPE User (email STRING UNIQUE)")
+    val merged = sess.gqlUpdate("MERGE (u:User {id: 7, email: 'a@x.com'})")
+    assert(merged.nodes.count() == 2, "match path must not create or reject")
   }
 }

@@ -91,7 +91,8 @@ class PackingPropertySpec extends AnyFunSuite {
       java.time.Instant.parse("2090-01-01T00:00:00Z").getEpochSecond)
     val secs = sampled(secGen, 200, seed = 11L)
     val rows = secs.flatMap(s =>
-      Seq((s, s), (s * 1000L, s), (s * 1000000L, s), (s * 1000000000L, s)))
+      Seq((s, s), (s * 1000L, s), (s * 1000000L, s), (s * 1000000000L, s))) :+
+      (0L, 0L) // the sentinel: unambiguous (1970-01-01 in every unit), must not raise
     val df = rows.toDF("ts", "expect")
     val bad = Tables.normalizeEventTs(df)
       .filter(col("ts").cast("long") =!= col("expect"))
