@@ -33,6 +33,13 @@ object Wcoj {
     * shares³ — sized so a cell's edges fit in executor memory
     * (expected |E|·3·shares / shares³ rows per cell; skewed hubs are
     * split across shares² cells on their two free dimensions).
+    *
+    * Sizing `shares`: raise it only when a CELL outgrows executor memory,
+    * never for parallelism — the shuffle volume is 3·shares·|E| while the
+    * cell-local intersection is near-linear on sparse graphs, so extra
+    * shares cost more than they parallelize (measured on the 2M-edge sf10
+    * part DAG at local[32]: shares 2/3/4 → 26/43/34 s; replication
+    * dominates, the default stays 2).
     */
   def triangles(edges: DataFrame, shares: Int = 2): DataFrame = {
     require(shares >= 1, s"shares must be >= 1, got $shares")

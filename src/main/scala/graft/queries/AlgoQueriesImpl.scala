@@ -129,7 +129,7 @@ object AlgoQueriesImpl {
         |       CAST(sum(c) AS BIGINT) AS sum_c
         |FROM tri
         |ORDER BY n NULLS FIRST""".stripMargin) { (s, dir) =>
-      graft.algos.Wcoj.triangles(TpchGraph.partDag(s, dir).edges, shares = 2)
+      graft.algos.Wcoj.triangles(TpchGraph.partDag(s, dir).edges)
         .agg(count(lit(1)).as("n"), sum(col("a")).as("sum_a"),
           sum(col("b")).as("sum_b"), sum(col("c")).as("sum_c"))
         .orderBy("n")
