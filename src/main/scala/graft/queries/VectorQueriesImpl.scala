@@ -122,6 +122,45 @@ object VectorQueriesImpl {
         .orderBy("id1", "id2")
     },
 
+    // SemDeDup (Knn.semDedup, Abbas et al. 2023): cluster-then-dedup over
+    // the same planted-copy corpus as q_embed_neardup — per-cluster member
+    // and removal counts (every planted exact copy has a lower-id mate at
+    // cosine 1 in its own cluster; legit pairs top out at ~0.49 here).
+    QueryDef(
+      "q_semdedup",
+      """WITH aug AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 30),
+        |cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |a AS (
+        |  SELECT g.vec_id AS vid, g.v, c.cid,
+        |         row_number() OVER (PARTITION BY g.vec_id
+        |           ORDER BY round(list_cosine_similarity(g.v, c.cvec), 6) DESC,
+        |                    c.cid) AS rn
+        |  FROM aug g, cent c),
+        |m AS (SELECT vid, v, cid FROM a WHERE rn = 1),
+        |dup AS (
+        |  SELECT DISTINCT b.vid
+        |  FROM m a2 JOIN m b ON a2.cid = b.cid AND a2.vid < b.vid
+        |  WHERE round(list_cosine_similarity(a2.v, b.v), 6) >= 0.99)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN vid IN (SELECT vid FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM m GROUP BY cid
+        |ORDER BY cid NULLS FIRST""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Knn.semDedup(augmented(e, 30), "vec_id", "embedding",
+          cent, "cid", "cvec", tau = 0.99)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"))
+        .orderBy(col("cid").asc_nulls_first)
+    },
+
     // Incremental near-dup at a low threshold: a small new batch scored
     // against the full corpus (broadcast batch, streaming corpus) — exact,
     // and the realistic continuous-ingest shape; exact ALL-pairs at low

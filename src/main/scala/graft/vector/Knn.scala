@@ -197,6 +197,43 @@ object Knn {
       .distinct() // both ids in batch → pair seen twice
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster embeddings, then
+    * deduplicate WITHIN clusters only — pairwise cosine is confined to
+    * cluster-mates, so the quadratic term is per-cluster, not corpus-wide
+    * (the paper's k-means plays the candidate-generation role LSH bands
+    * play in [[nearDupPairsLSH]]). Assignment = argmax cosine over the
+    * broadcast `centroids` (deterministic: score desc, then centroid id);
+    * within a cluster every member with a LOWER-id mate at cosine ≥ `tau`
+    * is marked removed — the keep-one-representative policy with a total
+    * deterministic order. A heavily skewed cluster would re-shard by LSH
+    * band inside the cluster; at the paper's operating point clusters are
+    * ~corpus/k sized and the equi-join on cluster id carries all the work.
+    *
+    * Returns (idCol, cid, removed).
+    */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      tau: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__vid").orderBy(col("__sim").desc, col(cidCol))
+    val assigned = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol).as("__cv"))))
+      .select(col("__vid"), col("__v"), col(cidCol),
+        round(score(Cosine, col("__v"), col("__cv")), 6).as("__sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__vid"), col("__v"), col(cidCol))
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col(s"a.$cidCol") === col(s"b.$cidCol") &&
+          col("a.__vid") < col("b.__vid"))
+      .filter(round(score(Cosine, col("a.__v"), col("b.__v")), 6) >= tau)
+      .select(col("b.__vid").as("__vid")).distinct()
+    assigned.join(dups.withColumn("__removed", lit(true)), Seq("__vid"), "left_outer")
+      .select(col("__vid").as(idCol), col(cidCol),
+        coalesce(col("__removed"), lit(false)).as("removed"))
+  }
+
   /** LSH-bucketed near-duplicate pairs: random-hyperplane signatures → band
     * equi-join for candidates → exact cosine verification. The 100-TB shape:
     * the only join is an equi-join on (table, signature) buckets, so work is

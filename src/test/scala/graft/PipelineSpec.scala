@@ -75,6 +75,27 @@ class KnnSpec extends AnyFunSuite {
     val recall = (brute & approx).size.toDouble / brute.size
     assert(recall >= 0.4, s"recall $recall too low")
   }
+
+  test("semDedup removes exactly the lower-id-mated near-copies, cluster-locally") {
+    // two well-separated clusters; ids 10/11 are exact copies of 0, id 20
+    // is a copy of 1 — removal must keep the LOWEST id of each copy group
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.8f, 0.6f, 0f, 0f)), (10L, Array(1f, 0f, 0f, 0f)),
+      (11L, Array(2f, 0f, 0f, 0f)), (20L, Array(0f, 3f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cent = vs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val out = Knn.semDedup(vs, "vec_id", "embedding", cent, "cid", "cvec",
+        tau = 0.99)
+    val removed = out.filter(col("removed")).collect().map(_.getLong(0)).toSet
+    assert(removed == Set(10L, 11L, 20L),
+      "copies keep their lowest id; cross-cluster items never pair")
+    // the pairwise join must be keyed on the cluster id — no corpus cartesian
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cluster pairing must be an equi-join on cid:\n$plan")
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
