@@ -150,8 +150,12 @@ object Bench {
     println(compact)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), fullLine)
     catch { case _: Throwable => }
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_latest.json"), fullLine)
-    catch { case _: Throwable => }
+    // the COMMITTED artifact only reflects full-catalog runs — a filtered
+    // local-iteration run (args nonempty) must not clobber it with a
+    // one-query JSON (found committed that way in r11)
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_latest.json"), fullLine)
+      catch { case _: Throwable => }
     spark.stop()
   }
 }

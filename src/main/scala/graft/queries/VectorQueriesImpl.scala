@@ -86,16 +86,9 @@ object VectorQueriesImpl {
       val e = Tables.embeddings(s, dir)
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vid").orderBy(col("sim").desc, col("cid"))
-      e.select(col("vec_id").as("vid"), col("embedding"))
-        .crossJoin(broadcast(cent))
-        .select(col("vid"), col("cid"),
-          round(Knn.score(Knn.Cosine, col("embedding"), col("cvec")), 6).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      Knn.assignToCentroids(e, "vec_id", "embedding", cent, "cid", "cvec")
         .groupBy("cid")
-        .agg(count(lit(1)).as("n"), round(avg(col("sim")), 3).as("avg_sim"))
+        .agg(count(lit(1)).as("n"), round(avg(col("__sim")), 3).as("avg_sim"))
         .orderBy(col("cid").asc_nulls_first)
     },
 

@@ -197,6 +197,25 @@ object Knn {
       .distinct() // both ids in batch → pair seen twice
   }
 
+  /** Hard cluster assignment: each vector to its argmax-cosine centroid,
+    * deterministically (rounded score desc, then centroid id — the ONE
+    * tie-break convention every oracle mirrors; q_embed_cluster and
+    * [[semDedup]] both route through here so it cannot drift). Centroids
+    * broadcast; output = (idCol, __v, cidCol, __sim).
+    */
+  def assignToCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__sim").desc, col(cidCol))
+    vectors.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol).as("__cv"))))
+      .select(col(idCol), col("__v"), col(cidCol),
+        round(score(Cosine, col("__v"), col("__cv")), 6).as("__sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster embeddings, then
     * deduplicate WITHIN clusters only — pairwise cosine is confined to
@@ -215,15 +234,13 @@ object Knn {
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
       tau: Double): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__vid").orderBy(col("__sim").desc, col(cidCol))
-    val assigned = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
-      .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol).as("__cv"))))
-      .select(col("__vid"), col("__v"), col(cidCol),
-        round(score(Cosine, col("__v"), col("__cv")), 6).as("__sim"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__vid"), col("__v"), col(cidCol))
+    // materialized once: the scored cross-join + per-id argmax window feeds
+    // BOTH self-join sides and the final flag join — without the checkpoint
+    // the |V|·k scoring pass would re-run per consumer
+    val assigned = assignToCentroids(vectors, idCol, vecCol,
+        centroids, cidCol, cvecCol)
+      .select(col(idCol).as("__vid"), col("__v"), col(cidCol))
+      .localCheckpoint()
     val dups = assigned.as("a").join(assigned.as("b"),
         col(s"a.$cidCol") === col(s"b.$cidCol") &&
           col("a.__vid") < col("b.__vid"))

@@ -86,15 +86,26 @@ class KnnSpec extends AnyFunSuite {
     ).toDF("vec_id", "embedding")
     val cent = vs.filter(col("vec_id") < 2)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val out = Knn.semDedup(vs, "vec_id", "embedding", cent, "cid", "cvec",
-        tau = 0.99)
-    val removed = out.filter(col("removed")).collect().map(_.getLong(0)).toSet
-    assert(removed == Set(10L, 11L, 20L),
-      "copies keep their lowest id; cross-cluster items never pair")
-    // the pairwise join must be keyed on the cluster id — no corpus cartesian
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"),
-      s"within-cluster pairing must be an equi-join on cid:\n$plan")
+    // force the non-broadcast regime so the plan guard is meaningful: with
+    // autoBroadcast on, even a regressed corpus-wide pairing would plan as
+    // BroadcastNestedLoopJoin on 6 rows and never show a CartesianProduct
+    // (the explicit broadcast hint keeps the legitimate centroid cross-join)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Knn.semDedup(vs, "vec_id", "embedding", cent, "cid", "cvec",
+          tau = 0.99)
+      val removed = out.filter(col("removed")).collect().map(_.getLong(0)).toSet
+      assert(removed == Set(10L, 11L, 20L),
+        "copies keep their lowest id; cross-cluster items never pair")
+      // the pairwise join must be KEYED on the cluster id: losing the
+      // cid equi-predicate would now surface as a cartesian/BNLJ pair join
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"within-cluster pairing must be an equi-join on cid:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a keyed pair join under broadcast-off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
 
