@@ -38,12 +38,16 @@ object Stats {
   def analyze(spark: SparkSession, dir: String, db: String = "graft_stats",
       tables: Seq[String] = Tables.all.filterNot(_ == "events"),
       columnStats: Boolean = true): Unit = {
-    val key = (dir +: columnStats.toString +: tables).mkString("\u0001")
+    // createTable resolves a RELATIVE path against the database's warehouse
+    // location (not the process CWD), silently registering a table whose
+    // files don't exist -- absolutize before registration.
+    val absDir = new java.io.File(dir).getAbsolutePath
+    val key = (absDir +: columnStats.toString +: tables).mkString("\u0001")
     if (analyzed.get(db).contains(key)) return
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     tables.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $db.$t")
-      spark.catalog.createTable(s"$db.$t", s"$dir/$t.parquet", "parquet")
+      spark.catalog.createTable(s"$db.$t", s"$absDir/$t.parquet", "parquet")
       spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS" +
         (if (columnStats) " FOR ALL COLUMNS" else ""))
     }
