@@ -136,10 +136,17 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     // graph (each probe alone would pass)
     val inStatement = scala.collection.mutable.Set.empty[(String, String, Any)]
     def checkUnique(n: graft.frontends.cypher.Ast.NodePat, l: String,
-        props: Seq[graft.frontends.gql.GqlPropertyDef]): Unit =
-      for (p <- props if p.unique;
-           v <- n.props.collectFirst { case (k, e) if k == p.name => e };
-           value <- litOf(v)) {
+        props: Seq[graft.frontends.gql.GqlPropertyDef],
+        excludeKey: Option[String] = None): Unit =
+      for (p <- props if p.unique && !excludeKey.contains(p.name);
+           v <- n.props.collectFirst { case (k, e) if k == p.name => e }) {
+        // UNIQUE enforcement is literal-valued: a non-literal expression
+        // cannot be probed pre-mutation, and silently skipping it would
+        // let the constraint be bypassed — reject loudly instead (the
+        // reference's typed-schema DML takes literal property maps too)
+        val value = litOf(v).getOrElse(throw new IllegalStateException(
+          s"unique property '${p.name}' of type '$l' requires a literal " +
+            "value: non-literal expressions cannot be constraint-checked"))
         if (!inStatement.add((l, p.name, value)) ||
             graft.graph.Mutations.violatesUnique(graph, l, p.name, Seq(value)))
           throw new IllegalStateException(
@@ -168,18 +175,22 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
              props <- typeCatalog.get(("node", l))) {
           val keyCol = m.node.props.headOption.map(_._1)
           val mergesOnUnique = keyCol.exists(k => props.exists(p => p.unique && p.name == k))
-          if (!mergesOnUnique) {
-            // probe the create path only if the merge key has no match —
-            // LABEL-BLIND like mergeNodes' own key anti-join, else a merge
-            // that matches a differently-labeled node would be probed as
-            // creating and spuriously rejected
-            val wouldCreate = (for (k <- keyCol;
-                v <- m.node.props.collectFirst { case (`k`, e) => e };
-                value <- litOf(v)) yield
-              !graft.graph.Mutations.existsByKey(graph, k, value))
-              .getOrElse(true)
-            if (wouldCreate) checkUnique(m.node, l, props)
-          }
+          // probe the create path only if the merge key has no match —
+          // LABEL-BLIND like mergeNodes' own key anti-join, else a merge
+          // that matches a differently-labeled node would be probed as
+          // creating and spuriously rejected
+          val wouldCreate = (for (k <- keyCol;
+              v <- m.node.props.collectFirst { case (`k`, e) => e };
+              value <- litOf(v)) yield
+            !graft.graph.Mutations.existsByKey(graph, k, value))
+            .getOrElse(true)
+          // MERGE keyed ON a unique property cannot duplicate its own key
+          // (match-or-create), but a SECOND unique property in the map can
+          // still collide when the create path fires — exclude only the
+          // merge key from the probe, never the whole check
+          if (wouldCreate)
+            checkUnique(m.node, l, props,
+              excludeKey = if (mergesOnUnique) keyCol else None)
         }
       case _ => ()
     }

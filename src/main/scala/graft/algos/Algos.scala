@@ -293,9 +293,27 @@ object Algos {
     // proposals makes that harmless, and total work stays ≤ the old
     // form's single round per extra proposal. maxIters bounds depth (and
     // terminates non-DAG inputs exactly like the old form).
+    //
+    // The proposal buffer is FOLDED every `foldEvery` rounds into a single
+    // running per-id max (union + max + localCheckpoint, folded frames'
+    // references dropped so the ContextCleaner can release their blocks):
+    // on a cyclic input the frontier never drains, and an unbounded buffer
+    // would pin up to maxIters full-graph checkpoint frames in the block
+    // manager AND make the terminal union a maxIters-wide plan. The fold
+    // caps both at foldEvery frames; its cost is one O(|acc|) aggregation
+    // per foldEvery rounds — ≤ 1/foldEvery of the old per-level
+    // re-aggregate form this loop replaced.
     import spark.implicits._
-    var frontier = nodes.withColumn("level", lit(0)).localCheckpoint()
-    val proposals = scala.collection.mutable.ArrayBuffer(frontier)
+    val foldEvery = 8
+    var acc = nodes.withColumn("level", lit(0)).localCheckpoint()
+    var frontier = acc
+    val pending = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def fold(): Unit = if (pending.nonEmpty) {
+      acc = (acc +: pending).reduce(_ unionByName _)
+        .groupBy("id").agg(max(col("level")).as("level"))
+        .localCheckpoint()
+      pending.clear()
+    }
     var i = 0
     var n = 1L
     while (n > 0 && i < maxIters) {
@@ -308,11 +326,12 @@ object Algos {
       // near-free scan of cached blocks (checkConvergence is vestigial
       // here — an empty frontier ends the loop either way)
       n = frontier.count()
-      if (n > 0) proposals += frontier
+      if (n > 0) pending += frontier
+      if (pending.size >= foldEvery) fold()
       i += 1
     }
-    val levels = proposals.reduce(_ unionByName _)
-      .groupBy("id").agg(max(col("level")).as("level"))
+    fold()
+    val levels = acc
     edges.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     levels
@@ -413,10 +432,20 @@ object Algos {
     while (n > 0 && depth < maxDepth) {
       frontier = frontier.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"),
-          // width 20 >= max long digits: lpad TRUNCATES overlong inputs, so
-          // an 8-wide pad would silently collide 13-digit ids (e.g. the
-          // 5e12-offset TpchGraph node ids) into equal path components
-          concat(col("path"), lpad(col("dst").cast("string"), 20, "0")).as("path"))
+          // Path component = ZERO-BIASED id (id + 2⁶³ in decimal space,
+          // i.e. the unsigned reinterpretation of the signed long): a raw
+          // lpad of the signed string is NOT order-preserving for negative
+          // ids ('-13' < '-5' lexicographically but -13 < -5 numerically
+          // too, while '-5' < '-7' is backwards), so two negative siblings
+          // would sort in the wrong relative order and the distributed
+          // preorder would diverge from ascending-neighbor DFS. Biased
+          // values span 0..2⁶⁴-1 — at most 20 digits, and width 20 matters:
+          // lpad TRUNCATES overlong inputs, so a narrower pad would
+          // silently collide long ids into equal path components.
+          concat(col("path"),
+            lpad((col("dst").cast(org.apache.spark.sql.types.DecimalType(20, 0))
+                + lit(BigDecimal("9223372036854775808"))).cast("string"),
+              20, "0")).as("path"))
         .filter(col("id") =!= start)
         .localCheckpoint()
       n = frontier.count()

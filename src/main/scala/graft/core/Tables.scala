@@ -34,8 +34,15 @@ object Tables {
     * the batch loader above and the streaming reader
     * ([[graft.streaming.EventStreams.runOnce]]) so both faces decode
     * identical instants.
+    *
+    * `lenient = true` (the STREAMING face) quarantines out-of-band int64
+    * values as NULL ts instead of raising: a long-lived stream must not be
+    * killed by one undecodable row (watermarked operators then drop the
+    * null-ts row, the streaming analogue of a dead-letter). Batch loads
+    * keep the hard failure — a bad batch file should abort loudly, not
+    * silently shrink the corpus.
     */
-  def normalizeEventTs(df: DataFrame): DataFrame =
+  def normalizeEventTs(df: DataFrame, lenient: Boolean = false): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
         // An int64 ts is nanos on the known testdata vintage, but a future
@@ -51,13 +58,16 @@ object Tables {
         // ts = 0 decodes to 1970-01-01T00:00Z in EVERY unit — the one value
         // outside the bands that is still unambiguous, and a near-universal
         // int64 default/sentinel that must not abort a whole (streaming) job
+        val outOfBand =
+          if (lenient) "CAST(NULL AS TIMESTAMP)"
+          else "raise_error(concat('events.ts value outside every epoch-unit band (s/ms/us/ns, 1973..2096): ', ts))"
         df.withColumn("ts", expr(
-          """CASE WHEN ts = 0 THEN timestamp_seconds(0)
-            |     WHEN ts >= 100000000000000000 AND ts < 4000000000000000000 THEN timestamp_micros(ts div 1000)
-            |     WHEN ts >= 100000000000000 AND ts < 4000000000000000 THEN timestamp_micros(ts)
-            |     WHEN ts >= 100000000000 AND ts < 4000000000000 THEN timestamp_millis(ts)
-            |     WHEN ts >= 100000000 AND ts < 4000000000 THEN timestamp_seconds(ts)
-            |     ELSE raise_error(concat('events.ts value outside every epoch-unit band (s/ms/us/ns, 1973..2096): ', ts)) END""".stripMargin))
+          s"""CASE WHEN ts = 0 THEN timestamp_seconds(0)
+             |     WHEN ts >= 100000000000000000 AND ts < 4000000000000000000 THEN timestamp_micros(ts div 1000)
+             |     WHEN ts >= 100000000000000 AND ts < 4000000000000000 THEN timestamp_micros(ts)
+             |     WHEN ts >= 100000000000 AND ts < 4000000000000 THEN timestamp_millis(ts)
+             |     WHEN ts >= 100000000 AND ts < 4000000000 THEN timestamp_seconds(ts)
+             |     ELSE $outOfBand END""".stripMargin))
       case TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df

@@ -164,23 +164,36 @@ object Curation {
     * cross-doc spans → semi-side join back per doc. All keyed equi-joins
     * and partial aggregations; nothing all-pairs, nothing driver-side.
     *
+    * The span STRING never leaves the map side: every shuffle (the
+    * distinct, the docs-per-span count, the join back) keys on
+    * `xxhash64(span)` — 8 bytes/row instead of ~n·wordlen chars, which at
+    * sf0.1 is already ~6× fewer shuffle bytes on the dominant stage and at
+    * corpus scale is the difference between a network-bound and a
+    * CPU-bound job. Collisions conflate two distinct spans with
+    * probability ≈ m²/2⁶⁵ (m = distinct spans; at m = 10¹⁰ that is
+    * ~0.003) — the standard accepted error of hash-keyed ExactSubstr
+    * screens, and each collision can only ever OVERCOUNT n_repeated by
+    * one window.
+    *
     * Returns (idCol, n_windows, n_repeated): total windows and windows
     * shared with another document.
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val win = docs
-      .select(col(idCol), explode(ngrams(col(textCol), n)).as("__span"))
+      .select(col(idCol),
+        explode(transform(ngrams(col(textCol), n), s => xxhash64(s)))
+          .as("__h"))
     // a doc repeating its own span twice must not count as cross-doc:
-    // distinct (span, doc) first, then docs-per-span. crossDoc carries a
+    // distinct (hash, doc) first, then docs-per-span. crossDoc carries a
     // hit marker so BOTH per-doc counts come out of ONE aggregation over a
     // single pass of the exploded frame (the corpus tokenize+explode is the
     // dominant cost — two scans total, not three)
-    val crossDoc = win.distinct().groupBy("__span")
+    val crossDoc = win.distinct().groupBy("__h")
       .agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") >= 2)
-      .select(col("__span"), lit(1L).as("__hit"))
-    win.join(crossDoc, Seq("__span"), "left_outer")
+      .select(col("__h"), lit(1L).as("__hit"))
+    win.join(crossDoc, Seq("__h"), "left_outer")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_windows"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_repeated"))

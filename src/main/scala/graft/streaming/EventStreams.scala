@@ -111,7 +111,9 @@ object EventStreams {
           java.nio.file.Paths.get(s"$dir/events.parquet"))
         stage.toString
       }
-    val events = graft.core.Tables.normalizeEventTs(raw)
+    // lenient: one out-of-band ts row must quarantine (null ts → dropped by
+    // the watermark), not kill the stream — see normalizeEventTs
+    val events = graft.core.Tables.normalizeEventTs(raw, lenient = true)
     val q = transform(events).writeStream
       .format("memory").queryName(name).outputMode(outputMode).start()
     q.processAllAvailable()

@@ -72,6 +72,22 @@ class AlgosSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
   }
 
+  test("dfsPreorder orders NEGATIVE sibling ids correctly on the distributed path") {
+    // two negative siblings: raw lexicographic lpad would sort '-13' before
+    // '-5' but '-5' before '-7' — the zero-biased path encoding must give
+    // plain ascending numeric order on both branches
+    val g = mkGraph(Seq((1L, -5L), (1L, -13L), (1L, -7L), (-5L, 2L)))
+    val ord = graft.algos.BoundedAlgos.dfsPreorder(spark, g, 1L, lit(true))
+      .orderBy("ord").collect().map(_.getLong(1)).toSeq
+    assert(ord == Seq(1L, -13L, -7L, -5L, 2L))
+    spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, "0")
+    try {
+      val dist = graft.algos.Algos.dfsPreorder(spark, g, 1L)
+        .orderBy("ord").collect().map(_.getLong(1)).toSeq
+      assert(dist == ord, "signed ids must not break the path-sort preorder")
+    } finally spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
+  }
+
   test("dfsPreorder handles rings and falls back on branching in-edges") {
     spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, "0")
     try {

@@ -80,6 +80,39 @@ class GqlSchemaSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("unique constraint"))
   }
 
+  test("MERGE keyed on one unique property still probes the OTHER unique props") {
+    // two UNIQUE properties on one type: a MERGE keyed on `email` (unique)
+    // whose create path would insert a TAKEN `handle` must violate — the
+    // merge-on-unique short-circuit exempts only the merge key itself
+    val nodes = Seq((1L, Seq("User"), "a@x.com", "alice"))
+      .toDF("id", "labels", "email", "handle")
+    val edges = Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel")
+    val sess = new GraftSession(spark, PropertyGraph(nodes, edges))
+    sess.gql("CREATE NODE TYPE User (email STRING UNIQUE, handle STRING UNIQUE)")
+    val e = intercept[IllegalStateException](
+      sess.gqlUpdate("MERGE (u:User {email: 'new@x.com', handle: 'alice', id: 30})"))
+    assert(e.getMessage.contains("unique constraint") &&
+      e.getMessage.contains("handle"))
+    // fresh values on both → create path accepted
+    assert(sess.gqlUpdate("MERGE (u:User {email: 'new@x.com', handle: 'bob', id: 30})")
+      .nodes.count() == 2)
+    // MATCH path (email exists) never probes the second unique prop
+    assert(sess.gqlUpdate("MERGE (u:User {email: 'a@x.com', handle: 'alice', id: 1})")
+      .nodes.count() == 1)
+  }
+
+  test("non-literal values on unique properties are rejected, not skipped") {
+    val nodes = Seq((1L, Seq("User"), "a@x.com")).toDF("id", "labels", "email")
+    val edges = Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel")
+    val sess = new GraftSession(spark, PropertyGraph(nodes, edges))
+    sess.gql("CREATE NODE TYPE User (email STRING UNIQUE)")
+    // an expression-valued unique property cannot be probed pre-mutation;
+    // silent bypass would gut the constraint — must raise
+    val e = intercept[IllegalStateException](
+      sess.gqlUpdate("INSERT (:User {id: 2, email: toUpper('a@x.com')})"))
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("MERGE probe is label-blind, matching mergeNodes' key semantics") {
     // an Other node already owns key id=7; MERGE (:User {id: 7, email: dup})
     // takes the MATCH path label-blind, so the unique probe must not fire

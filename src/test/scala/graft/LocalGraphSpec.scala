@@ -97,6 +97,28 @@ class LocalGraphSpec extends AnyFunSuite {
     assert(local == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
   }
 
+  test("topoLevels: deep chains cross the fold boundary, cycles terminate") {
+    // 20-deep chain: the distributed loop folds its proposal buffer every 8
+    // rounds — levels must be exact across fold boundaries on both branches
+    val chain = mkGraph((1L until 21L).map(i => (i, i + 1)))
+    val (dist, local) = bothStrategies {
+      Algos.topoLevels(chain).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    assert(dist == local)
+    assert(local == (1L to 21L).map(i => i -> (i - 1).toInt).toMap)
+    // cyclic input: frontier never drains; maxIters must terminate the loop
+    // with bounded state (the fold keeps ≤ foldEvery frames pinned) and
+    // every node graded ≤ maxIters on both branches
+    val cyc = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    val (dc, lc) = bothStrategies {
+      Algos.topoLevels(cyc, maxIters = 12).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    assert(dc.keySet == Set(1L, 2L, 3L, 4L) && lc.keySet == dc.keySet)
+    assert(dc.values.forall(_ <= 12) && lc.values.forall(_ <= 12))
+  }
+
   test("scc: local and distributed paths agree exactly") {
     // 3-cycle, 2-cycle, and a bridge singleton
     val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 6L), (6L, 5L)))

@@ -69,4 +69,21 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(decoded.forall(_ == s), s"decoded=$decoded expected=$s")
   }
+
+  test("normalizeEventTs: lenient quarantines out-of-band values, strict raises") {
+    import spark.implicits._
+    val inBand = java.time.Instant.parse("2024-03-15T12:30:45Z").getEpochSecond
+    val outOfBand = -12345L // pre-1970: in no epoch-unit band
+    // strict (batch) face: hard failure
+    intercept[Exception] {
+      Tables.normalizeEventTs(Seq(outOfBand).toDF("ts")).collect()
+    }
+    // lenient (streaming) face: bad row → null ts, good rows still decode —
+    // one undecodable event must not kill a long-lived stream
+    val rows = Tables.normalizeEventTs(
+        Seq(inBand, outOfBand).toDF("ts"), lenient = true)
+      .select(col("ts").cast("long")).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(rows.toSeq == Seq(Some(inBand), None))
+  }
 }
