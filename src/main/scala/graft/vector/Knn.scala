@@ -225,15 +225,29 @@ object Knn {
     * broadcast `centroids` (deterministic: score desc, then centroid id);
     * within a cluster every member with a LOWER-id mate at cosine ≥ `tau`
     * is marked removed — the keep-one-representative policy with a total
-    * deterministic order. A heavily skewed cluster would re-shard by LSH
-    * band inside the cluster; at the paper's operating point clusters are
-    * ~corpus/k sized and the equi-join on cluster id carries all the work.
+    * deterministic order.
+    *
+    * SKEW GUARD: the within-cluster self-join is quadratic in the cluster
+    * size, and at corpus scale a hub cluster (a centroid that attracts a
+    * disproportionate share — boilerplate, near-empty docs) is the norm,
+    * not the exception. Clusters larger than `maxClusterSize` therefore
+    * re-shard their pairwise step by LSH band INSIDE the cluster (the same
+    * random-hyperplane machinery as [[nearDupPairsLSH]], keyed on
+    * (cluster, table, signature)), so no single cluster is ever O(m²) —
+    * candidate work per hub cluster drops to its band collisions. The
+    * banded arm is approximate for mid-range `tau` with the standard LSH
+    * miss bound (a true pair is missed with probability (1-p^bits)^tables,
+    * p = 1 - angle/π); at SemDeDup's operating point (tau ≥ 0.95 →
+    * p ≥ 0.9) the defaults give pair recall > 0.999, and EXACT duplicates
+    * still collide in every table at any width. Clusters at or under the
+    * cap keep the exact equi-join — the common path is untouched.
     *
     * Returns (idCol, cid, removed).
     */
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
-      tau: Double): DataFrame = {
+      tau: Double, maxClusterSize: Int = 1 << 13,
+      bits: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
     // materialized once: the scored cross-join + per-id argmax window feeds
     // BOTH self-join sides and the final flag join — without the checkpoint
     // the |V|·k scoring pass would re-run per consumer
@@ -241,14 +255,59 @@ object Knn {
         centroids, cidCol, cvecCol)
       .select(col(idCol).as("__vid"), col("__v"), col(cidCol))
       .localCheckpoint()
-    val dups = assigned.as("a").join(assigned.as("b"),
-        col(s"a.$cidCol") === col(s"b.$cidCol") &&
-          col("a.__vid") < col("b.__vid"))
-      .filter(round(score(Cosine, col("a.__v"), col("b.__v")), 6) >= tau)
-      .select(col("b.__vid").as("__vid")).distinct()
+    val dups = semDedupDuplicates(assigned, cidCol, tau,
+      maxClusterSize, bits, tables, seed)
     assigned.join(dups.withColumn("__removed", lit(true)), Seq("__vid"), "left_outer")
       .select(col("__vid").as(idCol), col(cidCol),
         coalesce(col("__removed"), lit(false)).as("removed"))
+  }
+
+  /** The pairwise arm of [[semDedup]]: distinct `__vid`s with a lower-id
+    * cluster-mate at cosine ≥ tau. Package-visible so specs can bound the
+    * banded path's candidate count directly.
+    */
+  private[graft] def semDedupDuplicates(assigned: DataFrame, cidCol: String,
+      tau: Double, maxClusterSize: Int, bits: Int, tables: Int,
+      seed: Long): DataFrame = {
+    // hub detection: per-cluster sizes are centroid-count-sized — the same
+    // broadcast-scale contract the assignment itself already assumes
+    val bigCids = assigned.groupBy(cidCol).agg(count(lit(1)).as("__csz"))
+      .filter(col("__csz") > maxClusterSize)
+      .select(col(cidCol)).collect().map(_.get(0))
+    def pairDups(frame: DataFrame, extraKeys: Seq[String]): DataFrame = {
+      val keys = (cidCol +: extraKeys)
+      frame.as("a").join(frame.as("b"),
+          keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+            col("a.__vid") < col("b.__vid"))
+        .filter(round(score(Cosine, col("a.__v"), col("b.__v")), 6) >= tau)
+        .select(col("b.__vid").as("__vid")).distinct()
+    }
+    if (bigCids.isEmpty) return pairDups(assigned, Nil)
+    val isBig = col(cidCol).isin(bigCids.toSeq: _*)
+    val smallDups = pairDups(assigned.filter(!isBig), Nil)
+    val big = assigned.filter(isBig)
+    // dim probe: first hub row only — the banded arm is already off the
+    // common path when this runs
+    val dim = big.select(size(col("__v"))).head.getInt(0)
+    val banded = lshBuckets(big, "__v", dim, bits, tables, seed)
+      .select(col("__vid"), col("__v"), col(cidCol),
+        explode(col("__buckets")).as("__band"))
+    // a pair colliding in several tables must not re-verify per collision:
+    // dedup the bare id pairs BEFORE the cosine filter re-join (same
+    // shuffle-byte pattern as nearDupPairsLSH)
+    val cand = banded.as("a").join(banded.as("b"),
+        col(s"a.$cidCol") === col(s"b.$cidCol") &&
+          col("a.__band") === col("b.__band") &&
+          col("a.__vid") < col("b.__vid"))
+      .select(col("a.__vid").as("__id1"), col("b.__vid").as("__id2"))
+      .distinct()
+    val vecs = big.select(col("__vid"), col("__v"))
+    val bigDups = cand
+      .join(vecs.select(col("__vid").as("__id1"), col("__v").as("__v1")), "__id1")
+      .join(vecs.select(col("__vid").as("__id2"), col("__v").as("__v2")), "__id2")
+      .filter(round(score(Cosine, col("__v1"), col("__v2")), 6) >= tau)
+      .select(col("__id2").as("__vid")).distinct()
+    smallDups.unionByName(bigDups).distinct()
   }
 
   /** LSH-bucketed near-duplicate pairs: random-hyperplane signatures → band

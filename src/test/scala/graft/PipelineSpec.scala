@@ -76,6 +76,38 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("semDedup hub clusters re-shard by LSH band: same removals, banded plan") {
+    // one hub cluster holding ALL 120 vectors — the 100-TB norm the skew
+    // guard exists for. 8 orthogonal directions × 15 magnitudes: every
+    // same-direction pair is exactly collinear (cos 1 → collides in every
+    // LSH table at any width, so the banded arm can never miss it) and
+    // every cross-direction pair is cos 0 — band-on must equal band-off
+    // EXACTLY, not just approximately
+    val vs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i % 8) (i + 1).toFloat else 0f))
+    }.toDF("vec_id", "embedding")
+    val cent = Seq((0L, Array.fill(8)(1f))).toDF("cid", "cvec")
+    def removals(cap: Int) =
+      Knn.semDedup(vs, "vec_id", "embedding", cent, "cid", "cvec",
+        tau = 0.99, maxClusterSize = cap)
+    val banded = removals(50) // 120 > 50 → hub path
+    val exact = removals(1 << 20) // uncapped → plain equi-join path
+    val bandedRemoved = banded.filter(col("removed")).collect().map(_.getLong(0)).toSet
+    val exactRemoved = exact.filter(col("removed")).collect().map(_.getLong(0)).toSet
+    assert(bandedRemoved == exactRemoved,
+      "the banded hub path must produce the exact path's removals")
+    // keep-lowest policy: direction d keeps id d, removes the other 14
+    assert(exactRemoved == (8L until 120L).toSet)
+    // the hub pairwise step must actually be SHARDED by band: the band key
+    // appears as a join key only on the guarded path
+    val bandedPlan = banded.queryExecution.optimizedPlan.toString
+    val exactPlan = exact.queryExecution.optimizedPlan.toString
+    assert(bandedPlan.contains("__band"),
+      s"hub cluster must route through the banded pairwise join:\n$bandedPlan")
+    assert(!exactPlan.contains("__band"),
+      "under-cap clusters must keep the exact equi-join path")
+  }
+
   test("semDedup removes exactly the lower-id-mated near-copies, cluster-locally") {
     // two well-separated clusters; ids 10/11 are exact copies of 0, id 20
     // is a copy of 1 — removal must keep the LOWEST id of each copy group
