@@ -456,8 +456,12 @@ object PipelineQueriesImpl {
         |SELECT id1, id2, jac FROM pairs WHERE jac >= 0.5
         |ORDER BY id1 NULLS FIRST, id2 NULLS FIRST""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.functions.{array => sqlArray}
+      // checkpoint the tiny base ONCE: it feeds both commits' snapshots,
+      // feeds, and delta diffs (~6 consumers) — without it each re-scans
+      // the documents parquet
       val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .localCheckpoint()
       val ws = split(col("text"), " ")
       val k = greatest(floor(size(ws) * 4 / 5).cast("int"), lit(3))
       val planted = base.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -477,8 +481,11 @@ object PipelineQueriesImpl {
       val store = java.nio.file.Files.createTempDirectory("graft_cdcq_store").toString
       val work = java.nio.file.Files.createTempDirectory("graft_cdcq_work").toString
       graft.streaming.CdcStreams.commitWithFeed(asGraph(base), store)
+      // the producer just committed epoch 0 and still holds it in memory —
+      // pass it as the delta base so the commit skips the parquet read-back
       graft.streaming.CdcStreams.commitWithFeed(
-        asGraph(base.unionByName(planted)), store)
+        asGraph(base.unionByName(planted)), store,
+        prevGraph = Some(asGraph(base)))
       graft.streaming.CdcStreams.incrementalNearDupRun(s, store, work,
         idCol = "id", textCol = "text")
       graft.streaming.CdcStreams.nearDupPairs(s, work)

@@ -58,10 +58,16 @@ object GraphIO {
 
   def save(g: PropertyGraph, path: String): Unit = {
     val spark = g.nodes.sparkSession
-    g.nodes.write.mode(SaveMode.Overwrite).parquet(s"$path/nodes")
-    g.edges.write.mode(SaveMode.Overwrite)
-      // cluster by rel: expand(rel=…) reloads prune whole files
-      .partitionBy("rel").parquet(s"$path/edges")
+    // independent writes to distinct dirs — overlap them (same pattern as
+    // the delta commits; serial execution just stacks fixed job latencies)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(g.nodes.write.mode(SaveMode.Overwrite).parquet(s"$path/nodes")),
+      Future(g.edges.write.mode(SaveMode.Overwrite)
+        // cluster by rel: expand(rel=…) reloads prune whole files
+        .partitionBy("rel").parquet(s"$path/edges")))),
+      scala.concurrent.duration.Duration.Inf)
     writeSchema(spark, s"$path/_schema_nodes.json", g.nodes.schema)
     writeSchema(spark, s"$path/_schema_edges.json", g.edges.schema)
   }
@@ -257,14 +263,23 @@ object GraphIO {
       * current latest (whole-row anti-join diffs on both sides) and a
       * bounding full snapshot on the first commit or every `fullEvery`-th
       * epoch number — mirrors [[commitTriplesIncremental]].
+      *
+      * `prevGraph`: the caller's in-memory copy of the CURRENT epoch head
+      * (i.e. exactly what the latest committed epoch reads back as). When
+      * supplied, the delta diffs run against it directly instead of
+      * re-reading the head from parquet — the steady-state CDC producer
+      * always has it (it just committed it), and skipping the read-back
+      * removes a fixed replay cost per commit. Same single-writer contract
+      * as the delta itself; a stale prevGraph produces a wrong delta.
       */
     def commitIncremental(g: PropertyGraph, path: String,
-        fullEvery: Int = 10): Long = {
+        fullEvery: Int = 10,
+        prevGraph: Option[PropertyGraph] = None): Long = {
       val spark = g.nodes.sparkSession
       val es = list(spark, path)
       if (es.isEmpty || (es.last + 1) % fullEvery == 0) commit(g, path)
       else {
-        val prev = asOf(spark, path, es.last)
+        val prev = prevGraph.getOrElse(asOf(spark, path, es.last))
         // RowDiff: null-safe whole-row diffs that tolerate map-typed props
         // columns and schema evolution between epochs (both sides are
         // aligned to the union of columns, so the delta parquet carries

@@ -58,10 +58,11 @@ object CdcStreams {
     * just-written delta parquet (O(changed rows)); a full-snapshot commit
     * falls back to the epoch diff (first commit: everything is an add).
     */
-  def commitWithFeed(g: PropertyGraph, path: String, fullEvery: Int = 10): Long = {
+  def commitWithFeed(g: PropertyGraph, path: String, fullEvery: Int = 10,
+      prevGraph: Option[PropertyGraph] = None): Long = {
     val spark = g.nodes.sparkSession
     val before = Epochs.list(spark, path)
-    val epoch = Epochs.commitIncremental(g, path, fullEvery)
+    val epoch = Epochs.commitIncremental(g, path, fullEvery, prevGraph)
 
     // outbox schema IS the delta schema (`chg` add|remove + row columns, the
     // epoch is encoded in the copied file names): a delta commit publishes
@@ -98,7 +99,7 @@ object CdcStreams {
       } else {
         val feed = before.lastOption match {
           case Some(prev) =>
-            val p = Epochs.asOf(spark, path, prev)
+            val p = prevGraph.getOrElse(Epochs.asOf(spark, path, prev))
             val cur = prevOf(PropertyGraph(g.nodes, g.edges))
             val old = prevOf(p)
             graft.core.RowDiff.antiRows(cur, old).withColumn("chg", lit("add"))

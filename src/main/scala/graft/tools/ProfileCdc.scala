@@ -54,7 +54,8 @@ object ProfileCdc {
       }
       time("commit 2 (delta)") {
         graft.streaming.CdcStreams.commitWithFeed(
-          asGraph(base.unionByName(planted)), store)
+          asGraph(base.unionByName(planted)), store,
+          prevGraph = Some(asGraph(base)))
       }
       time("catch-up run (both)") {
         graft.streaming.CdcStreams.incrementalNearDupRun(spark, store, work,
