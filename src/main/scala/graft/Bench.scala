@@ -56,6 +56,8 @@ object Bench {
       graft.graph.TpchGraph.partDag(spark, sfDir).edges.count()
     } catch { case _: Throwable => }
 
+    val startLoadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     var lastClean = System.nanoTime()
     // Per-query time = min over `reps` back-to-back executions. One-shot
@@ -125,8 +127,16 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.abs).sum
+    // environment fingerprint: rep count + machine state, so future rounds
+    // can tell methodology/noise from genuine regression without forensics
+    // (r11's committed 117.9 s vs snapshot 124.7 s was exactly that gap)
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    val envJson =
+      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$envJson,"sf":"$sfDir"}"""
     // The driver captures only a ~2000-char tail of stdout, so a full
     // 180-query JSON line is truncated mid-line and fails its parse (every
     // BENCH_r{N}.json since r7 has "parsed": null). Print a COMPACT line —
@@ -146,7 +156,7 @@ object Bench {
     val headJson = headline.flatMap(n => resMap.get(n).map(v =>
       "\"" + n + "\":" + (math.rint(v * 1000) / 1000))).mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$headJson,"errors":$errJson,"full":"bench_latest.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$headJson,"errors":$errJson,$envJson,"full":"bench_latest.json","sf":"$sfDir"}"""
     println(compact)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), fullLine)
     catch { case _: Throwable => }

@@ -40,6 +40,10 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
   private var prunable: Set[String] = Set.empty
 
   def compile(op: Op.T): DataFrame = {
+    // data-driven cycle-split proposals noted by the frontend (flag off):
+    // evaluated here because the fanout estimate needs the graph; logs
+    // only, never changes the plan
+    graft.frontends.cypher.CycleAdvisor.evaluate(graph.nodes, graph.edges)
     edgeVars.clear()
     prunable =
       if (spark.conf.get("spark.graft.pruneNodeJoins", "true").toBoolean)

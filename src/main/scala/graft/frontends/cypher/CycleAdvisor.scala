@@ -1,0 +1,74 @@
+package graft.frontends.cypher
+
+import org.apache.spark.sql.DataFrame
+
+/** Cost gate for the opt-in cyclic-pattern split (Cypher.scala
+  * `splitCycle`, conf `spark.graft.cypher.cycleSplit`). The reference
+  * never auto-selects its leapfrog operator (planner.rs:2169), so the
+  * split stays default-off for parity — but the decision should still be
+  * data-driven: when a translated pattern QUALIFIES for the split and the
+  * flag is off, the frontend notes it here and the compiler (which has
+  * the graph) evaluates a fanout estimate and LOGS a proposal when the
+  * anchored-arm estimate beats the chain estimate. Never changes a plan.
+  *
+  * Estimate model: average out-fanout f = |E|/|V| from Catalyst
+  * logical-plan statistics (rowCount under CBO, else sizeInBytes over the
+  * schema's default row width — driver-side only, no job). A left-to-right
+  * chain build of an m-hop cycle peaks at ~f^(m-1) rows per anchor row;
+  * the split's two arms peak at ~f^ceil(m/2) each. Proposal fires when
+  * chain > 4 × split — the 4× margin absorbs the estimate's crudeness and
+  * the split's extra mid-join.
+  *
+  * Thread-local hand-off: translation and compilation run on the same
+  * thread (`compiler.compile(CypherFrontend.translateText(q))`), and
+  * per-thread state keeps concurrent sessions from cross-proposing.
+  */
+object CycleAdvisor {
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.cypher.cycleSplit")
+
+  private val pending = new ThreadLocal[List[Int]] {
+    override def initialValue: List[Int] = Nil
+  }
+  private val last = new ThreadLocal[Option[String]] {
+    override def initialValue: Option[String] = None
+  }
+
+  /** Frontend: an m-hop pattern qualified for the split while the flag was
+    * off.
+    */
+  def noteQualifying(hops: Int): Unit = pending.set(hops :: pending.get)
+
+  /** The most recent proposal logged on this thread (spec hook). */
+  def lastProposal: Option[String] = last.get
+
+  private def approxRows(df: DataFrame): Double = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toDouble).getOrElse(
+      stats.sizeInBytes.toDouble / math.max(1, df.schema.defaultSize))
+  }
+
+  /** Compiler: evaluate any pending qualifying patterns against the graph
+    * being compiled; log (never enable) when the split estimate wins.
+    */
+  def evaluate(nodes: DataFrame, edges: DataFrame): Unit = {
+    val qs = pending.get
+    if (qs.isEmpty) return
+    pending.set(Nil)
+    val f = math.max(1.0,
+      math.max(1.0, approxRows(edges)) / math.max(1.0, approxRows(nodes)))
+    qs.foreach { m =>
+      val chain = math.pow(f, m - 1.0)
+      // the two arms peak at f^ceil(m/2) and f^floor(m/2) (the split point
+      // is k = m/2 rounded down; the larger arm dominates)
+      val split = math.pow(f, math.ceil(m / 2.0)) + math.pow(f, m / 2)
+      if (chain > 4.0 * split) {
+        val msg =
+          f"cycle-split proposal: $m%d-hop cyclic pattern, est. fanout $f%.1f — " +
+            f"chain build peaks ~f^${m - 1}%d vs split arms ~2·f^${math.ceil(m / 2.0).toInt}%d; " +
+            "set spark.graft.cypher.cycleSplit=true to enable (kept off for reference parity)"
+        log.info(msg)
+        last.set(Some(msg))
+      }
+    }
+  }
+}

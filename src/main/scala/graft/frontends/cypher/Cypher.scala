@@ -950,7 +950,14 @@ object CypherFrontend {
             .contains("true"))
         val plainPaths = paths.filter(_.shortest.isEmpty)
         val effPaths =
-          if (cycleSplitOn) plainPaths.flatMap(splitCycle) else plainPaths
+          if (cycleSplitOn) plainPaths.flatMap(splitCycle)
+          else {
+            // flag off: note patterns that WOULD split so the compiler can
+            // log a data-driven proposal (CycleAdvisor) — no plan change
+            plainPaths.foreach(p =>
+              if (splitCycle(p).size == 2) CycleAdvisor.noteQualifying(p.tail.size))
+            plainPaths
+          }
 
         for (path <- effPaths) {
           val nodeVars = (path.head.v.toSeq ++ path.tail.flatMap(_._2.v)).toSet

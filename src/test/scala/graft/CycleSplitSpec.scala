@@ -54,6 +54,25 @@ class CycleSplitSpec extends AnyFunSuite {
       s"split plan must add the arm-merge join: chain=$chain split=$split")
   }
 
+  test("flag off logs a data-driven split proposal, plan unchanged") {
+    // the TPC-H graph's fanout (|E|/|V| ≈ 7) makes the 5-hop chain
+    // estimate f^4 beat the split estimate f^3 + f^2 by ~f — the advisor
+    // must log a proposal when the flag is off, and must NOT touch the plan
+    val off = run(split = false)
+    val prop = graft.frontends.cypher.CycleAdvisor.lastProposal
+    assert(prop.isDefined, "qualifying cycle under the off flag must propose")
+    assert(prop.get.contains("5-hop") && prop.get.contains("cycleSplit=true"))
+    assert(off.nonEmpty)
+    // acyclic patterns must not propose
+    val sess = new GraftSession(spark, TpchGraph(spark, sf))
+    sess.cypher(
+      """MATCH (s:Supplier)-[:FROM_NATION]->(n:Nation)
+        |RETURN count(*) AS n""".stripMargin).collect()
+    // lastProposal is per-thread and sticky; drain by noting nothing new —
+    // assert via a fresh marker instead: the acyclic compile left it as-is
+    assert(graft.frontends.cypher.CycleAdvisor.lastProposal == prop)
+  }
+
   test("non-cyclic and short-cycle patterns are untouched by the flag") {
     spark.conf.set("spark.graft.cypher.cycleSplit", "true")
     try {
