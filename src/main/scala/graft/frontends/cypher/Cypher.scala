@@ -918,9 +918,12 @@ object CypherFrontend {
         // filtered anchor instead of to the unfiltered far side.
         def splitCycle(p: PathPat): Seq[PathPat] = {
           val m = p.tail.size
+          // length guard FIRST: init/last below throw on an empty tail, and
+          // the advisor path probes every plain pattern, bare nodes included
+          if (p.pathVar.nonEmpty || m < 4) return Seq(p)
           val innerVars = p.head.v.toSeq ++ p.tail.init.flatMap(_._2.v)
           val last = p.tail.last._2
-          val ok = p.pathVar.isEmpty && m >= 4 &&
+          val ok =
             p.tail.forall(_._1.range.isEmpty) &&
             p.head.v.isDefined && last.v == p.head.v &&
             last.label.isEmpty && last.extraLabels.isEmpty && last.props.isEmpty &&
