@@ -10,6 +10,8 @@ import graft.graph.PropertyGraph
   */
 object Algo2QueriesImpl {
 
+  private val DagSql = AlgoQueriesImpl.DagSql
+
   /** Forward-only same-brand chain graph (k → k+1 when brands match). */
   private def brandChain(s: org.apache.spark.sql.SparkSession, dir: String): PropertyGraph = {
     val p = Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_brand").as("brand"))
@@ -191,6 +193,110 @@ object Algo2QueriesImpl {
       val (flow, cst) = BoundedAlgos.minCostMaxFlow(weighted, col("id") < 100,
         source = 1L, sink = 50L, costOf = (_, _) => 1.0, maxNodes = 100)
       Seq((flow, cst)).toDF("maxflow", "mincost")
+    },
+
+    // Link prediction (docs/algorithms/link-prediction.md — the reference
+    // delegates to NetworkX; graft.algos.LinkPrediction computes all six
+    // measures natively over the d=2 frontier). Top-100 by common-neighbor
+    // count with an integer total order, so no float enters the cut.
+    QueryDef(
+      "q_link_pred",
+      s"""WITH $DagSql,
+        |ud AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM dag WHERE src <> dst),
+        |adj AS (SELECT a AS node, b AS nbr FROM ud UNION ALL SELECT b, a FROM ud),
+        |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+        |wedge AS (SELECT l.node AS u, r.node AS v, l.nbr AS w
+        |          FROM adj l JOIN adj r ON r.nbr = l.nbr AND l.node < r.node),
+        |pairs AS (SELECT u, v, count(*) AS cn,
+        |                 sum(1.0/ln(dw.d)) AS aa, sum(1.0/dw.d) AS ra
+        |          FROM wedge JOIN deg dw ON dw.node = wedge.w GROUP BY u, v),
+        |cand AS (SELECT p.u, p.v, p.cn, p.aa, p.ra FROM pairs p
+        |         WHERE NOT EXISTS (SELECT 1 FROM ud e WHERE e.a = p.u AND e.b = p.v)),
+        |nn AS (SELECT count(*) AS n FROM part)
+        |SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
+        |       CAST(c.cn AS BIGINT) AS cn,
+        |       round(c.cn * 1.0 / (du.d + dv.d - c.cn), 6) AS jaccard,
+        |       round(c.aa, 6) AS adamic_adar,
+        |       round(c.ra, 6) AS resource_alloc,
+        |       CAST(du.d * dv.d AS BIGINT) AS pref_attach,
+        |       round(0.8 * c.cn + 0.2 * nn.n / 2.0, 6) AS ccpa
+        |FROM cand c JOIN deg du ON du.node = c.u JOIN deg dv ON dv.node = c.v
+        |CROSS JOIN nn
+        |ORDER BY cn DESC, u NULLS FIRST, v NULLS FIRST
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val g = graft.graph.TpchGraph.partDag(s, dir)
+      graft.algos.LinkPrediction.scores(g, nodeCount = g.nodes.count())
+        .orderBy(col("cn").desc, col("u"), col("v"))
+        .limit(100)
+    },
+
+    // Whole-graph summary (examples/networkx_integration.py: density,
+    // transitivity, diameter, average shortest-path length) on the
+    // undirected part DAG <= 80 — diameter/avg-path are APSP reductions,
+    // run on the bounded subgraph like the reference's NetworkX round-trip;
+    // density and transitivity come from distributed aggregates.
+    QueryDef(
+      "q_graph_stats",
+      """WITH RECURSIVE dag AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.p_partkey AS src, b.p_partkey AS dst
+        |    FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1
+        |    UNION ALL
+        |    SELECT a.p_partkey, b.p_partkey
+        |    FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey + 1 AND a.p_partkey >= 1
+        |    UNION ALL
+        |    SELECT a.p_partkey, b.p_partkey
+        |    FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |  ) WHERE src <= 80 AND dst <= 80
+        |),
+        |ud AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM dag WHERE src <> dst),
+        |adj AS (SELECT a AS node, b AS nbr FROM ud UNION ALL SELECT b, a FROM ud),
+        |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+        |tri AS (SELECT e1.a AS x FROM ud e1 JOIN ud e2 ON e2.a = e1.b
+        |        JOIN ud e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |walk(src, dst, dd) AS (
+        |  SELECT node, nbr, 1 FROM adj
+        |  UNION
+        |  SELECT w.src, a.nbr, w.dd + 1 FROM walk w JOIN adj a ON a.node = w.dst
+        |  WHERE w.dd < 31
+        |),
+        |best AS (SELECT src, dst, min(dd) AS dist FROM walk WHERE src <> dst
+        |         GROUP BY src, dst),
+        |agg AS (SELECT (SELECT count(*) FROM part WHERE p_partkey <= 80) AS n,
+        |               (SELECT count(*) FROM ud) AS m,
+        |               (SELECT 3.0 * count(*) FROM tri) AS tri3,
+        |               (SELECT sum(d * (d - 1)) / 2.0 FROM deg) AS wedges,
+        |               (SELECT max(dist) FROM best) AS diam,
+        |               (SELECT avg(dist) FROM best) AS avgp)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+        |       round(2.0 * m / (n * (n - 1.0)), 6) AS density,
+        |       round(tri3 / wedges, 6) AS transitivity,
+        |       CAST(diam AS BIGINT) AS diameter,
+        |       round(avgp, 6) AS avg_path
+        |FROM agg
+        |ORDER BY n NULLS FIRST""".stripMargin) { (s, dir) =>
+      val base = graft.graph.TpchGraph.partDagCapped(s, dir, 80)
+      val sym = base.copy(edges = base.edges
+        .select(col("src"), col("dst"), col("rel"), lit(1.0).as("weight"))
+        .unionByName(base.edges.select(col("dst").as("src"),
+          col("src").as("dst"), col("rel"), lit(1.0).as("weight"))))
+      val dists = BoundedAlgos.floydWarshall(s, sym, lit(true), maxNodes = 100)
+      val adj = graft.algos.LinkPrediction.undirectedAdj(base)
+      // four 1-row frames combined — each crossJoin is a broadcast of one row
+      val nRow = base.nodes.agg(count(lit(1)).as("n"))
+      val mRow = adj.agg((count(lit(1)) / 2).cast("long").as("m"))
+      val gc = graft.algos.Algos.globalClustering(s, base)
+      val dRow = dists.agg(max(col("dist")).cast("long").as("diameter"),
+        round(avg(col("dist")), 6).as("avg_path"))
+      nRow.crossJoin(mRow).crossJoin(gc).crossJoin(dRow)
+        .select(col("n"), col("m"),
+          round(lit(2.0) * col("m") / (col("n") * (col("n") - lit(1.0))), 6)
+            .as("density"),
+          col("global_coeff").as("transitivity"),
+          col("diameter"), col("avg_path"))
+        .orderBy("n")
     },
   )
 }

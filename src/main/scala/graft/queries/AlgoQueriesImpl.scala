@@ -13,7 +13,7 @@ import graft.graph.{PropertyGraph, TpchGraph}
   */
 object AlgoQueriesImpl {
 
-  private val DagSql =
+  private[queries] val DagSql =
     """dag AS (
       |  SELECT a.p_partkey AS src, b.p_partkey AS dst
       |  FROM part a JOIN part b ON b.p_partkey = 2*a.p_partkey AND a.p_partkey >= 1

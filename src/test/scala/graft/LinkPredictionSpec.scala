@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algos.LinkPrediction
+import graft.graph.PropertyGraph
+
+/** LinkPrediction.scores against hand-computed NetworkX formulas on a
+  * five-node fixture: triangle 1-2-3 plus tail 3-4-5.
+  *
+  *   Γ(1)={2,3} Γ(2)={1,3} Γ(3)={1,2,4} Γ(4)={3,5} Γ(5)={4}
+  *
+  * Candidate (non-adjacent, ≥1 common neighbor) pairs: (1,4) and (2,4)
+  * through center 3, (3,5) through center 4.
+  */
+class LinkPredictionSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def fixture: PropertyGraph = {
+    // edge direction and duplicates must not matter: 2->1 is reversed,
+    // 3-4 appears twice (once per direction)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("L").as("rel"), lit(1.0).as("weight"))
+    val nodes = (1L to 5L).toDF("id")
+      .select(col("id"), array(lit("N")).as("labels"))
+    PropertyGraph(nodes, edges)
+  }
+
+  test("scores match NetworkX formulas on the hand-computed fixture") {
+    val out = LinkPrediction.scores(fixture, nodeCount = 5L)
+      .orderBy("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out.toSeq == Seq(
+      // (1,4): center 3 (deg 3); jaccard 1/(2+2-1); ccpa .8*1+.2*5/2
+      (1L, 4L, 1L, r6(1.0 / 3), r6(1 / math.log(3)), r6(1.0 / 3), 4L, 1.3),
+      (2L, 4L, 1L, r6(1.0 / 3), r6(1 / math.log(3)), r6(1.0 / 3), 4L, 1.3),
+      // (3,5): center 4 (deg 2); jaccard 1/(3+1-1)
+      (3L, 5L, 1L, r6(1.0 / 3), r6(1 / math.log(2)), 0.5, 3L, 1.3)))
+  }
+
+  test("maxWedgeDegree excludes hub centers but keeps the rest exact") {
+    val out = LinkPrediction.scores(fixture, nodeCount = 5L, maxWedgeDegree = 2)
+      .select("u", "v").as[(Long, Long)].collect().toSet
+    // center 3 (deg 3) is over the cap -> (1,4) and (2,4) drop; (3,5) stays
+    assert(out == Set((3L, 5L)))
+  }
+
+  test("no cartesian product in the scores plan") {
+    val plan = LinkPrediction.scores(fixture, nodeCount = 5L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
