@@ -185,18 +185,21 @@ object Curation {
         explode(transform(ngrams(col(textCol), n), s => xxhash64(s)))
           .as("__h"))
     // a doc repeating its own span twice must not count as cross-doc:
-    // distinct (hash, doc) first, then docs-per-span. crossDoc carries a
-    // hit marker so BOTH per-doc counts come out of ONE aggregation over a
-    // single pass of the exploded frame (the corpus tokenize+explode is the
-    // dominant cost — two scans total, not three)
-    val crossDoc = win.distinct().groupBy("__h")
-      .agg(count(lit(1)).as("__docs"))
-      .filter(col("__docs") >= 2)
-      .select(col("__h"), lit(1L).as("__hit"))
-    win.join(crossDoc, Seq("__h"), "left_outer")
+    // docs-per-span is computed over distinct (doc, hash). ONE pass over
+    // the tokenized corpus (tokenize+explode is the dominant cost):
+    // pre-aggregate occurrence counts per (doc, hash) — map-side partial
+    // aggregation shrinks the explode volume before it ever shuffles —
+    // then docs-per-span is a count over the already-distinct rows
+    // (window keyed on the hash; per-key width = docs sharing the span),
+    // and the per-doc rollup weighs each span by its occurrence count.
+    import org.apache.spark.sql.expressions.Window
+    win.groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__docs", count(lit(1)).over(Window.partitionBy("__h")))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_windows"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_repeated"))
+      .agg(sum(col("__c")).as("n_windows"),
+        sum(when(col("__docs") >= 2, col("__c")).otherwise(lit(0L)))
+          .as("n_repeated"))
   }
 
   // ---- paragraph-level dedup (MassiveText/Gopher pipeline op) --------

@@ -173,6 +173,59 @@ object GraphIO {
     TripleGraph(spark.read.schema(stringSchema("s", "p", "o")).json(path)
       .select("s", "p", "o"))
 
+  // ---- NetworkX-style interchange (reference `as_networkx` adapter,
+  // docs/algorithms/link-prediction.md:14, examples/networkx_integration.py;
+  // the algorithms the reference runs through that adapter are native here —
+  // algos/LinkPrediction, Algos.globalClustering — these exports exist for
+  // the remaining "hand the graph to an external library" escape hatch) ----
+
+  /** Distributed edge-list export readable by `networkx.read_edgelist`
+    * (one `src<TAB>dst<TAB>rel<TAB>weight` line per edge). Unbounded: the
+    * write is a plain distributed text write; collapsing the result into a
+    * single-process library is the consumer's decision, not this export's.
+    */
+  def exportEdgeList(g: PropertyGraph, path: String): Unit =
+    g.edges.select(concat_ws("\t",
+        col("src"), col("dst"),
+        coalesce(col("rel"), lit("")),
+        coalesce(col("weight").cast("string"), lit("1.0"))).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
+  /** Node-link JSON (the `networkx.node_link_graph` / d3 interchange
+    * format) for a BOUNDED graph. NetworkX is single-process, so this
+    * export is gated like BoundedAlgos: it refuses beyond `maxNodes`
+    * nodes or 4× that many edges instead of silently collecting a
+    * corpus-scale graph onto the driver.
+    */
+  def toNodeLinkJson(g: PropertyGraph, maxNodes: Int = 100000): String = {
+    import graft.graph.LocalGraph
+    require(LocalGraph.atMost(g.nodes, maxNodes),
+      s"node-link export bounded to $maxNodes nodes — run the algorithms natively instead")
+    require(LocalGraph.atMost(g.edges, 4L * maxNodes),
+      s"node-link export bounded to ${4L * maxNodes} edges — run the algorithms natively instead")
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val nodes = g.nodes.select(col("id"), col("labels")).collect().map { r =>
+      val labels = Option(r.getSeq[String](1)).getOrElse(Seq.empty)
+      s"""{"id":${r.getLong(0)},"labels":[${labels.map(l => "\"" + esc(l) + "\"").mkString(",")}]}"""
+    }
+    val links = g.edges
+      .select(col("src"), col("dst"), col("rel"),
+        coalesce(col("weight"), lit(1.0)).as("weight"))
+      .collect().map { r =>
+        val rel = Option(r.getString(2)).map(v => "\"" + esc(v) + "\"").getOrElse("null")
+        s"""{"source":${r.getLong(0)},"target":${r.getLong(1)},"rel":$rel,"weight":${r.getDouble(3)}}"""
+      }
+    s"""{"directed":true,"multigraph":true,"nodes":[${nodes.mkString(",")}],"links":[${links.mkString(",")}]}"""
+  }
+
   def saveQuads(q: QuadStore, path: String): Unit =
     q.quads.write.mode(SaveMode.Overwrite).partitionBy("g")
       .parquet(s"$path/quads")

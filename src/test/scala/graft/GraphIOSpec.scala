@@ -302,4 +302,36 @@ class GraphIOSpec extends AnyFunSuite {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("edge-list export writes one parseable line per edge") {
+    val g = TpchGraph.partDagCapped(spark, sf, 50)
+    val dir = tmp()
+    GraphIO.exportEdgeList(g, dir)
+    val lines = spark.read.text(dir)
+    assert(lines.count() == g.edges.count())
+    val parts = lines.select(split(col("value"), "\t").as("f"))
+      .select(col("f")(0).cast("long").as("src"), col("f")(1).cast("long").as("dst"),
+        col("f")(2).as("rel"), col("f")(3).cast("double").as("w"))
+    assert(parts.filter(col("src").isNull || col("dst").isNull || col("w").isNull)
+      .count() == 0)
+    // content matches the graph's edge bag
+    val back = parts.select(col("src"), col("dst"))
+    assert(back.join(g.edges.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      .count() == 0)
+  }
+
+  test("node-link JSON round-trips through a JSON reader and bounds enforce") {
+    val g = TpchGraph.partDagCapped(spark, sf, 20)
+    val json = GraphIO.toNodeLinkJson(g, maxNodes = 100)
+    val parsed = spark.read.json(Seq(json).toDS())
+    val row = parsed.select(size(col("nodes")).as("n"), size(col("links")).as("m"),
+      col("directed")).collect().head
+    assert(row.getInt(0) == g.nodes.count())
+    assert(row.getInt(1) == g.edges.count())
+    assert(row.getBoolean(2))
+    val err = intercept[IllegalArgumentException] {
+      GraphIO.toNodeLinkJson(g, maxNodes = 3)
+    }
+    assert(err.getMessage.contains("bounded"))
+  }
 }
