@@ -157,12 +157,16 @@ object Extra2QueriesImpl {
         deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
         insertTpl = Seq(TriplePattern(V("c"), L("segment"), L("RETAIL"))))
         .triples.localCheckpoint())
-      val e1 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(m1, path)
+      // each commit diffs against the caller's checkpointed copy of the
+      // head instead of re-reading + replaying it from parquet
+      val e1 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(m1, path,
+        prevTriples = Some(seg))
       val m2 = TripleGraph(m1.modify(
         where = Seq(TriplePattern(V("c"), L("segment"), L("MACHINERY"))),
         deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("MACHINERY"))),
         insertTpl = Seq.empty).triples.localCheckpoint())
-      val e2 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(m2, path)
+      val e2 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(m2, path,
+        prevTriples = Some(m1))
       // All nine counts in ONE union+group-by job: each epoch's replayed
       // chain is tagged and unioned, so the delta replay runs once per
       // epoch inside a single action (the per-epoch count loop was 12

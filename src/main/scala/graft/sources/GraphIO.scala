@@ -414,12 +414,18 @@ object GraphIO {
       * as-of replay to < `fullEvery` delta applications.
       */
     def commitTriplesIncremental(g: TripleGraph, path: String,
-        fullEvery: Int = 10): Long = {
+        fullEvery: Int = 10,
+        prevTriples: Option[TripleGraph] = None): Long = {
       val spark = g.triples.sparkSession
       val es = list(spark, path)
       if (es.isEmpty || (es.last + 1) % fullEvery == 0) commitTriples(g, path)
       else {
-        val prev = asOfTriples(spark, path, es.last).triples
+        // prevTriples: the caller's in-memory copy of the current epoch
+        // head — skips the parquet read-back + delta replay before the
+        // diff, exactly like [[commitIncremental]]'s prevGraph (same
+        // single-writer contract; a stale prev produces a wrong delta)
+        val prev = prevTriples.map(_.triples)
+          .getOrElse(asOfTriples(spark, path, es.last).triples)
         val key = Seq("s", "p", "o")
         commitTriplesDelta(spark, path,
           adds = g.triples.join(prev, key, "left_anti"),
