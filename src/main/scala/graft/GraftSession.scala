@@ -300,6 +300,12 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     */
   def queryScalar(query: String): Any = gql(query).head().get(0)
 
+  /** Algorithms facade over this session's graph (reference
+    * `db.algorithms()`, docs/algorithms/index.md:78).
+    */
+  def algorithms: graft.algos.GraphAlgorithms =
+    new graft.algos.GraphAlgorithms(spark, graph)
+
   /** `DatabaseStats` as one row per metric (reference database.rs:1318
     * `detailed_stats`; shape admin.rs:51).
     */

@@ -81,6 +81,68 @@ object Algos {
     ranks
   }
 
+  /** Eigenvector centrality (reference docs/algorithms/centrality.md:80 —
+    * documented `algs.eigenvector_centrality()` API; the reference's native
+    * centrality.rs does not implement it, its NetworkX adapter serves it).
+    * `iters` unnormalized power-iteration steps x_{t+1} = A·x_t over the
+    * undirected simple adjacency from x_0 = 1, then ONE final L2
+    * normalization. The accumulator stays an exact integer (a sum of
+    * neighbor counts bounded by maxDeg^iters · n, far under 2^53), so the
+    * distributed sum order cannot perturb a single bit and the DuckDB
+    * oracle's unrolled CTE chain matches hash-exactly — the same
+    * determinism trick as q_pagerank, strengthened from rounding to
+    * exactness. One join + one aggregate per iteration.
+    */
+  def eigenvectorCentrality(g: PropertyGraph, iters: Int = 4): DataFrame = {
+    val spark = g.nodes.sparkSession
+    val nodes = g.nodes.select(col("id")).distinct().persist()
+    val adj = LinkPrediction.undirectedAdj(g).persist()
+    // Adaptive strategy (same gate as pageRankDF): a broadcast-sized graph
+    // runs every iteration in one job with the identical integer recursion.
+    val maxE = LocalGraph.maxEdges(spark)
+    if (LocalGraph.atMost(adj, maxE) && LocalGraph.atMost(nodes, maxE)) {
+      import spark.implicits._
+      val nArr = nodes.collect().map(_.getLong(0))
+      val aArr = adj.collect().map(r => (r.getLong(0), r.getLong(1)))
+      Seq(nodes, adj).foreach(_.unpersist(blocking = false))
+      var xm = new java.util.HashMap[Long, Long]()
+      nArr.foreach(xm.put(_, 1L))
+      for (_ <- 1 to iters) {
+        val next = new java.util.HashMap[Long, Long]()
+        nArr.foreach(next.put(_, 0L))
+        aArr.foreach { case (v, u) =>
+          next.merge(v, xm.getOrDefault(u, 0L), (a, b) => a + b)
+        }
+        xm = next
+      }
+      val xs = nArr.map(v => xm.get(v).longValue())
+      val n = math.max(math.sqrt(xs.map(x => x.toDouble * x).sum), 1.0)
+      return nArr.zip(xs)
+        // HALF_UP to match the distributed branch's round() (HALF_EVEN
+        // rint would diverge from the oracle at exact half-boundaries)
+        .map { case (v, x) => (v, BigDecimal(x / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .toSeq.toDF("id", "score")
+    }
+    var x = nodes.withColumn("x", lit(1L))
+    for (_ <- 1 to iters) {
+      val sums = adj
+        .join(x.select(col("id").as("nbr"), col("x")), "nbr")
+        .groupBy(col("node").as("id"))
+        .agg(sum(col("x")).as("s"))
+      x = nodes.join(sums, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("x"))
+        .localCheckpoint()
+    }
+    val norm = x.agg(sqrt(sum(col("x") * col("x")).cast("double")).as("__n"))
+    val out = x.crossJoin(norm) // 1-row broadcast
+      .select(col("id"),
+        round(col("x").cast("double") / greatest(col("__n"), lit(1.0)), 6)
+          .as("score"))
+    Seq(nodes, adj).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Connected components via GraphX (reference components.rs:95) —
     * small-star/large-star style label convergence; returns the minimum
     * vertex id per component (GraphX contract).

@@ -35,6 +35,16 @@ object AlgoQueriesImpl {
        |LEFT JOIN outdeg o ON o.src = e.src
        |GROUP BY n.id""".stripMargin
 
+  /** One integer power-iteration step as SQL, from table `prev`:
+    * x(v) = Σ_{u ∈ N(v)} prev.x(u) over the undirected adjacency.
+    */
+  private def evIter(prev: String): String =
+    s"""SELECT n.id AS id, CAST(coalesce(sum($prev.x), 0) AS BIGINT) AS x
+       |FROM nodes n
+       |LEFT JOIN adj a ON a.node = n.id
+       |LEFT JOIN $prev ON $prev.id = a.nbr
+       |GROUP BY n.id""".stripMargin
+
   /** Disjoint 5-cliques over part keys (group = ⌊k/5⌋; keys are 0..n−1 with
     * 5 | n at every SF, so every group is a full clique of 5). Community
     * detection converges provably here: synchronous Louvain/LPA reach
@@ -69,6 +79,30 @@ object AlgoQueriesImpl {
         |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
       Algos.pageRankDF(TpchGraph.partDag(s, dir), iters = 3)
         .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
+    },
+
+    // Eigenvector centrality (docs/algorithms/centrality.md:80 — documented
+    // API the reference serves via NetworkX; native here). Integer power
+    // iteration keeps every pre-normalization value exact, so the hash
+    // match needs no rounding tolerance at any SF.
+    QueryDef(
+      "q_eigenvector",
+      s"""WITH $DagSql,
+        |ud AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM dag WHERE src <> dst),
+        |adj AS (SELECT a AS node, b AS nbr FROM ud UNION ALL SELECT b, a FROM ud),
+        |nodes AS (SELECT CAST(p_partkey AS BIGINT) AS id FROM part),
+        |x0 AS (SELECT id, CAST(1 AS BIGINT) AS x FROM nodes),
+        |x1 AS (${evIter("x0")}),
+        |x2 AS (${evIter("x1")}),
+        |x3 AS (${evIter("x2")}),
+        |x4 AS (${evIter("x3")}),
+        |norm AS (SELECT sqrt(CAST(sum(x * x) AS DOUBLE)) AS s FROM x4)
+        |SELECT id, round(CAST(x AS DOUBLE) / greatest(s, 1.0), 6) AS score
+        |FROM x4 CROSS JOIN norm
+        |ORDER BY id NULLS FIRST""".stripMargin) { (s, dir) =>
+      Algos.eigenvectorCentrality(TpchGraph.partDag(s, dir), iters = 4)
         .orderBy("id")
     },
 

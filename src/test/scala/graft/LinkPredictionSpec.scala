@@ -49,6 +49,38 @@ class LinkPredictionSpec extends AnyFunSuite {
     assert(out == Set((3L, 5L)))
   }
 
+  test("eigenvector centrality matches the hand-run integer power iteration") {
+    // x0=1; x1=deg=(2,2,3,2,1); x2=(5,5,6,4,2); x3=(11,11,14,8,4);
+    // x4=(25,25,30,18,8); norm=sqrt(2538)
+    val expectedX4 = Seq(25L, 25L, 30L, 18L, 8L)
+    val norm = math.sqrt(expectedX4.map(x => x * x).sum.toDouble)
+    val expected = expectedX4.map(x => math.rint(x / norm * 1e6) / 1e6)
+    val out = graft.algos.Algos.eigenvectorCentrality(fixture, iters = 4)
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(out == expected)
+    // the triangle's highest-degree member dominates; the tail end trails
+    assert(out(2) == out.max && out(4) == out.min)
+    // distributed branch (forced via the maxEdges gate) is bit-identical
+    spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, "0")
+    try {
+      val dist = graft.algos.Algos.eigenvectorCentrality(fixture, iters = 4)
+        .orderBy("id").collect().map(_.getDouble(1)).toSeq
+      assert(dist == expected)
+    } finally spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
+  }
+
+  test("algorithms facade delegates over the session graph") {
+    val sess = new GraftSession(spark, fixture)
+    assert(sess.algorithms.nodeCount() == 5L)
+    assert(sess.algorithms.edgeCount() == 6L)
+    val deg = sess.algorithms.degreeCentrality().orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(deg == Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 2L), (5L, 1L)))
+    val lp = sess.algorithms.linkPrediction().count()
+    assert(lp == 3L)
+    assert(sess.algorithms.eigenvectorCentrality().count() == 5L)
+  }
+
   test("no cartesian product in the scores plan") {
     val plan = LinkPrediction.scores(fixture, nodeCount = 5L)
       .queryExecution.executedPlan.toString
