@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
@@ -196,6 +197,67 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pass word n-gram repetition counters of a text:
+  * struct(total, ndistinct, top) where `total` = number of n-grams
+  * (len − n + 1, 0 when shorter), `ndistinct` = distinct n-grams, `top` =
+  * occurrence count of the most frequent n-gram. Exact integers — the same
+  * values the split/transform/array_distinct/filter HOF chain produces
+  * (RepetitionSpec pins equality), at O(grams) per row instead of
+  * O(grams²) interpreted lambdas. Split semantics match `split(text, " ")`
+  * (single-space separators, empty tokens kept), like [[WordShingles]].
+  */
+case class GramStats(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_stats requires string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", IntegerType, nullable = false),
+    StructField("ndistinct", IntegerType, nullable = false),
+    StructField("top", IntegerType, nullable = false)))
+  override def prettyName: String = "gram_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashExpressions.gramStatsEval(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashExpressions.gramStatsEval($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** xxHash64 (seed 42 — Spark's `xxhash64` convention) of every word n-gram
+  * of a text, in occurrence order with duplicates kept: the native
+  * replacement for `transform(ngrams(text, n), s => xxhash64(s))`, which
+  * materializes every gram string through two interpreted lambda layers.
+  * One split pass, one StringBuilder reused across grams; bit-identical to
+  * hashing the joined gram strings (pinned in RepetitionSpec).
+  */
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes requires string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashExpressions.gramHashesEval(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashExpressions.gramHashesEval($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextHashExpressions {
   import GraftColumnBridge.{toColumn, toExpression}
   def minHashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
@@ -204,6 +266,82 @@ object TextHashExpressions {
     toColumn(SimHash64Expr(toExpression(words)))
   def wordShingles(text: Column, n: Int): Column =
     toColumn(WordShingles(toExpression(text), n))
+
+  def gramStats(text: Column, n: Int): Column =
+    toColumn(GramStats(toExpression(text), n))
+
+  def gramHashes(text: Column, n: Int): Column =
+    toColumn(GramHashes(toExpression(text), n))
+
+  /** Shared by interpreted eval and generated code. */
+  def gramHashesEval(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val words = new java.util.ArrayList[String]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        words.add(s.substring(start, i)); start = i + 1
+      }
+      i += 1
+    }
+    val nw = words.size
+    val total = nw - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](total)
+    val sb = new java.lang.StringBuilder()
+    var k = 0
+    while (k < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.get(k + j))
+        j += 1
+      }
+      val g = UTF8String.fromString(sb.toString)
+      out(k) = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Shared by interpreted eval and generated code. One split pass, one
+    * counting pass over a string-keyed hash map (exact, no hash-collision
+    * conflation — `top`/`ndistinct` feed correctness-gated screens).
+    */
+  def gramStatsEval(text: UTF8String, n: Int): InternalRow = {
+    val s = text.toString
+    val words = new java.util.ArrayList[String]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        words.add(s.substring(start, i)); start = i + 1
+      }
+      i += 1
+    }
+    val nw = words.size
+    val total = nw - n + 1
+    if (total <= 0) return new GenericInternalRow(Array[Any](0, 0, 0))
+    val counts = new java.util.HashMap[String, Int](total * 2)
+    val sb = new java.lang.StringBuilder()
+    var top = 0
+    var k = 0
+    while (k < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.get(k + j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > top) top = c
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](total, counts.size, top))
+  }
 
   /** Shared by interpreted eval and generated code (static forwarder makes
     * it callable from codegen'd Java).

@@ -103,13 +103,20 @@ object Curation {
     * contaminated training doc.
     */
   def contaminated(train: DataFrame, bench: DataFrame, textCol: String,
-      idCol: String, n: Int = 8): DataFrame =
-    train.select(col(idCol), explode(ngrams(col(textCol), n)).as("gram"))
+      idCol: String, n: Int = 8): DataFrame = {
+    // n_hits counts DISTINCT matched grams per doc, so both sides can
+    // explode the codegen'd distinct-shingle set (WordShingles, one pass
+    // per row) instead of the interpreted all-occurrences HOF chain —
+    // identical result, strictly fewer exploded rows.
+    val shingles = (t: Column) =>
+      graft.functions.TextHashExpressions.wordShingles(t, n)
+    train.select(col(idCol), explode(shingles(col(textCol))).as("gram"))
       .join(broadcast(
-        bench.select(explode(ngrams(col(textCol), n)).as("gram")).distinct()),
+        bench.select(explode(shingles(col(textCol))).as("gram")).distinct()),
         Seq("gram"))
       .groupBy(idCol)
       .agg(countDistinct(col("gram")).as("n_hits"))
+  }
 
   // ---- within-document repetition screens (Gopher §A1.1 rules 5-8) ---
 
@@ -132,14 +139,21 @@ object Curation {
     val toks = TextAnalysis.tokenCount(col(textCol))
     val gramsCol = ngrams(col(textCol), n)
     val base = docs.filter(toks >= n)
+    // Short docs: ONE codegen'd pass per row (GramStats — exact integer
+    // counters, no hash conflation). The previous HOF form
+    // (transform(array_distinct, g => size(filter(…)))) evaluated O(grams²)
+    // interpreted lambdas per row; at sf0.1's single-file scan that ran one
+    // task for 2.2 s. Both forms divide the same exact integers, so the
+    // branch routing stays bit-identical (RepetitionSpec pins all three
+    // formulations equal).
+    val st = graft.functions.TextHashExpressions.gramStats(col(textCol), n)
     val short = base.filter(toks < longDocTokens)
-      .withColumn("__grams", gramsCol)
+      .withColumn("__st", st)
       .withColumn("dupfrac", lit(1.0) -
-        size(array_distinct(col("__grams"))).cast("double") / size(col("__grams")))
-      .withColumn("topfrac", array_max(transform(array_distinct(col("__grams")),
-        g => size(filter(col("__grams"), x => x === g)))).cast("double") /
-        size(col("__grams")))
-      .drop("__grams")
+        col("__st.ndistinct").cast("double") / col("__st.total"))
+      .withColumn("topfrac",
+        col("__st.top").cast("double") / col("__st.total"))
+      .drop("__st")
     val long = base.filter(toks >= longDocTokens)
     val longStats = long.select(col(idCol), explode(gramsCol).as("__gram"))
       .groupBy(col(idCol), col("__gram")).agg(count(lit(1)).as("__cnt"))
@@ -180,9 +194,11 @@ object Curation {
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
+    // native one-pass gram hashing (GramHashes) — the transform(ngrams, …)
+    // HOF chain materialized every span string through interpreted lambdas
     val win = docs
       .select(col(idCol),
-        explode(transform(ngrams(col(textCol), n), s => xxhash64(s)))
+        explode(graft.functions.TextHashExpressions.gramHashes(col(textCol), n))
           .as("__h"))
     // a doc repeating its own span twice must not count as cross-doc:
     // docs-per-span is computed over distinct (doc, hash). ONE pass over

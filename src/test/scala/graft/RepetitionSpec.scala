@@ -51,4 +51,55 @@ class RepetitionSpec extends AnyFunSuite {
     assert(byId(2L)._1 == 0.0, "all-distinct doc has zero duplicate-gram fraction")
     assert(byId(1L)._1 > 0.05, "mildly repetitive doc exceeds the dupfrac threshold")
   }
+
+  test("GramStats counters match the HOF formulation on adversarial tokenizations") {
+    // double/leading/trailing spaces (empty tokens KEPT, like split(text,' ')),
+    // unicode, repeated unicode grams, exactly-n words, n-1 words
+    val tricky = Seq(
+      (0L, "a  b a  b a"), (1L, " lead"), (2L, "trail "),
+      (3L, "héllo wörld héllo wörld héllo"), (4L, "x y"), (5L, "solo"),
+      (6L, ""), (7L, "a a a a a a"), (8L, "日本 語 日本 語"))
+      .toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val native = tricky
+        .select(col("doc_id"),
+          graft.functions.TextHashExpressions.gramStats(col("text"), n).as("st"))
+        .select(col("doc_id"), col("st.total"), col("st.ndistinct"), col("st.top"))
+        .orderBy("doc_id").collect().toSeq
+      val ws = split(col("text"), " ")
+      val grams = when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => array_join(slice(ws, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val hof = tricky
+        .withColumn("g", grams)
+        .select(col("doc_id"), size(col("g")).as("total"),
+          size(array_distinct(col("g"))).as("ndistinct"),
+          coalesce(array_max(transform(array_distinct(col("g")),
+            gg => size(filter(col("g"), x => x === gg)))), lit(0)).as("top"))
+        .orderBy("doc_id").collect().toSeq
+      assert(native == hof, s"n=$n: gram_stats must equal the HOF counters")
+    }
+  }
+
+  test("GramHashes ≡ transform(ngrams, xxhash64) — duplicates kept, order kept") {
+    val tricky = Seq(
+      (0L, "a  b a  b a"), (1L, "héllo wörld héllo wörld héllo"),
+      (2L, "x y"), (3L, ""), (4L, "a a a a a a"))
+      .toDF("doc_id", "text")
+    for (n <- Seq(2, 8)) {
+      val native = tricky.select(col("doc_id"),
+          graft.functions.TextHashExpressions.gramHashes(col("text"), n).as("h"))
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq
+      val ws = split(col("text"), " ")
+      val grams = when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => array_join(slice(ws, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val hof = tricky.select(col("doc_id"),
+          transform(grams, s => xxhash64(s)).as("h"))
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq
+      assert(native == hof, s"n=$n: gram_hashes must equal xxhash64 over joined grams")
+    }
+  }
 }
