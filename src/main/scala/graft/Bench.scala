@@ -58,6 +58,25 @@ object Bench {
 
     val startLoadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Machine-speed calibration: the same fixed Spark job (range-sum, all
+    // cores, shuffle-free) timed min-of-3. Guest load average cannot see
+    // host co-tenancy (r12 measured the SAME code at +30-50% per query
+    // between two idle-loadavg windows); this probe gives future rounds a
+    // denominator to separate machine drift from plan regressions.
+    val calib = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(500000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    // ... and a shuffle-shaped probe: the pure range-sum is CPU-bound and
+    // blind to the memory-bandwidth/scheduling contention that actually
+    // moves Spark stage times between host windows.
+    val calibShuffle = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(20000000L).selectExpr("id % 1000000 as k")
+        .groupBy("k").count().selectExpr("sum(count)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     var lastClean = System.nanoTime()
     // Per-query time = min over `reps` back-to-back executions. One-shot
@@ -134,7 +153,7 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
     val envJson =
-      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb"""
+      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb,"calib_sec":${math.rint(calib * 1000) / 1000},"calib_shuffle_sec":${math.rint(calibShuffle * 1000) / 1000}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$envJson,"sf":"$sfDir"}"""
     // The driver captures only a ~2000-char tail of stdout, so a full

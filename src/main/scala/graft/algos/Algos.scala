@@ -97,6 +97,21 @@ object Algos {
     val spark = g.nodes.sparkSession
     val nodes = g.nodes.select(col("id")).distinct().persist()
     val adj = LinkPrediction.undirectedAdj(g).persist()
+    // Integer exactness is the whole design: x_{t+1} = A·x_t over longs, so
+    // x_t ≤ dmax^t. Anything past 2^63 would WRAP SILENTLY and the final
+    // normalize would launder the garbage into plausible-looking doubles.
+    // The local branch guards for free with Math.addExact; the distributed
+    // branch pre-checks dmax^iters (one cheap aggregate, amortized over the
+    // `iters` jobs that follow) and refuses loudly like the bounded-kernel
+    // gates. dmax ≤ 1 (edgeless / matching) can never overflow.
+    def checkDmaxBound(): Unit = {
+      val dmax = adj.groupBy("node").agg(count(lit(1)).as("d"))
+        .agg(coalesce(max(col("d")), lit(0L))).head.getLong(0)
+      if (dmax > 1 && iters * math.log(dmax.toDouble) > 62 * math.log(2.0))
+        throw new IllegalArgumentException(
+          s"eigenvectorCentrality: dmax=$dmax over $iters iterations exceeds " +
+            "exact-integer range (dmax^iters > 2^62); reduce iters")
+    }
     // Adaptive strategy (same gate as pageRankDF): a broadcast-sized graph
     // runs every iteration in one job with the identical integer recursion.
     val maxE = LocalGraph.maxEdges(spark)
@@ -105,13 +120,20 @@ object Algos {
       val nArr = nodes.collect().map(_.getLong(0))
       val aArr = adj.collect().map(r => (r.getLong(0), r.getLong(1)))
       Seq(nodes, adj).foreach(_.unpersist(blocking = false))
+      val dmax = aArr.groupBy(_._1).valuesIterator
+        .foldLeft(0L)((m, g) => math.max(m, g.size.toLong))
+      if (dmax > 1 && iters * math.log(dmax.toDouble) > 62 * math.log(2.0))
+        throw new IllegalArgumentException(
+          s"eigenvectorCentrality: dmax=$dmax over $iters iterations exceeds " +
+            "exact-integer range (dmax^iters > 2^62); reduce iters")
       var xm = new java.util.HashMap[Long, Long]()
       nArr.foreach(xm.put(_, 1L))
       for (_ <- 1 to iters) {
         val next = new java.util.HashMap[Long, Long]()
         nArr.foreach(next.put(_, 0L))
         aArr.foreach { case (v, u) =>
-          next.merge(v, xm.getOrDefault(u, 0L), (a, b) => a + b)
+          next.merge(v, xm.getOrDefault(u, 0L),
+            (a, b) => Math.addExact(a, b)) // belt-and-braces: never wraps
         }
         xm = next
       }
@@ -124,6 +146,7 @@ object Algos {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
         .toSeq.toDF("id", "score")
     }
+    checkDmaxBound()
     var x = nodes.withColumn("x", lit(1L))
     for (_ <- 1 to iters) {
       val sums = adj

@@ -69,6 +69,29 @@ class LinkPredictionSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
   }
 
+  test("eigenvector centrality refuses when dmax^iters would wrap a long") {
+    // star hub of degree 3 over 62 iterations: 3^62 > 2^62 — the integer
+    // recursion would overflow silently; the guard must throw instead
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("L").as("rel"), lit(1.0).as("weight"))
+    val star = PropertyGraph((0L to 3L).toDF("id"), edges)
+    val e = intercept[IllegalArgumentException] {
+      graft.algos.Algos.eigenvectorCentrality(star, iters = 62)
+    }
+    assert(e.getMessage.contains("exact-integer range"))
+    // distributed branch refuses identically
+    spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, "0")
+    try {
+      val ed = intercept[IllegalArgumentException] {
+        graft.algos.Algos.eigenvectorCentrality(star, iters = 62)
+      }
+      assert(ed.getMessage.contains("exact-integer range"))
+    } finally spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
+    // the same hub at 4 iterations (3^4 = 81) is comfortably exact
+    assert(graft.algos.Algos.eigenvectorCentrality(star, iters = 4)
+      .count() == 4L)
+  }
+
   test("algorithms facade delegates over the session graph") {
     val sess = new GraftSession(spark, fixture)
     assert(sess.algorithms.nodeCount() == 5L)
