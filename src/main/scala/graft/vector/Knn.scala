@@ -230,24 +230,33 @@ object Knn {
     * SKEW GUARD: the within-cluster self-join is quadratic in the cluster
     * size, and at corpus scale a hub cluster (a centroid that attracts a
     * disproportionate share — boilerplate, near-empty docs) is the norm,
-    * not the exception. Clusters larger than `maxClusterSize` therefore
+    * not the exception. The default cap (2048) bounds the exact arm's
+    * worst per-cluster term at ~2M pairs — the r12 pipeline gate measured
+    * the 8192 cap leaving a 13× decade (250→2500-member clusters, both
+    * under cap) before the guard engaged. Clusters larger than
+    * `maxClusterSize` therefore
     * re-shard their pairwise step by LSH band INSIDE the cluster (the same
     * random-hyperplane machinery as [[nearDupPairsLSH]], keyed on
     * (cluster, table, signature)), so no single cluster is ever O(m²) —
-    * candidate work per hub cluster drops to its band collisions. The
-    * banded arm is approximate for mid-range `tau` with the standard LSH
-    * miss bound (a true pair is missed with probability (1-p^bits)^tables,
-    * p = 1 - angle/π); at SemDeDup's operating point (tau ≥ 0.95 →
-    * p ≥ 0.9) the defaults give pair recall > 0.999, and EXACT duplicates
-    * still collide in every table at any width. Clusters at or under the
-    * cap keep the exact equi-join — the common path is untouched.
+    * candidate work per hub cluster drops to its band collisions. The band
+    * width is sized to the largest hub (`bits <= 0`, the default: expected
+    * bucket occupancy held constant, bits ≈ log2(csz/8) capped at 16 with
+    * tables doubled per +4 bits — the same law as [[nearDupPairsLSH]]); a
+    * FIXED width would still be quadratic per decade, just with a smaller
+    * constant. The banded arm is approximate for mid-range `tau` with the
+    * standard LSH miss bound (a true pair is missed with probability
+    * (1-p^bits)^tables, p = 1 - angle/π); at SemDeDup's operating point
+    * (tau ≥ 0.99) the adaptive sizing keeps pair recall ≥ ~0.999, and
+    * EXACT duplicates still collide in every table at any width. Clusters
+    * at or under the cap keep the exact equi-join — the common path is
+    * untouched.
     *
     * Returns (idCol, cid, removed).
     */
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
-      tau: Double, maxClusterSize: Int = 1 << 13,
-      bits: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
+      tau: Double, maxClusterSize: Int = 1 << 11,
+      bits: Int = 0, tables: Int = 0, seed: Long = 42L): DataFrame = {
     // materialized once: the scored cross-join + per-id argmax window feeds
     // BOTH self-join sides and the final flag join — without the checkpoint
     // the |V|·k scoring pass would re-run per consumer
@@ -271,9 +280,27 @@ object Knn {
       seed: Long): DataFrame = {
     // hub detection: per-cluster sizes are centroid-count-sized — the same
     // broadcast-scale contract the assignment itself already assumes
-    val bigCids = assigned.groupBy(cidCol).agg(count(lit(1)).as("__csz"))
+    val bigRows = assigned.groupBy(cidCol).agg(count(lit(1)).as("__csz"))
       .filter(col("__csz") > maxClusterSize)
-      .select(col(cidCol)).collect().map(_.get(0))
+      .select(col(cidCol), col("__csz")).collect()
+    val bigCids = bigRows.map(_.get(0))
+    // Band width sized to the LARGEST hub (same occupancy law as
+    // nearDupPairsLSH): a FIXED width is still quadratic per decade —
+    // bucket population csz/2^bits grows linearly with the cluster, so
+    // within-bucket pairs grow csz² (the r12 pipeline gate measured 11×
+    // wall per 10× data on exactly this). Holding expected occupancy
+    // constant (bits ≈ log2(csz/8), tables doubled per +4 bits) keeps hub
+    // candidate work ≈ O(csz^1.25). Exact duplicates collide at any width;
+    // a true tau-pair is missed with probability (1-p^bits)^tables,
+    // p = 1 - acos(tau)/π — at SemDeDup's tau ≥ 0.99 operating point,
+    // 12 bits / 8 tables gives pair recall ≈ 0.9989.
+    val maxCsz = if (bigRows.isEmpty) 0L else bigRows.map(_.getLong(1)).max
+    val nBits =
+      if (bits > 0) bits
+      else math.min(16, math.max(8,
+        math.ceil(math.log(math.max(1L, maxCsz) / 8.0) / math.log(2)).toInt))
+    val nTables =
+      if (tables > 0) tables else math.min(16, 4 << ((nBits - 8) / 4))
     def pairDups(frame: DataFrame, extraKeys: Seq[String]): DataFrame = {
       val keys = (cidCol +: extraKeys)
       frame.as("a").join(frame.as("b"),
@@ -289,7 +316,7 @@ object Knn {
     // dim probe: first hub row only — the banded arm is already off the
     // common path when this runs
     val dim = big.select(size(col("__v"))).head.getInt(0)
-    val banded = lshBuckets(big, "__v", dim, bits, tables, seed)
+    val banded = lshBuckets(big, "__v", dim, nBits, nTables, seed)
       .select(col("__vid"), col("__v"), col(cidCol),
         explode(col("__buckets")).as("__band"))
     // a pair colliding in several tables must not re-verify per collision:
