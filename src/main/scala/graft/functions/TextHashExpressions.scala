@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
@@ -258,6 +258,41 @@ case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Jaccard similarity of two array<string> treated as SETS:
+  * |A∩B| / max(|A∪B|, 1). Value-identical to
+  * `size(array_intersect)/greatest(size(array_union),1)` (pinned in
+  * DedupSpec) — but one pass over two hash sets, no union-array
+  * materialization, no per-row Catalyst set builders. This is the
+  * verification kernel of every near-dup pipeline: it runs once per
+  * CANDIDATE pair, which AQE often coalesces into few partitions (the
+  * pair frame is byte-small), so per-evaluation CPU is the wall clock.
+  */
+case class SetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"set_jaccard requires (array<string>, array<string>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "set_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashExpressions.setJaccardEval(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextHashExpressions.setJaccardEval($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object TextHashExpressions {
   import GraftColumnBridge.{toColumn, toExpression}
   def minHashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
@@ -272,6 +307,30 @@ object TextHashExpressions {
 
   def gramHashes(text: Column, n: Int): Column =
     toColumn(GramHashes(toExpression(text), n))
+
+  def setJaccard(a: Column, b: Column): Column =
+    toColumn(SetJaccard(toExpression(a), toExpression(b)))
+
+  /** Shared by interpreted eval and generated code. Null elements follow
+    * array_intersect/array_union semantics (null equals null).
+    */
+  def setJaccardEval(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) {
+      sa.add(if (a.isNullAt(i)) null else a.getUTF8String(i)); i += 1
+    }
+    val sb = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    var inter = 0
+    var j = 0
+    while (j < b.numElements()) {
+      val s = if (b.isNullAt(j)) null else b.getUTF8String(j)
+      if (sb.add(s) && sa.contains(s)) inter += 1
+      j += 1
+    }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
 
   /** Shared by interpreted eval and generated code. */
   def gramHashesEval(text: UTF8String, n: Int): ArrayData = {

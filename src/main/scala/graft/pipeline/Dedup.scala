@@ -40,6 +40,10 @@ object Dedup {
 
   /** Exact Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
+    graft.functions.TextHashExpressions.setJaccard(a, b)
+
+  /** Pre-native HOF formulation of [[jaccard]] — DedupSpec parity only. */
+  private[graft] def jaccardHOF(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
 

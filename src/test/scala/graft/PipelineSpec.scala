@@ -253,6 +253,28 @@ class DedupSpec extends AnyFunSuite {
     assert(e.filter($"nat" =!= $"hof").isEmpty)
   }
 
+  test("native set-jaccard is value-identical to the HOF formulation") {
+    // corpus shingle arrays + engineered edges: dups WITHIN an array (set
+    // semantics), empty vs non-empty, both empty, disjoint, identical
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(50)
+    val pairs = docs.as("a").join(docs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select(Dedup.shingles($"a.text", 3).as("g1"),
+        Dedup.shingles($"b.text", 3).as("g2"))
+    val both = pairs.select(Dedup.jaccard($"g1", $"g2").as("nat"),
+      Dedup.jaccardHOF($"g1", $"g2").as("hof"))
+    assert(both.filter($"nat" =!= $"hof").isEmpty, "jaccard drift vs HOF")
+    val edge = Seq(
+      (Seq("a", "a", "b"), Seq("b", "b", "c")),
+      (Seq.empty[String], Seq("x")),
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("p", "q"), Seq("r", "s")),
+      (Seq("m", "n"), Seq("n", "m"))).toDF("g1", "g2")
+    val e = edge.select(Dedup.jaccard($"g1", $"g2").as("nat"),
+      Dedup.jaccardHOF($"g1", $"g2").as("hof"))
+    assert(e.filter($"nat" =!= $"hof").isEmpty)
+  }
+
   test("native simhash is value-identical to the HOF formulation") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text").limit(50)
