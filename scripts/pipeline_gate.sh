@@ -29,6 +29,7 @@ JAVA_OPTS=(--add-opens=java.base/java.lang=ALL-UNNAMED
 
 run() { # $1 = sf dir, $2 = output tag
   echo "== pipeline gate: $1 -> scale/bench_pipeline_$2.json"
+  sleep 30 # let the previous leg's JVM/page-cache churn settle
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
     java -Xmx40g "${JAVA_OPTS[@]}" \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
