@@ -126,9 +126,25 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     if (typeCatalog.isEmpty) return
     val q = graft.frontends.cypher.CypherFrontend.parse(query)
 
+    // Literal, or constant-foldable: `lower('A@X.COM')`, `1 + 2` and any
+    // other variable-free expression evaluates to one value on a one-row
+    // frame, so unique probing works for computed constants too (a bare
+    // litOf regressed MERGE on a computed unique key: the create-path
+    // default probed the OTHER unique props and collided with the very
+    // node the merge would have matched). Variable-referencing
+    // expressions stay None — their value is row-dependent.
+    def hasVar(a: Any): Boolean = a match {
+      case graft.ir.Expr.Var(_) => true
+      case p: Product => p.productIterator.exists(hasVar)
+      case s: Iterable[_] => s.exists(hasVar)
+      case _ => false
+    }
     def litOf(e: graft.ir.Expr.E): Option[Any] = e match {
       case graft.ir.Expr.Lit(v) => Some(v)
-      case _ => None
+      case _ if hasVar(e) => None
+      case _ => scala.util.Try(
+        spark.range(1).select(compiler.expr(e)).head.get(0)
+      ).toOption
     }
     // values this STATEMENT is about to create, per (label, prop): a
     // multi-clause statement (CREATE … CREATE …) must not insert the same
@@ -179,16 +195,22 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
           // LABEL-BLIND like mergeNodes' own key anti-join, else a merge
           // that matches a differently-labeled node would be probed as
           // creating and spuriously rejected
-          val wouldCreate = (for (k <- keyCol;
+          val keyValue = for (k <- keyCol;
               v <- m.node.props.collectFirst { case (`k`, e) => e };
-              value <- litOf(v)) yield
+              value <- litOf(v)) yield value
+          // a VARIABLE merge key is row-dependent: match-vs-create is
+          // undecidable pre-mutation, and probing under a create-path
+          // assumption spuriously rejects the MATCH case against the very
+          // node the merge would match — skip the probe, don't guess
+          val keyDecidable = keyCol.isEmpty || keyValue.isDefined
+          val wouldCreate = (for (k <- keyCol; value <- keyValue) yield
             !graft.graph.Mutations.existsByKey(graph, k, value))
             .getOrElse(true)
           // MERGE keyed ON a unique property cannot duplicate its own key
           // (match-or-create), but a SECOND unique property in the map can
           // still collide when the create path fires — exclude only the
           // merge key from the probe, never the whole check
-          if (wouldCreate)
+          if (keyDecidable && wouldCreate)
             checkUnique(m.node, l, props,
               excludeKey = if (mergesOnUnique) keyCol else None)
         }

@@ -107,10 +107,15 @@ object Algos {
     def checkDmaxBound(): Unit = {
       val dmax = adj.groupBy("node").agg(count(lit(1)).as("d"))
         .agg(coalesce(max(col("d")), lit(0L))).head.getLong(0)
-      if (dmax > 1 && iters * math.log(dmax.toDouble) > 62 * math.log(2.0))
+      if (dmax > 1 && iters * math.log(dmax.toDouble) > 62 * math.log(2.0)) {
+        // release the entry persists before refusing — a caller that
+        // catches and retries with lower iters must not accumulate
+        // orphaned cached blocks per attempt
+        Seq(nodes, adj).foreach(_.unpersist(blocking = false))
         throw new IllegalArgumentException(
           s"eigenvectorCentrality: dmax=$dmax over $iters iterations exceeds " +
             "exact-integer range (dmax^iters > 2^62); reduce iters")
+      }
     }
     // Adaptive strategy (same gate as pageRankDF): a broadcast-sized graph
     // runs every iteration in one job with the identical integer recursion.

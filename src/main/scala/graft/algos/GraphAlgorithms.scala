@@ -28,9 +28,18 @@ final class GraphAlgorithms(spark: SparkSession, g: PropertyGraph) {
   // ---- centrality (docs/algorithms/centrality.md) ----
   def pageRank(iters: Int = 20, damping: Double = 0.85): DataFrame =
     Algos.pageRankDF(g, iters, damping)
-  def degreeCentrality(): DataFrame =
-    LinkPrediction.undirectedAdj(g).groupBy(col("node").as("id"))
+  /** Undirected simple degree per node — RAW counts (the reference's
+    * degree output), one row per node INCLUDING isolated nodes (degree 0),
+    * like every other per-node frame this facade returns. NetworkX's
+    * normalized `degree_centrality` is `degree / (nodeCount() - 1)` on top
+    * of this.
+    */
+  def degreeCentrality(): DataFrame = {
+    val deg = LinkPrediction.undirectedAdj(g).groupBy(col("node").as("id"))
       .agg(count(lit(1)).as("degree"))
+    g.nodes.select(col("id")).distinct().join(deg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"))
+  }
   def eigenvectorCentrality(iters: Int = 4): DataFrame =
     Algos.eigenvectorCentrality(g, iters)
   def betweennessCentrality(nodeFilter: Column = lit(true),

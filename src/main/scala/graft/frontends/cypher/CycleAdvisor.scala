@@ -38,6 +38,13 @@ object CycleAdvisor {
     */
   def noteQualifying(hops: Int): Unit = pending.set(hops :: pending.get)
 
+  /** Called at translation entry: clears notes a previous translation left
+    * behind after throwing before any compile consumed them (pooled threads
+    * would otherwise evaluate them against an unrelated query's graph).
+    * ThreadLocal.remove also releases the slot on pooled threads.
+    */
+  def reset(): Unit = { pending.remove(); last.remove() }
+
   /** The most recent proposal logged on this thread (spec hook). */
   def lastProposal: Option[String] = last.get
 

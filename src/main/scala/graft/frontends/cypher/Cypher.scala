@@ -792,6 +792,10 @@ object CypherFrontend {
     translate(Ast.Query(Seq(Ast.MatchClause(paths, where))))
 
   def translate(q: Query): Op.T = {
+    // drop any notes a PREVIOUS translation left behind (it may have thrown
+    // before its compile consumed them — on a pooled thread they would
+    // otherwise be evaluated against the next query's unrelated graph)
+    CycleAdvisor.reset()
     var cur: Op.T = Op.OneRow
     var anon = 0
     def fresh(): String = { anon += 1; s"__n$anon" }

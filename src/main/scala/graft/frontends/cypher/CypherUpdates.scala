@@ -243,6 +243,38 @@ object CypherUpdates {
     case other => throw new IllegalArgumentException(s"expected literal, got $other")
   }
 
+  /** Literal, or a variable-free expression constant-folded on a one-row
+    * frame (`toLower('A@X.COM')`, `1 + 2`) — mirrors GraftSession's typed
+    * unique-probe folding so the values the probe validated are the values
+    * the mutation writes. Variable-referencing expressions still throw:
+    * their value is row-dependent and CREATE/MERGE property maps here are
+    * per-statement constants.
+    */
+  private def constValue(spark: SparkSession, e: Expr.E): Any = e match {
+    case Expr.Lit(v) => v
+    case other =>
+      def hasVar(a: Any): Boolean = a match {
+        case Expr.Var(_) => true
+        case p: Product => p.productIterator.exists(hasVar)
+        case s: Iterable[_] => s.exists(hasVar)
+        case _ => false
+      }
+      if (hasVar(other)) litValue(other) // throws with the literal message
+      else {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val emptyNodes = spark.createDataFrame(java.util.List.of[Row](),
+          StructType(Seq(StructField("id", LongType),
+            StructField("labels", ArrayType(StringType)))))
+        val emptyEdges = spark.createDataFrame(java.util.List.of[Row](),
+          StructType(Seq(StructField("src", LongType),
+            StructField("dst", LongType), StructField("rel", StringType))))
+        val c = new graft.compiler.Compiler(spark,
+          graft.graph.PropertyGraph(emptyNodes, emptyEdges)).expr(other)
+        spark.range(1).select(c).head.get(0)
+      }
+  }
+
   /** A variable bound by the MATCH prefix is a relationship when its binding
     * carries the synthesized edge-id column (the compiler prefixes every edge
     * column with `v__`). Routes SET/REMOVE/DELETE on it to the edge-table
@@ -273,7 +305,7 @@ object CypherUpdates {
       val node = path.head
       val label = node.label.getOrElse(
         throw new IllegalArgumentException("CREATE needs a label"))
-      val props = node.props.map { case (k, v) => k -> litValue(v) }.toMap
+      val props = node.props.map { case (k, v) => k -> constValue(spark, v) }.toMap
       require(props.contains("id"), "CREATE needs an explicit id property")
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -369,7 +401,7 @@ object CypherUpdates {
     case MergeClause(node, onCreate, onMatch) =>
       val label = node.label.getOrElse(
         throw new IllegalArgumentException("MERGE needs a label"))
-      val props = node.props.map { case (k, v) => k -> litValue(v) }
+      val props = node.props.map { case (k, v) => k -> constValue(spark, v) }
       require(props.nonEmpty, "MERGE needs at least one property")
       val keyCol = props.head._1
       import org.apache.spark.sql.Row

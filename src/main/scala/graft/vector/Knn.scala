@@ -271,6 +271,37 @@ object Knn {
         coalesce(col("__removed"), lit(false)).as("removed"))
   }
 
+  /** Band sizing for [[semDedup]]'s hub path: bits hold expected bucket
+    * occupancy constant against the LARGEST hub (bits ≈ log2(csz/8),
+    * capped 16 — the `nearDupPairsLSH` law); tables start from the shared
+    * doubling rule (4 << ((bits-8)/4)) and GROW, capped at 32, toward the
+    * count that brings the estimated true-pair miss (1-p^bits)^tables,
+    * p = 1 - acos(tau)/π, under 1% — tau-aware, because more bits cost
+    * recall precisely when tau is mid-range. Returns
+    * (bits, tables, estimated miss at those sizes). Explicit `bits`/
+    * `tables` overrides pass through untouched.
+    */
+  private[graft] def semDedupBandSizing(maxCsz: Long, tau: Double,
+      bits: Int, tables: Int): (Int, Int, Double) = {
+    val nBits =
+      if (bits > 0) bits
+      else math.min(16, math.max(8,
+        math.ceil(math.log(math.max(1L, maxCsz) / 8.0) / math.log(2)).toInt))
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, tau))) / math.Pi
+    val perTable = math.pow(p, nBits)
+    val nTables =
+      if (tables > 0) tables
+      else {
+        val base = math.min(16, 4 << ((nBits - 8) / 4))
+        val needed =
+          if (perTable >= 0.99) 1
+          else math.ceil(math.log(0.01) / math.log1p(-perTable))
+        math.min(32.0, math.max(base.toDouble, needed)).toInt
+      }
+    val estMiss = math.pow(1.0 - perTable, nTables)
+    (nBits, nTables, estMiss)
+  }
+
   /** The pairwise arm of [[semDedup]]: distinct `__vid`s with a lower-id
     * cluster-mate at cosine ≥ tau. Package-visible so specs can bound the
     * banded path's candidate count directly.
@@ -295,23 +326,27 @@ object Knn {
     // p = 1 - acos(tau)/π — at SemDeDup's tau ≥ 0.99 operating point,
     // 12 bits / 8 tables gives pair recall ≈ 0.9989.
     val maxCsz = if (bigRows.isEmpty) 0L else bigRows.map(_.getLong(1)).max
-    val nBits =
-      if (bits > 0) bits
-      else math.min(16, math.max(8,
-        math.ceil(math.log(math.max(1L, maxCsz) / 8.0) / math.log(2)).toInt))
-    val nTables =
-      if (tables > 0) tables else math.min(16, 4 << ((nBits - 8) / 4))
-    def pairDups(frame: DataFrame, extraKeys: Seq[String]): DataFrame = {
-      val keys = (cidCol +: extraKeys)
+    val (nBits, nTables, estMiss) = semDedupBandSizing(maxCsz, tau, bits, tables)
+    // The banded arm is honest about being approximate: when even the
+    // capped table count leaves the estimated true-pair miss rate above
+    // 5% (mid-range tau — outside SemDeDup's ≥0.95 operating point), say
+    // so, LOUDLY, instead of silently degrading removals relative to the
+    // exact arm. Exact duplicates are unaffected at any width.
+    if (bigRows.nonEmpty && tables <= 0 && estMiss > 0.05)
+      org.slf4j.LoggerFactory.getLogger("graft.vector.semDedup").warn(
+        f"semDedup banded hub path at tau=$tau%.2f: estimated true-pair " +
+          f"miss rate ${estMiss * 100}%.1f%% with $nBits bits × $nTables " +
+          "tables (recall degrades below tau≈0.95; pass explicit " +
+          "bits/tables or raise maxClusterSize for exact pairing)")
+    def pairDups(frame: DataFrame): DataFrame =
       frame.as("a").join(frame.as("b"),
-          keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col(s"a.$cidCol") === col(s"b.$cidCol") &&
             col("a.__vid") < col("b.__vid"))
         .filter(round(score(Cosine, col("a.__v"), col("b.__v")), 6) >= tau)
         .select(col("b.__vid").as("__vid")).distinct()
-    }
-    if (bigCids.isEmpty) return pairDups(assigned, Nil)
+    if (bigCids.isEmpty) return pairDups(assigned)
     val isBig = col(cidCol).isin(bigCids.toSeq: _*)
-    val smallDups = pairDups(assigned.filter(!isBig), Nil)
+    val smallDups = pairDups(assigned.filter(!isBig))
     val big = assigned.filter(isBig)
     // dim probe: first hub row only — the banded arm is already off the
     // common path when this runs

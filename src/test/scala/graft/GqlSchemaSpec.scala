@@ -101,16 +101,38 @@ class GqlSchemaSpec extends AnyFunSuite {
       .nodes.count() == 1)
   }
 
-  test("non-literal values on unique properties are rejected, not skipped") {
+  test("computed-constant unique values are folded and probed for real") {
     val nodes = Seq((1L, Seq("User"), "a@x.com")).toDF("id", "labels", "email")
     val edges = Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel")
     val sess = new GraftSession(spark, PropertyGraph(nodes, edges))
     sess.gql("CREATE NODE TYPE User (email STRING UNIQUE)")
-    // an expression-valued unique property cannot be probed pre-mutation;
-    // silent bypass would gut the constraint — must raise
+    // a variable-free expression constant-folds: 'A@X.COM' is fresh →
+    // the insert passes the probe (the old literal-only probe REJECTED it)
+    assert(sess.gqlUpdate("INSERT (:User {id: 2, email: toUpper('a@x.com')})")
+      .nodes.count() == 2)
+    // … and a folded value that IS taken violates like a literal would
     val e = intercept[IllegalStateException](
-      sess.gqlUpdate("INSERT (:User {id: 2, email: toUpper('a@x.com')})"))
-    assert(e.getMessage.contains("literal"))
+      sess.gqlUpdate("INSERT (:User {id: 3, email: toLower('A@X.COM')})"))
+    assert(e.getMessage.contains("unique constraint"))
+  }
+
+  test("MERGE keyed on a computed-constant unique key takes the MATCH path unprobed") {
+    // the review scenario: both props UNIQUE, the merge key is a computed
+    // CONSTANT that matches an existing node — the merge must take the
+    // MATCH path without probing `handle` against the matched node itself
+    val nodes = Seq((1L, Seq("User"), "a@x.com", "alice"))
+      .toDF("id", "labels", "email", "handle")
+    val edges = Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel")
+    val sess = new GraftSession(spark, PropertyGraph(nodes, edges))
+    sess.gql("CREATE NODE TYPE User (email STRING UNIQUE, handle STRING UNIQUE)")
+    assert(sess.gqlUpdate(
+      "MERGE (u:User {email: toLower('A@X.COM'), handle: 'alice', id: 1})")
+      .nodes.count() == 1, "computed key folds to the matched value: MATCH path")
+    // computed key that does NOT match + taken second unique → create-path
+    // probe still fires
+    val e = intercept[IllegalStateException](sess.gqlUpdate(
+      "MERGE (u:User {email: toLower('NEW@X.COM'), handle: 'alice', id: 9})"))
+    assert(e.getMessage.contains("handle"))
   }
 
   test("MERGE probe is label-blind, matching mergeNodes' key semantics") {

@@ -99,6 +99,14 @@ class LinkPredictionSpec extends AnyFunSuite {
     val deg = sess.algorithms.degreeCentrality().orderBy("id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(deg == Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 2L), (5L, 1L)))
+    // isolated nodes carry an explicit degree-0 row (one row per node,
+    // like every other per-node facade frame)
+    val withIsolated = new GraftSession(spark,
+      fixture.copy(nodes = fixture.nodes.unionByName(
+        Seq(9L).toDF("id"), allowMissingColumns = true)))
+    val deg9 = withIsolated.algorithms.degreeCentrality()
+      .filter(col("id") === 9L).collect()
+    assert(deg9.length == 1 && deg9.head.getLong(1) == 0L)
     val lp = sess.algorithms.linkPrediction().count()
     assert(lp == 3L)
     assert(sess.algorithms.eigenvectorCentrality().count() == 5L)

@@ -108,6 +108,23 @@ class KnnSpec extends AnyFunSuite {
       "under-cap clusters must keep the exact equi-join path")
   }
 
+  test("semDedup band sizing: occupancy-constant bits, tau-aware tables") {
+    // 25k-member hub at SemDeDup's operating point: 12 bits, tables grown
+    // until estimated true-pair miss < 1%
+    val (b99, t99, m99) = Knn.semDedupBandSizing(25000L, tau = 0.99, 0, 0)
+    assert(b99 == 12 && t99 >= 8 && m99 < 0.01, s"($b99,$t99,$m99)")
+    // mid-range tau: even 32 tables cannot hold recall — the miss estimate
+    // must exceed the 5% warn threshold (the path logs, never silently)
+    val (_, t80, m80) = Knn.semDedupBandSizing(25000L, tau = 0.80, 0, 0)
+    assert(t80 == 32 && m80 > 0.05, s"($t80,$m80)")
+    // explicit overrides pass through untouched
+    assert(Knn.semDedupBandSizing(25000L, 0.99, 8, 8)._1 == 8)
+    assert(Knn.semDedupBandSizing(25000L, 0.99, 8, 8)._2 == 8)
+    // bits never shrink below 8 nor grow past 16
+    assert(Knn.semDedupBandSizing(10L, 0.99, 0, 0)._1 == 8)
+    assert(Knn.semDedupBandSizing(100000000L, 0.99, 0, 0)._1 == 16)
+  }
+
   test("semDedup removes exactly the lower-id-mated near-copies, cluster-locally") {
     // two well-separated clusters; ids 10/11 are exact copies of 0, id 20
     // is a copy of 1 — removal must keep the LOWEST id of each copy group
