@@ -61,8 +61,13 @@ object LinkPrediction {
     */
   def scores(g: PropertyGraph, nodeCount: Long, alpha: Double = 0.8,
       maxWedgeDegree: Int = 1 << 20): DataFrame = {
-    val adj = undirectedAdj(g)
-    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    // adj feeds FOUR consumers (degree attach, both wedge sides, the
+    // anti-join) and deg three — without materialization Spark recomputes
+    // the distinct+union edge subtree per consumer (profiled: ~12 parallel
+    // recomputes of the same scan at sf0.1). localCheckpoint computes each
+    // once and truncates lineage; blocks release via the ContextCleaner.
+    val adj = undirectedAdj(g).localCheckpoint()
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg")).localCheckpoint()
 
     // Degree of the wedge CENTER, attached before the self-join: keyed on
     // `nbr`, the same key the wedge join shuffles on, so Catalyst reuses the
