@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashSig, SimHash64Expr, VecDot, VecL1, VecL2Sq, WordShingles}
+import graft.functions.{GramHashes, GramStats, MinHashSig, SetJaccard, SimHash64Expr, VecDot, VecL1, VecL2Sq, WordShingles}
 
 /** SparkSessionExtensions hook: registers graft's native codegen expressions
   * as SQL functions, so plain `spark.sql` users (and external SQL tools)
@@ -73,5 +73,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => VecL2Sq(args(0), args(1))),
     (FunctionIdentifier("vec_l1"),
       info("vec_l1", "vec_l1(a, b) - manhattan distance"),
-      (args: Seq[Expression]) => VecL1(args(0), args(1))))
+      (args: Seq[Expression]) => VecL1(args(0), args(1))),
+    (FunctionIdentifier("gram_stats"),
+      info("gram_stats", "gram_stats(text, n) - struct(total, ndistinct, top) word n-gram counters"),
+      (args: Seq[Expression]) => GramStats(args(0), intLit(args(1), "n"))),
+    (FunctionIdentifier("gram_hashes"),
+      info("gram_hashes", "gram_hashes(text, n) - xxhash64 of every word n-gram, occurrence order"),
+      (args: Seq[Expression]) => GramHashes(args(0), intLit(args(1), "n"))),
+    (FunctionIdentifier("set_jaccard"),
+      info("set_jaccard", "set_jaccard(a, b) - Jaccard similarity of two string arrays as sets"),
+      (args: Seq[Expression]) => SetJaccard(args(0), args(1))))
 }

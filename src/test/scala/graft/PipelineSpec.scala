@@ -604,6 +604,15 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         org.apache.spark.sql.functions.col("text")))
       .collect().head.getLong(0)
     assert(r.getLong(1) == sh2)
+    // r12 kernels: gram counters/hashes + set-jaccard
+    val g = spark.sql(
+      "SELECT gram_stats('a b a b', 2) AS st, " +
+        "size(gram_hashes('a b a b', 2)) AS nh, " +
+        "set_jaccard(array('a', 'b'), array('b', 'c')) AS j").collect().head
+    val st = g.getStruct(0)
+    assert((st.getInt(0), st.getInt(1), st.getInt(2)) == ((3, 2, 2)))
+    assert(g.getInt(1) == 3)
+    assert(g.getDouble(2) == 1.0 / 3.0)
   }
 }
 
