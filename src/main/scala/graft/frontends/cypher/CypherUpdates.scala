@@ -269,9 +269,11 @@ object CypherUpdates {
         val emptyEdges = spark.createDataFrame(java.util.List.of[Row](),
           StructType(Seq(StructField("src", LongType),
             StructField("dst", LongType), StructField("rel", StringType))))
-        val c = new graft.compiler.Compiler(spark,
-          graft.graph.PropertyGraph(emptyNodes, emptyEdges)).expr(other)
-        spark.range(1).select(c).head.get(0)
+        scala.util.Try {
+          val c = new graft.compiler.Compiler(spark,
+            graft.graph.PropertyGraph(emptyNodes, emptyEdges)).expr(other)
+          spark.range(1).select(c).head.get(0)
+        }.getOrElse(litValue(other)) // unfoldable → the friendly message
       }
   }
 
