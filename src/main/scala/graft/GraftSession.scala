@@ -126,26 +126,14 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     if (typeCatalog.isEmpty) return
     val q = graft.frontends.cypher.CypherFrontend.parse(query)
 
-    // Literal, or constant-foldable: `lower('A@X.COM')`, `1 + 2` and any
-    // other variable-free expression evaluates to one value on a one-row
-    // frame, so unique probing works for computed constants too (a bare
-    // litOf regressed MERGE on a computed unique key: the create-path
-    // default probed the OTHER unique props and collided with the very
-    // node the merge would have matched). Variable-referencing
-    // expressions stay None — their value is row-dependent.
-    def hasVar(a: Any): Boolean = a match {
-      case graft.ir.Expr.Var(_) => true
-      case p: Product => p.productIterator.exists(hasVar)
-      case s: Iterable[_] => s.exists(hasVar)
-      case _ => false
-    }
-    def litOf(e: graft.ir.Expr.E): Option[Any] = e match {
-      case graft.ir.Expr.Lit(v) => Some(v)
-      case _ if hasVar(e) => None
-      case _ => scala.util.Try(
-        spark.range(1).select(compiler.expr(e)).head.get(0)
-      ).toOption
-    }
+    // Literal, or constant-foldable (Compiler.constFold): `lower('A@X.COM')`,
+    // `1 + 2` and any other row-independent expression evaluates to one
+    // value, so unique probing works for computed constants too (a bare
+    // literal-only probe regressed MERGE on a computed unique key: the
+    // create-path default probed the OTHER unique props and collided with
+    // the very node the merge would have matched). Row-dependent
+    // expressions (vars, props, params, subqueries) stay None.
+    def litOf(e: graft.ir.Expr.E): Option[Any] = compiler.constFold(e)
     // values this STATEMENT is about to create, per (label, prop): a
     // multi-clause statement (CREATE … CREATE …) must not insert the same
     // unique value twice even though each clause probes the pre-mutation

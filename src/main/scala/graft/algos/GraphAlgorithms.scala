@@ -35,9 +35,14 @@ final class GraphAlgorithms(spark: SparkSession, g: PropertyGraph) {
     * of this.
     */
   def degreeCentrality(): DataFrame = {
-    val deg = LinkPrediction.undirectedAdj(g).groupBy(col("node").as("id"))
+    val adj = LinkPrediction.undirectedAdj(g)
+    val deg = adj.groupBy(col("node").as("id"))
       .agg(count(lit(1)).as("degree"))
-    g.nodes.select(col("id")).distinct().join(deg, Seq("id"), "left_outer")
+    // one row per node: isolated nodes get an explicit 0, and endpoints of
+    // dangling edges (no node row — validate() audits but does not forbid
+    // them) keep their degree row instead of silently vanishing
+    g.nodes.select(col("id")).unionByName(adj.select(col("node").as("id")))
+      .distinct().join(deg, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"))
   }
   def eigenvectorCentrality(iters: Int = 4): DataFrame =

@@ -251,6 +251,29 @@ final class Compiler(spark: SparkSession, graph: PropertyGraph) {
   private def expr(e: Expr.E, env: Map[String, Column]): Column =
     comp(e, expr(_, _), env)
 
+  /** Constant-fold: Some(value) for a literal or any ROW-INDEPENDENT
+    * expression (`lower('A@X.COM')`, `1 + 2`, `date('…')`) evaluated on a
+    * one-row frame; None when the expression references row state —
+    * variables, properties, parameters, subqueries — or the fold compiler
+    * cannot handle it. The SINGLE folding used by typed unique probes
+    * (GraftSession) and mutation property maps (CypherUpdates), so the
+    * value a probe validated is always the value the mutation writes.
+    */
+  def constFold(e: Expr.E): Option[Any] = e match {
+    case Expr.Lit(v) => Some(v)
+    case other =>
+      def rowDependent(a: Any): Boolean = a match {
+        case Expr.Var(_) | Expr.Prop(_, _) | Expr.Param(_) |
+            Expr.ExistsSub(_) | Expr.CountSub(_) => true
+        case p: Product => p.productIterator.exists(rowDependent)
+        case s: Iterable[_] => s.exists(rowDependent)
+        case _ => false
+      }
+      if (rowDependent(other)) None
+      else scala.util.Try(
+        spark.range(1).select(expr(other)).head.get(0)).toOption
+  }
+
   /** Aggregate-context expression (plan.rs:285-308): aggregate calls become
     * Spark aggregate Columns; scalar wrappers (round(avg(x),2)) compose on
     * top; anything else compiles as scalar (a grouping key reference).

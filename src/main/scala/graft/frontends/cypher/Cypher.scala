@@ -773,6 +773,13 @@ object CypherFrontend {
     * set semantics over the whole union.
     */
   def translateText(q: String): Op.T = {
+    // drop any notes a PREVIOUS statement left behind (it may have thrown
+    // before its compile consumed them — on a pooled thread they would
+    // otherwise be evaluated against the next query's unrelated graph).
+    // Reset here, at STATEMENT granularity, not in translate(): UNION
+    // branches and EXISTS/COUNT subqueries call translate() nested, and a
+    // per-call reset would wipe earlier branches' qualifying-cycle notes.
+    CycleAdvisor.reset()
     val parts = parseAll(q)
     val first = translate(parts.head._1)
     if (parts.size == 1) first
@@ -792,10 +799,6 @@ object CypherFrontend {
     translate(Ast.Query(Seq(Ast.MatchClause(paths, where))))
 
   def translate(q: Query): Op.T = {
-    // drop any notes a PREVIOUS translation left behind (it may have thrown
-    // before its compile consumed them — on a pooled thread they would
-    // otherwise be evaluated against the next query's unrelated graph)
-    CycleAdvisor.reset()
     var cur: Op.T = Op.OneRow
     var anon = 0
     def fresh(): String = { anon += 1; s"__n$anon" }

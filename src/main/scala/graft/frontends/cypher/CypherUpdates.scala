@@ -53,7 +53,7 @@ object CypherUpdates {
     }
 
     val out = pushdownEdgeMutations(gEid, readPrefix, actions)
-      .getOrElse(actions.foldLeft(gEid)((g, a) => apply(spark, g, bindings, a)))
+      .getOrElse(actions.foldLeft(gEid)((g, a) => apply(spark, compiler, g, bindings, a)))
     if (keepEids) out else out.copy(edges = out.edges.drop("eid"))
   }
 
@@ -243,39 +243,14 @@ object CypherUpdates {
     case other => throw new IllegalArgumentException(s"expected literal, got $other")
   }
 
-  /** Literal, or a variable-free expression constant-folded on a one-row
-    * frame (`toLower('A@X.COM')`, `1 + 2`) — mirrors GraftSession's typed
-    * unique-probe folding so the values the probe validated are the values
-    * the mutation writes. Variable-referencing expressions still throw:
-    * their value is row-dependent and CREATE/MERGE property maps here are
-    * per-statement constants.
+  /** Literal, or constant-folded via the SHARED [[Compiler.constFold]]
+    * (the same folding GraftSession's typed unique probe uses, so the
+    * value a probe validated is always the value the mutation writes).
+    * Row-dependent or unfoldable expressions throw litValue's message:
+    * CREATE/MERGE property maps here are per-statement constants.
     */
-  private def constValue(spark: SparkSession, e: Expr.E): Any = e match {
-    case Expr.Lit(v) => v
-    case other =>
-      def hasVar(a: Any): Boolean = a match {
-        case Expr.Var(_) => true
-        case p: Product => p.productIterator.exists(hasVar)
-        case s: Iterable[_] => s.exists(hasVar)
-        case _ => false
-      }
-      if (hasVar(other)) litValue(other) // throws with the literal message
-      else {
-        import org.apache.spark.sql.Row
-        import org.apache.spark.sql.types._
-        val emptyNodes = spark.createDataFrame(java.util.List.of[Row](),
-          StructType(Seq(StructField("id", LongType),
-            StructField("labels", ArrayType(StringType)))))
-        val emptyEdges = spark.createDataFrame(java.util.List.of[Row](),
-          StructType(Seq(StructField("src", LongType),
-            StructField("dst", LongType), StructField("rel", StringType))))
-        scala.util.Try {
-          val c = new graft.compiler.Compiler(spark,
-            graft.graph.PropertyGraph(emptyNodes, emptyEdges)).expr(other)
-          spark.range(1).select(c).head.get(0)
-        }.getOrElse(litValue(other)) // unfoldable → the friendly message
-      }
-  }
+  private def constValue(compiler: Compiler, e: Expr.E): Any =
+    compiler.constFold(e).getOrElse(litValue(e))
 
   /** A variable bound by the MATCH prefix is a relationship when its binding
     * carries the synthesized edge-id column (the compiler prefixes every edge
@@ -298,7 +273,7 @@ object CypherUpdates {
     f(g)
   }
 
-  private def apply(spark: SparkSession, g: PropertyGraph, bindings: => DataFrame,
+  private def apply(spark: SparkSession, compiler: Compiler, g: PropertyGraph, bindings: => DataFrame,
       clause: Clause): PropertyGraph = clause match {
 
     case CreateClause(path) if path.tail.isEmpty =>
@@ -307,7 +282,7 @@ object CypherUpdates {
       val node = path.head
       val label = node.label.getOrElse(
         throw new IllegalArgumentException("CREATE needs a label"))
-      val props = node.props.map { case (k, v) => k -> constValue(spark, v) }.toMap
+      val props = node.props.map { case (k, v) => k -> constValue(compiler, v) }.toMap
       require(props.contains("id"), "CREATE needs an explicit id property")
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -403,7 +378,7 @@ object CypherUpdates {
     case MergeClause(node, onCreate, onMatch) =>
       val label = node.label.getOrElse(
         throw new IllegalArgumentException("MERGE needs a label"))
-      val props = node.props.map { case (k, v) => k -> constValue(spark, v) }
+      val props = node.props.map { case (k, v) => k -> constValue(compiler, v) }
       require(props.nonEmpty, "MERGE needs at least one property")
       val keyCol = props.head._1
       import org.apache.spark.sql.Row

@@ -336,8 +336,10 @@ object Knn {
       org.slf4j.LoggerFactory.getLogger("graft.vector.semDedup").warn(
         f"semDedup banded hub path at tau=$tau%.2f: estimated true-pair " +
           f"miss rate ${estMiss * 100}%.1f%% with $nBits bits × $nTables " +
-          "tables (recall degrades below tau≈0.95; pass explicit " +
-          "bits/tables or raise maxClusterSize for exact pairing)")
+          "tables — the banded arm degrades below tau≈0.95. To restore " +
+          "EXACT pairing raise maxClusterSize past the largest cluster " +
+          "(quadratic in its size); explicit bits/tables only re-tune " +
+          "the approximation.")
     def pairDups(frame: DataFrame): DataFrame =
       frame.as("a").join(frame.as("b"),
           col(s"a.$cidCol") === col(s"b.$cidCol") &&
