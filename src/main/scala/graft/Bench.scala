@@ -87,10 +87,22 @@ object Bench {
     // the reference's warm embedded numbers (BASELINE.md) report.
     // reps < 1 would skip measurement entirely and record Double.MaxValue
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // Every observed rep time per query, pooled across first and second
+    // pass. The reported number is the pooled min; its CREDIBILITY is the
+    // spread = 2nd-best / best — when the two fastest independent samples
+    // agree within 1.5x, a single outlier rep cannot have become the
+    // committed record (r12 shipped q_mut_edge_set at 1.22 s vs its 0.64 s
+    // steady state from exactly that: min-of-2 with a cold rep-1 on a
+    // temp-store fixture leaves ONE effective sample).
+    val samples = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    def spreadOf(name: String): Double = {
+      val s = samples.getOrElse(name, scala.collection.mutable.ArrayBuffer.empty[Double]).sorted
+      if (s.size < 2) Double.MaxValue else s(1) / math.max(s(0), 1e-9)
+    }
+    val SpreadBar = 1.5
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      var best = Double.MaxValue
-      var r = 0
-      while (r < reps && !errors.contains(name)) {
+      val ts = samples.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty[Double])
+      def once(): Unit = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -98,10 +110,20 @@ object Bench {
           errors += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        r += 1
+        ts += (System.nanoTime() - t0) / 1e9
       }
-      best
+      var r = 0
+      while (r < reps && !errors.contains(name)) { once(); r += 1 }
+      // adaptive corroboration: a min whose nearest neighbor is >1.5x away
+      // is one GC pause / cold temp-store rep away from being wrong — buy
+      // up to two more samples before trusting it (covers per-run fixture
+      // queries without a hand-maintained list: their cold rep-1 trips the
+      // spread, the extra warm reps corroborate the steady state)
+      var extra = 0
+      while (extra < 2 && !errors.contains(name) && spreadOf(name) > SpreadBar) {
+        once(); extra += 1
+      }
+      if (ts.isEmpty) Double.MaxValue else ts.min
     }
     // 140+ queries × iterative localCheckpoints accumulate storage blocks
     // whose release waits on driver GC (ContextCleaner is reference-based).
@@ -146,6 +168,27 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.abs).sum
+    // per-query rep spread (2nd-best / best over all pooled samples) and
+    // the queries whose final spread still exceeds the bar after the
+    // adaptive extra reps — a committed artifact with a non-empty flag
+    // list contains at least one number with NO corroborating sample
+    val spreads = results.map { case (n, _) =>
+      n -> (if (errors.contains(n)) Double.NaN else spreadOf(n))
+    }
+    val flagged = spreads.collect {
+      case (n, s) if !s.isNaN && s != Double.MaxValue && s > SpreadBar => n
+    }
+    val spreadJson = spreads.collect { case (n, s) if !s.isNaN && s != Double.MaxValue =>
+      "\"" + n + "\":" + (math.rint(s * 100) / 100)
+    }.mkString("{", ",", "}")
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // machine-drift-normalized total: the shuffle calibration probe tracks
+    // the host co-tenancy factor (same binary measured 96.7-153 s across
+    // windows in r12), so totals are comparable across rounds as
+    // total × (REF / calib_shuffle) against the pinned healthy-window
+    // reference probe time (~1.0 s on this machine class)
+    val CalibShuffleRef = 1.0
+    val valueNormalized = total * CalibShuffleRef / math.max(calibShuffle, 1e-9)
     // environment fingerprint: rep count + machine state, so future rounds
     // can tell methodology/noise from genuine regression without forensics
     // (r11's committed 117.9 s vs snapshot 124.7 s was exactly that gap)
@@ -153,9 +196,9 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
     val envJson =
-      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb,"calib_sec":${math.rint(calib * 1000) / 1000},"calib_shuffle_sec":${math.rint(calibShuffle * 1000) / 1000}"""
+      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb,"calib_sec":${math.rint(calib * 1000) / 1000},"calib_shuffle_sec":${math.rint(calibShuffle * 1000) / 1000},"calib_shuffle_ref":$CalibShuffleRef,"value_normalized":${math.rint(valueNormalized * 1000) / 1000},"spread_flagged":$flaggedJson"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$envJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$envJson,"spreads":$spreadJson,"sf":"$sfDir"}"""
     // The driver captures only a ~2000-char tail of stdout, so a full
     // 180-query JSON line is truncated mid-line and fails its parse (every
     // BENCH_r{N}.json since r7 has "parsed": null). Print a COMPACT line —

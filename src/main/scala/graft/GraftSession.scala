@@ -32,7 +32,22 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     * session.rs:290).
     */
   def cypher(query: String): DataFrame = planCache.get("cypher\u0000" + query) {
-    compiler.compile(CypherFrontend.translateText(query))
+    compileCypher(() => CypherFrontend.translateText(query))
+  }
+
+  /** `spark.graft.cypher.cycleSplit=auto` support: translate once as a
+    * probe (no split; qualifying cyclic patterns leave advisor notes),
+    * consult the advisor's fanout cost model against THIS session's graph,
+    * and only when the 4x margin holds re-translate with the split forced
+    * on. `true`/unset flow through unchanged - one translation, the
+    * frontend applies its own flag semantics.
+    */
+  private def compileCypher(translate: () => graft.ir.Op.T): DataFrame = {
+    val op = translate()
+    val auto = spark.conf.getOption("spark.graft.cypher.cycleSplit").contains("auto")
+    if (auto && graft.frontends.cypher.CycleAdvisor.autoDecide(graph.nodes, graph.edges))
+      compiler.compile(graft.frontends.cypher.CycleAdvisor.withForced(translate()))
+    else compiler.compile(op)
   }
 
   /** Parameterized openCypher: `$name` placeholders bind to `params` at
@@ -50,7 +65,7 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
         s"${k.length}:$k=$cls:${vs.length}:$vs"
       }.mkString("\u0001")
     planCache.get(key) {
-      compiler.compile(CypherFrontend.bindParams(
+      compileCypher(() => CypherFrontend.bindParams(
         CypherFrontend.translateText(query), params))
     }
   }

@@ -131,14 +131,22 @@ object Algos {
         throw new IllegalArgumentException(
           s"eigenvectorCentrality: dmax=$dmax over $iters iterations exceeds " +
             "exact-integer range (dmax^iters > 2^62); reduce iters")
+      // Dangling endpoints (edge ids absent from the node table — permitted,
+      // see degreeCentrality) must not accumulate walk counts: the
+      // distributed branch re-restricts x to node ids every iteration, so
+      // the local loop only merges into KNOWN nodes, keeping both branches
+      // bit-identical on the same graph regardless of the broadcast gate.
+      val nSet = new java.util.HashSet[Long](nArr.length * 2)
+      nArr.foreach(nSet.add)
       var xm = new java.util.HashMap[Long, Long]()
       nArr.foreach(xm.put(_, 1L))
       for (_ <- 1 to iters) {
         val next = new java.util.HashMap[Long, Long]()
         nArr.foreach(next.put(_, 0L))
         aArr.foreach { case (v, u) =>
-          next.merge(v, xm.getOrDefault(u, 0L),
-            (a, b) => Math.addExact(a, b)) // belt-and-braces: never wraps
+          if (nSet.contains(v))
+            next.merge(v, xm.getOrDefault(u, 0L),
+              (a, b) => Math.addExact(a, b)) // belt-and-braces: never wraps
         }
         xm = next
       }
@@ -162,7 +170,11 @@ object Algos {
         .select(col("id"), coalesce(col("s"), lit(0L)).as("x"))
         .localCheckpoint()
     }
-    val norm = x.agg(sqrt(sum(col("x") * col("x")).cast("double")).as("__n"))
+    // Square in DOUBLES: x ≤ dmax^iters is long-exact, but x*x overflows
+    // long once x > ~2^31 — well inside the dmax^iters ≤ 2^62 guard. The
+    // local branch squares in doubles too, so both agree bit-for-bit.
+    val norm = x.agg(
+      sqrt(sum(col("x").cast("double") * col("x").cast("double"))).as("__n"))
     val out = x.crossJoin(norm) // 1-row broadcast
       .select(col("id"),
         round(col("x").cast("double") / greatest(col("__n"), lit(1.0)), 6)

@@ -32,6 +32,23 @@ object CycleAdvisor {
   private val last = new ThreadLocal[Option[String]] {
     override def initialValue: Option[String] = None
   }
+  // `cycleSplit=auto` re-translation override: NOT cleared by reset() —
+  // it brackets exactly one translateText call (which itself resets), so
+  // clearing it there would undo the auto decision before it applies
+  private val force = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+
+  /** True while inside [[withForced]] — the frontend applies the split as
+    * if the flag were `true`.
+    */
+  def forced: Boolean = force.get
+
+  /** Run `f` (a single re-translation) with the split force-enabled. */
+  def withForced[T](f: => T): T = {
+    force.set(true)
+    try f finally force.remove()
+  }
 
   /** Frontend: an m-hop pattern qualified for the split while the flag was
     * off.
@@ -54,6 +71,21 @@ object CycleAdvisor {
       stats.sizeInBytes.toDouble / math.max(1, df.schema.defaultSize))
   }
 
+  /** The shared cost model: does the split win by the 4× margin for an
+    * m-hop cycle at estimated fanout f?
+    */
+  private def marginWins(f: Double, m: Int): Boolean = {
+    val chain = math.pow(f, m - 1.0)
+    // the two arms peak at f^ceil(m/2) and f^floor(m/2) (the split point
+    // is k = m/2 rounded down; the larger arm dominates)
+    val split = math.pow(f, math.ceil(m / 2.0)) + math.pow(f, m / 2)
+    chain > 4.0 * split
+  }
+
+  private def fanout(nodes: DataFrame, edges: DataFrame): Double =
+    math.max(1.0,
+      math.max(1.0, approxRows(edges)) / math.max(1.0, approxRows(nodes)))
+
   /** Compiler: evaluate any pending qualifying patterns against the graph
     * being compiled; log (never enable) when the split estimate wins.
     */
@@ -61,14 +93,9 @@ object CycleAdvisor {
     val qs = pending.get
     if (qs.isEmpty) return
     pending.set(Nil)
-    val f = math.max(1.0,
-      math.max(1.0, approxRows(edges)) / math.max(1.0, approxRows(nodes)))
+    val f = fanout(nodes, edges)
     qs.foreach { m =>
-      val chain = math.pow(f, m - 1.0)
-      // the two arms peak at f^ceil(m/2) and f^floor(m/2) (the split point
-      // is k = m/2 rounded down; the larger arm dominates)
-      val split = math.pow(f, math.ceil(m / 2.0)) + math.pow(f, m / 2)
-      if (chain > 4.0 * split) {
+      if (marginWins(f, m)) {
         val msg =
           f"cycle-split proposal: $m%d-hop cyclic pattern, est. fanout $f%.1f — " +
             f"chain build peaks ~f^${m - 1}%d vs split arms ~2·f^${math.ceil(m / 2.0).toInt}%d; " +
@@ -77,5 +104,25 @@ object CycleAdvisor {
         last.set(Some(msg))
       }
     }
+  }
+
+  /** `cycleSplit=auto` decision point (called by the session between the
+    * probe translation and compilation): consume the probe's notes and
+    * return whether ANY qualifying pattern clears the same 4× margin the
+    * off-mode proposal uses — the caller then re-translates under
+    * [[withForced]]. Same estimate, same margin; the only difference from
+    * `evaluate` is that the winning estimate CHANGES the plan instead of
+    * only logging, which is precisely what the `auto` opt-in licenses.
+    */
+  def autoDecide(nodes: DataFrame, edges: DataFrame): Boolean = {
+    val qs = pending.get
+    if (qs.isEmpty) return false
+    pending.set(Nil)
+    val f = fanout(nodes, edges)
+    val win = qs.exists(marginWins(f, _))
+    if (win)
+      log.info(f"cycleSplit=auto: estimate (fanout $f%.1f) clears the 4x " +
+        "margin - enabling the cyclic-pattern split for this query")
+    win
   }
 }

@@ -955,15 +955,22 @@ object CypherFrontend {
           })
           Seq(arm1, arm2)
         }
-        val cycleSplitOn = org.apache.spark.sql.SparkSession.getActiveSession
-          .exists(_.conf.getOption("spark.graft.cypher.cycleSplit")
-            .contains("true"))
+        // `true` = always split; `auto` = probe translation notes the
+        // qualifying patterns, the session consults the advisor's cost
+        // model (CycleAdvisor.autoDecide) and re-translates under
+        // withForced when the margin holds; anything else = off (proposal
+        // logging only, reference never-auto-leapfrog parity)
+        val cycleSplitOn = CycleAdvisor.forced ||
+          org.apache.spark.sql.SparkSession.getActiveSession
+            .exists(_.conf.getOption("spark.graft.cypher.cycleSplit")
+              .contains("true"))
         val plainPaths = paths.filter(_.shortest.isEmpty)
         val effPaths =
           if (cycleSplitOn) plainPaths.flatMap(splitCycle)
           else {
-            // flag off: note patterns that WOULD split so the compiler can
-            // log a data-driven proposal (CycleAdvisor) — no plan change
+            // flag off/auto, probe pass: note patterns that WOULD split so
+            // the advisor can propose (off) or decide (auto) — no plan
+            // change in this translation
             plainPaths.foreach(p =>
               if (splitCycle(p).size == 2) CycleAdvisor.noteQualifying(p.tail.size))
             plainPaths

@@ -62,66 +62,83 @@ object CdcStreams {
       prevGraph: Option[PropertyGraph] = None): Long = {
     val spark = g.nodes.sparkSession
     val before = Epochs.list(spark, path)
-    val epoch = Epochs.commitIncremental(g, path, fullEvery, prevGraph)
+    // whether the commit will be a delta is a pure function of the epoch
+    // numbering (commitIncremental's own gate) — knowing it BEFORE the
+    // commit lets the non-delta path overlap the snapshot write with the
+    // feed writes below (they touch distinct dirs and the feed diffs only
+    // read the PREVIOUS epoch / the caller's frames, never the new one)
+    val willDelta = before.nonEmpty && (before.last + 1) % fullEvery != 0
 
-    // outbox schema IS the delta schema (`chg` add|remove + row columns, the
-    // epoch is encoded in the copied file names): a delta commit publishes
-    // by COPYING its immutable delta part-files into the outbox — a
-    // driver-side filesystem op, zero Spark jobs, zero re-encode. Only
-    // non-delta commits (the first, or the periodic full snapshot) pay a
-    // write job for their diff.
     def allAdd(df: DataFrame): DataFrame =
       df.select(lit("add").as("chg") +: df.columns.map(col): _*)
-    val isDelta = exists(spark, s"$path/e$epoch/_delta")
-    def publish(deltaDir: String, full: DataFrame,
-        prevOf: PropertyGraph => DataFrame, dir: String): Unit = {
+    // r11 renamed the outbox column change→chg (= the delta schema, so
+    // delta publishes are file copies). A pre-r11 outbox would produce a
+    // MIXED-schema dir whose reader silently nulls one side's rows —
+    // refuse loudly instead; the outbox is derivable state (re-bootstrap
+    // a fresh dir and re-run the consumer from a fresh checkpoint).
+    def checkFormat(dir: String): Unit = {
       val fs = hfs(spark, dir)
       val out = new org.apache.hadoop.fs.Path(dir)
-      // r11 renamed the outbox column change→chg (= the delta schema, so
-      // delta publishes are file copies). A pre-r11 outbox would produce a
-      // MIXED-schema dir whose reader silently nulls one side's rows —
-      // refuse loudly instead; the outbox is derivable state (re-bootstrap
-      // a fresh dir and re-run the consumer from a fresh checkpoint).
       if (fs.exists(out) && fs.listStatus(out).exists(_.getPath.getName.startsWith("part-")) &&
           spark.read.parquet(dir).columns.contains("change"))
         throw new IllegalStateException(s"$dir was written by a pre-chg-format " +
           "version; start a new outbox dir (and consumer checkpoint)")
-      if (isDelta) {
-        fs.mkdirs(out)
+    }
+    def writeFeed(full: DataFrame, prevOf: PropertyGraph => DataFrame,
+        dir: String): Unit = {
+      val feed = before.lastOption match {
+        case Some(prev) =>
+          val p = prevGraph.getOrElse(Epochs.asOf(spark, path, prev))
+          val cur = prevOf(PropertyGraph(g.nodes, g.edges))
+          val old = prevOf(p)
+          graft.core.RowDiff.antiRows(cur, old).withColumn("chg", lit("add"))
+            .unionByName(graft.core.RowDiff.antiRows(old, cur)
+              .withColumn("chg", lit("remove")))
+            .select(col("chg") +: cur.columns.map(col): _*)
+        case None => allAdd(full)
+      }
+      feed.write.mode(SaveMode.Append).parquet(dir)
+    }
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    if (willDelta) {
+      // outbox schema IS the delta schema (`chg` add|remove + row columns,
+      // the epoch is encoded in the copied file names): a delta commit
+      // publishes by COPYING its immutable delta part-files into the
+      // outbox — a driver-side filesystem op, zero Spark jobs, zero
+      // re-encode.
+      val epoch = Epochs.commitIncremental(g, path, fullEvery, prevGraph)
+      def copyDelta(deltaDir: String, dir: String): Unit = {
+        checkFormat(dir)
+        val fs = hfs(spark, dir)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
         val src = new org.apache.hadoop.fs.Path(deltaDir)
         if (fs.exists(src)) fs.listStatus(src).foreach { st =>
           val name = st.getPath.getName
           if (name.startsWith("part-") && st.getLen > 0)
             org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-              new org.apache.hadoop.fs.Path(out, s"e${epoch}_$name"),
+              new org.apache.hadoop.fs.Path(dir, s"e${epoch}_$name"),
               false, spark.sparkContext.hadoopConfiguration)
         }
-      } else {
-        val feed = before.lastOption match {
-          case Some(prev) =>
-            val p = prevGraph.getOrElse(Epochs.asOf(spark, path, prev))
-            val cur = prevOf(PropertyGraph(g.nodes, g.edges))
-            val old = prevOf(p)
-            graft.core.RowDiff.antiRows(cur, old).withColumn("chg", lit("add"))
-              .unionByName(graft.core.RowDiff.antiRows(old, cur)
-                .withColumn("chg", lit("remove")))
-              .select(col("chg") +: cur.columns.map(col): _*)
-          case None => allAdd(full)
-        }
-        feed.write.mode(SaveMode.Append).parquet(dir)
       }
+      copyDelta(s"$path/e$epoch/nodes_delta", s"$path/_cdc/nodes")
+      copyDelta(s"$path/e$epoch/edges_delta", s"$path/_cdc/edges")
+      epoch
+    } else {
+      // non-delta (first or periodic full) commit: the snapshot write and
+      // the two feed writes are three independent job sets — run them
+      // concurrently instead of stacking their fixed job latencies
+      checkFormat(s"$path/_cdc/nodes")
+      checkFormat(s"$path/_cdc/edges")
+      val fEpoch = Future(Epochs.commitIncremental(g, path, fullEvery, prevGraph))
+      val fFeeds = Seq(
+        Future(writeFeed(g.nodes, _.nodes, s"$path/_cdc/nodes")),
+        Future(writeFeed(g.edges, _.edges, s"$path/_cdc/edges")))
+      Await.result(Future.sequence(fEpoch +: fFeeds.map(_.map(_ => 0L))),
+        scala.concurrent.duration.Duration.Inf)
+      Await.result(fEpoch, scala.concurrent.duration.Duration.Inf)
     }
-
-    // the two sides are independent (distinct dirs, distinct jobs) — overlap
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(
-      Future(publish(s"$path/e$epoch/nodes_delta", g.nodes, _.nodes,
-        s"$path/_cdc/nodes")),
-      Future(publish(s"$path/e$epoch/edges_delta", g.edges, _.edges,
-        s"$path/_cdc/edges")))),
-      scala.concurrent.duration.Duration.Inf)
-    epoch
   }
 
   /** Streaming view of the node change feed — a plain FileStreamSource
@@ -198,6 +215,18 @@ object CdcStreams {
     // warms the cache every derived frame reads — the alternative is one
     // scan per decision plus one per consumer
     val b = batch.persist()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val adds = b.filter(col("change") === "add")
+      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
+      .dropDuplicates("__id")
+    val newSigs = adds
+      .select(col("__id"), Dedup.shingles(col("__text"), n).as("__grams"))
+      .select(col("__id"), col("__grams"),
+        graft.functions.TextHashExpressions
+          .minHashSig(col("__grams"), numHashes, seed).as("__sig"),
+        lit(batchId).as("__b"))
+      .persist()
     val counts = t("batch counts") {
       b.groupBy("change").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -223,24 +252,11 @@ object CdcStreams {
     val store = pruneDead(
       readOrEmpty(spark, s"$workDir/sigs", sigSchema), tomb, Seq("__id"))
 
-    val adds = b.filter(col("change") === "add")
-      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
-      .dropDuplicates("__id")
-    val newSigs = adds
-      .select(col("__id"), Dedup.shingles(col("__text"), n).as("__grams"))
-      .select(col("__id"), col("__grams"),
-        graft.functions.TextHashExpressions
-          .minHashSig(col("__grams"), numHashes, seed).as("__sig"),
-        lit(batchId).as("__b"))
-      .persist()
-
     // steady-state CDC: the DELTA is small relative to the store, so the
-    // delta-derived sides (banded new signatures, then the candidate pair
-    // set — both bounded by the delta) are the broadcast sides and the
-    // store only ever STREAMS. Guarded by a doc-count gate so a bulk
-    // initial load (delta = corpus) falls back to shuffled joins instead
-    // of broadcasting the world.
-    def bcastIfSmall(df: DataFrame) = if (smallDelta) broadcast(df) else df
+    // delta-derived side (banded new signatures — bounded by the delta) is
+    // the broadcast side and the store only ever STREAMS. Guarded by the
+    // doc-count gate so a bulk initial load (delta = corpus) falls back to
+    // shuffled joins instead of broadcasting the world.
 
     // candidates = band-key matches with ≥1 NEW member (old×old pairs were
     // found when their later member arrived); least/greatest + distinct
@@ -248,24 +264,45 @@ object CdcStreams {
     val all = store.unionByName(newSigs)
     def banded(df: DataFrame) = df.select(col("__id"),
       explode(Dedup.bandKeys(col("__sig"), numHashes, bands)).as("__bk"))
-    val candidates = bcastIfSmall(banded(newSigs)).as("l")
-      .join(banded(all).as("r"),
-        col("l.__bk") === col("r.__bk") && col("l.__id") =!= col("r.__id"))
-      .select(least(col("l.__id"), col("r.__id")).as("id1"),
-        greatest(col("l.__id"), col("r.__id")).as("id2"))
-      .distinct()
-    val g1 = all.select(col("__id").as("id1"), col("__grams").as("__g1"))
-    val g2 = all.select(col("__id").as("id2"), col("__grams").as("__g2"))
     // the pair verification and the signature-store append both hang off
     // the persisted newSigs and write to distinct dirs — overlap them
-    // (Spark's cache manager serializes the shared cache fill per block)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
     val fPairs = Future { t("pairs write") {
-      bcastIfSmall(candidates).join(g1, "id1").join(g2, "id2")
-        .select(col("id1"), col("id2"),
-          round(Dedup.jaccard(col("__g1"), col("__g2")), 6).as("jac"))
-        .filter(col("jac") >= threshold)
+      val verified = if (smallDelta) {
+        // steady-state (small-delta) shape: the grams RIDE the band join
+        // so verification is a single broadcast join — no candidate
+        // materialization round-trip, no gram re-join (two fewer jobs per
+        // batch). Jaccard is symmetric, so computing it before the
+        // least/greatest canonicalization gives the same value; duplicate
+        // band matches recompute it (≤ `bands`×, trivial at delta size)
+        // and collapse in the final dedup.
+        def bandedG(df: DataFrame) = df.select(col("__id"), col("__grams"),
+          explode(Dedup.bandKeys(col("__sig"), numHashes, bands)).as("__bk"))
+        broadcast(bandedG(newSigs)).as("l")
+          .join(bandedG(all).as("r"),
+            col("l.__bk") === col("r.__bk") && col("l.__id") =!= col("r.__id"))
+          .select(least(col("l.__id"), col("r.__id")).as("id1"),
+            greatest(col("l.__id"), col("r.__id")).as("id2"),
+            round(Dedup.jaccard(col("l.__grams"), col("r.__grams")), 6).as("jac"))
+          .filter(col("jac") >= threshold)
+          .dropDuplicates("id1", "id2")
+      } else {
+        // bulk-load shape: dedup candidate PAIRS first, then fetch each
+        // pair's grams exactly once — asymptotically fewer gram
+        // comparisons when band collisions are plentiful
+        val candidates = banded(newSigs).as("l")
+          .join(banded(all).as("r"),
+            col("l.__bk") === col("r.__bk") && col("l.__id") =!= col("r.__id"))
+          .select(least(col("l.__id"), col("r.__id")).as("id1"),
+            greatest(col("l.__id"), col("r.__id")).as("id2"))
+          .distinct()
+        val g1 = all.select(col("__id").as("id1"), col("__grams").as("__g1"))
+        val g2 = all.select(col("__id").as("id2"), col("__grams").as("__g2"))
+        candidates.join(g1, "id1").join(g2, "id2")
+          .select(col("id1"), col("id2"),
+            round(Dedup.jaccard(col("__g1"), col("__g2")), 6).as("jac"))
+          .filter(col("jac") >= threshold)
+      }
+      narrow(verified)
         .withColumn("__b", lit(batchId))
         .write.mode(SaveMode.Append).parquet(s"$workDir/pairs")
     }}

@@ -74,6 +74,66 @@ class CycleSplitSpec extends AnyFunSuite {
     assert(graft.frontends.cypher.CycleAdvisor.lastProposal.isEmpty)
   }
 
+  private def runAuto(sfDir: String) = {
+    spark.conf.set("spark.graft.cypher.cycleSplit", "auto")
+    try new GraftSession(spark, TpchGraph(spark, sfDir)).cypher(cycle)
+    finally spark.conf.unset("spark.graft.cypher.cycleSplit")
+  }
+
+  test("cycleSplit=auto enables the split when the advisor margin holds — results identical at two SFs") {
+    for (sfDir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val off = {
+        spark.conf.set("spark.graft.cypher.cycleSplit", "false")
+        try new GraftSession(spark, TpchGraph(spark, sfDir)).cypher(cycle).collect().toSeq
+        finally spark.conf.unset("spark.graft.cypher.cycleSplit")
+      }
+      val auto = runAuto(sfDir)
+      // the TPC-H fanout (~7) clears the 4x margin for the 5-hop cycle, so
+      // auto must pick the SPLIT plan (the extra arm-merge join)...
+      val chainJoins = {
+        spark.conf.set("spark.graft.cypher.cycleSplit", "false")
+        try "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(
+          new GraftSession(spark, TpchGraph(spark, sfDir)).cypher(cycle)
+            .queryExecution.executedPlan.toString).size
+        finally spark.conf.unset("spark.graft.cypher.cycleSplit")
+      }
+      val autoJoins = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+        .findAllIn(auto.queryExecution.executedPlan.toString).size
+      assert(autoJoins > chainJoins,
+        s"auto must apply the split when the margin holds: chain=$chainJoins auto=$autoJoins ($sfDir)")
+      // ... and the split stays purely algebraic: bag-identical results
+      assert(auto.collect().toSeq == off, s"auto results must equal the default plan ($sfDir)")
+    }
+  }
+
+  test("cycleSplit=auto leaves sub-margin cycles on the chain plan") {
+    // ring graph (every node out-degree 1, fanout estimate ~1): a 5-hop
+    // cycle structurally qualifies for the split, but chain f^4 cannot
+    // beat 4*(f^3 + f^2) at f ~ 1 — auto must keep the left-to-right chain
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 100L
+    val ringNodes = (0L until n).toDF("id")
+      .select(col("id"), array(lit("N")).as("labels"))
+    val ringEdges = (0L until n).map(k => (k, (k + 1) % n)).toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("L").as("rel"), lit(1.0).as("weight"))
+    val ring = graft.graph.PropertyGraph(ringNodes, ringEdges)
+    val short =
+      """MATCH (a:N)-[:L]->(b)-[:L]->(c)-[:L]->(d)-[:L]->(e)-[:L]->(a)
+        |RETURN count(*) AS cnt""".stripMargin
+    def joins(mode: String): Int = {
+      spark.conf.set("spark.graft.cypher.cycleSplit", mode)
+      try "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(
+        new GraftSession(spark, ring).cypher(short)
+          .queryExecution.executedPlan.toString).size
+      finally spark.conf.unset("spark.graft.cypher.cycleSplit")
+    }
+    assert(joins("auto") == joins("false"),
+      "sub-margin cycle must not split under auto")
+    // sanity: the pattern DOES qualify structurally — forcing true splits it
+    assert(joins("true") > joins("false"))
+  }
+
   test("non-cyclic and short-cycle patterns are untouched by the flag") {
     spark.conf.set("spark.graft.cypher.cycleSplit", "true")
     try {

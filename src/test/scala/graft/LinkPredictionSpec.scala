@@ -92,6 +92,49 @@ class LinkPredictionSpec extends AnyFunSuite {
       .count() == 4L)
   }
 
+  test("eigenvector: dangling endpoints score identically local vs distributed") {
+    // edge (3,9) points at a vertex ABSENT from the node table — permitted
+    // (degreeCentrality documents dangling endpoints). Walk counts must not
+    // accumulate on or flow through the dangling vertex: the distributed
+    // branch re-restricts x to node ids per iteration, and the local branch
+    // guards its merge with the node set — so both equal the same graph
+    // WITHOUT the dangling edge (x(9)=0 always; 9 is never output).
+    def g(extra: Seq[(Long, Long)]) = {
+      val edges = (Seq((1L, 2L), (2L, 3L), (3L, 1L)) ++ extra).toDF("src", "dst")
+        .select(col("src"), col("dst"), lit("L").as("rel"), lit(1.0).as("weight"))
+      PropertyGraph((1L to 3L).toDF("id"), edges)
+    }
+    def scores(gr: PropertyGraph) = graft.algos.Algos
+      .eigenvectorCentrality(gr, iters = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val clean = scores(g(Seq.empty))
+    val local = scores(g(Seq((3L, 9L))))
+    assert(local == clean, "dangling edge must not perturb local scores")
+    spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, "0")
+    try {
+      val dist = scores(g(Seq((3L, 9L))))
+      assert(dist == clean, "dangling edge must not perturb distributed scores")
+    } finally spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
+  }
+
+  test("eigenvector: distributed L2 norm squares in doubles (no long overflow)") {
+    // clique of 6: x_t = 5^t for every vertex. iters=26 keeps x = 5^26 ~
+    // 1.49e18 inside the dmax^iters <= 2^62 guard, but x*x in LONG
+    // arithmetic would overflow by ~2^60 — the norm must square in doubles
+    // (both branches), yielding 1/sqrt(6) everywhere.
+    val edges = (0L to 5L).flatMap(a => (0L to 5L).filter(_ != a).map((a, _)))
+      .toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("L").as("rel"), lit(1.0).as("weight"))
+    val clique = PropertyGraph((0L to 5L).toDF("id"), edges)
+    val expected = math.rint(1.0 / math.sqrt(6.0) * 1e6) / 1e6
+    def run() = graft.algos.Algos.eigenvectorCentrality(clique, iters = 26)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(run() == Seq.fill(6)(expected))
+    spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, "0")
+    try assert(run() == Seq.fill(6)(expected))
+    finally spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
+  }
+
   test("algorithms facade delegates over the session graph") {
     val sess = new GraftSession(spark, fixture)
     assert(sess.algorithms.nodeCount() == 5L)

@@ -44,6 +44,23 @@ class PlanCacheSpec extends AnyFunSuite {
     assert(session.planCacheStats == (3L, 3L))
   }
 
+  test("SPARQL sessions cache translated plans too (fifth front-end)") {
+    import spark.implicits._
+    val tg = graft.graph.TripleGraph(
+      Seq(("s1", "p1", "o1"), ("s2", "p1", "o2"), ("s1", "p2", "o3"))
+        .toDF("s", "p", "o"))
+    val session = new graft.frontends.sparql.SparqlSession(tg)
+    val q = "SELECT ?s WHERE { ?s p1 ?o } ORDER BY ?s"
+    val first = session.query(q).collect()
+    assert(session.planCacheStats == (0L, 1L))
+    val second = session.query(q).collect()
+    assert(session.planCacheStats == (1L, 1L))
+    assert(first.toSeq == second.toSeq && first.length == 2)
+    // a distinct query string is a distinct plan
+    session.query("SELECT ?s WHERE { ?s p2 ?o }")
+    assert(session.planCacheStats == (1L, 2L))
+  }
+
   test("cache is bounded LRU: evicted entries recompile") {
     val c = new graft.core.PlanCache[java.lang.Integer](capacity = 2)
     var computes = 0
