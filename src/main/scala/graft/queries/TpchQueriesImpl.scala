@@ -41,10 +41,17 @@ object TpchQueriesImpl {
     },
 
     // Q5-like: revenue by nation where customer and supplier share the
-    // nation, restricted to one region.
+    // nation, restricted to one region. The per-nation revenue sums span
+    // MILLIONS of lineitems at sf >= 1, and a double-accumulated sum is
+    // order-dependent in its last ulp — enough to flip the rounded cent
+    // between Spark's partition order and the oracle's (sf1 measured
+    // .93 vs .94 on one nation). Both sides therefore cast each row's
+    // (deterministic) double product to DECIMAL and sum exactly: decimal
+    // addition is associative, so the cent is the same in any order — the
+    // correct money-aggregation shape at any scale.
     QueryDef(
       "q_tpch_q5",
-      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -63,7 +70,8 @@ object TpchQueriesImpl {
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(30,8)")), 2).cast("double")
           .as("revenue"))
         .orderBy(desc("revenue"), asc("n_name"))
     },
