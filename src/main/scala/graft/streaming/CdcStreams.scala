@@ -217,16 +217,6 @@ object CdcStreams {
     val b = batch.persist()
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    val adds = b.filter(col("change") === "add")
-      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
-      .dropDuplicates("__id")
-    val newSigs = adds
-      .select(col("__id"), Dedup.shingles(col("__text"), n).as("__grams"))
-      .select(col("__id"), col("__grams"),
-        graft.functions.TextHashExpressions
-          .minHashSig(col("__grams"), numHashes, seed).as("__sig"),
-        lit(batchId).as("__b"))
-      .persist()
     val counts = t("batch counts") {
       b.groupBy("change").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -240,6 +230,23 @@ object CdcStreams {
       .map(_.toLong).getOrElse(65536L)
     val smallDelta = counts.values.sum <= maxBcast
     def narrow(df: DataFrame) = if (smallDelta) df.coalesce(1) else df
+
+    val adds = b.filter(col("change") === "add")
+      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
+      .dropDuplicates("__id")
+    // narrow BEFORE persist: a cached plan keeps its shuffle's partition
+    // count (AQE may not re-shape cached output partitioning), so a
+    // small-delta signature cache left at spark.sql.shuffle.partitions
+    // blocks would hand EVERY downstream consumer 32 near-empty tasks —
+    // profiled at ~0.1-0.3 s of fixed per-task overhead each, the
+    // dominant cost of the whole batch at CDC delta sizes.
+    val newSigs = narrow(adds
+      .select(col("__id"), Dedup.shingles(col("__text"), n).as("__grams"))
+      .select(col("__id"), col("__grams"),
+        graft.functions.TextHashExpressions
+          .minHashSig(col("__grams"), numHashes, seed).as("__sig"),
+        lit(batchId).as("__b")))
+      .persist()
 
     if (hasRemoves)
       narrow(b.filter(col("change") === "remove")

@@ -43,6 +43,9 @@ object ProfileJobs {
     // stageId -> (numTasks, totalTaskMs, maxTaskMs)
     val stages = mutable.LinkedHashMap.empty[Int, (Int, Long, Long)]
     val jobs = mutable.LinkedHashMap.empty[Int, (Long, Long, Seq[Int])]
+    // jobId -> short call site ("collect at CdcStreams.scala:231") so the
+    // heavy rows are attributable without a UI
+    val sites = mutable.LinkedHashMap.empty[Int, String]
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
         val ms = t.taskInfo.duration
@@ -51,6 +54,8 @@ object ProfileJobs {
       }
       override def onJobStart(j: SparkListenerJobStart): Unit = synchronized {
         jobs(j.jobId) = (j.time, 0L, j.stageIds.map(_.toInt))
+        sites(j.jobId) = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = synchronized {
         jobs.get(j.jobId).foreach { case (t0, _, s) =>
@@ -76,7 +81,7 @@ object ProfileJobs {
         val tasks = st.map(_._1).sum
         val taskMs = st.map(_._2).sum
         if (ms > 20)
-          println(f"   job $id%3d ${ms / 1e3}%6.2f s  $tasks%4d tasks  taskTime ${taskMs / 1e3}%6.2f s  stages ${sids.mkString(",")}")
+          println(f"   job $id%3d ${ms / 1e3}%6.2f s  $tasks%4d tasks  taskTime ${taskMs / 1e3}%6.2f s  stages ${sids.mkString(",")}  ${sites.getOrElse(id, "")}")
       }
       val heavy = stages.toSeq.sortBy(-_._2._2).take(6)
       heavy.foreach { case (sid, (n, tot, mx)) =>
