@@ -176,6 +176,16 @@ object CdcStreams {
         acc(c) === col("__tid") && col("__tb") > acc("__b"), "left_anti")
     }
 
+  /** [[pruneDead]] against the tombstone DIR: an append-only store with no
+    * tombstone files yet (no document was ever removed/updated — the
+    * common steady state) skips the anti-join plans entirely instead of
+    * anti-joining against a provably empty frame per id column.
+    */
+  private def pruneDeadAt(spark: SparkSession, df: DataFrame, tombDir: String,
+      idCols: Seq[String]): DataFrame =
+    if (!exists(spark, tombDir)) df
+    else pruneDead(df, spark.read.schema(tombSchema).parquet(tombDir), idCols)
+
   /** One incremental near-dup pass over everything committed since the
     * last run (checkpoint-tracked; `Trigger.AvailableNow` self-terminates
     * when the feed is drained). Parameters mirror
@@ -254,10 +264,10 @@ object CdcStreams {
         .withColumn("__b", lit(batchId)))
         .write.mode(SaveMode.Append).parquet(s"$workDir/tombstones")
 
-    val tomb = readOrEmpty(spark, s"$workDir/tombstones", tombSchema)
     // live prior signatures (updates/removes up to and incl. this batch)
-    val store = pruneDead(
-      readOrEmpty(spark, s"$workDir/sigs", sigSchema), tomb, Seq("__id"))
+    val store = pruneDeadAt(spark,
+      readOrEmpty(spark, s"$workDir/sigs", sigSchema),
+      s"$workDir/tombstones", Seq("__id"))
 
     // steady-state CDC: the DELTA is small relative to the store, so the
     // delta-derived side (banded new signatures — bounded by the delta) is
@@ -328,10 +338,8 @@ object CdcStreams {
     * tombstones. Equals [[Dedup.minHashNearDuplicates]] on the epoch head
     * (same parameters), having signed each document once.
     */
-  def nearDupPairs(spark: SparkSession, workDir: String): DataFrame = {
-    val tomb = readOrEmpty(spark, s"$workDir/tombstones", tombSchema)
-    pruneDead(readOrEmpty(spark, s"$workDir/pairs", pairSchema), tomb,
-        Seq("id1", "id2"))
+  def nearDupPairs(spark: SparkSession, workDir: String): DataFrame =
+    pruneDeadAt(spark, readOrEmpty(spark, s"$workDir/pairs", pairSchema),
+        s"$workDir/tombstones", Seq("id1", "id2"))
       .select(col("id1"), col("id2"), col("jac"))
-  }
 }
