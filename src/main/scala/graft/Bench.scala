@@ -118,9 +118,12 @@ object Bench {
       // is one GC pause / cold temp-store rep away from being wrong — buy
       // up to two more samples before trusting it (covers per-run fixture
       // queries without a hand-maintained list: their cold rep-1 trips the
-      // spread, the extra warm reps corroborate the steady state)
+      // spread, the extra warm reps corroborate the steady state).
+      // reps=1 is an explicit "fast single-shot" request — a lone sample
+      // always has infinite spread, so the loop must not override it.
       var extra = 0
-      while (extra < 2 && !errors.contains(name) && spreadOf(name) > SpreadBar) {
+      while (reps > 1 && extra < 2 && !errors.contains(name) &&
+          spreadOf(name) > SpreadBar) {
         once(); extra += 1
       }
       if (ts.isEmpty) Double.MaxValue else ts.min
@@ -195,10 +198,14 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    // the compact stdout line lives inside the driver's ~2000-char tail
+    // budget — a noisy window could flag dozens of names and truncate the
+    // line mid-JSON, so the compact form carries only the COUNT; the full
+    // committed artifact carries the names and per-query spreads
     val envJson =
-      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb,"calib_sec":${math.rint(calib * 1000) / 1000},"calib_shuffle_sec":${math.rint(calibShuffle * 1000) / 1000},"calib_shuffle_ref":$CalibShuffleRef,"value_normalized":${math.rint(valueNormalized * 1000) / 1000},"spread_flagged":$flaggedJson"""
+      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb,"calib_sec":${math.rint(calib * 1000) / 1000},"calib_shuffle_sec":${math.rint(calibShuffle * 1000) / 1000},"calib_shuffle_ref":$CalibShuffleRef,"value_normalized":${math.rint(valueNormalized * 1000) / 1000},"spread_flagged_n":${flagged.size}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$envJson,"spreads":$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$envJson,"spread_flagged":$flaggedJson,"spreads":$spreadJson,"sf":"$sfDir"}"""
     // The driver captures only a ~2000-char tail of stdout, so a full
     // 180-query JSON line is truncated mid-line and fails its parse (every
     // BENCH_r{N}.json since r7 has "parsed": null). Print a COMPACT line —

@@ -31,9 +31,16 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   /** openCypher entry point (reference Session::execute_cypher,
     * session.rs:290).
     */
-  def cypher(query: String): DataFrame = planCache.get("cypher\u0000" + query) {
-    compileCypher(() => CypherFrontend.translateText(query))
-  }
+  def cypher(query: String): DataFrame =
+    planCache.get("cypher\u0000" + cycleSplitMode + "\u0000" + query) {
+      compileCypher(() => CypherFrontend.translateText(query))
+    }
+
+  // the cycle-split conf changes the compiled plan shape (off | auto |
+  // true), so it must be part of the cache key — otherwise a mid-session
+  // flag flip would keep serving the stale shape for already-seen strings
+  private def cycleSplitMode: String =
+    spark.conf.getOption("spark.graft.cypher.cycleSplit").getOrElse("")
 
   /** `spark.graft.cypher.cycleSplit=auto` support: translate once as a
     * probe (no split; qualifying cyclic patterns leave advisor notes),
@@ -58,7 +65,7 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
     * bindings are distinct optimized plans.
     */
   def cypher(query: String, params: Map[String, Any]): DataFrame = {
-    val key = "cypher\u0000" + query + "\u0000" +
+    val key = "cypher\u0000" + cycleSplitMode + "\u0000" + query + "\u0000" +
       params.toSeq.sortBy(_._1).map { case (k, v) =>
         val vs = String.valueOf(v)
         val cls = if (v == null) "null" else v.getClass.getName

@@ -85,7 +85,7 @@ object CdcStreams {
           "version; start a new outbox dir (and consumer checkpoint)")
     }
     def writeFeed(full: DataFrame, prevOf: PropertyGraph => DataFrame,
-        dir: String): Unit = {
+        dir: String, mode: SaveMode): Unit = {
       val feed = before.lastOption match {
         case Some(prev) =>
           val p = prevGraph.getOrElse(Epochs.asOf(spark, path, prev))
@@ -97,7 +97,7 @@ object CdcStreams {
             .select(col("chg") +: cur.columns.map(col): _*)
         case None => allAdd(full)
       }
-      feed.write.mode(SaveMode.Append).parquet(dir)
+      feed.write.mode(mode).parquet(dir)
     }
 
     import scala.concurrent.{Await, Future}
@@ -128,16 +128,40 @@ object CdcStreams {
     } else {
       // non-delta (first or periodic full) commit: the snapshot write and
       // the two feed writes are three independent job sets — run them
-      // concurrently instead of stacking their fixed job latencies
+      // concurrently instead of stacking their fixed job latencies. The
+      // feeds are written to a STAGING dir (Overwrite — a failed earlier
+      // attempt's leftovers are replaced, never duplicated) and promoted
+      // into the outbox only after the epoch has published: appending to
+      // the outbox concurrently would leave consumer-visible rows behind
+      // a failed commit, and the caller's retry would publish every
+      // change twice.
       checkFormat(s"$path/_cdc/nodes")
       checkFormat(s"$path/_cdc/edges")
+      val stage = s"$path/_cdc_stage"
       val fEpoch = Future(Epochs.commitIncremental(g, path, fullEvery, prevGraph))
       val fFeeds = Seq(
-        Future(writeFeed(g.nodes, _.nodes, s"$path/_cdc/nodes")),
-        Future(writeFeed(g.edges, _.edges, s"$path/_cdc/edges")))
-      Await.result(Future.sequence(fEpoch +: fFeeds.map(_.map(_ => 0L))),
+        Future(writeFeed(g.nodes, _.nodes, s"$stage/nodes", SaveMode.Overwrite)),
+        Future(writeFeed(g.edges, _.edges, s"$stage/edges", SaveMode.Overwrite)))
+      Await.result(Future.sequence(fFeeds),
         scala.concurrent.duration.Duration.Inf)
-      Await.result(fEpoch, scala.concurrent.duration.Duration.Inf)
+      val epoch = Await.result(fEpoch, scala.concurrent.duration.Duration.Inf)
+      // commit point passed — promote staged part-files via driver-side
+      // rename (same filesystem; epoch-prefixed names keep appends unique)
+      def promote(srcDir: String, dstDir: String): Unit = {
+        val fs = hfs(spark, dstDir)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(dstDir))
+        val src = new org.apache.hadoop.fs.Path(srcDir)
+        if (fs.exists(src)) fs.listStatus(src).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("part-") && st.getLen > 0)
+            fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(dstDir, s"f${epoch}_$name"))
+        }
+      }
+      promote(s"$stage/nodes", s"$path/_cdc/nodes")
+      promote(s"$stage/edges", s"$path/_cdc/edges")
+      hfs(spark, stage).delete(new org.apache.hadoop.fs.Path(stage), true)
+      epoch
     }
   }
 
@@ -239,6 +263,14 @@ object CdcStreams {
     val maxBcast = spark.conf.getOption("spark.graft.cdc.broadcastMaxDocs")
       .map(_.toLong).getOrElse(65536L)
     val smallDelta = counts.values.sum <= maxBcast
+    // the FUSED verification shape broadcasts grams × band fanout (each
+    // new doc's shingle array rides every one of its `bands` band rows),
+    // so its gate must be much tighter than the id-only broadcast gate:
+    // 8k docs × ~5 KB grams × 16 bands ≈ 640 MB broadcast worst-case,
+    // safely under Spark's cap where 64k docs would blow past it
+    val fuseMax = spark.conf.getOption("spark.graft.cdc.fuseMaxDocs")
+      .map(_.toLong).getOrElse(8192L)
+    val tinyDelta = counts.values.sum <= fuseMax
     def narrow(df: DataFrame) = if (smallDelta) df.coalesce(1) else df
 
     val adds = b.filter(col("change") === "add")
@@ -283,9 +315,10 @@ object CdcStreams {
       explode(Dedup.bandKeys(col("__sig"), numHashes, bands)).as("__bk"))
     // the pair verification and the signature-store append both hang off
     // the persisted newSigs and write to distinct dirs — overlap them
+    def bcastIfSmall(df: DataFrame) = if (smallDelta) broadcast(df) else df
     val fPairs = Future { t("pairs write") {
-      val verified = if (smallDelta) {
-        // steady-state (small-delta) shape: the grams RIDE the band join
+      val verified = if (tinyDelta) {
+        // steady-state (tiny-delta) shape: the grams RIDE the band join
         // so verification is a single broadcast join — no candidate
         // materialization round-trip, no gram re-join (two fewer jobs per
         // batch). Jaccard is symmetric, so computing it before the
@@ -303,10 +336,13 @@ object CdcStreams {
           .filter(col("jac") >= threshold)
           .dropDuplicates("id1", "id2")
       } else {
-        // bulk-load shape: dedup candidate PAIRS first, then fetch each
+        // mid/bulk shape: dedup candidate PAIRS first, then fetch each
         // pair's grams exactly once — asymptotically fewer gram
-        // comparisons when band collisions are plentiful
-        val candidates = banded(newSigs).as("l")
+        // comparisons when band collisions are plentiful. Deltas under
+        // the id-only broadcast gate still broadcast the (id, band-key)
+        // side and the canonical pair set (both delta-bounded, bytes-tiny
+        // without grams); genuinely bulk loads fall back to shuffles.
+        val candidates = bcastIfSmall(banded(newSigs)).as("l")
           .join(banded(all).as("r"),
             col("l.__bk") === col("r.__bk") && col("l.__id") =!= col("r.__id"))
           .select(least(col("l.__id"), col("r.__id")).as("id1"),
@@ -314,7 +350,7 @@ object CdcStreams {
           .distinct()
         val g1 = all.select(col("__id").as("id1"), col("__grams").as("__g1"))
         val g2 = all.select(col("__id").as("id2"), col("__grams").as("__g2"))
-        candidates.join(g1, "id1").join(g2, "id2")
+        bcastIfSmall(candidates).join(g1, "id1").join(g2, "id2")
           .select(col("id1"), col("id2"),
             round(Dedup.jaccard(col("__g1"), col("__g2")), 6).as("jac"))
           .filter(col("jac") >= threshold)

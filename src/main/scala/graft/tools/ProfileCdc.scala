@@ -52,26 +52,6 @@ object ProfileCdc {
       time("commit 1 (full)") {
         graft.streaming.CdcStreams.commitWithFeed(asGraph(base), store)
       }
-      if (sys.env.contains("GRAFT_CDC_COMMIT2_SPLIT")) {
-        // isolate the commit-2 ingredients: diff write vs FS machinery
-        val g2 = asGraph(base.unionByName(planted))
-        val p2 = asGraph(base)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_cdcp_diag").toString
-        time("  nd diff+write alone") {
-          val adds = graft.core.RowDiff.antiRows(g2.nodes, p2.nodes)
-          val rems = graft.core.RowDiff.antiRows(p2.nodes, g2.nodes)
-          adds.select(lit("add").as("chg") +: adds.columns.map(col): _*)
-            .unionByName(rems.select(lit("remove").as("chg") +: rems.columns.map(col): _*))
-            .write.parquet(s"$tmp/nd")
-        }
-        time("  ed diff+write alone") {
-          val adds = graft.core.RowDiff.antiRows(g2.edges, p2.edges)
-          val rems = graft.core.RowDiff.antiRows(p2.edges, g2.edges)
-          adds.select(lit("add").as("chg") +: adds.columns.map(col): _*)
-            .unionByName(rems.select(lit("remove").as("chg") +: rems.columns.map(col): _*))
-            .write.parquet(s"$tmp/ed")
-        }
-      }
       time("commit 2 (delta)") {
         graft.streaming.CdcStreams.commitWithFeed(
           asGraph(base.unionByName(planted)), store,
