@@ -52,8 +52,14 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   private def compileCypher(translate: () => graft.ir.Op.T): DataFrame = {
     val op = translate()
     val auto = spark.conf.getOption("spark.graft.cypher.cycleSplit").contains("auto")
-    if (auto && graft.frontends.cypher.CycleAdvisor.autoDecide(graph.nodes, graph.edges))
-      compiler.compile(graft.frontends.cypher.CycleAdvisor.withForced(translate()))
+    val wins = if (auto)
+      graft.frontends.cypher.CycleAdvisor.autoDecide(graph.nodes, graph.edges)
+    else Set.empty[Int]
+    // wins = the hop counts whose own margin cleared: the re-translation
+    // splits exactly those patterns (a sub-margin cycle in the same query
+    // keeps its chain plan)
+    if (wins.nonEmpty)
+      compiler.compile(graft.frontends.cypher.CycleAdvisor.withForced(wins)(translate()))
     else compiler.compile(op)
   }
 

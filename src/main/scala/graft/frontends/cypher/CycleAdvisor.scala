@@ -34,19 +34,26 @@ object CycleAdvisor {
   }
   // `cycleSplit=auto` re-translation override: NOT cleared by reset() —
   // it brackets exactly one translateText call (which itself resets), so
-  // clearing it there would undo the auto decision before it applies
-  private val force = new ThreadLocal[Boolean] {
-    override def initialValue: Boolean = false
+  // clearing it there would undo the auto decision before it applies.
+  // Holds the hop counts whose own margin won: a multi-pattern query can
+  // carry one cycle that clears the margin and another that loses, and
+  // re-translating must split only the winners (a blanket "split every
+  // structurally qualifying pattern" would pessimize the sub-margin one).
+  private val force = new ThreadLocal[Set[Int]] {
+    override def initialValue: Set[Int] = Set.empty
   }
 
-  /** True while inside [[withForced]] — the frontend applies the split as
-    * if the flag were `true`.
+  /** Hop counts the auto decision licensed for splitting in the current
+    * [[withForced]] re-translation (empty = not inside one) — the frontend
+    * splits exactly the patterns whose hop count is in this set.
     */
-  def forced: Boolean = force.get
+  def forcedHops: Set[Int] = force.get
 
-  /** Run `f` (a single re-translation) with the split force-enabled. */
-  def withForced[T](f: => T): T = {
-    force.set(true)
+  /** Run `f` (a single re-translation) with the split force-enabled for
+    * patterns of exactly these hop counts.
+    */
+  def withForced[T](wins: Set[Int])(f: => T): T = {
+    force.set(wins)
     try f finally force.remove()
   }
 
@@ -108,21 +115,25 @@ object CycleAdvisor {
 
   /** `cycleSplit=auto` decision point (called by the session between the
     * probe translation and compilation): consume the probe's notes and
-    * return whether ANY qualifying pattern clears the same 4× margin the
-    * off-mode proposal uses — the caller then re-translates under
-    * [[withForced]]. Same estimate, same margin; the only difference from
-    * `evaluate` is that the winning estimate CHANGES the plan instead of
-    * only logging, which is precisely what the `auto` opt-in licenses.
+    * return the hop counts whose qualifying patterns clear the same 4×
+    * margin the off-mode proposal uses — the caller re-translates under
+    * [[withForced]] when the set is non-empty, and the frontend splits
+    * ONLY patterns of those hop counts (a sub-margin cycle in the same
+    * query keeps its chain plan). Same estimate, same margin; the only
+    * difference from `evaluate` is that a winning estimate CHANGES the
+    * plan instead of only logging, which is what the `auto` opt-in
+    * licenses.
     */
-  def autoDecide(nodes: DataFrame, edges: DataFrame): Boolean = {
+  def autoDecide(nodes: DataFrame, edges: DataFrame): Set[Int] = {
     val qs = pending.get
-    if (qs.isEmpty) return false
+    if (qs.isEmpty) return Set.empty
     pending.set(Nil)
     val f = fanout(nodes, edges)
-    val win = qs.exists(marginWins(f, _))
-    if (win)
+    val wins = qs.filter(marginWins(f, _)).toSet
+    if (wins.nonEmpty)
       log.info(f"cycleSplit=auto: estimate (fanout $f%.1f) clears the 4x " +
-        "margin - enabling the cyclic-pattern split for this query")
-    win
+        s"margin for ${wins.toSeq.sorted.mkString(",")}-hop cycles - " +
+        "enabling the cyclic-pattern split for those patterns")
+    wins
   }
 }

@@ -958,15 +958,23 @@ object CypherFrontend {
         // `true` = always split; `auto` = probe translation notes the
         // qualifying patterns, the session consults the advisor's cost
         // model (CycleAdvisor.autoDecide) and re-translates under
-        // withForced when the margin holds; anything else = off (proposal
-        // logging only, reference never-auto-leapfrog parity)
-        val cycleSplitOn = CycleAdvisor.forced ||
+        // withForced when the margin holds — the forced set carries the
+        // WINNING hop counts, so a multi-pattern query splits only the
+        // cycles whose own margin cleared (a sub-margin cycle keeps its
+        // chain plan); anything else = off (proposal logging only,
+        // reference never-auto-leapfrog parity)
+        val forcedHops = CycleAdvisor.forcedHops
+        val cycleSplitOn =
           org.apache.spark.sql.SparkSession.getActiveSession
             .exists(_.conf.getOption("spark.graft.cypher.cycleSplit")
               .contains("true"))
         val plainPaths = paths.filter(_.shortest.isEmpty)
         val effPaths =
           if (cycleSplitOn) plainPaths.flatMap(splitCycle)
+          else if (forcedHops.nonEmpty) plainPaths.flatMap { p =>
+            val s = splitCycle(p)
+            if (s.size == 2 && forcedHops.contains(p.tail.size)) s else Seq(p)
+          }
           else {
             // flag off/auto, probe pass: note patterns that WOULD split so
             // the advisor can propose (off) or decide (auto) — no plan

@@ -61,6 +61,9 @@ object CdcStreams {
   def commitWithFeed(g: PropertyGraph, path: String, fullEvery: Int = 10,
       prevGraph: Option[PropertyGraph] = None): Long = {
     val spark = g.nodes.sparkSession
+    // finish any promote a previous commit crashed in the middle of: the
+    // outbox must never stay PERMANENTLY partial (see [[recoverOutbox]])
+    recoverOutbox(spark, path)
     val before = Epochs.list(spark, path)
     // whether the commit will be a delta is a pure function of the epoch
     // numbering (commitIncremental's own gate) — knowing it BEFORE the
@@ -102,6 +105,49 @@ object CdcStreams {
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
+    // per-attempt staging dir: a fresh name per commit, so two concurrent
+    // non-delta commits to one store can no longer collide on a shared
+    // stage path (they still violate the single-writer FEED contract, but
+    // they corrupt nothing)
+    def freshStage() = s"$path/_cdc_stage/${java.util.UUID.randomUUID()}"
+    // stage the feed diffs, then (after `epoch` has published) promote —
+    // the shared slow path for non-delta commits and for a mispredicted
+    // delta commit
+    def stageFeedsAndPromote(epoch: => Long, concurrent: Boolean): Long = {
+      checkFormat(s"$path/_cdc/nodes")
+      checkFormat(s"$path/_cdc/edges")
+      val stage = freshStage()
+      val e: Long = if (concurrent) {
+        // the snapshot write and the two feed writes are three independent
+        // job sets — run them concurrently instead of stacking their fixed
+        // job latencies (the feed diffs only read the PREVIOUS epoch / the
+        // caller's frames, never the new one)
+        val fEpoch = Future(epoch)
+        val fFeeds = Seq(
+          Future(writeFeed(g.nodes, _.nodes, s"$stage/nodes", SaveMode.Overwrite)),
+          Future(writeFeed(g.edges, _.edges, s"$stage/edges", SaveMode.Overwrite)))
+        Await.result(Future.sequence(fFeeds),
+          scala.concurrent.duration.Duration.Inf)
+        Await.result(fEpoch, scala.concurrent.duration.Duration.Inf)
+      } else {
+        val committed = epoch
+        writeFeed(g.nodes, _.nodes, s"$stage/nodes", SaveMode.Overwrite)
+        writeFeed(g.edges, _.edges, s"$stage/edges", SaveMode.Overwrite)
+        committed
+      }
+      // commit point passed — mark the stage complete (one atomic create
+      // recording the epoch), then promote. A crash anywhere after the
+      // marker is RECOVERABLE: the next commitWithFeed (or an explicit
+      // recoverOutbox) finishes the promote, so the outbox is never left
+      // permanently partial. A crash in the narrow window between the
+      // epoch publish and the marker loses this feed attempt whole —
+      // losing-whole was r13's deliberate choice over double-publishing,
+      // and it is detectable (a published epoch with neither f<N>_ outbox
+      // files nor a marked stage).
+      markStaged(spark, stage, e)
+      promoteStage(spark, path, stage, e)
+      e
+    }
     if (willDelta) {
       // outbox schema IS the delta schema (`chg` add|remove + row columns,
       // the epoch is encoded in the copied file names): a delta commit
@@ -122,46 +168,99 @@ object CdcStreams {
               false, spark.sparkContext.hadoopConfiguration)
         }
       }
-      copyDelta(s"$path/e$epoch/nodes_delta", s"$path/_cdc/nodes")
-      copyDelta(s"$path/e$epoch/edges_delta", s"$path/_cdc/edges")
+      if (exists(spark, s"$path/e$epoch/_delta")) {
+        copyDelta(s"$path/e$epoch/nodes_delta", s"$path/_cdc/nodes")
+        copyDelta(s"$path/e$epoch/edges_delta", s"$path/_cdc/edges")
+      } else
+        // willDelta mirrors commitIncremental's full/delta gate; if they
+        // ever diverge (gate change, or a second writer outside the
+        // single-writer contract shifting the epoch numbering) the commit
+        // landed as a FULL snapshot and there are no delta files to copy —
+        // fall back to the staged feed-diff path instead of silently
+        // publishing NOTHING for this epoch
+        stageFeedsAndPromote(epoch, concurrent = false)
       epoch
     } else {
-      // non-delta (first or periodic full) commit: the snapshot write and
-      // the two feed writes are three independent job sets — run them
-      // concurrently instead of stacking their fixed job latencies. The
-      // feeds are written to a STAGING dir (Overwrite — a failed earlier
-      // attempt's leftovers are replaced, never duplicated) and promoted
-      // into the outbox only after the epoch has published: appending to
-      // the outbox concurrently would leave consumer-visible rows behind
-      // a failed commit, and the caller's retry would publish every
-      // change twice.
-      checkFormat(s"$path/_cdc/nodes")
-      checkFormat(s"$path/_cdc/edges")
-      val stage = s"$path/_cdc_stage"
-      val fEpoch = Future(Epochs.commitIncremental(g, path, fullEvery, prevGraph))
-      val fFeeds = Seq(
-        Future(writeFeed(g.nodes, _.nodes, s"$stage/nodes", SaveMode.Overwrite)),
-        Future(writeFeed(g.edges, _.edges, s"$stage/edges", SaveMode.Overwrite)))
-      Await.result(Future.sequence(fFeeds),
-        scala.concurrent.duration.Duration.Inf)
-      val epoch = Await.result(fEpoch, scala.concurrent.duration.Duration.Inf)
-      // commit point passed — promote staged part-files via driver-side
-      // rename (same filesystem; epoch-prefixed names keep appends unique)
-      def promote(srcDir: String, dstDir: String): Unit = {
-        val fs = hfs(spark, dstDir)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(dstDir))
-        val src = new org.apache.hadoop.fs.Path(srcDir)
-        if (fs.exists(src)) fs.listStatus(src).foreach { st =>
-          val name = st.getPath.getName
-          if (name.startsWith("part-") && st.getLen > 0)
-            fs.rename(st.getPath,
-              new org.apache.hadoop.fs.Path(dstDir, s"f${epoch}_$name"))
+      // non-delta (first or periodic full) commit: feeds stage
+      // concurrently with the snapshot write and promote only after the
+      // epoch has published — appending to the outbox concurrently would
+      // leave consumer-visible rows behind a failed commit, and the
+      // caller's retry would publish every change twice.
+      stageFeedsAndPromote(
+        Epochs.commitIncremental(g, path, fullEvery, prevGraph),
+        concurrent = true)
+    }
+  }
+
+  /** Write the stage-complete marker: one atomic create whose content is
+    * the published epoch number — the commit record [[recoverOutbox]]
+    * replays.
+    */
+  private def markStaged(spark: SparkSession, stage: String, epoch: Long): Unit = {
+    val fs = hfs(spark, stage)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$stage/_staged"), true)
+    out.write(epoch.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Move every staged part-file into the outbox. Idempotent (recovery
+    * re-runs it): an already-promoted file — destination exists, source
+    * consumed by an earlier attempt — is skipped; a rename that REPORTS
+    * failure (HDFS-style FileSystems return false rather than throw)
+    * raises loudly instead of silently dropping a feed file after the
+    * epoch has already committed. On filesystems without atomic rename
+    * (object stores) a single epoch's feed may become visible across two
+    * consumer micro-batches mid-crash, but never stays partial: the next
+    * [[commitWithFeed]] completes it.
+    */
+  private def promoteStage(spark: SparkSession, path: String, stage: String,
+      epoch: Long): Unit = {
+    def promote(srcDir: String, dstDir: String): Unit = {
+      val fs = hfs(spark, dstDir)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dstDir))
+      val src = new org.apache.hadoop.fs.Path(srcDir)
+      if (fs.exists(src)) fs.listStatus(src).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("part-") && st.getLen > 0) {
+          val dst = new org.apache.hadoop.fs.Path(dstDir, s"f${epoch}_$name")
+          if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
+            throw new IllegalStateException(
+              s"CDC outbox promote failed: rename ${st.getPath} -> $dst returned false")
         }
       }
-      promote(s"$stage/nodes", s"$path/_cdc/nodes")
-      promote(s"$stage/edges", s"$path/_cdc/edges")
-      hfs(spark, stage).delete(new org.apache.hadoop.fs.Path(stage), true)
-      epoch
+    }
+    promote(s"$stage/nodes", s"$path/_cdc/nodes")
+    promote(s"$stage/edges", s"$path/_cdc/edges")
+    hfs(spark, stage).delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  /** Complete any outbox promote a previous [[commitWithFeed]] crashed in
+    * the middle of: every stage dir carrying a `_staged` marker belongs to
+    * an epoch that HAS published (the marker is created only after the
+    * epoch commit returns), so its remaining files are renamed into the
+    * outbox and the stage removed. Stage dirs WITHOUT a marker are either
+    * a live concurrent commit or an abandoned pre-publish attempt — both
+    * are left alone (the former cleans itself up; the latter is inert
+    * garbage, never consumer-visible). Runs automatically at the start of
+    * every commit; callable directly for repair.
+    */
+  def recoverOutbox(spark: SparkSession, path: String): Unit = {
+    val root = s"$path/_cdc_stage"
+    if (!exists(spark, root)) return
+    val fs = hfs(spark, root)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
+      if (st.isDirectory) {
+        val stage = st.getPath.toString
+        val marker = new org.apache.hadoop.fs.Path(s"$stage/_staged")
+        if (fs.exists(marker)) {
+          val in = fs.open(marker)
+          val bytes = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+          in.readFully(bytes)
+          in.close()
+          val epoch = new String(bytes, "UTF-8").trim.toLong
+          promoteStage(spark, path, stage, epoch)
+        }
+      }
     }
   }
 
@@ -251,10 +350,17 @@ object CdcStreams {
     val b = batch.persist()
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    val counts = t("batch counts") {
-      b.groupBy("change").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats = t("batch counts") {
+      b.groupBy("change")
+        .agg(count(lit(1)).as("n"), sum(length(col(textCol))).as("bytes"))
+        .collect()
     }
+    val counts = stats.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total text bytes of the ADD side, from the same single pass — feeds
+    // the fused-broadcast byte estimate below
+    val addTextBytes = stats.collectFirst {
+      case r if r.getString(0) == "add" && !r.isNullAt(2) => r.getLong(2)
+    }.getOrElse(0L)
     val hasRemoves = counts.getOrElse("remove", 0L) > 0
     // small-delta batches write through ONE task: state files stay few (the
     // accumulated sig/pair stores are re-READ every batch — file count is
@@ -265,12 +371,21 @@ object CdcStreams {
     val smallDelta = counts.values.sum <= maxBcast
     // the FUSED verification shape broadcasts grams × band fanout (each
     // new doc's shingle array rides every one of its `bands` band rows),
-    // so its gate must be much tighter than the id-only broadcast gate:
-    // 8k docs × ~5 KB grams × 16 bands ≈ 640 MB broadcast worst-case,
-    // safely under Spark's cap where 64k docs would blow past it
+    // so its gate is three-fold: (a) its own doc cap, much tighter than
+    // the id-only gate; (b) the id-only gate itself — an operator who
+    // lowered broadcastMaxDocs below fuseMaxDocs to forbid broadcasts
+    // must not still get one; (c) a byte ESTIMATE of the broadcast
+    // (shingle bytes ≈ n overlapping word-grams per word ≈ n × text
+    // bytes, riding each of the `bands` band rows), so a batch of few
+    // but LARGE documents cannot build a multi-GB broadcast that the
+    // doc-count caps alone would wave through.
     val fuseMax = spark.conf.getOption("spark.graft.cdc.fuseMaxDocs")
       .map(_.toLong).getOrElse(8192L)
-    val tinyDelta = counts.values.sum <= fuseMax
+    val fuseMaxBytes = spark.conf.getOption("spark.graft.cdc.fuseMaxBroadcastBytes")
+      .map(_.toLong).getOrElse(512L << 20)
+    val estFusedBytes = addTextBytes * n * bands
+    val tinyDelta = counts.values.sum <= math.min(fuseMax, maxBcast) &&
+      estFusedBytes <= fuseMaxBytes
     def narrow(df: DataFrame) = if (smallDelta) df.coalesce(1) else df
 
     val adds = b.filter(col("change") === "add")

@@ -70,6 +70,66 @@ class CdcStreamsSpec extends AnyFunSuite {
     assert(sigs.groupBy("__id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("a crashed mid-promote is completed by the next commit — consumers see the whole feed") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_store3").toString
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_work3").toString
+    CdcStreams.commitWithFeed(docGraph(baseDocs), store)
+    CdcStreams.incrementalNearDupRun(spark, store, work)
+
+    // epoch 1 as a FULL commit (fullEvery=1) so the staged-promote path
+    // runs, then SIMULATE a crash that happened mid-promote: move the
+    // epoch's promoted node-feed files back into a marked stage dir —
+    // exactly the on-disk state a crash between the two promote calls
+    // leaves behind (edges published, nodes not, `_staged` marker present)
+    val more = baseDocs ++ Seq(
+      5L -> "completely different text about spark structured streaming",
+      6L -> "unrelated content mentioning neither foxes nor query engines")
+    val e1 = CdcStreams.commitWithFeed(docGraph(more), store, fullEvery = 1)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outNodes = new org.apache.hadoop.fs.Path(s"$store/_cdc/nodes")
+    val stage = new org.apache.hadoop.fs.Path(s"$store/_cdc_stage/crashtest")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stage, "nodes"))
+    val moved = fs.listStatus(outNodes).filter(_.getPath.getName.startsWith(s"f${e1}_"))
+    assert(moved.nonEmpty, "epoch-1 full commit must have promoted node feed files")
+    moved.foreach { st =>
+      // undo the promote: strip the f<epoch>_ prefix back to the staged name
+      val orig = st.getPath.getName.stripPrefix(s"f${e1}_")
+      assert(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(s"$stage/nodes/$orig")))
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(stage, "_staged"), true)
+    out.write(e1.toString.getBytes("UTF-8")); out.close()
+
+    // the next consumer-side recovery (runs automatically on every commit;
+    // here invoked directly) must finish the promote, after which the
+    // incremental pipeline sees the complete epoch-1 feed
+    CdcStreams.recoverOutbox(spark, store)
+    assert(!fs.exists(stage), "recovered stage dir must be removed")
+    assert(fs.listStatus(outNodes).exists(_.getPath.getName.startsWith(s"f${e1}_")))
+    CdcStreams.incrementalNearDupRun(spark, store, work)
+    assertSame(CdcStreams.nearDupPairs(spark, work), batchPairs(more))
+  }
+
+  test("fuse gates: id-broadcast and byte caps force the unfused shapes, same pairs") {
+    // (a) broadcastMaxDocs below the batch size must forbid the fused
+    //     broadcast even though fuseMaxDocs alone would allow it;
+    // (b) a tiny fuseMaxBroadcastBytes must push large-document batches
+    //     off the grams-carrying broadcast. Both fall back to shuffled /
+    //     pair-fetch shapes — results must be identical either way.
+    for ((k, v) <- Seq("spark.graft.cdc.broadcastMaxDocs" -> "1",
+                       "spark.graft.cdc.fuseMaxBroadcastBytes" -> "1")) {
+      val store = java.nio.file.Files.createTempDirectory("graft_cdc_store_g").toString
+      val work = java.nio.file.Files.createTempDirectory("graft_cdc_work_g").toString
+      spark.conf.set(k, v)
+      try {
+        CdcStreams.commitWithFeed(docGraph(baseDocs), store)
+        CdcStreams.incrementalNearDupRun(spark, store, work)
+        assertSame(CdcStreams.nearDupPairs(spark, work), batchPairs(baseDocs))
+      } finally spark.conf.unset(k)
+    }
+  }
+
   test("document update and removal retire stale pairs") {
     val store = java.nio.file.Files.createTempDirectory("graft_cdc_store2").toString
     val work = java.nio.file.Files.createTempDirectory("graft_cdc_work2").toString

@@ -134,6 +134,45 @@ class CycleSplitSpec extends AnyFunSuite {
     assert(joins("true") > joins("false"))
   }
 
+  test("cycleSplit=auto splits only the patterns whose own margin wins") {
+    // one query, two qualifying cycles, on a SYNTHETIC fanout-3 graph
+    // (exact LocalRelation stats, so the estimate can't drift with cache
+    // state the way parquet sizeInBytes heuristics do): at f = 3 the
+    // 7-hop cycle's chain estimate f^6 = 729 clears 4×(f^4 + f^3) = 432,
+    // while the 5-hop's f^4 = 81 loses to 4×(f^3 + f^2) = 144 — auto must
+    // split the 7-hop pattern and leave the 5-hop on its chain plan (a
+    // blanket "split everything that qualifies" would pessimize it)
+    import spark.implicits._
+    val n = 60L
+    val nodes = (0L until n).toDF("id")
+      .select(col("id"), array(lit("N")).as("labels"))
+    val edges = (0L until n).flatMap(k => Seq(1L, 7L, 13L).map(d => (k, (k + d) % n)))
+      .toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("L").as("rel"), lit(1.0).as("weight"))
+    val g = graft.graph.PropertyGraph(nodes, edges)
+    val twoCycles =
+      """MATCH (a:N)-[:L]->(b)-[:L]->(c)-[:L]->(d)-[:L]->(e)-[:L]->(f)-[:L]->(h)-[:L]->(a)
+        |MATCH (q:N)-[:L]->(r)-[:L]->(t)-[:L]->(u)-[:L]->(v)-[:L]->(q)
+        |RETURN count(*) AS cnt""".stripMargin
+    def joins(mode: String): Int = {
+      spark.conf.set("spark.graft.cypher.cycleSplit", mode)
+      try "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(
+        new GraftSession(spark, g).cypher(twoCycles)
+          .queryExecution.executedPlan.toString).size
+      finally spark.conf.unset("spark.graft.cypher.cycleSplit")
+    }
+    val (chain, auto, all) = (joins("false"), joins("auto"), joins("true"))
+    assert(auto > chain, s"auto must split the winning 7-hop cycle: chain=$chain auto=$auto")
+    assert(auto < all, s"auto must NOT split the sub-margin 5-hop cycle: auto=$auto true=$all")
+    // and the selective split stays purely algebraic
+    def rows(mode: String) = {
+      spark.conf.set("spark.graft.cypher.cycleSplit", mode)
+      try new GraftSession(spark, g).cypher(twoCycles).collect().toSeq
+      finally spark.conf.unset("spark.graft.cypher.cycleSplit")
+    }
+    assert(rows("auto") == rows("false"))
+  }
+
   test("non-cyclic and short-cycle patterns are untouched by the flag") {
     spark.conf.set("spark.graft.cypher.cycleSplit", "true")
     try {
