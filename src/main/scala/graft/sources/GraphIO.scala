@@ -275,6 +275,59 @@ object GraphIO {
     def commit(g: PropertyGraph, path: String): Long =
       claimAndPublish(g.nodes.sparkSession, path)(dir => save(g, dir))
 
+    /** Record an epoch's changed-entity keys (node `id`s, edge
+      * `(src, dst, rel)`s) as a tiny `e<N>/writeset` sidecar — the
+      * reference's per-version change record (mvcc.rs version chains).
+      * The OCC validator writes one after every contended merge-publish,
+      * where the keys are already computed; later transactions then
+      * validate against O(changed keys) instead of diffing two corpus
+      * snapshots — at 100 TB that is the difference between reading a
+      * key file and re-scanning the store per commit. One write job,
+      * both kinds in one flat frame (key columns never collide).
+      */
+    def recordWriteSet(spark: SparkSession, path: String, epoch: Long,
+        nodeKeys: DataFrame, edgeKeys: DataFrame): Unit =
+      nodeKeys.select(lit("n").as("kind"), col("id").cast("long").as("id"),
+          lit(null).cast("long").as("src"), lit(null).cast("long").as("dst"),
+          lit(null).cast("string").as("rel"))
+        .unionByName(edgeKeys.select(lit("e").as("kind"),
+          lit(null).cast("long").as("id"), col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("rel").cast("string").as("rel")))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/e$epoch/writeset")
+
+    /** The changed-entity keys of one committed epoch, when recoverable
+      * WITHOUT diffing snapshots: the [[recordWriteSet]] sidecar, or a
+      * delta epoch's own change rows (the delta IS the write set). None
+      * for plain full commits — the validator falls back to the snapshot
+      * diff for intervals containing one. Returns (node ids as `id`,
+      * edge keys as `src, dst, rel`).
+      */
+    def epochWriteSet(spark: SparkSession, path: String,
+        epoch: Long): Option[(DataFrame, DataFrame)] = {
+      val dir = s"$path/e$epoch"
+      val f = fs(spark, path)
+      def ex(p: String) = f.exists(new org.apache.hadoop.fs.Path(p))
+      import org.apache.spark.sql.types._
+      if (ex(s"$dir/writeset")) {
+        val schema = StructType(Seq(
+          StructField("kind", StringType), StructField("id", LongType),
+          StructField("src", LongType), StructField("dst", LongType),
+          StructField("rel", StringType)))
+        val ws = spark.read.schema(schema).parquet(s"$dir/writeset")
+        Some((ws.filter(col("kind") === "n").select("id"),
+          ws.filter(col("kind") === "e").select("src", "dst", "rel")))
+      } else if (ex(s"$dir/_delta")) {
+        def side(name: String) = {
+          val schema = readSchema(spark, s"$dir/_schema_$name.json").getOrElse(
+            throw new IllegalStateException(s"missing $name schema manifest at $dir"))
+          spark.read.schema(schema).parquet(s"$dir/$name")
+        }
+        Some((side("nodes_delta").select("id").distinct(),
+          side("edges_delta").select("src", "dst", "rel").distinct()))
+      } else None
+    }
+
     /** Delta epoch for a PROPERTY GRAPH — the same O(changed rows) log
       * model as [[commitTriplesDelta]], on the LPG side. Layout:
       * `e<N>/{nodes_delta,edges_delta}` parquet, each with a leading

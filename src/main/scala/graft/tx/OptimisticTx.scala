@@ -66,14 +66,28 @@ object OptimisticTx {
       isolation: Isolation = Snapshot,
       readNodes: Option[DataFrame] = None,
       readEdges: Option[DataFrame] = None): Long = commitLock.synchronized {
-    val head = Epochs.list(spark, path).lastOption.getOrElse(
+    val epochs = Epochs.list(spark, path)
+    val head = epochs.lastOption.getOrElse(
       throw new IllegalStateException(s"no committed epoch at $path"))
     var toPublish = staged
+    var publishedWriteSet: Option[(DataFrame, DataFrame)] = None
     if (head > base) {
       val (myNodes, myEdges) = writeSet(baseGraph, staged)
-      // one pass over the interval: entities touched by ANY later epoch
+      // entities touched by ANY later epoch: prefer each epoch's recorded
+      // write-set keys (the OCC sidecar a contended merge-publish leaves
+      // behind, or a delta epoch's own change rows) — O(changed keys) —
+      // falling back to the one-pass snapshot diff of the whole interval
+      // only when some epoch in it is a plain full commit that recorded
+      // nothing. At corpus scale the sidecar path is what keeps commit
+      // validation from re-scanning the store.
+      val later = epochs.filter(e => e > base && e <= head)
+      val sidecars = later.map(e => Epochs.epochWriteSet(spark, path, e))
       val (theirNodes, theirEdges) =
-        writeSet(Epochs.asOf(spark, path, base), Epochs.asOf(spark, path, head))
+        if (sidecars.forall(_.isDefined))
+          (sidecars.flatMap(_.map(_._1)).reduce(_ unionByName _),
+            sidecars.flatMap(_.map(_._2)).reduce(_ unionByName _))
+        else
+          writeSet(Epochs.asOf(spark, path, base), Epochs.asOf(spark, path, head))
       if (nonEmpty(myNodes.join(theirNodes, Seq("id"), "left_semi")))
         throw new WriteConflictException(
           s"write-write conflict: epochs ($base, $head] touched nodes this transaction also wrote")
@@ -108,7 +122,20 @@ object OptimisticTx {
           .unionByName(
             staged.edges.drop("eid").join(myEdges, Seq("src", "dst", "rel"), "left_semi"),
             allowMissingColumns = true))
+      publishedWriteSet = Some((myNodes, myEdges))
     }
-    Epochs.commit(toPublish, path)
+    val epoch = Epochs.commit(toPublish, path)
+    // contended merge-publish: the write set is already in hand — record
+    // it so the NEXT transaction in the contention chain validates against
+    // keys instead of a corpus diff (uncontended commits skip this: paying
+    // a base-vs-staged diff on every quiet commit just to speed up a rare
+    // later validation measured strictly worse). myNodes/myEdges are a
+    // conservative superset of the published change (staged rows equal to
+    // the head's count as written) — safe for OCC, which may only
+    // over-detect, never under-detect.
+    publishedWriteSet.foreach { case (n, e) =>
+      Epochs.recordWriteSet(spark, path, epoch, n, e)
+    }
+    epoch
   }
 }

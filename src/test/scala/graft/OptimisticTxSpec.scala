@@ -117,6 +117,62 @@ class OptimisticTxSpec extends AnyFunSuite {
     intercept[OptimisticTx.WriteConflictException](tx4.commitEpochChecked())
   }
 
+  test("contended merge-publish records a write-set sidecar; later validation reads it") {
+    val (sess, path) = freshStore()
+    // tx_a (uncontended) → e1, no sidecar; tx_b begun at e0 commits behind
+    // it (contended, disjoint) → merge-publishes e2 WITH a sidecar
+    val txA = sess.beginTransaction(path)
+    val txB = sess.beginTransaction(path)
+    txA.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 11.0")
+    txB.cypherUpdate("MATCH (n:Person {name: 'bob'}) SET n.score = 22.0")
+    val e1 = txA.commitEpochChecked()
+    // tx_d begins between the two commits: its validation interval will be
+    // exactly {e2}, which carries a sidecar — the O(changed keys) path
+    val txD = sess.beginTransaction(path)
+    val txDOk = sess.beginTransaction(path)
+    val e2 = txB.commitEpochChecked()
+    assert(new java.io.File(s"$path/e$e2/writeset").exists,
+      "a contended merge-publish must record its write-set sidecar")
+    assert(!new java.io.File(s"$path/e$e1/writeset").exists,
+      "an uncontended commit must not pay for a sidecar")
+    // the sidecar IS what validates: epochWriteSet(e2) must be defined and
+    // contain exactly bob's id on the node side
+    val ws = graft.sources.GraphIO.Epochs.epochWriteSet(spark, path, e2)
+    assert(ws.isDefined)
+    assert(ws.get._1.as[Long].collect().toSet == Set(2L))
+    // conflicting write against e2's set aborts via the sidecar path...
+    txD.cypherUpdate("MATCH (n:Person {name: 'bob'}) SET n.score = 99.0")
+    intercept[OptimisticTx.WriteConflictException](txD.commitEpochChecked())
+    // ... and a disjoint one passes and merges
+    txDOk.cypherUpdate("MATCH (n:Person {name: 'cat'}) SET n.score = 33.0")
+    val e3 = txDOk.commitEpochChecked()
+    // all three disjoint writes survive the entity-granularity merges
+    val g = graft.sources.GraphIO.Epochs.asOf(spark, path, e3)
+    assert(g.nodes.orderBy("id").select("score").as[Double].collect().toSeq
+      == Seq(11.0, 22.0, 33.0))
+  }
+
+  test("delta epochs serve their write set without a snapshot diff") {
+    val (sess, path) = freshStore()
+    // a single-writer delta commit lands between begin and commit: the
+    // validator derives that epoch's keys from the delta rows themselves
+    val tx = sess.beginTransaction(path)
+    val txBad = sess.beginTransaction(path)
+    val retagged = graft.graph.Mutations.setNodeProperty(sess.graph,
+      col("name") === "ann", "score", lit(11.0))
+    val e1 = graft.sources.GraphIO.Epochs.commitIncremental(retagged, path)
+    val ws = graft.sources.GraphIO.Epochs.epochWriteSet(spark, path, e1)
+    assert(ws.isDefined, "a delta epoch's change rows are its write set")
+    assert(ws.get._1.as[Long].collect().toSet == Set(1L))
+    tx.cypherUpdate("MATCH (n:Person {name: 'bob'}) SET n.score = 22.0")
+    val e2 = tx.commitEpochChecked() // disjoint from {ann} → passes
+    assert(graft.sources.GraphIO.Epochs.asOf(spark, path, e2)
+      .nodes.orderBy("id").select("score").as[Double].collect().toSeq
+      == Seq(11.0, 22.0, 30.0))
+    txBad.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 99.0")
+    intercept[OptimisticTx.WriteConflictException](txBad.commitEpochChecked())
+  }
+
   test("OCC over a graph already carrying the props map column") {
     // map-typed columns are not legal raw join keys — validation and merge
     // must canonicalize them rather than throw AnalysisException
