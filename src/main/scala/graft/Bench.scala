@@ -192,6 +192,13 @@ object Bench {
     // reference probe time (~1.0 s on this machine class)
     val CalibShuffleRef = 1.0
     val valueNormalized = total * CalibShuffleRef / math.max(calibShuffle, 1e-9)
+    // canonical-artifact health gate: an artifact measured in a degraded
+    // host window (shuffle probe > 1.2x the pinned healthy reference) must
+    // not become the committed record — normalization makes it COMPARABLE,
+    // but per-query raw numbers from a bad window still mislead round-over-
+    // round reads. The run still reports (stdout + /tmp) so the caller can
+    // retry in a healthier window.
+    val calibHealthy = calibShuffle <= 1.2 * CalibShuffleRef
     // environment fingerprint: rep count + machine state, so future rounds
     // can tell methodology/noise from genuine regression without forensics
     // (r11's committed 117.9 s vs snapshot 124.7 s was exactly that gap)
@@ -203,7 +210,7 @@ object Bench {
     // line mid-JSON, so the compact form carries only the COUNT; the full
     // committed artifact carries the names and per-query spreads
     val envJson =
-      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb,"calib_sec":${math.rint(calib * 1000) / 1000},"calib_shuffle_sec":${math.rint(calibShuffle * 1000) / 1000},"calib_shuffle_ref":$CalibShuffleRef,"value_normalized":${math.rint(valueNormalized * 1000) / 1000},"spread_flagged_n":${flagged.size}"""
+      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb,"calib_sec":${math.rint(calib * 1000) / 1000},"calib_shuffle_sec":${math.rint(calibShuffle * 1000) / 1000},"calib_shuffle_ref":$CalibShuffleRef,"calib_healthy":$calibHealthy,"value_normalized":${math.rint(valueNormalized * 1000) / 1000},"spread_flagged_n":${flagged.size}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$envJson,"spread_flagged":$flaggedJson,"spreads":$spreadJson,"sf":"$sfDir"}"""
     // The driver captures only a ~2000-char tail of stdout, so a full
@@ -229,12 +236,18 @@ object Bench {
     println(compact)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), fullLine)
     catch { case _: Throwable => }
-    // the COMMITTED artifact only reflects full-catalog runs — a filtered
-    // local-iteration run (args nonempty) must not clobber it with a
-    // one-query JSON (found committed that way in r11)
-    if (only.isEmpty)
+    // the COMMITTED artifact only reflects full-catalog runs measured in a
+    // HEALTHY host window — a filtered local-iteration run (args nonempty)
+    // must not clobber it with a one-query JSON (found committed that way
+    // in r11), and a degraded-window run (calib gate above) must not
+    // become the canonical record either: retry when the window recovers.
+    if (only.isEmpty && calibHealthy)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_latest.json"), fullLine)
       catch { case _: Throwable => }
+    else if (only.isEmpty)
+      System.err.println(f"[bench] calib_shuffle $calibShuffle%.3f exceeds " +
+        f"1.2x ref ($CalibShuffleRef) - bench_latest.json NOT updated; " +
+        "re-run in a healthier window")
     spark.stop()
   }
 }

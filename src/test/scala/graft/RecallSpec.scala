@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.vector.{Hnsw, Ivf, Knn}
+
+/** ANN recall floors per index type — the reference pins recall@10 >= 95%
+  * for HNSW at efSearch=64 (docs/ecosystem/performance.md:128); graft
+  * asserts the same floor for HNSW on the ADVERSARIAL shape (isotropic
+  * random embeddings, where distances concentrate) and for the bucketed
+  * LSH / IVF paths on the realistic shape (clustered corpus — jittered
+  * copies of each query planted among the random vectors, the structure
+  * real embedding spaces have). The sf0.1 measurement of the same
+  * configurations is the committed `scale/RECALL.txt` artifact.
+  */
+class RecallSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf = "/root/testdata/sf0.01"
+  private val k = 10
+
+  private lazy val emb = graft.core.Tables.embeddings(spark, sf)
+    .select("vec_id", "embedding")
+  private lazy val queries = emb.filter(col("vec_id") < 50)
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // clustered corpus: 12 jittered copies of every query vector planted in
+  // the corpus; the true top-k of each query is dominated by its cluster
+  private lazy val clustered = {
+    val jittered = (1 to 12).map { j =>
+      queries.select((col("vec_id") * 1000 + j).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(1.0f) + lit((j * 7 % 5 - 2) * 0.01f)).as("embedding"))
+    }.reduce(_ unionByName _)
+    emb.unionByName(jittered)
+  }
+
+  private def recall(brute: Set[(Long, Long)], got: Set[(Long, Long)]): Double =
+    (brute & got).size.toDouble / brute.size
+
+  test("hnsw recall@10 >= 0.95 at efSearch=64 on the uniform corpus (reference pin)") {
+    val brute = pairs(Knn.bruteForceTopK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k))
+    val r = recall(brute, pairs(Hnsw.topK(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k, efSearch = 64)))
+    info(f"hnsw efS=64 recall@10 = $r%.4f")
+    assert(r >= 0.95, f"hnsw recall $r%.4f below the reference 0.95 pin")
+  }
+
+  test("lsh recall@10 >= 0.95 on the clustered corpus (bits=8 tables=4 probes=2)") {
+    val brute = pairs(Knn.bruteForceTopK(queries, "vec_id", "embedding",
+      clustered, "vec_id", "embedding", k))
+    val r = recall(brute, pairs(Knn.lshTopK(queries, "vec_id", "embedding",
+      clustered, "vec_id", "embedding", k, dim = 64, bits = 8, tables = 4,
+      probes = 2)))
+    info(f"lsh clustered recall@10 = $r%.4f")
+    assert(r >= 0.95, f"lsh recall $r%.4f below the 0.95 floor")
+  }
+
+  test("ivf recall@10 >= 0.95 on the clustered corpus (nlist=8 nprobe=3)") {
+    val brute = pairs(Knn.bruteForceTopK(queries, "vec_id", "embedding",
+      clustered, "vec_id", "embedding", k))
+    val m = Ivf.fit(clustered, "vec_id", "embedding", nlist = 8, iters = 2)
+    val r = recall(brute, pairs(Ivf.topK(m, queries, "vec_id", "embedding",
+      clustered, "vec_id", "embedding", k, nprobe = 3)))
+    info(f"ivf clustered recall@10 = $r%.4f")
+    assert(r >= 0.95, f"ivf recall $r%.4f below the 0.95 floor")
+  }
+}
