@@ -19,6 +19,11 @@ object ExplainOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same opt-in hook as Bench/Verify, so plan-shape probes can compare
+    // cycleSplit modes at any SF
+    sys.env.get("SPARK_GRAFT_CYCLE_SPLIT").foreach { v =>
+      spark.conf.set("spark.graft.cypher.cycleSplit", v)
+    }
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     println("== executed plan ==")
     println(df.queryExecution.executedPlan.toString)
