@@ -309,7 +309,12 @@ object GraphIO {
       val f = fs(spark, path)
       def ex(p: String) = f.exists(new org.apache.hadoop.fs.Path(p))
       import org.apache.spark.sql.types._
-      if (ex(s"$dir/writeset")) {
+      // the sidecar counts only when its write COMMITTED (_SUCCESS): a
+      // crashed recordWriteSet can leave the bare dir, and reading that
+      // back as an EMPTY write set would let a genuinely conflicting
+      // transaction pass validation — a lost update. Absent/partial
+      // sidecar → None → the validator falls back to the snapshot diff.
+      if (ex(s"$dir/writeset/_SUCCESS")) {
         val schema = StructType(Seq(
           StructField("kind", StringType), StructField("id", LongType),
           StructField("src", LongType), StructField("dst", LongType),

@@ -223,7 +223,13 @@ object CdcStreams {
         val name = st.getPath.getName
         if (name.startsWith("part-") && st.getLen > 0) {
           val dst = new org.apache.hadoop.fs.Path(dstDir, s"f${epoch}_$name")
-          if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
+          // re-check after a failed rename: recovery can race the
+          // original committer's own promote of the same stage — losing
+          // the race to an EQUIVALENT rename is success, only a rename
+          // that failed with no one having produced the target is an
+          // error worth surfacing (silently dropping a feed file after
+          // the epoch committed is the bug this check exists for)
+          if (!fs.exists(dst) && !fs.rename(st.getPath, dst) && !fs.exists(dst))
             throw new IllegalStateException(
               s"CDC outbox promote failed: rename ${st.getPath} -> $dst returned false")
         }
@@ -248,17 +254,39 @@ object CdcStreams {
     val root = s"$path/_cdc_stage"
     if (!exists(spark, root)) return
     val fs = hfs(spark, root)
+    // unmarked stages older than this are abandoned pre-publish attempts
+    // (their writer is gone; a live commit's stage is seconds old) — age
+    // them out so a flaky producer cannot leak one feed-sized dir per
+    // failed attempt forever
+    val abandonAfterMs = sys.props.get("graft.cdc.stageAbandonMs")
+      .map(_.toLong).getOrElse(60L * 60 * 1000)
+    val now = System.currentTimeMillis()
     fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
       if (st.isDirectory) {
         val stage = st.getPath.toString
         val marker = new org.apache.hadoop.fs.Path(s"$stage/_staged")
-        if (fs.exists(marker)) {
-          val in = fs.open(marker)
-          val bytes = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
-          in.readFully(bytes)
-          in.close()
-          val epoch = new String(bytes, "UTF-8").trim.toLong
-          promoteStage(spark, path, stage, epoch)
+        // a concurrent commit may be promoting (and deleting) this very
+        // stage — losing that race is not a recovery failure
+        try {
+          if (fs.exists(marker)) {
+            val in = fs.open(marker)
+            val bytes = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+            in.readFully(bytes)
+            in.close()
+            // an unparsable marker (0-byte: crash between create and
+            // write) must NOT wedge every future commit with a parse
+            // error — that feed attempt is lost-whole (the documented
+            // crash-window outcome); age the dir out like an unmarked one
+            scala.util.Try(new String(bytes, "UTF-8").trim.toLong).toOption match {
+              case Some(epoch) => promoteStage(spark, path, stage, epoch)
+              case None if now - st.getModificationTime > abandonAfterMs =>
+                fs.delete(st.getPath, true)
+              case None => ()
+            }
+          } else if (now - st.getModificationTime > abandonAfterMs)
+            fs.delete(st.getPath, true)
+        } catch {
+          case _: java.io.FileNotFoundException => () // promoted under us
         }
       }
     }

@@ -23,11 +23,11 @@ import graft.sources.GraphIO
   *   graft.tools.Cli stats <store>
   *   graft.tools.Cli schema <store>
   *   graft.tools.Cli validate <store>
-  *   graft.tools.Cli query <store> <query> [--lang cypher|gql|gremlin|graphql] [--json] [--limit N]
+  *   graft.tools.Cli query <store> <query> [--lang=cypher|gql|gremlin|graphql] [--json] [--limit=N]
   *   graft.tools.Cli backup create <store> <outDir>
   *   graft.tools.Cli backup restore <backupDir> <store> [--force]
-  *   graft.tools.Cli data dump <store> <outDir> [--format parquet|csv|jsonl]
-  *   graft.tools.Cli data load <inputDir> <store> [--format parquet|csv]
+  *   graft.tools.Cli data dump <store> <outDir> [--format=parquet|csv|jsonl]
+  *   graft.tools.Cli data load <inputDir> <store> [--format=parquet|csv]
   *   graft.tools.Cli wal status <store>
   *   graft.tools.Cli wal checkpoint <store>
   *   graft.tools.Cli compact <store> [--dry-run]
@@ -103,9 +103,12 @@ object Cli {
     case Seq("validate", store) =>
       val v = graft.graph.Admin.validate(openStore(spark, store))
       render(v, json, limit)
-      val issues = v.filter(col("n") > 0).count()
+      // exit code reflects ERRORS only — warning-kind rows (e.g. a
+      // legitimate node-only store's NO_EDGES notice) must not make
+      // scripts treat a healthy store as corrupt
+      val issues = v.filter(col("kind") === "error" && col("n") > 0).count()
       if (issues > 0) {
-        System.err.println(s"[cli] validate: $issues issue kind(s) found")
+        System.err.println(s"[cli] validate: $issues error kind(s) found")
         sys.exit(1)
       }
 
@@ -191,27 +194,26 @@ object Cli {
       println(s"[cli] checkpoint: full snapshot committed as epoch $epoch")
 
     case Seq("compact", store) =>
-      // fold the whole epoch chain into a single-epoch store (reference
-      // compact.rs reclaims old versions); --dry-run reports only
+      // reclaim old versions (reference compact.rs): first COMMIT the
+      // folded head as a fresh full snapshot — the store is valid at
+      // every step, so a crash mid-compact can never destroy it — then
+      // prune every older epoch dir and marker. Epoch numbering is
+      // preserved (pruned epochs are simply no longer readable); the
+      // _cdc outbox and any consumer checkpoints are untouched.
       val epochs = GraphIO.Epochs.list(spark, store)
       require(epochs.nonEmpty, s"no committed epochs at $store")
       if (flag("dry-run"))
         println(s"[cli] compact would fold ${epochs.size} epochs of $store " +
-          "into a fresh single-epoch store")
+          s"into one full snapshot and prune the ${epochs.size} older dirs")
       else {
-        val head = GraphIO.Epochs.latest(spark, store)
-        // materialize the folded head BEFORE deleting anything it reads
-        val tmp = s"$store/_compact_tmp"
-        GraphIO.save(head, tmp)
+        val kept = GraphIO.Epochs.commit(GraphIO.Epochs.latest(spark, store), store)
         val fs = new org.apache.hadoop.fs.Path(store)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(new org.apache.hadoop.fs.Path(store)).foreach { st =>
-          if (st.getPath.getName != "_compact_tmp")
-            fs.delete(st.getPath, true)
+        epochs.foreach { e =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$store/e$e"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$store/_epochs/$e"), false)
         }
-        val epoch = GraphIO.Epochs.commit(GraphIO.load(spark, tmp), store)
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        println(s"[cli] compacted ${epochs.size} epochs into epoch $epoch")
+        println(s"[cli] compacted ${epochs.size} epochs into epoch $kept")
       }
 
     case other =>

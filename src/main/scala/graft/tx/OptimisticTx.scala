@@ -71,8 +71,17 @@ object OptimisticTx {
       throw new IllegalStateException(s"no committed epoch at $path"))
     var toPublish = staged
     var publishedWriteSet: Option[(DataFrame, DataFrame)] = None
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (head > base) {
-      val (myNodes, myEdges) = writeSet(baseGraph, staged)
+      // the write-set key frames are consumed up to four times on this
+      // path (two validation semi-joins, the merge's anti+semi joins, the
+      // sidecar write) — cache them once; coalesce(1) first because a
+      // cached plan keeps its shuffle partitioning and entity-key frames
+      // are tiny relative to the work of recomputing the diff
+      val (myNodesRaw, myEdgesRaw) = writeSet(baseGraph, staged)
+      val myNodes = myNodesRaw.coalesce(1).persist()
+      val myEdges = myEdgesRaw.coalesce(1).persist()
+      cached += myNodes += myEdges
       // entities touched by ANY later epoch: prefer each epoch's recorded
       // write-set keys (the OCC sidecar a contended merge-publish leaves
       // behind, or a delta epoch's own change rows) — O(changed keys) —
@@ -124,18 +133,30 @@ object OptimisticTx {
             allowMissingColumns = true))
       publishedWriteSet = Some((myNodes, myEdges))
     }
-    val epoch = Epochs.commit(toPublish, path)
-    // contended merge-publish: the write set is already in hand — record
-    // it so the NEXT transaction in the contention chain validates against
-    // keys instead of a corpus diff (uncontended commits skip this: paying
-    // a base-vs-staged diff on every quiet commit just to speed up a rare
-    // later validation measured strictly worse). myNodes/myEdges are a
-    // conservative superset of the published change (staged rows equal to
-    // the head's count as written) — safe for OCC, which may only
-    // over-detect, never under-detect.
-    publishedWriteSet.foreach { case (n, e) =>
-      Epochs.recordWriteSet(spark, path, epoch, n, e)
-    }
-    epoch
+    try {
+      val epoch = Epochs.commit(toPublish, path)
+      // contended merge-publish: the write set is already in hand (and
+      // cached) — record it so the NEXT transaction in the contention
+      // chain validates against keys instead of a corpus diff
+      // (uncontended commits skip this: paying a base-vs-staged diff on
+      // every quiet commit just to speed up a rare later validation
+      // measured strictly worse). myNodes/myEdges are a conservative
+      // superset of the published change (staged rows equal to the
+      // head's count as written) — safe for OCC, which may only
+      // over-detect, never under-detect. The sidecar is best-effort:
+      // the epoch is already durably published, so a failed sidecar
+      // write must NOT make the commit appear to fail (the caller would
+      // retry and double-apply) — validators fall back to the snapshot
+      // diff for epochs without a committed sidecar.
+      publishedWriteSet.foreach { case (n, e) =>
+        try Epochs.recordWriteSet(spark, path, epoch, n, e)
+        catch { case ex: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"write-set sidecar for epoch $epoch not recorded " +
+              s"(validators will fall back to the snapshot diff): $ex")
+        }
+      }
+      epoch
+    } finally cached.foreach(_.unpersist())
   }
 }

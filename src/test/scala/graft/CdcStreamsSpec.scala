@@ -111,6 +111,25 @@ class CdcStreamsSpec extends AnyFunSuite {
     assertSame(CdcStreams.nearDupPairs(spark, work), batchPairs(more))
   }
 
+  test("a corrupt (0-byte) _staged marker does not wedge later commits") {
+    // crash between marker create and write leaves a 0-byte _staged file;
+    // recovery must skip it (that feed attempt is lost-whole — the
+    // documented crash-window outcome), NOT throw on every later commit
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_store4").toString
+    CdcStreams.commitWithFeed(docGraph(baseDocs), store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(s"$store/_cdc_stage/corrupt")
+    fs.mkdirs(stage)
+    fs.create(new org.apache.hadoop.fs.Path(stage, "_staged"), true).close()
+    CdcStreams.recoverOutbox(spark, store) // must not throw
+    // and the next commit (which runs recovery first) still succeeds
+    val more = baseDocs :+ (9L -> "one more unrelated document body here")
+    val e = CdcStreams.commitWithFeed(docGraph(more), store,
+      prevGraph = Some(docGraph(baseDocs)))
+    assert(e == 1L)
+  }
+
   test("fuse gates: id-broadcast and byte caps force the unfused shapes, same pairs") {
     // (a) broadcastMaxDocs below the batch size must forbid the fused
     //     broadcast even though fuseMaxDocs alone would allow it;

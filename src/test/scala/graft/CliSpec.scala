@@ -78,8 +78,11 @@ class CliSpec extends AnyFunSuite {
     assert(graft.sources.GraphIO.Epochs.list(spark, store).size == 4,
       "dry-run must not change the store")
     cli("compact", store)
-    assert(graft.sources.GraphIO.Epochs.list(spark, store) == Seq(0L),
-      "compact folds the chain into a single epoch")
+    // crash-safe order: the folded head commits FIRST (epoch 4), then the
+    // older epochs are pruned — one readable epoch remains, numbering
+    // preserved
+    assert(graft.sources.GraphIO.Epochs.list(spark, store) == Seq(4L),
+      "compact prunes down to the single folded epoch")
     assert(graphHash(store) == before,
       "compaction must preserve the head state exactly")
   }

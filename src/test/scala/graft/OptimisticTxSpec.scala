@@ -152,6 +152,26 @@ class OptimisticTxSpec extends AnyFunSuite {
       == Seq(11.0, 22.0, 33.0))
   }
 
+  test("a partial (uncommitted) sidecar reads as None, never as an empty write set") {
+    // a crashed recordWriteSet can leave the bare writeset dir with no
+    // _SUCCESS; reading that back as an EMPTY key set would let a
+    // genuinely conflicting transaction pass validation (lost update) —
+    // the validator must fall back to the snapshot diff instead
+    val (sess, path) = freshStore()
+    val txA = sess.beginTransaction(path)
+    val txB = sess.beginTransaction(path)
+    txA.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 11.0")
+    txB.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 99.0")
+    val e1 = txA.commitEpochChecked()
+    // simulate the crash artifact: bare writeset dir on the conflicting
+    // epoch, no _SUCCESS
+    new java.io.File(s"$path/e$e1/writeset").mkdirs()
+    assert(graft.sources.GraphIO.Epochs.epochWriteSet(spark, path, e1).isEmpty,
+      "an uncommitted sidecar must not be served")
+    // ... and the conflict is still detected (via the fallback diff)
+    intercept[OptimisticTx.WriteConflictException](txB.commitEpochChecked())
+  }
+
   test("delta epochs serve their write set without a snapshot diff") {
     val (sess, path) = freshStore()
     // a single-writer delta commit lands between begin and commit: the
