@@ -263,6 +263,13 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   def vectorIndex(name: String): Option[graft.frontends.gql.VectorIndexes.VectorIndex] =
     vectorIndexes.get(name)
 
+  /** Register an externally built or [[graft.frontends.gql.VectorIndexes.load]]ed
+    * index on this session (the reference reloads persisted indexes when
+    * a database is opened; graft sessions opt in per index).
+    */
+  def registerVectorIndex(idx: graft.frontends.gql.VectorIndexes.VectorIndex): Unit =
+    vectorIndexes(idx.name) = idx
+
   /** db.vector_search over a registered index (reference database.rs:1128;
     * a multi-row `queries` frame is the batch form, database.rs:1220).
     */

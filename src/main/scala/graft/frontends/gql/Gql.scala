@@ -246,4 +246,71 @@ object VectorIndexes {
           metric = stmt.metric.getOrElse("cosine"))
     }
   }
+
+  /** Persist a registered index — the durable half of the
+    * `CREATE VECTOR INDEX` lifecycle across PROCESSES (the reference
+    * serializes its indexes with the database, vector/index.rs; the
+    * in-session registry here dies with the JVM). Everything the
+    * deterministic search path needs round-trips: the stored corpus
+    * assignment (`buckets/`), the IVF codebook (`centroids/`), the HNSW
+    * graphs (`hnsw/`, [[Hnsw.save]]), and a one-row `meta/` record. The
+    * LSH hyperplanes are seed-derived ([[Knn.lshBuckets]] seed=42), so
+    * the stored options alone reconstruct the query-side bucketing.
+    */
+  def save(idx: VectorIndex, path: String): Unit = {
+    val spark = idx.buckets.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    idx.method match {
+      case "hnsw" => Hnsw.save(idx.hnsw.get, s"$path/hnsw")
+      case _ => idx.buckets.write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/buckets")
+    }
+    idx.model.foreach { m =>
+      m.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    }
+    Seq((idx.name, idx.method, idx.label, idx.prop, idx.idCol, idx.dim,
+        idx.metric, idx.options))
+      .toDF("name", "method", "label", "prop", "id_col", "dim", "metric",
+        "options")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** Load a [[save]]d index as a re-registerable [[VectorIndex]].
+    * `vectors` must be the corpus frame the index was built over (LSH/IVF
+    * score candidates against it; HNSW carries its own copies) — callers
+    * read it back from the store the index lives beside. Search results
+    * are identical to the pre-save index: LSH/IVF serve candidates from
+    * the STORED assignment, HNSW from the round-tripped graphs.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      vectors: DataFrame): VectorIndex = {
+    val m = spark.read.parquet(s"$path/meta").first()
+    val (name, method) = (m.getAs[String]("name"), m.getAs[String]("method"))
+    val (label, prop) = (m.getAs[String]("label"), m.getAs[String]("prop"))
+    val idCol = m.getAs[String]("id_col")
+    val dim = m.getAs[Int]("dim")
+    val metric = m.getAs[String]("metric")
+    val options = m.getAs[Map[String, Int]]("options")
+    method match {
+      case "hnsw" =>
+        val h = Hnsw.load(spark, s"$path/hnsw")
+        VectorIndex(name, method, label, prop,
+          vectors.select(col(idCol), lit(0).as("bucket")), None, Some(h),
+          vectors, idCol, options, dim, metric)
+      case "ivf" =>
+        val cents = spark.read.parquet(s"$path/centroids").collect()
+          .sortBy(_.getAs[Int]("cell"))
+          .map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toSeq
+        VectorIndex(name, method, label, prop,
+          spark.read.parquet(s"$path/buckets"), Some(Ivf.Model(cents)), None,
+          vectors, idCol, options, dim, metric)
+      case _ =>
+        VectorIndex(name, method, label, prop,
+          spark.read.parquet(s"$path/buckets"), None, None,
+          vectors, idCol, options, dim, metric)
+    }
+  }
 }

@@ -261,6 +261,22 @@ object CdcStreams {
     val abandonAfterMs = sys.props.get("graft.cdc.stageAbandonMs")
       .map(_.toLong).getOrElse(60L * 60 * 1000)
     val now = System.currentTimeMillis()
+    // age by the newest FILE under the stage, not the directory's own
+    // mtime: object stores (S3A) report 0 or creation-time for directory
+    // mtimes, so a dir-mtime age would let a manual recoverOutbox race a
+    // live long commit and delete its still-being-written stage. A file
+    // write bumps the file's mtime on every store; an empty just-created
+    // stage falls back to the dir mtime (real on rename-capable stores,
+    // and on object stores an empty "dir" is only a marker object — inert
+    // either way).
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long = {
+      def walk(s: org.apache.hadoop.fs.FileStatus): Long =
+        if (!s.isDirectory) s.getModificationTime
+        else (try fs.listStatus(s.getPath).toSeq
+              catch { case _: java.io.FileNotFoundException => Seq.empty })
+          .map(walk).foldLeft(0L)(math.max)
+      math.max(walk(st), st.getModificationTime)
+    }
     fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
       if (st.isDirectory) {
         val stage = st.getPath.toString
@@ -279,11 +295,11 @@ object CdcStreams {
             // crash-window outcome); age the dir out like an unmarked one
             scala.util.Try(new String(bytes, "UTF-8").trim.toLong).toOption match {
               case Some(epoch) => promoteStage(spark, path, stage, epoch)
-              case None if now - st.getModificationTime > abandonAfterMs =>
+              case None if now - newestMtime(st) > abandonAfterMs =>
                 fs.delete(st.getPath, true)
               case None => ()
             }
-          } else if (now - st.getModificationTime > abandonAfterMs)
+          } else if (now - newestMtime(st) > abandonAfterMs)
             fs.delete(st.getPath, true)
         } catch {
           case _: java.io.FileNotFoundException => () // promoted under us

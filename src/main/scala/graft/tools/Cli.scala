@@ -30,7 +30,18 @@ import graft.sources.GraphIO
   *   graft.tools.Cli data load <inputDir> <store> [--format=parquet|csv]
   *   graft.tools.Cli wal status <store>
   *   graft.tools.Cli wal checkpoint <store>
-  *   graft.tools.Cli compact <store> [--dry-run]
+  *   graft.tools.Cli compact <store> [--dry-run] [--force]
+  *   graft.tools.Cli index create <store> <name> <label> <prop> [--method=hnsw|lsh|ivf] [--options=k=v,…]
+  *   graft.tools.Cli index list <store>
+  *   graft.tools.Cli index stats <store>
+  *
+  * `compact` assumes EXCLUSIVE access to the store (the reference's
+  * compact is likewise offline, compact.rs): pre-fold epochs become
+  * unreadable, so a concurrent reader's `asOf()` or an in-flight OCC
+  * commit validating against a pruned base fails loudly mid-flight (no
+  * corruption — the store is valid at every step). When unpublished
+  * claims newer than the head suggest a live writer, compact refuses
+  * unless `--force` acknowledges the exclusivity contract.
   */
 object Cli {
 
@@ -72,13 +83,19 @@ object Cli {
     val json = flag("json")
     val limit = flagVal("limit").map(_.toInt).getOrElse(20)
     val spark = session()
-    try run(spark, pos.toSeq, json, limit, flag, flagVal)
+    // run() RETURNS the exit status rather than calling sys.exit itself:
+    // System.exit does not unwind the stack, so an exit inside the try
+    // would skip the finally and leave Spark's teardown to its shutdown
+    // hook
+    val code = try run(spark, pos.toSeq, json, limit, flag, flagVal)
     finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 
+  /** Executes one command; returns the process exit status (0 = ok). */
   private[graft] def run(spark: SparkSession, pos: Seq[String], json: Boolean,
       limit: Int, flag: String => Boolean,
-      flagVal: String => Option[String]): Unit = pos match {
+      flagVal: String => Option[String]): Int = pos match {
 
     case Seq("info", store) =>
       val g = openStore(spark, store)
@@ -93,12 +110,15 @@ object Cli {
         ("nodes", g.nodes.count().toString),
         ("edges", g.edges.count().toString)
       ).toDF("key", "value"), json, limit)
+      0
 
     case Seq("stats", store) =>
       render(graft.graph.Admin.stats(openStore(spark, store)), json, limit)
+      0
 
     case Seq("schema", store) =>
       render(graft.graph.Admin.schemaInfo(openStore(spark, store)), json, limit)
+      0
 
     case Seq("validate", store) =>
       val v = graft.graph.Admin.validate(openStore(spark, store))
@@ -109,8 +129,8 @@ object Cli {
       val issues = v.filter(col("kind") === "error" && col("n") > 0).count()
       if (issues > 0) {
         System.err.println(s"[cli] validate: $issues error kind(s) found")
-        sys.exit(1)
-      }
+        1
+      } else 0
 
     case Seq("query", store, q) =>
       val sess = new graft.GraftSession(spark, openStore(spark, store))
@@ -122,6 +142,7 @@ object Cli {
         case other => throw new IllegalArgumentException(s"unknown lang '$other'")
       }
       render(df, json, limit)
+      0
 
     // backup = a self-contained portable snapshot of the head epoch
     // (reference backup.rs creates a native snapshot file; the Spark-native
@@ -129,6 +150,7 @@ object Cli {
     case Seq("backup", "create", store, out) =>
       GraphIO.save(openStore(spark, store), out)
       println(s"[cli] backup written to $out")
+      0
 
     case Seq("backup", "restore", backup, store) =>
       val fs = new org.apache.hadoop.fs.Path(store)
@@ -142,6 +164,7 @@ object Cli {
         fs.delete(new org.apache.hadoop.fs.Path(store), true)
       val epoch = GraphIO.Epochs.commit(GraphIO.load(spark, backup), store)
       println(s"[cli] restored backup as epoch $epoch of $store")
+      0
 
     case Seq("data", "dump", store, out) =>
       val g = openStore(spark, store)
@@ -154,6 +177,7 @@ object Cli {
         case other => throw new IllegalArgumentException(s"unknown format '$other'")
       }
       println(s"[cli] dumped to $out")
+      0
 
     case Seq("data", "load", input, store) =>
       val g = flagVal("format").getOrElse("parquet") match {
@@ -163,6 +187,7 @@ object Cli {
       }
       val epoch = GraphIO.Epochs.commit(g, store)
       println(s"[cli] loaded $input as epoch $epoch of $store")
+      0
 
     case Seq("wal", "status", store) =>
       import spark.implicits._
@@ -178,13 +203,19 @@ object Cli {
       val claims = names("_claims")
       val rows = claims.map { e =>
         val kind =
-          if (!committed.contains(e)) "claimed-unpublished"
+          if (!committed.contains(e))
+            // a claim BELOW the oldest readable epoch is a compact
+            // leftover (pruned history), not a crashed commit — only a
+            // claim at/above the head with no published epoch is suspect
+            if (committed.nonEmpty && e < committed.head) "pruned"
+            else "claimed-unpublished"
           else if (fs.exists(new org.apache.hadoop.fs.Path(s"$store/e$e/_delta")))
             "delta"
           else "full"
         (e, kind)
       }
       render(rows.toDF("epoch", "kind"), json, limit)
+      0
 
     case Seq("wal", "checkpoint", store) =>
       // bound the delta-replay chain: commit the head as a fresh FULL
@@ -192,36 +223,127 @@ object Cli {
       val epoch = GraphIO.Epochs.commit(
         GraphIO.Epochs.latest(spark, store), store)
       println(s"[cli] checkpoint: full snapshot committed as epoch $epoch")
+      0
 
     case Seq("compact", store) =>
       // reclaim old versions (reference compact.rs): first COMMIT the
       // folded head as a fresh full snapshot — the store is valid at
       // every step, so a crash mid-compact can never destroy it — then
-      // prune every older epoch dir and marker. Epoch numbering is
-      // preserved (pruned epochs are simply no longer readable); the
-      // _cdc outbox and any consumer checkpoints are untouched.
+      // prune every older epoch dir, its publish marker, AND its claim
+      // marker (a surviving claim with no epoch dir would read as
+      // 'claimed-unpublished' in `wal status`, indistinguishable from a
+      // crashed commit; numbering stays monotonic via the kept epoch's
+      // own claim). Epoch numbering is preserved (pruned epochs are
+      // simply no longer readable); the _cdc outbox and any consumer
+      // checkpoints are untouched. Compact requires EXCLUSIVE access
+      // (see the usage scaladoc): an unpublished claim NEWER than the
+      // head is the signature of an in-flight writer, so refuse unless
+      // --force acknowledges it.
       val epochs = GraphIO.Epochs.list(spark, store)
       require(epochs.nonEmpty, s"no committed epochs at $store")
-      if (flag("dry-run"))
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val claimsDir = new org.apache.hadoop.fs.Path(s"$store/_claims")
+      val inFlight =
+        if (!fs.exists(claimsDir)) Seq.empty[Long]
+        else fs.listStatus(claimsDir).toSeq.map(_.getPath.getName)
+          .flatMap(n => scala.util.Try(n.toLong).toOption)
+          .filter(_ > epochs.last)
+      if (inFlight.nonEmpty && !flag("force")) {
+        System.err.println(
+          s"[cli] compact: unpublished claim(s) ${inFlight.mkString(",")} are " +
+            "newer than the head — a writer may be mid-commit. compact " +
+            "requires exclusive access; pass --force to proceed anyway")
+        1
+      } else if (flag("dry-run")) {
         println(s"[cli] compact would fold ${epochs.size} epochs of $store " +
           s"into one full snapshot and prune the ${epochs.size} older dirs")
-      else {
+        0
+      } else {
         val kept = GraphIO.Epochs.commit(GraphIO.Epochs.latest(spark, store), store)
-        val fs = new org.apache.hadoop.fs.Path(store)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         epochs.foreach { e =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$store/e$e"), true)
           fs.delete(new org.apache.hadoop.fs.Path(s"$store/_epochs/$e"), false)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$store/_claims/$e"), false)
         }
         println(s"[cli] compacted ${epochs.size} epochs into epoch $kept")
+        0
       }
+
+    // index group (reference grafeo-cli IndexCommands, commands/index.rs):
+    // `list`/`stats` are read-only views over the persisted `_indexes/`
+    // registry; `create` routes through the session's CREATE VECTOR INDEX
+    // surface and persists the result so a later process can serve it
+    // (VectorIndexes.save/load).
+    case Seq("index", "create", store, name, label, prop) =>
+      val g = openStore(spark, store)
+      val method = flagVal("method").getOrElse("hnsw").toLowerCase
+      val opts = flagVal("options").map(_.split(",").toSeq.map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        s"$k $v"
+      }.mkString(", ")).map(o => s" OPTIONS($o)").getOrElse("")
+      val ddl = s"CREATE VECTOR INDEX $name ON $label($prop) " +
+        s"USING ${method.toUpperCase}$opts"
+      val vectors = g.nodesWithLabel(label)
+        .filter(col(prop).isNotNull).select(col("id"), col(prop))
+      val sess = new graft.GraftSession(spark, g)
+      val summary = sess.createVectorIndex(ddl, vectors, "id")
+      graft.frontends.gql.VectorIndexes.save(
+        sess.vectorIndex(name).get, s"$store/_indexes/$name")
+      render(summary, json, limit)
+      0
+
+    case Seq("index", "list", store) =>
+      import spark.implicits._
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dir = new org.apache.hadoop.fs.Path(s"$store/_indexes")
+      val rows =
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq.filter(_.isDirectory).map { st =>
+          val p = st.getPath.toString
+          val m = spark.read.parquet(s"$p/meta").first()
+          val entries = m.getAs[String]("method") match {
+            case "hnsw" => spark.read.parquet(s"$p/hnsw/nodes").count()
+            case _ => spark.read.parquet(s"$p/buckets")
+              .select(m.getAs[String]("id_col")).distinct().count()
+          }
+          (m.getAs[String]("name"), m.getAs[String]("method"),
+            m.getAs[String]("label"), m.getAs[String]("prop"), entries)
+        }
+      render(rows.toDF("name", "type", "target", "property", "entries"),
+        json, limit)
+      0
+
+    case Seq("index", "stats", store) =>
+      // reference index.rs:60-73 reports (index count, labels indexed,
+      // edge types indexed) from detailed_stats — label/type scans ARE
+      // the reference's structural indexes; graft's analog is the
+      // label/rel-bucketed store, so the same counts apply
+      import spark.implicits._
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dir = new org.apache.hadoop.fs.Path(s"$store/_indexes")
+      val nIdx =
+        if (!fs.exists(dir)) 0L
+        else fs.listStatus(dir).count(_.isDirectory).toLong
+      val s = graft.graph.Admin.stats(openStore(spark, store))
+        .filter(col("metric").isin("label_count", "edge_type_count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      render(Seq(
+        ("total_indexes", nIdx),
+        ("labels_indexed", s.getOrElse("label_count", 0L)),
+        ("edge_types_indexed", s.getOrElse("edge_type_count", 0L))
+      ).toDF("metric", "value"), json, limit)
+      0
 
     case other =>
       System.err.println(
         s"""[cli] unknown command: ${other.mkString(" ")}
            |commands: info | stats | schema | validate | query |
            |          backup create|restore | data dump|load |
-           |          wal status|checkpoint | compact""".stripMargin)
-      sys.exit(2)
+           |          wal status|checkpoint | compact |
+           |          index create|list|stats""".stripMargin)
+      2
   }
 }

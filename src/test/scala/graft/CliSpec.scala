@@ -12,7 +12,7 @@ class CliSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  private def cli(args: String*): Unit = {
+  private def cli(args: String*): Int = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     Cli.run(spark, pos.toSeq, json = false, limit = 20,
       flag = n => flags.contains(s"--$n"),
@@ -85,6 +85,41 @@ class CliSpec extends AnyFunSuite {
       "compact prunes down to the single folded epoch")
     assert(graphHash(store) == before,
       "compaction must preserve the head state exactly")
+    // pruned epochs' claim markers go with them: only the kept epoch's
+    // claim survives, so `wal status` never reports pruned history as
+    // 'claimed-unpublished' (a crashed-commit signature)
+    val claims = new java.io.File(s"$store/_claims").list().toSeq
+      .filter(_.forall(_.isDigit))
+    assert(claims == Seq("4"),
+      s"compact must prune stale claim markers, got $claims")
+
+    // next commit after compact stays monotonic via the surviving claim
+    graft.sources.GraphIO.Epochs.commitIncremental(g2, store)
+    assert(graft.sources.GraphIO.Epochs.list(spark, store) == Seq(4L, 5L))
+  }
+
+  test("compact refuses when an unpublished claim suggests a live writer") {
+    val store = tmp("graft_cli_store4")
+    val g = graft.graph.PropertyGraph(
+      Seq((1L, Seq("N"), 1.0)).toDF("id", "labels", "v"),
+      Seq((1L, 1L, "L")).toDF("src", "dst", "rel"))
+    graft.sources.GraphIO.Epochs.commit(g, store)
+    // simulate a writer mid-commit: a claim newer than the head with no
+    // published epoch behind it
+    val claim = new java.io.File(s"$store/_claims/7")
+    claim.getParentFile.mkdirs()
+    claim.createNewFile()
+    assert(cli("compact", store) == 1,
+      "compact must refuse while an in-flight claim exists")
+    assert(graft.sources.GraphIO.Epochs.list(spark, store) == Seq(0L),
+      "a refused compact must not touch the store")
+    assert(cli("compact", store, "--force") == 0,
+      "--force acknowledges the exclusivity contract")
+    // the stale claim 7 advances the allocator, so the folded head lands
+    // ABOVE it — numbering stays monotonic even past abandoned claims
+    val after = graft.sources.GraphIO.Epochs.list(spark, store)
+    assert(after.size == 1 && after.head > 7L,
+      s"forced compact must fold to a single epoch above the stale claim, got $after")
   }
 
   test("info/stats/schema/validate render without error on both store kinds") {
@@ -102,5 +137,52 @@ class CliSpec extends AnyFunSuite {
     graft.sources.GraphIO.save(g, snap)
     cli("info", snap)
     cli("query", snap, "MATCH (n:N) RETURN n.name AS name")
+  }
+
+  test("validate exit status distinguishes healthy from corrupt stores") {
+    val store = tmp("graft_cli_ok")
+    val g = graft.graph.PropertyGraph(
+      Seq((1L, Seq("N"), "x"), (2L, Seq("N"), "y")).toDF("id", "labels", "name"),
+      Seq((1L, 2L, "L")).toDF("src", "dst", "rel"))
+    graft.sources.GraphIO.Epochs.commit(g, store)
+    assert(cli("validate", store) == 0)
+
+    // an edge referencing a node that does not exist is an error kind
+    val bad = tmp("graft_cli_bad")
+    graft.sources.GraphIO.Epochs.commit(graft.graph.PropertyGraph(
+      g.nodes, Seq((1L, 99L, "L")).toDF("src", "dst", "rel")), bad)
+    assert(cli("validate", bad) == 1,
+      "dangling edge references must surface as a nonzero exit status")
+  }
+
+  test("index create persists a servable index; list/stats report it") {
+    val store = tmp("graft_cli_idx")
+    val vecs: Seq[Array[Float]] = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0.9f, 0.1f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0.9f, 0.1f, 0f), Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val nodes = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, Seq("Doc"), v) }
+      .toDF("id", "labels", "emb")
+    val g = graft.graph.PropertyGraph(nodes,
+      Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel"))
+    graft.sources.GraphIO.Epochs.commit(g, store)
+
+    assert(cli("index", "create", store, "ix", "Doc", "emb",
+      "--method=hnsw", "--options=m=8,efconstruction=32") == 0)
+    assert(cli("index", "list", store) == 0)
+    assert(cli("index", "stats", store) == 0)
+
+    // a NEW session (fresh process analog) serves the persisted index with
+    // results identical to a brute-force top-k over the same corpus
+    val loaded = graft.frontends.gql.VectorIndexes.load(
+      spark, s"$store/_indexes/ix",
+      Cli.openStore(spark, store).nodesWithLabel("Doc").select($"id", $"emb"))
+    val sess = new GraftSession(spark, Cli.openStore(spark, store))
+    sess.registerVectorIndex(loaded)
+    val queries = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("qid", "qv")
+    val got = sess.vectorSearch("ix", queries, "qid", "qv", 2)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L),
+      s"persisted HNSW must return the true top-2 neighbors, got $got")
   }
 }
