@@ -28,9 +28,10 @@ object Bench {
     sys.env.get("SPARK_GRAFT_MAX_EDGES").foreach { v =>
       spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, v)
     }
-    // Opt-in cyclic-pattern split (WCOJ-style cycle evaluation; see
-    // Cypher.scala splitCycle) — off by default like the reference's
-    // never-auto-selected leapfrog operator.
+    // Cyclic-pattern split (WCOJ-style cycle evaluation; see Cypher.scala
+    // splitCycle) — the session default is `auto` (CycleAdvisor's fanout
+    // margin decides per pattern, result-identity hash-pinned at four
+    // scale factors); the env override forces `true`/`off` for A/B runs.
     sys.env.get("SPARK_GRAFT_CYCLE_SPLIT").foreach { v =>
       spark.conf.set("spark.graft.cypher.cycleSplit", v)
     }

@@ -42,16 +42,28 @@ final class GraftSession(val spark: SparkSession, val graph: PropertyGraph) {
   private def cycleSplitMode: String =
     spark.conf.getOption("spark.graft.cypher.cycleSplit").getOrElse("")
 
-  /** `spark.graft.cypher.cycleSplit=auto` support: translate once as a
-    * probe (no split; qualifying cyclic patterns leave advisor notes),
-    * consult the advisor's fanout cost model against THIS session's graph,
-    * and only when the 4x margin holds re-translate with the split forced
-    * on. `true`/unset flow through unchanged - one translation, the
-    * frontend applies its own flag semantics.
+  /** `spark.graft.cypher.cycleSplit` handling: under `auto` — and, since
+    * round 15, when the conf is UNSET — translate once as a probe (no
+    * split; qualifying cyclic patterns leave advisor notes), consult the
+    * advisor's fanout cost model against THIS session's graph, and only
+    * when the 4x margin holds re-translate with the split forced on.
+    * `true` flows through unchanged (frontend always splits); any other
+    * value (`off`/`false`) disables the advisor.
+    *
+    * Why auto is the default now: the reference never auto-selects its
+    * leapfrog operator (planner.rs:2165-2170) because its planner has no
+    * cost model for it — graft DOES (CycleAdvisor, per-pattern 4x-margin
+    * fanout estimates), and the decision is hash-pinned result-identical
+    * at sf0.01/0.1/1 (CycleSplitSpec) with a row-identical sf10 probe,
+    * while the measured win grows with scale (5.4x at sf1, 11.5x at
+    * sf10, scale/SCALE_GATE.md). Letting collected statistics pick the
+    * join shape is the same stance Catalyst takes with join reordering —
+    * the Spark-first default is the cost model, not the fixed shape.
     */
   private def compileCypher(translate: () => graft.ir.Op.T): DataFrame = {
     val op = translate()
-    val auto = spark.conf.getOption("spark.graft.cypher.cycleSplit").contains("auto")
+    val mode = spark.conf.getOption("spark.graft.cypher.cycleSplit")
+    val auto = mode.contains("auto") || mode.isEmpty
     val wins = if (auto)
       graft.frontends.cypher.CycleAdvisor.autoDecide(graph.nodes, graph.edges)
     else Set.empty[Int]

@@ -2,14 +2,18 @@ package graft.frontends.cypher
 
 import org.apache.spark.sql.DataFrame
 
-/** Cost gate for the opt-in cyclic-pattern split (Cypher.scala
-  * `splitCycle`, conf `spark.graft.cypher.cycleSplit`). The reference
-  * never auto-selects its leapfrog operator (planner.rs:2169), so the
-  * split stays default-off for parity — but the decision should still be
-  * data-driven: when a translated pattern QUALIFIES for the split and the
-  * flag is off, the frontend notes it here and the compiler (which has
-  * the graph) evaluates a fanout estimate and LOGS a proposal when the
-  * anchored-arm estimate beats the chain estimate. Never changes a plan.
+/** Cost gate for the cyclic-pattern split (Cypher.scala `splitCycle`,
+  * conf `spark.graft.cypher.cycleSplit`). The reference never
+  * auto-selects its leapfrog operator (planner.rs:2169) because its
+  * planner carries no cost model for it; graft's sessions default to
+  * `auto` — this advisor's per-pattern fanout margin decides, with the
+  * decision hash-pinned result-identical at sf0.01/0.1/1 and a
+  * row-identical sf10 probe (CycleSplitSpec, scale/SCALE_GATE.md).
+  * Mechanics: when a translated pattern QUALIFIES for the split, the
+  * frontend notes it here; the session (which has the graph) evaluates a
+  * fanout estimate and re-translates with the winning patterns forced
+  * when the margin holds. Under an explicit `off` the same notes only
+  * LOG a proposal — the plan never changes.
   *
   * Estimate model: average out-fanout f = |E|/|V| from Catalyst
   * logical-plan statistics (rowCount under CBO, else sizeInBytes over the

@@ -911,13 +911,17 @@ object CypherFrontend {
         // binding may live in an earlier pattern or clause).
         val edgeRebinds = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
 
-        // ---- opt-in cyclic-pattern split (spark.graft.cypher.cycleSplit) --
+        // ---- cyclic-pattern split (spark.graft.cypher.cycleSplit) --------
         // A long cycle `(a)-…->(a)` compiled left-to-right builds its widest
         // intermediate just before the closing equality — the wedge
         // explosion WCOJ-style evaluation avoids (algos/Wcoj.scala applies
-        // the same idea to triangles; the reference likewise never
-        // auto-selects its leapfrog operator, so this stays behind a conf
-        // flag, default off). The split is purely algebraic: the cycle
+        // the same idea to triangles; the reference never auto-selects its
+        // leapfrog operator because its planner lacks a cost model for it —
+        // graft's session default is `auto`: CycleAdvisor's per-pattern
+        // fanout margin decides, see GraftSession.compileCypher). The
+        // frontend itself splits only under `true` or the advisor's forced
+        // set; this block alone never changes a plan. The split is purely
+        // algebraic: the cycle
         // breaks at its midpoint into two arms that BOTH start from the
         // (selective) cycle variable, and the arms natural-join on
         // {cycle var, midpoint var} — same conjunctive query, same bag of

@@ -4,13 +4,14 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.graph.TpchGraph
 
-/** Opt-in cyclic-pattern split (`spark.graft.cypher.cycleSplit`): a long
+/** Cyclic-pattern split (`spark.graft.cypher.cycleSplit`): a long
   * cycle breaks at its midpoint into two arms anchored at the cycle
   * variable, natural-joined on {anchor, midpoint} — same conjunctive query,
   * so the result bag must be IDENTICAL to the default left-to-right plan,
   * while the widest intermediate shrinks from the unfiltered far side to
-  * the filtered anchor's neighborhood (the wedge explosion WCOJ kills;
-  * default off like the reference's never-auto-selected leapfrog).
+  * the filtered anchor's neighborhood (the wedge explosion WCOJ kills).
+  * Session default is `auto` (CycleAdvisor margin decides per pattern);
+  * explicit `off` keeps the chain plan and only logs proposals.
   */
 class CycleSplitSpec extends AnyFunSuite {
   import TestSpark._
@@ -171,6 +172,47 @@ class CycleSplitSpec extends AnyFunSuite {
       finally spark.conf.unset("spark.graft.cypher.cycleSplit")
     }
     assert(rows("auto") == rows("false"))
+  }
+
+  test("unset conf defaults to auto: winning cycle splits, sub-margin ring stays chained") {
+    import spark.implicits._
+    def joinsOf(g: graft.graph.PropertyGraph, q: String,
+        mode: Option[String]): Int = {
+      mode match {
+        case Some(m) => spark.conf.set("spark.graft.cypher.cycleSplit", m)
+        case None    => spark.conf.unset("spark.graft.cypher.cycleSplit")
+      }
+      try "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(
+        new GraftSession(spark, g).cypher(q)
+          .queryExecution.executedPlan.toString).size
+      finally spark.conf.unset("spark.graft.cypher.cycleSplit")
+    }
+    // fanout-3 LocalRelation fixture, margin-winning 7-hop cycle
+    val n = 60L
+    val nodes = (0L until n).toDF("id")
+      .select(col("id"), array(lit("N")).as("labels"))
+    val edges = (0L until n).flatMap(k => Seq(1L, 7L, 13L).map(d => (k, (k + d) % n)))
+      .toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("L").as("rel"), lit(1.0).as("weight"))
+    val g = graft.graph.PropertyGraph(nodes, edges)
+    val seven =
+      """MATCH (a:N)-[:L]->(b)-[:L]->(c)-[:L]->(d)-[:L]->(e)-[:L]->(f)-[:L]->(h)-[:L]->(a)
+        |RETURN count(*) AS cnt""".stripMargin
+    assert(joinsOf(g, seven, None) == joinsOf(g, seven, Some("auto")),
+      "unset conf must behave exactly like auto on a winning cycle")
+    assert(joinsOf(g, seven, None) > joinsOf(g, seven, Some("false")),
+      "the winning cycle must split under the default")
+    // fanout-1 ring: the advisor's negative case — default must keep chain
+    val ringNodes = (0L until n).toDF("id")
+      .select(col("id"), array(lit("N")).as("labels"))
+    val ringEdges = (0L until n).map(k => (k, (k + 1) % n)).toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("L").as("rel"), lit(1.0).as("weight"))
+    val ring = graft.graph.PropertyGraph(ringNodes, ringEdges)
+    val five =
+      """MATCH (a:N)-[:L]->(b)-[:L]->(c)-[:L]->(d)-[:L]->(e)-[:L]->(a)
+        |RETURN count(*) AS cnt""".stripMargin
+    assert(joinsOf(ring, five, None) == joinsOf(ring, five, Some("false")),
+      "a sub-margin cycle must stay on the chain plan under the default")
   }
 
   test("non-cyclic and short-cycle patterns are untouched by the flag") {
