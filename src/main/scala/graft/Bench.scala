@@ -13,10 +13,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE stays ON (the at-scale default: runtime coalesce, skew-join);
+    // the env override exists for A/B attribution of its fixed per-stage
+    // job cost on tiny-SF runs — the committed artifact always runs true.
+    val adaptive = sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", adaptive)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -264,18 +264,19 @@ object CdcStreams {
     // age by the newest FILE under the stage, not the directory's own
     // mtime: object stores (S3A) report 0 or creation-time for directory
     // mtimes, so a dir-mtime age would let a manual recoverOutbox race a
-    // live long commit and delete its still-being-written stage. A file
-    // write bumps the file's mtime on every store; an empty just-created
-    // stage falls back to the dir mtime (real on rename-capable stores,
-    // and on object stores an empty "dir" is only a marker object — inert
-    // either way).
+    // live long commit and delete its still-being-written stage. Files
+    // are the writer-activity signal on every store; the dir mtime is
+    // consulted only for a stage with NO files yet (just-created — real
+    // mtime on rename-capable stores, and on object stores an empty
+    // "dir" is only a marker object, inert either way).
     def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long = {
       def walk(s: org.apache.hadoop.fs.FileStatus): Long =
         if (!s.isDirectory) s.getModificationTime
         else (try fs.listStatus(s.getPath).toSeq
               catch { case _: java.io.FileNotFoundException => Seq.empty })
           .map(walk).foldLeft(0L)(math.max)
-      math.max(walk(st), st.getModificationTime)
+      val files = walk(st)
+      if (files > 0L) files else st.getModificationTime
     }
     fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
       if (st.isDirectory) {

@@ -130,6 +130,41 @@ class CdcStreamsSpec extends AnyFunSuite {
     assert(e == 1L)
   }
 
+  test("abandoned-stage aging keys off the newest FILE mtime, not the dir mtime") {
+    // object stores report 0/create-time for directory mtimes — a live
+    // commit's stage whose DIR looks ancient but whose files are fresh
+    // must survive recovery; only a stage whose newest file is past the
+    // abandon window may be deleted
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_store5").toString
+    CdcStreams.commitWithFeed(docGraph(baseDocs), store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkStage(name: String, dirAge: Long, fileAge: Long): org.apache.hadoop.fs.Path = {
+      val stage = new org.apache.hadoop.fs.Path(s"$store/_cdc_stage/$name")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(stage, "nodes"))
+      val f = new org.apache.hadoop.fs.Path(stage, "nodes/part-00000")
+      val out = fs.create(f, true); out.write(1); out.close()
+      val now = System.currentTimeMillis()
+      fs.setTimes(f, now - fileAge, -1)
+      fs.setTimes(stage, now - dirAge, -1)
+      stage
+    }
+    // unmarked stage: dir "ancient", file fresh -> a live writer, keep it
+    val live = mkStage("live", dirAge = 10L * 60 * 60 * 1000, fileAge = 0L)
+    // unmarked stage: every file old -> abandoned, age it out
+    val dead = mkStage("dead", dirAge = 0L,
+      fileAge = 10L * 60 * 60 * 1000)
+    // a fresh dir mtime alone must NOT keep a stage whose files are stale
+    fs.setTimes(dead, System.currentTimeMillis(), -1)
+    System.setProperty("graft.cdc.stageAbandonMs", (60L * 60 * 1000).toString)
+    try CdcStreams.recoverOutbox(spark, store)
+    finally System.clearProperty("graft.cdc.stageAbandonMs")
+    assert(fs.exists(live),
+      "a stage with fresh files must survive recovery regardless of dir mtime")
+    assert(!fs.exists(dead),
+      "a stage whose newest file is past the window must be aged out")
+  }
+
   test("fuse gates: id-broadcast and byte caps force the unfused shapes, same pairs") {
     // (a) broadcastMaxDocs below the batch size must forbid the fused
     //     broadcast even though fuseMaxDocs alone would allow it;
