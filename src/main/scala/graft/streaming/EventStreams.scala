@@ -79,9 +79,17 @@ object EventStreams {
     val l = left.select(col("user_id"), col("ts").as("l_ts"),
         col("event_id").as("l_id"))
       .withWatermark("l_ts", "2 hours")
-    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+    val r0 = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
         col("event_id").as("r_id"))
       .withWatermark("r_ts", "2 hours")
+    // batch runs take the shuffle join on user_id explicitly: both sides
+    // are the SAME full-size table, so the broadcast Catalyst would pick
+    // at small SF (one scan partition -> the whole join+blowup runs on a
+    // single task) is exactly the plan that cannot exist at scale — the
+    // merge hint makes the benchmarked shape the 100-TB shape and spreads
+    // the per-user pair expansion across the cluster. Stream-stream joins
+    // plan their own stateful hash exchange; the hint is batch-only.
+    val r = if (right.isStreaming) r0 else r0.hint("merge")
     l.join(r,
         col("user_id") === col("r_user") &&
           col("r_ts") >= col("l_ts") &&
