@@ -27,13 +27,25 @@ object TpchGraph {
   // the (persisted) DataFrames per directory. At cluster scale this is the
   // "dimension tables stay cached" pattern — nodes/edges here are derived
   // views, small relative to the facts they index.
+  //
+  // Hash-partition on the join keys BEFORE caching (same layout as the
+  // bucketed store, GraphIO.saveBucketed): a cached plan's partitioning is
+  // pinned (no AQE re-coalesce), so caching the raw union would pin the
+  // skewed scan splits — a handful of fat partitions that serialize every
+  // downstream scan — and every Expand (edges.src == nodes.id) would add
+  // an exchange. Partitioned this way, cache scans parallelize evenly and
+  // equi-joins on id/src reuse the cached HashPartitioning outright.
   private val cache = scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
 
+  private def partitioned(g: PropertyGraph): PropertyGraph = {
+    val p = g.nodes.sparkSession.sparkContext.defaultParallelism
+    PropertyGraph(
+      g.nodes.repartition(p, col("id")).persist(),
+      g.edges.repartition(p, col("src")).persist())
+  }
+
   def apply(spark: SparkSession, dir: String): PropertyGraph =
-    cache.getOrElseUpdate(s"lpg:$dir", {
-      val g = build(spark, dir)
-      PropertyGraph(g.nodes.persist(), g.edges.persist())
-    })
+    cache.getOrElseUpdate(s"lpg:$dir", partitioned(build(spark, dir)))
 
   /** Heterogeneous LPG: Region/Nation/Supplier/Customer/Part/Order nodes with
     * IN_REGION / FROM_NATION / PLACED_BY / CONTAINS / SUPPLIES edges.
@@ -83,10 +95,7 @@ object TpchGraph {
     * always, hence acyclic; derivable in plain SQL for the oracle.
     */
   def partDag(spark: SparkSession, dir: String): PropertyGraph =
-    cache.getOrElseUpdate(s"dag:$dir", {
-      val g = buildPartDag(spark, dir)
-      PropertyGraph(g.nodes.persist(), g.edges.persist())
-    })
+    cache.getOrElseUpdate(s"dag:$dir", partitioned(buildPartDag(spark, dir)))
 
   /** The part DAG restricted to keys <= cap — the fixture for unbounded
     * path enumeration ([*]), whose result multiplicity is the number of
