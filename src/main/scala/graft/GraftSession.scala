@@ -467,6 +467,12 @@ final class GraftTransaction private[graft] (spark: SparkSession,
   private var closed = false
   private var readNodeSets = List.empty[org.apache.spark.sql.DataFrame]
   private var readEdgeSets = List.empty[org.apache.spark.sql.DataFrame]
+  // incremental write-set tracking (reference record_write): each staged
+  // update contributes its touched keys; one untrackable update (MERGE)
+  // poisons the whole set and commitEpochChecked falls back to the diff
+  private var writeNodeSets = List.empty[org.apache.spark.sql.DataFrame]
+  private var writeEdgeSets = List.empty[org.apache.spark.sql.DataFrame]
+  private var writeSetTracked = true
 
   private def open(): Unit =
     require(!closed, "transaction already committed or rolled back")
@@ -486,8 +492,13 @@ final class GraftTransaction private[graft] (spark: SparkSession,
     */
   def cypherUpdate(query: String): Unit = {
     open()
-    staged = graft.frontends.cypher.CypherUpdates.run(spark, staged, query,
-      keepEids = true)
+    val (out, touched) = graft.frontends.cypher.CypherUpdates.runTracked(
+      spark, staged, query, keepEids = true)
+    staged = out
+    touched match {
+      case Some((n, e)) => writeNodeSets ::= n; writeEdgeSets ::= e
+      case None         => writeSetTracked = false
+    }
   }
 
   // the synthesized eid column never leaves the transaction scope
@@ -537,7 +548,12 @@ final class GraftTransaction private[graft] (spark: SparkSession,
     val epoch = graft.tx.OptimisticTx.commitChecked(spark, path, baseEpoch,
       base, seal(staged), isolation,
       readNodes = readNodeSets.reduceOption(_ unionByName _),
-      readEdges = readEdgeSets.reduceOption(_ unionByName _))
+      readEdges = readEdgeSets.reduceOption(_ unionByName _),
+      trackedWriteSet =
+        if (writeSetTracked && (writeNodeSets.nonEmpty || writeEdgeSets.nonEmpty))
+          Some((writeNodeSets.reduce(_ unionByName _),
+            writeEdgeSets.reduce(_ unionByName _)))
+        else None)
     closed = true
     epoch
   }

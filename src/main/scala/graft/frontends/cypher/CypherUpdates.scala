@@ -22,7 +22,22 @@ object CypherUpdates {
     * always get the eid-free form (stored graphs stay eid-free).
     */
   def run(spark: SparkSession, graph: PropertyGraph, query: String,
-      keepEids: Boolean = false): PropertyGraph = {
+      keepEids: Boolean = false): PropertyGraph =
+    runTracked(spark, graph, query, keepEids)._1
+
+  /** [[run]], additionally returning the statement's touched-entity keys
+    * (node `id`s, edge `(src, dst, rel)`s) when they are derivable from
+    * the same bindings/predicates the mutations themselves consume — the
+    * incremental write-set tracking of the reference's transaction manager
+    * (transaction/manager.rs: a transaction records what it writes as it
+    * writes, it never diffs snapshots). None when some clause's touch set
+    * is not cheaply derivable (MERGE) — callers fall back to the diff.
+    * The keys are a conservative SUPERSET of the rows that actually change
+    * (a SET writing an unchanged value still counts), which OCC permits:
+    * over-detect, never under-detect.
+    */
+  def runTracked(spark: SparkSession, graph: PropertyGraph, query: String,
+      keepEids: Boolean = false): (PropertyGraph, Option[(DataFrame, DataFrame)]) = {
     val q = CypherFrontend.parse(query)
     val (readPrefix, actions) = q.clauses.span {
       case _: CreateClause | _: SetClause | _: DeleteClause | _: MergeClause |
@@ -52,9 +67,92 @@ object CypherUpdates {
       compiler.compile(CypherFrontend.translate(Query(readPrefix)))
     }
 
-    val out = pushdownEdgeMutations(gEid, readPrefix, actions)
-      .getOrElse(actions.foldLeft(gEid)((g, a) => apply(spark, compiler, g, bindings, a)))
-    if (keepEids) out else out.copy(edges = out.edges.drop("eid"))
+    def seal(out: PropertyGraph): PropertyGraph =
+      if (keepEids) out else out.copy(edges = out.edges.drop("eid"))
+    pushdownEdgeMutations(gEid, readPrefix, actions) match {
+      case Some((out, touchedEdges)) =>
+        (seal(out), Some((gEid.nodes.select(col("id").cast("long").as("id")).limit(0),
+          touchedEdges)))
+      case None =>
+        val out = actions.foldLeft(gEid)((g, a) => apply(spark, compiler, g, bindings, a))
+        (seal(out), touchedKeys(spark, compiler, gEid, bindings, actions))
+    }
+  }
+
+  /** Touched-entity keys of `actions` against the pre-mutation state, or
+    * None when some clause's footprint is not derivable from its own
+    * bindings (see [[runTracked]]). Lazy frames — nothing evaluates unless
+    * a commit actually consumes the write set.
+    */
+  private def touchedKeys(spark: SparkSession, compiler: Compiler,
+      g: PropertyGraph, bindings: => DataFrame,
+      actions: Seq[Clause]): Option[(DataFrame, DataFrame)] = try {
+    val nodeSets = Vector.newBuilder[DataFrame]
+    val edgeSets = Vector.newBuilder[DataFrame]
+    def nodeIdsOf(v: String): DataFrame = {
+      if (!bindings.columns.contains(v)) throw Unsupported
+      bindings.select(col(v).cast("long").as("id"))
+    }
+    // eid-bound edge vars: recover (src, dst, rel) by membership against
+    // the eid-threaded edge table the bindings were compiled over
+    def edgeKeysOf(v: String): DataFrame =
+      g.edges.join(bindings.select(col(s"${v}__eid").as("eid")).distinct(),
+        Seq("eid"), "left_semi").select("src", "dst", "rel")
+    for (a <- actions) a match {
+      case CreateClause(path) if path.tail.isEmpty =>
+        val idExpr = path.head.props.collectFirst { case ("id", e) => e }
+          .getOrElse(throw Unsupported)
+        val id = compiler.constFold(idExpr).getOrElse(throw Unsupported) match {
+          case l: Long => l
+          case i: Int  => i.toLong
+          case _       => throw Unsupported
+        }
+        nodeSets += spark.range(id, id + 1).toDF("id")
+      case CreateClause(path) =>
+        if (path.tail.size != 1) throw Unsupported
+        val (rel, dstPat) = path.tail.head
+        val relType = rel.relTypes match {
+          case Seq(t) => t
+          case _      => throw Unsupported
+        }
+        val srcVar = path.head.v.getOrElse(throw Unsupported)
+        val dstVar = dstPat.v.getOrElse(throw Unsupported)
+        edgeSets += bindings.select(col(srcVar).cast("long").as("src"),
+          col(dstVar).cast("long").as("dst")).withColumn("rel", lit(relType))
+      case SetClause(items) => items.foreach {
+        case SetProp(Expr.Prop(v, _), _) =>
+          if (isEdgeVar(bindings, v)) edgeSets += edgeKeysOf(v)
+          else nodeSets += nodeIdsOf(v)
+        case SetAllProps(v, _, _) => nodeSets += nodeIdsOf(v)
+        case SetLabel(v, _)       => nodeSets += nodeIdsOf(v)
+      }
+      case RemoveClause(v, _) => nodeSets += nodeIdsOf(v)
+      case RemovePropClause(v, _) =>
+        if (isEdgeVar(bindings, v)) edgeSets += edgeKeysOf(v)
+        else nodeSets += nodeIdsOf(v)
+      case DeleteClause(vars, detach) => vars.foreach { v =>
+        if (isEdgeVar(bindings, v)) edgeSets += edgeKeysOf(v)
+        else {
+          val ids = nodeIdsOf(v)
+          nodeSets += ids
+          if (detach) {
+            // DETACH also drops incident edges — both orientations
+            edgeSets += g.edges.join(ids.withColumnRenamed("id", "src").distinct(),
+              Seq("src"), "left_semi").select("src", "dst", "rel")
+            edgeSets += g.edges.join(ids.withColumnRenamed("id", "dst").distinct(),
+              Seq("dst"), "left_semi").select("src", "dst", "rel")
+          }
+        }
+      }
+      case _ => throw Unsupported // MERGE: match-or-create footprint needs its own probe
+    }
+    val emptyN = g.nodes.select(col("id").cast("long").as("id")).limit(0)
+    val emptyE = g.edges.select(col("src"), col("dst"), col("rel")).limit(0)
+    Some((nodeSets.result().foldLeft(emptyN)(_ unionByName _),
+      edgeSets.result().foldLeft(emptyE)(_ unionByName _)))
+  } catch {
+    case Unsupported                                   => None
+    case _: org.apache.spark.sql.AnalysisException     => None
   }
 
   private object Unsupported extends RuntimeException
@@ -70,7 +168,7 @@ object CypherUpdates {
     * None whenever the shape doesn't apply — the generic eid path runs.
     */
   private def pushdownEdgeMutations(g: PropertyGraph, readPrefix: Seq[Clause],
-      actions: Seq[Clause]): Option[PropertyGraph] = {
+      actions: Seq[Clause]): Option[(PropertyGraph, DataFrame)] = {
     val (head, relPat, tail, where) = readPrefix match {
       case Seq(MatchClause(Seq(PathPat(h, Seq((r, d)), None, None, false)), w, false)) =>
         (h, r, d, w)
@@ -208,7 +306,8 @@ object CypherUpdates {
           case _ => throw Unsupported // REMOVE etc. → generic eid path
         }
       }
-      Some(out)
+      // the hit set doubles as the tracked OCC write set (same flags)
+      Some((out, Mutations.matchedEdgeKeys(g, relType, srcSet, dstSet, edgePred)))
     } catch { case Unsupported => None }
   }
 

@@ -405,6 +405,18 @@ object Mutations {
     g.copy(edges = out.drop(flags: _*))
   }
 
+  /** The (src, dst, rel) keys of every edge the pushdown predicate matches
+    * — the OCC write-set face of [[setEdgePropsWhere]] /
+    * [[deleteEdgesWhere]] (same flags, so the tracked write set is exactly
+    * the mutation's hit set).
+    */
+  def matchedEdgeKeys(g: PropertyGraph, relType: Option[String],
+      srcIds: Option[DataFrame], dstIds: Option[DataFrame],
+      edgePred: Option[Column]): DataFrame = {
+    val (flagged, hit, _) = endpointFlagged(g.edges, relType, srcIds, dstIds, edgePred)
+    flagged.filter(hit).select("src", "dst", "rel")
+  }
+
   /** DELETE of every matching edge — pushdown form of deleteEdgesByIds. */
   def deleteEdgesWhere(g: PropertyGraph, relType: Option[String],
       srcIds: Option[DataFrame], dstIds: Option[DataFrame],

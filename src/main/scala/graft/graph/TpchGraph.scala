@@ -95,7 +95,10 @@ object TpchGraph {
     * always, hence acyclic; derivable in plain SQL for the oracle.
     */
   def partDag(spark: SparkSession, dir: String): PropertyGraph =
-    cache.getOrElseUpdate(s"dag:$dir", partitioned(buildPartDag(spark, dir)))
+    cache.getOrElseUpdate(s"dag:$dir", {
+      val g = buildPartDag(spark, dir)
+      PropertyGraph(g.nodes.persist(), g.edges.persist())
+    })
 
   /** The part DAG restricted to keys <= cap — the fixture for unbounded
     * path enumeration ([*]), whose result multiplicity is the number of

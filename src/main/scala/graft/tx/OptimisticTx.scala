@@ -65,20 +65,30 @@ object OptimisticTx {
       baseGraph: PropertyGraph, staged: PropertyGraph,
       isolation: Isolation = Snapshot,
       readNodes: Option[DataFrame] = None,
-      readEdges: Option[DataFrame] = None): Long = commitLock.synchronized {
+      readEdges: Option[DataFrame] = None,
+      trackedWriteSet: Option[(DataFrame, DataFrame)] = None): Long = commitLock.synchronized {
     val epochs = Epochs.list(spark, path)
     val head = epochs.lastOption.getOrElse(
       throw new IllegalStateException(s"no committed epoch at $path"))
     var toPublish = staged
     var publishedWriteSet: Option[(DataFrame, DataFrame)] = None
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // `trackedWriteSet`: touched-entity keys the TRANSACTION recorded as it
+    // staged (the reference's record_write model) — a conservative superset
+    // of the base-vs-staged diff, so validation stays sound (over-detects,
+    // never under-detects) and the merge-publish routes identical rows for
+    // keys that were touched but unchanged. With it, NO path here ever
+    // diffs two corpus snapshots to learn what this transaction wrote.
+    def myKeys(): (DataFrame, DataFrame) =
+      trackedWriteSet.map { case (n, e) => (n.distinct(), e.distinct()) }
+        .getOrElse(writeSet(baseGraph, staged))
     if (head > base) {
       // the write-set key frames are consumed up to four times on this
-      // path (two validation semi-joins, the merge's anti+semi joins, the
+      // path (the validation semi-join, the merge's anti+semi joins, the
       // sidecar write) — cache them once; coalesce(1) first because a
       // cached plan keeps its shuffle partitioning and entity-key frames
       // are tiny relative to the work of recomputing the diff
-      val (myNodesRaw, myEdgesRaw) = writeSet(baseGraph, staged)
+      val (myNodesRaw, myEdgesRaw) = myKeys()
       val myNodes = myNodesRaw.coalesce(1).persist()
       val myEdges = myEdgesRaw.coalesce(1).persist()
       cached += myNodes += myEdges
@@ -97,12 +107,25 @@ object OptimisticTx {
             sidecars.flatMap(_.map(_._2)).reduce(_ unionByName _))
         else
           writeSet(Epochs.asOf(spark, path, base), Epochs.asOf(spark, path, head))
-      if (nonEmpty(myNodes.join(theirNodes, Seq("id"), "left_semi")))
-        throw new WriteConflictException(
-          s"write-write conflict: epochs ($base, $head] touched nodes this transaction also wrote")
-      if (nonEmpty(myEdges.join(theirEdges, Seq("src", "dst", "rel"), "left_semi")))
-        throw new WriteConflictException(
-          s"write-write conflict: epochs ($base, $head] touched edges this transaction also wrote")
+      // one overlap pass for BOTH kinds (two sequential isEmpty actions
+      // were two scheduler round-trips for one boolean each): flatten to
+      // the writeset sidecar layout and null-safe-join on all key columns
+      // — kinds can't cross-match ('n' rows never equal 'e' rows)
+      locally {
+        val mine = Epochs.flatKeys(myNodes, myEdges).alias("m")
+        val theirs = Epochs.flatKeys(theirNodes, theirEdges).alias("t")
+        val on = col("m.kind") === col("t.kind") &&
+          col("m.id") <=> col("t.id") && col("m.src") <=> col("t.src") &&
+          col("m.dst") <=> col("t.dst") && col("m.rel") <=> col("t.rel")
+        val hitKinds = mine.join(theirs, on, "left_semi")
+          .select("kind").distinct().collect().map(_.getString(0)).toSet
+        if (hitKinds("n"))
+          throw new WriteConflictException(
+            s"write-write conflict: epochs ($base, $head] touched nodes this transaction also wrote")
+        if (hitKinds("e"))
+          throw new WriteConflictException(
+            s"write-write conflict: epochs ($base, $head] touched edges this transaction also wrote")
+      }
       if (isolation == Serializable) {
         readNodes.foreach { rn =>
           if (nonEmpty(rn.select(col(rn.columns.head).as("id")).distinct()
@@ -132,15 +155,25 @@ object OptimisticTx {
             staged.edges.drop("eid").join(myEdges, Seq("src", "dst", "rel"), "left_semi"),
             allowMissingColumns = true))
       publishedWriteSet = Some((myNodes, myEdges))
+    } else trackedWriteSet.foreach { _ =>
+      // uncontended commit with TRACKED keys: the write set cost nothing
+      // to learn (no diff ran), so always leave the sidecar — the next
+      // transaction in any contention chain then validates against
+      // O(changed keys) instead of a corpus snapshot diff. (Without
+      // tracking, recording here would require a base-vs-staged diff per
+      // quiet commit, which measured strictly worse — that path still
+      // skips the sidecar.)
+      val (n, e) = myKeys()
+      val nd = n.coalesce(1).persist()
+      val ed = e.coalesce(1).persist()
+      cached += nd += ed
+      publishedWriteSet = Some((nd, ed))
     }
     try {
       val epoch = Epochs.commit(toPublish, path)
-      // contended merge-publish: the write set is already in hand (and
-      // cached) — record it so the NEXT transaction in the contention
-      // chain validates against keys instead of a corpus diff
-      // (uncontended commits skip this: paying a base-vs-staged diff on
-      // every quiet commit just to speed up a rare later validation
-      // measured strictly worse). myNodes/myEdges are a conservative
+      // the write set is already in hand (and cached) — record it so the
+      // NEXT transaction in the chain validates against keys instead of
+      // a corpus diff. myNodes/myEdges are a conservative
       // superset of the published change (staged rows equal to the
       // head's count as written) — safe for OCC, which may only
       // over-detect, never under-detect. The sidecar is best-effort:

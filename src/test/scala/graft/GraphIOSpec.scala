@@ -160,6 +160,24 @@ class GraphIOSpec extends AnyFunSuite {
     assert(GraphIO.Epochs.diffTriples(spark, dir, e0, e0).count() == 0)
   }
 
+  test("epoch store: adjacent-delta feeds read the stored delta back; spans replay") {
+    val dir = tmp()
+    def tg3(rows: (String, String, String)*) =
+      graft.graph.TripleGraph(rows.toDF("s", "p", "o"))
+    val e0 = GraphIO.Epochs.commitTriplesIncremental(tg3(("a", "p", "1"), ("b", "p", "2")), dir)
+    val e1 = GraphIO.Epochs.commitTriplesIncremental(tg3(("a", "p", "1"), ("b", "p", "2"), ("d", "p", "4")), dir)
+    val e2 = GraphIO.Epochs.commitTriplesIncremental(tg3(("a", "p", "1"), ("b", "p", "2")), dir)
+    assert(new java.io.File(s"$dir/e$e1/_delta").exists)
+    def d(from: Long, to: Long) = GraphIO.Epochs.diffTriples(spark, dir, from, to)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // adjacent e0→e1: the delta fast path must equal the replay diff
+    assert(d(e0, e1) == Set(("add", "d")))
+    assert(d(e1, e2) == Set(("remove", "d")))
+    // SPAN e0→e2: d was added then removed — a naive delta concatenation
+    // would report both; the replay fallback correctly cancels to empty
+    assert(d(e0, e2) == Set.empty)
+  }
+
   test("epoch store: quad epochs commit and as-of read, empty included") {
     val dir = tmp()
     val q0 = QuadStore(Seq(("g1", "s1", "p1", "o1")).toDF("g", "s", "p", "o"))

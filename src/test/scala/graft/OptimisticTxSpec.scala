@@ -133,8 +133,13 @@ class OptimisticTxSpec extends AnyFunSuite {
     val e2 = txB.commitEpochChecked()
     assert(new java.io.File(s"$path/e$e2/writeset").exists,
       "a contended merge-publish must record its write-set sidecar")
-    assert(!new java.io.File(s"$path/e$e1/writeset").exists,
-      "an uncontended commit must not pay for a sidecar")
+    // an uncontended commit whose transaction TRACKED its writes leaves a
+    // sidecar too — the keys were free (no diff ran), and the next
+    // validator then never pays a snapshot diff
+    assert(new java.io.File(s"$path/e$e1/writeset").exists,
+      "a tracked uncontended commit records its (free) write-set sidecar")
+    assert(graft.sources.GraphIO.Epochs.epochWriteSet(spark, path, e1)
+      .get._1.as[Long].collect().toSet == Set(1L))
     // the sidecar IS what validates: epochWriteSet(e2) must be defined and
     // contain exactly bob's id on the node side
     val ws = graft.sources.GraphIO.Epochs.epochWriteSet(spark, path, e2)
@@ -164,8 +169,14 @@ class OptimisticTxSpec extends AnyFunSuite {
     txB.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 99.0")
     val e1 = txA.commitEpochChecked()
     // simulate the crash artifact: bare writeset dir on the conflicting
-    // epoch, no _SUCCESS
-    new java.io.File(s"$path/e$e1/writeset").mkdirs()
+    // epoch, no _SUCCESS (first dropping the sidecar the tracked commit
+    // legitimately recorded — the artifact under test is a TORN write)
+    val wsDir = new java.io.File(s"$path/e$e1/writeset")
+    if (wsDir.exists) {
+      wsDir.listFiles.foreach(_.delete())
+      wsDir.delete()
+    }
+    wsDir.mkdirs()
     assert(graft.sources.GraphIO.Epochs.epochWriteSet(spark, path, e1).isEmpty,
       "an uncommitted sidecar must not be served")
     // ... and the conflict is still detected (via the fallback diff)
