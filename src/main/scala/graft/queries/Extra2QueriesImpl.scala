@@ -84,7 +84,12 @@ object Extra2QueriesImpl {
       val e0 = graft.sources.GraphIO.Epochs.commitIncremental(customers, path)
       val retagged = graft.graph.Mutations.setNodeProperty(customers,
         col("category") === "BUILDING", "category", lit("RETAIL"))
-      val e1 = graft.sources.GraphIO.Epochs.commitIncremental(retagged, path)
+      // steady-state producer shape: the caller just committed e0 from
+      // `customers`, so the delta diffs against that in-memory head instead
+      // of replaying e0 back off parquet (commitIncremental's prevGraph
+      // contract)
+      val e1 = graft.sources.GraphIO.Epochs.commitIncremental(retagged, path,
+        prevGraph = Some(customers))
       graft.sources.GraphIO.Epochs.diffNodes(s, path, e0, e1)
         .groupBy("change").agg(count(lit(1)).as("n"))
         .orderBy("change")

@@ -275,6 +275,26 @@ object GraphIO {
     def commit(g: PropertyGraph, path: String): Long =
       claimAndPublish(g.nodes.sparkSession, path)(dir => save(g, dir))
 
+    /** [[commit]] + the write-set sidecar in ONE claim window: the sidecar
+      * parquet is independent data under the same `e<N>/`, so it rides the
+      * concurrent write wave with the nodes/edges dirs — a tracked commit
+      * pays no extra wall for its sidecar. Writing it BEFORE publish also
+      * tightens semantics vs the post-publish best-effort record: a failed
+      * sidecar write fails the whole commit while the epoch is still
+      * unpublished (a skipped claim number, safe to retry), never a
+      * published epoch whose sidecar silently vanished.
+      */
+    def commitWithWriteSet(g: PropertyGraph, path: String,
+        nodeKeys: DataFrame, edgeKeys: DataFrame): Long =
+      claimAndPublish(g.nodes.sparkSession, path) { dir =>
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val ws = Future(flatKeys(nodeKeys, edgeKeys).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/writeset"))
+        save(g, dir) // overlaps its own nodes/edges writes
+        Await.result(ws, scala.concurrent.duration.Duration.Inf)
+      }
+
     /** Record an epoch's changed-entity keys (node `id`s, edge
       * `(src, dst, rel)`s) as a tiny `e<N>/writeset` sidecar — the
       * reference's per-version change record (mvcc.rs version chains).

@@ -162,34 +162,22 @@ object OptimisticTx {
       // O(changed keys) instead of a corpus snapshot diff. (Without
       // tracking, recording here would require a base-vs-staged diff per
       // quiet commit, which measured strictly worse — that path still
-      // skips the sidecar.)
-      val (n, e) = myKeys()
-      val nd = n.coalesce(1).persist()
-      val ed = e.coalesce(1).persist()
-      cached += nd += ed
-      publishedWriteSet = Some((nd, ed))
+      // skips the sidecar.) Consumed exactly once (the sidecar write),
+      // so no persist.
+      publishedWriteSet = Some(myKeys())
     }
-    try {
-      val epoch = Epochs.commit(toPublish, path)
-      // the write set is already in hand (and cached) — record it so the
-      // NEXT transaction in the chain validates against keys instead of
-      // a corpus diff. myNodes/myEdges are a conservative
-      // superset of the published change (staged rows equal to the
-      // head's count as written) — safe for OCC, which may only
-      // over-detect, never under-detect. The sidecar is best-effort:
-      // the epoch is already durably published, so a failed sidecar
-      // write must NOT make the commit appear to fail (the caller would
-      // retry and double-apply) — validators fall back to the snapshot
-      // diff for epochs without a committed sidecar.
-      publishedWriteSet.foreach { case (n, e) =>
-        try Epochs.recordWriteSet(spark, path, epoch, n, e)
-        catch { case ex: Exception =>
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"write-set sidecar for epoch $epoch not recorded " +
-              s"(validators will fall back to the snapshot diff): $ex")
-        }
-      }
-      epoch
+    // the write set is already in hand — publish it as the epoch's sidecar
+    // so the NEXT transaction in the chain validates against keys instead
+    // of a corpus diff. myNodes/myEdges are a conservative superset of the
+    // published change (staged rows equal to the head's count as written)
+    // — safe for OCC, which may only over-detect, never under-detect. The
+    // sidecar rides the commit's own write wave BEFORE publish: if it
+    // fails, the commit fails unpublished (safe retry), and validators
+    // fall back to the snapshot diff only for epochs that genuinely have
+    // no committed sidecar.
+    try publishedWriteSet match {
+      case Some((n, e)) => Epochs.commitWithWriteSet(toPublish, path, n, e)
+      case None         => Epochs.commit(toPublish, path)
     } finally cached.foreach(_.unpersist())
   }
 }
