@@ -25,6 +25,24 @@ import graft.graph.{PropertyGraph, QuadStore, TripleGraph}
   */
 object GraphIO {
 
+  /** Write-side partition shrink for small frames. A snapshot or delta of
+    * a small (sub)graph otherwise inherits the session's shuffle/scan
+    * partitioning and writes ~32 near-empty parquet files per dir — each
+    * paying a writer init + footer on write and a footer read on every
+    * reload. Collapse to ONE file only when the optimizer's size estimate
+    * says the whole frame fits comfortably inside a quarter of one scan
+    * split (maxPartitionBytes): an overestimate merely keeps extra files,
+    * and frames that might be large are left untouched, so a corpus-scale
+    * epoch write keeps its full parallelism (coalesce would also serialize
+    * the upstream compute of a narrow chain — acceptable only when the
+    * frame is provably tiny).
+    */
+  private[graft] def shrinkForWrite(df: DataFrame): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val split = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    if (est > 0 && est < split / 4) df.coalesce(1) else df
+  }
+
   // ---- property-graph snapshot ----
 
   /** Schema manifests ride along with the data: an EMPTY dataset writes no
@@ -63,8 +81,9 @@ object GraphIO {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     Await.result(Future.sequence(Seq(
-      Future(g.nodes.write.mode(SaveMode.Overwrite).parquet(s"$path/nodes")),
-      Future(g.edges.write.mode(SaveMode.Overwrite)
+      Future(shrinkForWrite(g.nodes).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/nodes")),
+      Future(shrinkForWrite(g.edges).write.mode(SaveMode.Overwrite)
         // cluster by rel: expand(rel=…) reloads prune whole files
         .partitionBy("rel").parquet(s"$path/edges")))),
       scala.concurrent.duration.Duration.Inf)
@@ -139,7 +158,7 @@ object GraphIO {
   def saveTriples(g: TripleGraph, path: String): Unit =
     // vertical-partitioning by predicate: a BGP pattern with a bound
     // predicate reads only its own partition directories
-    g.triples.write.mode(SaveMode.Overwrite).partitionBy("p")
+    shrinkForWrite(g.triples).write.mode(SaveMode.Overwrite).partitionBy("p")
       .parquet(s"$path/triples")
 
   def loadTriples(spark: SparkSession, path: String): TripleGraph = {
@@ -227,7 +246,7 @@ object GraphIO {
   }
 
   def saveQuads(q: QuadStore, path: String): Unit =
-    q.quads.write.mode(SaveMode.Overwrite).partitionBy("g")
+    shrinkForWrite(q.quads).write.mode(SaveMode.Overwrite).partitionBy("g")
       .parquet(s"$path/quads")
 
   def loadQuads(spark: SparkSession, path: String): QuadStore =
@@ -387,8 +406,10 @@ object GraphIO {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         Await.result(Future.sequence(Seq(
-          Future(nd.write.mode(SaveMode.Overwrite).parquet(s"$dir/nodes_delta")),
-          Future(ed.write.mode(SaveMode.Overwrite).parquet(s"$dir/edges_delta")))),
+          Future(shrinkForWrite(nd).write.mode(SaveMode.Overwrite)
+            .parquet(s"$dir/nodes_delta")),
+          Future(shrinkForWrite(ed).write.mode(SaveMode.Overwrite)
+            .parquet(s"$dir/edges_delta")))),
           scala.concurrent.duration.Duration.Inf)
         writeSchema(spark, s"$dir/_schema_nodes_delta.json", nd.schema)
         writeSchema(spark, s"$dir/_schema_edges_delta.json", ed.schema)
@@ -509,9 +530,10 @@ object GraphIO {
       claimAndPublish(spark, path) { dir =>
         // single write action: both change sets land in one pass over the
         // store (two separate writes would evaluate the diff twice)
-        adds.select(lit("add").as("chg"), col("s"), col("p"), col("o"))
-          .unionByName(removes.select(
-            lit("remove").as("chg"), col("s"), col("p"), col("o")))
+        shrinkForWrite(
+          adds.select(lit("add").as("chg"), col("s"), col("p"), col("o"))
+            .unionByName(removes.select(
+              lit("remove").as("chg"), col("s"), col("p"), col("o"))))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/delta")
         val f = fs(spark, path)
         f.create(new org.apache.hadoop.fs.Path(s"$dir/_delta"), true).close()

@@ -100,7 +100,10 @@ object CdcStreams {
             .select(col("chg") +: cur.columns.map(col): _*)
         case None => allAdd(full)
       }
-      feed.write.mode(mode).parquet(dir)
+      // feeds are per-epoch diffs — usually tiny; collapse provably-small
+      // ones to one file so every downstream feed reader (batch + stream)
+      // lists and opens one footer, not one per shuffle partition
+      graft.sources.GraphIO.shrinkForWrite(feed).write.mode(mode).parquet(dir)
     }
 
     import scala.concurrent.{Await, Future}
