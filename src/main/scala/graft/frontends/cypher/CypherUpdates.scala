@@ -91,8 +91,20 @@ object CypherUpdates {
     val edgeSets = Vector.newBuilder[DataFrame]
     def nodeIdsOf(v: String): DataFrame = {
       if (!bindings.columns.contains(v)) throw Unsupported
-      bindings.select(col(v).cast("long").as("id"))
+      // OPTIONAL MATCH can bind v to null; the mutation's id join writes
+      // nothing for those rows, so a null here is NOT a touched entity —
+      // keeping it would null-safe-match another transaction's null and
+      // raise a spurious write-write conflict
+      bindings.select(col(v).cast("long").as("id")).where(col("id").isNotNull)
     }
+    // key-column rewrites (SET n.id, SET r.rel, REMOVE n.id, n += {id:…})
+    // change the entity's IDENTITY: the post-mutation key is not derivable
+    // from the pre-mutation bindings, so a tracked set would under-count
+    // and the merge-publish would drop the renamed row. Route them to the
+    // snapshot-diff fallback, which sees both sides of the rename.
+    def nodeKeyCol(k: String): Boolean = k == "id"
+    def edgeKeyCol(k: String): Boolean =
+      k == "src" || k == "dst" || k == "rel" || k == "eid"
     // eid-bound edge vars: recover (src, dst, rel) by membership against
     // the eid-threaded edge table the bindings were compiled over
     def edgeKeysOf(v: String): DataFrame =
@@ -120,16 +132,33 @@ object CypherUpdates {
         edgeSets += bindings.select(col(srcVar).cast("long").as("src"),
           col(dstVar).cast("long").as("dst")).withColumn("rel", lit(relType))
       case SetClause(items) => items.foreach {
-        case SetProp(Expr.Prop(v, _), _) =>
-          if (isEdgeVar(bindings, v)) edgeSets += edgeKeysOf(v)
-          else nodeSets += nodeIdsOf(v)
-        case SetAllProps(v, _, _) => nodeSets += nodeIdsOf(v)
+        case SetProp(Expr.Prop(v, k), _) =>
+          if (isEdgeVar(bindings, v)) {
+            if (edgeKeyCol(k)) throw Unsupported
+            edgeSets += edgeKeysOf(v)
+          } else {
+            if (nodeKeyCol(k)) throw Unsupported
+            nodeSets += nodeIdsOf(v)
+          }
+        case SetAllProps(v, Expr.MapLit(kvs), merge) =>
+          // the replace form (`n = {map}`) never writes id (apply() expands
+          // it over the non-key property columns); only the merge form can
+          // smuggle a key rewrite in
+          if (merge && kvs.exists { case (k, _) => nodeKeyCol(k) })
+            throw Unsupported
+          nodeSets += nodeIdsOf(v)
+        case SetAllProps(_, _, _) => throw Unsupported // non-literal map
         case SetLabel(v, _)       => nodeSets += nodeIdsOf(v)
       }
       case RemoveClause(v, _) => nodeSets += nodeIdsOf(v)
-      case RemovePropClause(v, _) =>
-        if (isEdgeVar(bindings, v)) edgeSets += edgeKeysOf(v)
-        else nodeSets += nodeIdsOf(v)
+      case RemovePropClause(v, prop) =>
+        if (isEdgeVar(bindings, v)) {
+          if (edgeKeyCol(prop)) throw Unsupported
+          edgeSets += edgeKeysOf(v)
+        } else {
+          if (nodeKeyCol(prop)) throw Unsupported
+          nodeSets += nodeIdsOf(v)
+        }
       case DeleteClause(vars, detach) => vars.foreach { v =>
         if (isEdgeVar(bindings, v)) edgeSets += edgeKeysOf(v)
         else {
@@ -294,6 +323,12 @@ object CypherUpdates {
             val props = items.map {
               case SetProp(Expr.Prop(`rv`, k), value)
                   if refVars(value).subsetOf(Set(rv)) =>
+                // key columns (src/dst/rel) rewrite the edge's identity:
+                // matchedEdgeKeys below only records the PRE-mutation keys,
+                // so the tracked write set would miss the renamed edge —
+                // generic path + diff fallback instead
+                if (k == "src" || k == "dst" || k == "rel" || k == "eid")
+                  throw Unsupported
                 // the written key may be dynamic (routes to the props map),
                 // but every key the VALUE reads must be a typed edge column
                 requireCols(value, g.edges.columns)

@@ -314,21 +314,6 @@ object GraphIO {
         Await.result(ws, scala.concurrent.duration.Duration.Inf)
       }
 
-    /** Record an epoch's changed-entity keys (node `id`s, edge
-      * `(src, dst, rel)`s) as a tiny `e<N>/writeset` sidecar — the
-      * reference's per-version change record (mvcc.rs version chains).
-      * The OCC validator writes one after every contended merge-publish,
-      * where the keys are already computed; later transactions then
-      * validate against O(changed keys) instead of diffing two corpus
-      * snapshots — at 100 TB that is the difference between reading a
-      * key file and re-scanning the store per commit. One write job,
-      * both kinds in one flat frame (key columns never collide).
-      */
-    def recordWriteSet(spark: SparkSession, path: String, epoch: Long,
-        nodeKeys: DataFrame, edgeKeys: DataFrame): Unit =
-      flatKeys(nodeKeys, edgeKeys).coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/e$epoch/writeset")
-
     /** Node ids + edge keys as ONE flat kind-tagged frame (the writeset
       * sidecar layout; key columns never collide across kinds). Shared by
       * the sidecar writer and the OCC validator's single-pass overlap
@@ -343,7 +328,7 @@ object GraphIO {
           col("dst").cast("long").as("dst"), col("rel").cast("string").as("rel")))
 
     /** The changed-entity keys of one committed epoch, when recoverable
-      * WITHOUT diffing snapshots: the [[recordWriteSet]] sidecar, or a
+      * WITHOUT diffing snapshots: the [[commitWithWriteSet]] sidecar, or a
       * delta epoch's own change rows (the delta IS the write set). None
       * for plain full commits — the validator falls back to the snapshot
       * diff for intervals containing one. Returns (node ids as `id`,
@@ -356,7 +341,8 @@ object GraphIO {
       def ex(p: String) = f.exists(new org.apache.hadoop.fs.Path(p))
       import org.apache.spark.sql.types._
       // the sidecar counts only when its write COMMITTED (_SUCCESS): a
-      // crashed recordWriteSet can leave the bare dir, and reading that
+      // commit crashing mid-sidecar-write can leave the bare dir, and
+      // (were the epoch later re-claimed and published) reading that
       // back as an EMPTY write set would let a genuinely conflicting
       // transaction pass validation — a lost update. Absent/partial
       // sidecar → None → the validator falls back to the snapshot diff.
@@ -473,11 +459,21 @@ object GraphIO {
       * O(changed rows) vs O(store); at 100 TB the difference between a
       * delta-dir read and two full scans per feed poll.
       */
+    /** `to` is a DELTA epoch whose immediate predecessor in the commit log
+      * is `from` — the condition under which the delta rows stored at
+      * commit time ARE the from→to change feed. Shared by the LPG and
+      * triple feeds so the adjacency rule can only ever change in one
+      * place.
+      */
+    private def adjacentDelta(spark: SparkSession, path: String,
+        es: Seq[Long], from: Long, to: Long): Boolean =
+      es.contains(from) && es.contains(to) && from < to &&
+        isDelta(spark, path, to) && es.filter(_ < to).lastOption.contains(from)
+
     private def deltaFeed(spark: SparkSession, path: String, from: Long,
         to: Long, side: String): Option[DataFrame] = {
       val es = list(spark, path)
-      if (!(es.contains(from) && es.contains(to) && from < to &&
-          isDelta(spark, path, to) && es.filter(_ < to).lastOption.contains(from)))
+      if (!adjacentDelta(spark, path, es, from, to))
         None
       else {
         val dir = s"$path/e$to"
@@ -623,8 +619,7 @@ object GraphIO {
       // same adjacent-delta fast path as [[diffNodes]]: the stored delta
       // rows are the feed, no snapshot replay or corpus anti-joins
       val es = list(spark, path)
-      if (es.contains(from) && es.contains(to) && from < to &&
-          isDelta(spark, path, to) && es.filter(_ < to).lastOption.contains(from))
+      if (adjacentDelta(spark, path, es, from, to))
         spark.read.schema(stringSchema("chg", "s", "p", "o"))
           .parquet(s"$path/e$to/delta")
           .select(col("chg").as("change"), col("s"), col("p"), col("o"))

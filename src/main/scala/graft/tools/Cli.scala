@@ -87,8 +87,15 @@ object Cli {
     // System.exit does not unwind the stack, so an exit inside the try
     // would skip the finally and leave Spark's teardown to its shutdown
     // hook
-    val code = try run(spark, pos.toSeq, json, limit, flag, flagVal)
-    finally spark.stop()
+    val code =
+      try run(spark, pos.toSeq, json, limit, flag, flagVal)
+      catch {
+        // bad arguments are a usage error, not a crash: message + exit 1
+        // (the house convention — commands throw IllegalArgumentException)
+        case e: IllegalArgumentException =>
+          System.err.println(s"[cli] error: ${e.getMessage}"); 1
+      }
+      finally spark.stop()
     if (code != 0) sys.exit(code)
   }
 
@@ -204,10 +211,16 @@ object Cli {
       val rows = claims.map { e =>
         val kind =
           if (!committed.contains(e))
-            // a claim BELOW the oldest readable epoch is a compact
-            // leftover (pruned history), not a crashed commit — only a
-            // claim at/above the head with no published epoch is suspect
-            if (committed.nonEmpty && e < committed.head) "pruned"
+            // Label on EVIDENCE, not position: a leftover e<N> dir with no
+            // publish marker is a crashed mid-write commit wherever it
+            // sits (investigate it), while a dir-less claim below the
+            // oldest readable epoch is benign — either compact pruned the
+            // epoch (old stores kept claims) or the commit crashed before
+            // writing anything. Dir-less claims at/above the head stay
+            // 'claimed-unpublished': a live writer may be about to write.
+            if (committed.nonEmpty && e < committed.head &&
+                !fs.exists(new org.apache.hadoop.fs.Path(s"$store/e$e")))
+              "pruned"
             else "claimed-unpublished"
           else if (fs.exists(new org.apache.hadoop.fs.Path(s"$store/e$e/_delta")))
             "delta"
@@ -279,13 +292,19 @@ object Cli {
       val g = openStore(spark, store)
       val method = flagVal("method").getOrElse("hnsw").toLowerCase
       val opts = flagVal("options").map(_.split(",").toSeq.map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        s"$k $v"
+        kv.split("=", 2) match {
+          case Array(k, v) => s"$k $v"
+          case _ => throw new IllegalArgumentException(
+            s"--options entry '$kv' is not key=value")
+        }
       }.mkString(", ")).map(o => s" OPTIONS($o)").getOrElse("")
       val ddl = s"CREATE VECTOR INDEX $name ON $label($prop) " +
         s"USING ${method.toUpperCase}$opts"
       val vectors = g.nodesWithLabel(label)
         .filter(col(prop).isNotNull).select(col("id"), col(prop))
+      if (vectors.isEmpty)
+        throw new IllegalArgumentException(
+          s"no $label nodes with a non-null $prop to index")
       val sess = new graft.GraftSession(spark, g)
       val summary = sess.createVectorIndex(ddl, vectors, "id")
       graft.frontends.gql.VectorIndexes.save(

@@ -234,4 +234,58 @@ class OptimisticTxSpec extends AnyFunSuite {
     val e = tx.commitEpochChecked(OptimisticTx.Serializable)
     assert(graft.sources.GraphIO.Epochs.list(spark, path) == Seq(0L, e))
   }
+
+  test("a key-column rewrite declines tracking and merges both sides") {
+    // SET n.id changes the entity's IDENTITY: the tracked write set only
+    // knows the pre-mutation key, so tracking must decline (no sidecar —
+    // the diff fallback sees {old, new}) and a contended merge must
+    // publish the RENAMED row, not silently drop it
+    val (sess, path) = freshStore()
+    // uncontended: an id rewrite must DECLINE tracking — a tracked commit
+    // would leave a free sidecar, so its absence is the observable
+    val tx0 = sess.beginTransaction(path)
+    tx0.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.id = 7")
+    val e1 = tx0.commitEpochChecked()
+    assert(!new java.io.File(s"$path/e$e1/writeset").exists,
+      "a key rewrite must not record a (pre-key-only) tracked sidecar")
+    // contended: the diff fallback sees BOTH sides of the rename, so the
+    // merge publishes the renamed row and the sidecar carries {old, new}
+    val tx1 = sess.beginTransaction(path)
+    val tx2 = sess.beginTransaction(path)
+    tx1.cypherUpdate("MATCH (n:Person {name: 'bob'}) SET n.score = 22.0")
+    tx2.cypherUpdate("MATCH (n:Person {name: 'cat'}) SET n.id = 99")
+    tx1.commitEpochChecked()
+    val e3 = tx2.commitEpochChecked() // disjoint entities → merge path
+    val ws = graft.sources.GraphIO.Epochs.epochWriteSet(spark, path, e3)
+    assert(ws.isDefined && ws.get._1.as[Long].collect().toSet == Set(3L, 99L),
+      "the merge sidecar must carry both the old and the renamed key")
+    val g = graft.sources.GraphIO.Epochs.asOf(spark, path, e3)
+    assert(g.nodes.orderBy("id").select("id").as[Long].collect().toSeq
+      == Seq(2L, 7L, 99L), "the renamed row must survive the merge")
+    assert(g.nodes.filter(col("id") === 2L)
+      .select("score").as[Double].head() == 22.0,
+      "the merge must keep the other transaction's write underneath")
+  }
+
+  test("null-bound OPTIONAL MATCH targets don't poison the write set") {
+    // an OPTIONAL MATCH can bind the update target to null; the mutation
+    // writes nothing for those rows, so the null must not enter the
+    // tracked keys — two such transactions on DISJOINT real entities
+    // would otherwise null-match each other and spuriously conflict
+    val (sess, path) = freshStore()
+    val tx1 = sess.beginTransaction(path)
+    val tx2 = sess.beginTransaction(path)
+    tx1.cypherUpdate("MATCH (n:Person {name: 'ann'}) " +
+      "OPTIONAL MATCH (n)-[:NOPE]->(m) SET n.score = 11.0, m.score = 1.0")
+    tx2.cypherUpdate("MATCH (n:Person {name: 'cat'}) " +
+      "OPTIONAL MATCH (n)-[:NOPE]->(m) SET n.score = 33.0, m.score = 1.0")
+    val e1 = tx1.commitEpochChecked()
+    val ws = graft.sources.GraphIO.Epochs.epochWriteSet(spark, path, e1)
+    assert(ws.isDefined && ws.get._1.as[Long].collect().toSet == Set(1L),
+      "the tracked node keys must be exactly ann's id — no null row")
+    val e2 = tx2.commitEpochChecked() // disjoint → must NOT conflict
+    assert(graft.sources.GraphIO.Epochs.asOf(spark, path, e2)
+      .nodes.orderBy("id").select("score").as[Double].collect().toSeq
+      == Seq(11.0, 20.0, 33.0))
+  }
 }
