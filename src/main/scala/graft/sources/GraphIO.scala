@@ -38,7 +38,14 @@ object GraphIO {
     * frame is provably tiny).
     */
   private[graft] def shrinkForWrite(df: DataFrame): DataFrame = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // analyzed (not optimized) stats: every Dataset is analyzed at
+    // construction, so this estimate is free — asking for optimizedPlan
+    // here would run the whole optimizer a second time per write (the
+    // write plans its own copy), which measurably costs more than the
+    // shrink saves on diff-shaped feed frames. Analyzed estimates skip
+    // column pruning, so they only ever read LARGER → fewer shrinks, never
+    // a wrong one.
+    val est = df.queryExecution.analyzed.stats.sizeInBytes
     val split = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
     if (est > 0 && est < split / 4) df.coalesce(1) else df
   }
