@@ -143,19 +143,12 @@ object VectorIndexes {
     def search(queries: DataFrame, qIdCol: String, qVecCol: String,
         k: Int, minScore: Option[Double] = None,
         maxDist: Option[Double] = None): DataFrame = {
-      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-      val topk = udaf(new Knn.TopKAgg(k), ExpressionEncoder[(Double, Long)]())
-      def merge(cands: DataFrame): DataFrame = cands
+      def merge(cands: DataFrame): DataFrame = Knn.rankTopK(cands
         .filter(col("__qid") =!= col("__nid"))
         .select(col("__qid"), col("__nid"),
           round(graft.functions.VectorFunctions.cosineSimilarity(
             col("__qvec"), col("__nvec")), 6).as("__score"))
-        .distinct()
-        .groupBy("__qid")
-        .agg(topk(col("__score"), col("__nid")).as("__top"))
-        .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
-        .select(col("__qid").as("qid"), col("__sn._2").as("nid"),
-          col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+        .distinct(), k)
       val raw = method match {
         case "hnsw" =>
           Hnsw.searchIndex(hnsw.get, queries, qIdCol, qVecCol, k)

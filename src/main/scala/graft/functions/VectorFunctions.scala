@@ -22,8 +22,15 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(vecDot(a, a))
 
-  def cosineSimilarity(a: Column, b: Column): Column =
-    vecDot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm guard: cos(a, 0) is defined as 0.0 (maximally dissimilar,
+    * matching Hnsw.Index.dist's `d == 0 → distance 1.0`). Without it a
+    * single all-zero embedding in the corpus throws DIVIDE_BY_ZERO under
+    * Spark's default ANSI mode and fails the whole scoring job.
+    */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(vecDot(a, b) / denom)
+  }
 
   def euclideanDistance(a: Column, b: Column): Column = sqrt(vecL2Sq(a, b))
 

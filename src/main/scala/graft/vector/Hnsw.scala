@@ -33,6 +33,11 @@ object Hnsw {
     */
   final class Index(private[Hnsw] val m: Int, private[Hnsw] val efC: Int,
       private[Hnsw] val metric: Knn.Metric = Knn.Cosine) extends Serializable {
+    // m=1 makes mL = 1/log(1) = Infinity → levelOf = Int.MaxValue → the
+    // first insert allocates ~2^31 layers (OOM); m=0 degenerates silently.
+    // Fail the user-settable parameter loudly instead.
+    require(m >= 2, s"hnsw m must be >= 2, got $m")
+    require(efC >= 1, s"hnsw efConstruction must be >= 1, got $efC")
     private[Hnsw] val ids = mutable.ArrayBuffer.empty[Long]
     private[Hnsw] val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     private[Hnsw] val norms = mutable.ArrayBuffer.empty[Double]
@@ -348,13 +353,7 @@ object Hnsw {
       searchBatch: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]] => DataFrame,
       batches: Iterator[Array[(Long, Array[Float])]], k: Int): DataFrame = {
     import spark.implicits._
-    val topk = udaf(new Knn.TopKAgg(k), ExpressionEncoder[(Double, Long)]())
-    def finish(perPart: DataFrame): DataFrame = perPart
-      .groupBy("__qid")
-      .agg(topk(col("__score"), col("__nid")).as("__top"))
-      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
-      .select(col("__qid").as("qid"), col("__sn._2").as("nid"),
-        col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+    def finish(perPart: DataFrame): DataFrame = Knn.rankTopK(perPart, k)
     val waves = batches.map { qRows =>
       val bq = spark.sparkContext.broadcast(qRows)
       val out = finish(searchBatch(bq)).localCheckpoint() // eager

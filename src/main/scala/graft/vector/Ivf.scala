@@ -62,9 +62,12 @@ object Ivf {
     var centroids: Seq[Seq[Double]] = df
       .orderBy(col(idCol))
       .limit(nlist)
-      .select(col(vecCol))
+      // the rest of the stack (cellOf, the codegen kernels) takes float OR
+      // double arrays; this driver-side read must too — a bare
+      // getSeq[Float] ClassCastExceptions on an array<double> property
+      .select(col(vecCol).cast("array<double>"))
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+      .map(_.getSeq[Double](0).toSeq)
       .toSeq
     for (_ <- 1 to iters) {
       val model = Model(centroids)
@@ -89,20 +92,13 @@ object Ivf {
   def topK(model: Model, queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int, metric: Knn.Metric = Knn.Cosine): DataFrame = {
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val topk = udaf(new Knn.TopKAgg(k), ExpressionEncoder[(Double, Long)]())
     val q = queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"),
       explode(model.probeCells(col(qVecCol), nprobe)).as("__cell"))
     val c = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nvec"),
       model.cellOf(col(vecCol)).as("__cell"))
-    c.join(broadcast(q), Seq("__cell"))
+    Knn.rankTopK(c.join(broadcast(q), Seq("__cell"))
       .filter(col("__qid") =!= col("__nid"))
       .select(col("__qid"), col("__nid"),
-        round(Knn.score(metric, col("__qvec"), col("__nvec")), 6).as("__score"))
-      .groupBy("__qid")
-      .agg(topk(col("__score"), col("__nid")).as("__top"))
-      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
-      .select(col("__qid").as("qid"), col("__sn._2").as("nid"),
-        col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+        round(Knn.score(metric, col("__qvec"), col("__nvec")), 6).as("__score")), k)
   }
 }

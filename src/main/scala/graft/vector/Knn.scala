@@ -37,6 +37,9 @@ object Knn {
     */
   final class TopKAgg(k: Int)
       extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    // k=0 would make reduce evaluate Seq.empty.last (task-killing
+    // NoSuchElementException) on its first row; k flows from user input
+    require(k >= 1, s"top-k requires k >= 1, got $k")
     private def prune(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
       s.sortBy { case (sc, id) => (-sc, id) }.take(k)
     def zero: Seq[(Double, Long)] = Seq.empty
@@ -47,6 +50,23 @@ object Knn {
     def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = prune(r)
     def bufferEncoder = ExpressionEncoder[Seq[(Double, Long)]]()
     def outputEncoder = ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Scored candidate pairs (`__qid`, `__score`, `__nid`) → the shared
+    * k-NN output contract (qid, nid, score, rank): one shuffle on qid,
+    * map-side pruned by [[TopKAgg]]. Every k-NN surface (brute, LSH, IVF,
+    * HNSW waves, the GQL index search) finishes through here, so the rank
+    * convention can only ever change in one place.
+    */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
+    scored
+      .groupBy("__qid")
+      .agg(topk(col("__score"), col("__nid")).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
+      .select(
+        col("__qid").as("qid"), col("__sn._2").as("nid"),
+        col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
   }
 
   /** VectorJoin (plan.rs:809-838): for every row of `queries`, the top-k
@@ -61,20 +81,13 @@ object Knn {
   def bruteForceTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, metric: Metric = Cosine, excludeSelf: Boolean = true): DataFrame = {
-    val topk = udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
     val q = queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"))
     val c = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nvec"))
     val pairs = c.crossJoin(broadcast(q))
     val filtered = if (excludeSelf) pairs.filter(col("__qid") =!= col("__nid")) else pairs
-    filtered
+    rankTopK(filtered
       .select(col("__qid"), col("__nid"),
-        round(score(metric, col("__qvec"), col("__nvec")), 6).as("__score"))
-      .groupBy("__qid")
-      .agg(topk(col("__score"), col("__nid")).as("__top"))
-      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
-      .select(
-        col("__qid").as("qid"), col("__sn._2").as("nid"),
-        col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+        round(score(metric, col("__qvec"), col("__nvec")), 6).as("__score")), k)
   }
 
   /** Random-hyperplane LSH bucketing (the scale path; stands in for the
@@ -117,10 +130,11 @@ object Knn {
       // misassignments. Query-side only: recall of a (q, n) pair needs just
       // one side to probe across the boundary, and keeping the corpus at
       // one bucket per table leaves the index size unchanged.
+      // margin ranking is per TABLE, not per probe — build it once and
+      // index it j times
+      val flipOrder = array_sort(array(dots.zipWithIndex.map { case (d, i) =>
+        struct(abs(d).as("m"), lit(i).as("i")) }: _*))
       val probed = (1 to math.min(probes, bits)).map { j =>
-        val margins = array(dots.zipWithIndex.map { case (d, i) =>
-          struct(abs(d).as("m"), lit(i).as("i")) }: _*)
-        val flipOrder = array_sort(margins)
         val flip = element_at(flipOrder, j).getField("i")
         tblKey + sig.bitwiseXOR(call_function("shiftleft", lit(1), flip)).cast("long")
       }
@@ -147,18 +161,11 @@ object Knn {
       corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nvec")),
       "__nvec", dim, bits, tables, seed)
       .select(col("__nid"), col("__nvec"), explode(col("__buckets")).as("__b"))
-    val topk = udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
-    cb.join(broadcast(qb), Seq("__b"))
+    rankTopK(cb.join(broadcast(qb), Seq("__b"))
       .filter(col("__qid") =!= col("__nid"))
       .select(col("__qid"), col("__nid"),
         round(score(metric, col("__qvec"), col("__nvec")), 6).as("__score"))
-      .distinct() // a pair may collide in several tables
-      .groupBy("__qid")
-      .agg(topk(col("__score"), col("__nid")).as("__top"))
-      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__sn")))
-      .select(
-        col("__qid").as("qid"), col("__sn._2").as("nid"),
-        col("__sn._1").as("score"), (col("__pos") + 1).as("rank"))
+      .distinct(), k) // a pair may collide in several tables
   }
 
   /** Exact embedding near-duplicate pairs (cosine >= threshold, id1 < id2).
@@ -194,7 +201,11 @@ object Knn {
         greatest(col("__bid"), col("__cid")).as("id2"),
         round(cosineSimilarity(col("__bv"), col("__cv")), 6).as("score"))
       .filter(col("score") >= threshold)
-      .distinct() // both ids in batch → pair seen twice
+      // two near-identical NEW documents in one batch appear on neither
+      // side of the corpus join until the batch is appended — their pair
+      // must come from the batch's own (broadcast-small) self-join
+      .unionByName(nearDupPairsExact(batch, idCol, vecCol, threshold))
+      .distinct() // batch⊆corpus overlap → pair seen up to thrice
   }
 
   /** Hard cluster assignment: each vector to its argmax-cosine centroid,

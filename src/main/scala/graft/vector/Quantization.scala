@@ -13,20 +13,25 @@ object Quantization {
 
   /** Per-dimension min/max codebook for `bits`-bit scalar quantization. */
   final case class ScalarModel(mins: Seq[Double], maxs: Seq[Double], bits: Int) {
+    require(bits >= 1 && bits <= 16, s"scalar quantization bits must be in [1, 16], got $bits")
     private def levels: Int = (1 << bits) - 1
     private def minsLit: Column = array(mins.map(lit): _*)
     private def maxsLit: Column = array(maxs.map(lit): _*)
 
     /** array<double> → array<long> of codes in [0, 2^bits). x = max maps to
-      * exactly `levels` ((mx-mn)/(mx-mn) is exactly 1.0 in IEEE), so no
-      * clamp is needed; constant dimensions map to 0.
+      * exactly `levels` ((mx-mn)/(mx-mn) is exactly 1.0 in IEEE). The
+      * ratio is CLAMPED to [0, 1]: the codebook is a reusable model, so a
+      * later ingest batch can carry values outside the fitted range —
+      * unclamped they would produce negative or > levels codes, corrupting
+      * any downstream byte packing. Constant dimensions map to 0.
       */
     def quantize(vec: Column): Column =
       zip_with(vec, sequence(lit(0), lit(mins.size - 1)), (x, i) => {
         val mn = element_at(minsLit, i.cast("int") + 1)
         val mx = element_at(maxsLit, i.cast("int") + 1)
-        when(mx === mn, lit(0L))
-          .otherwise(floor((x.cast("double") - mn) / (mx - mn) * levels).cast("long"))
+        val r = least(greatest((x.cast("double") - mn) / (mx - mn), lit(0.0)),
+          lit(1.0))
+        when(mx === mn, lit(0L)).otherwise(floor(r * levels).cast("long"))
       })
 
     /** Midpoint reconstruction: code c → min + (c + 0.5)·(max-min)/levels. */

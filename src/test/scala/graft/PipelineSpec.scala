@@ -23,6 +23,31 @@ class KnnSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0.99, 2L), (0.9, 5L)))
   }
 
+  test("a zero-norm vector scores 0 everywhere instead of failing the job") {
+    // Spark 4 runs ANSI mode by default: an unguarded cosine divide threw
+    // DIVIDE_BY_ZERO on the first all-zero embedding. cos(a, 0) := 0.0,
+    // matching Hnsw.Index.dist's d == 0 → distance 1.0 convention.
+    val df = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("id", "v")
+    val out = Knn.bruteForceTopK(df, "id", "v", df, "id", "v", k = 2)
+      .filter($"qid" === 1L).orderBy($"rank")
+      .select($"score").as[Double].collect().toSeq
+    assert(out == Seq(0.0, 0.0))
+  }
+
+  test("nearDupAgainst pairs two new documents inside one batch") {
+    val corpus = Seq((1L, Array(1f, 0f, 0f))).toDF("id", "v")
+    // 10 and 11 are near-identical NEW docs not yet in the corpus; 12
+    // matches the corpus doc — all three pairs routes must fire
+    val batch = Seq(
+      (10L, Array(0f, 1f, 0f)), (11L, Array(0f, 0.999f, 0.01f)),
+      (12L, Array(0.999f, 0.01f, 0f))).toDF("id", "v")
+    val pairs = Knn.nearDupAgainst(batch, corpus, "id", "v", 0.95)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L), (1L, 12L)),
+      "intra-batch AND batch-vs-corpus near-dups must both surface")
+  }
+
   test("brute-force knn is self-consistent and ranked") {
     val res = Knn.bruteForceTopK(
       emb.filter($"vec_id" < 3), "vec_id", "embedding",
