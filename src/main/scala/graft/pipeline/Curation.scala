@@ -205,13 +205,17 @@ object Curation {
     // the tokenized corpus (tokenize+explode is the dominant cost):
     // pre-aggregate occurrence counts per (doc, hash) — map-side partial
     // aggregation shrinks the explode volume before it ever shuffles —
-    // then docs-per-span is a count over the already-distinct rows
-    // (window keyed on the hash; per-key width = docs sharing the span),
-    // and the per-doc rollup weighs each span by its occurrence count.
-    import org.apache.spark.sql.expressions.Window
-    win.groupBy(col(idCol), col("__h"))
+    // then docs-per-span via groupBy + equi-join back, NOT a window: a
+    // count-over-window partitioned on the hash must SORT AND BUFFER every
+    // (doc, hash) row of a hot span in one un-splittable task (a
+    // million-doc boilerplate span = a straggler), while the groupBy gets
+    // map-side partials and the join's skewed partitions AQE can split.
+    // The per-doc rollup weighs each span by its occurrence count.
+    val perDocSpan = win.groupBy(col(idCol), col("__h"))
       .agg(count(lit(1)).as("__c"))
-      .withColumn("__docs", count(lit(1)).over(Window.partitionBy("__h")))
+    val docsPerSpan = perDocSpan.groupBy("__h")
+      .agg(count(lit(1)).as("__docs"))
+    perDocSpan.join(docsPerSpan, "__h")
       .groupBy(idCol)
       .agg(sum(col("__c")).as("n_windows"),
         sum(when(col("__docs") >= 2, col("__c")).otherwise(lit(0L)))
@@ -280,8 +284,15 @@ object Curation {
       textCol: String, budget: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // every doc must count >= 1 token for the bin arithmetic below (the
+    // offset formula's soundness depends on it): empty text already does
+    // (split of "" is [""]), but NULL text yields a null count that the
+    // window prefix and the shard totals would both SKIP — the doc would
+    // still take a bin while contributing nothing to the offset math,
+    // letting two shards share a bin id at an exact budget boundary
     val toks = docs.select(col(shardCol), col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok"))
+      greatest(coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"),
+        lit(0L)), lit(1L)).as("tok"))
     val wLocal = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     // shard-count-sized by construction: collecting it IS the "tiny

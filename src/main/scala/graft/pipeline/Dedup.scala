@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup (hash group-by): one row per duplicate group with the
-    * canonical (minimum) id and the group size.
+  /** Exact dedup (hash group-by): one row per DISTINCT key group —
+    * singletons included (callers count/filter on `n` as needed) — with
+    * the canonical (minimum) id and the group size.
     */
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*)
@@ -121,12 +122,18 @@ object Dedup {
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     val numBands = if (bands > 0) bands else lshBands(numHashes, threshold)
     // single projected shingle column feeds both the signature and the
-    // verification join — computed once per row, not re-derived per consumer
+    // verification join. The plan consumes it through FOUR subtrees (the
+    // band self-join's two sides + the two verification joins) and
+    // exchange reuse does not dedup them (verified: 4 exchanges, 0 reused)
+    // — a lazy localCheckpoint materializes the tokenize+shingle+sig pass
+    // ONCE on first use; blocks are ContextCleaner-managed, laziness and
+    // the call-site contract are preserved
     val withSig = df
       .select(col(idCol).as("__id"), shingles(col(textCol), n).as("__grams"))
       .select(col("__id"), col("__grams"),
         graft.functions.TextHashExpressions
           .minHashSig(col("__grams"), numHashes, seed).as("__sig"))
+      .localCheckpoint(false)
     val banded = withSig.select(col("__id"),
       explode(bandKeys(col("__sig"), numHashes, numBands)).as("__bk"))
     val candidates = banded.as("l")
@@ -138,6 +145,11 @@ object Dedup {
     val g2 = withSig.select(col("__id").as("id2"), col("__grams").as("__g2"))
     candidates.join(g1, "id1").join(g2, "id2")
       .select(col("id1"), col("id2"),
+        // round BEFORE the threshold filter, deliberately: the DuckDB
+        // oracle applies the same round-then-filter, so boundary pairs
+        // (true jac within 5e-7 of the threshold) agree bit-for-bit across
+        // engines — filtering raw values would let engine-side ulp drift
+        // flip membership
         round(jaccard(col("__g1"), col("__g2")), 6).as("jac"))
       .filter(col("jac") >= threshold)
   }

@@ -200,12 +200,21 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init happens here (decoder/model handle in prod)
       rows.map { m =>
-        val feats = decodeImage(m.bytes) match {
-          case Some((w, h, lum)) => imageFeatures(w, h, lum, dim)
-          case None => decodeAudio(m.bytes) match {
-            case Some((rate, ch, _, samples)) => audioFeatures(rate, ch, samples, dim)
-            case None => fakeDecode(m.bytes, dim)
-          }
+        // route by the DECLARED modality, not a magic-byte sniff: a text
+        // payload that happens to start with 'GIF8' would otherwise reach
+        // ImageIO, whose GIF reader allocates a raster from bytes 6-9 of
+        // arbitrary data (up to 65535x65535 → OutOfMemoryError, which the
+        // NonFatal catch cannot stop). The codec still validates — a
+        // mislabeled/corrupt payload falls back to the stand-in features.
+        val feats = m.modality match {
+          case "image" => decodeImage(m.bytes)
+            .map { case (w, h, lum) => imageFeatures(w, h, lum, dim) }
+            .getOrElse(fakeDecode(m.bytes, dim))
+          case "audio" => decodeAudio(m.bytes)
+            .map { case (rate, ch, _, samples) =>
+              audioFeatures(rate, ch, samples, dim) }
+            .getOrElse(fakeDecode(m.bytes, dim))
+          case _ => fakeDecode(m.bytes, dim)
         }
         MediaFeatures(m.id, m.modality, dim, feats)
       }
@@ -261,11 +270,17 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, idCol: String, bytesCol: String,
       frameSize: Int, everyN: Int): DataFrame = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     val nFrames = floor(length(col(bytesCol)) / frameSize).cast("int")
+    // `i < nFrames` (null-safe) drops the spurious frameIdx=0 row a
+    // shorter-than-one-frame (or null) payload would otherwise emit — the
+    // greatest() below only keeps sequence() ascending, it is NOT the
+    // emptiness guard; explode on the empty array drops the row entirely
     df.select(col(idCol).as("id"),
         explode(transform(
           filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
-            i => i % everyN === 0),
+            i => i % everyN === 0 && i < coalesce(nFrames, lit(0))),
           i => struct(i.as("frameIdx"),
             substring(col(bytesCol), i * frameSize + 1, lit(frameSize)).as("frame"))))
           .as("f"))

@@ -61,7 +61,13 @@ object Ranking {
     val dl = docs.select(col(idCol).as("doc_id"),
       size(termsOf(col(textCol))).cast("double").as("dl"))
     val n = docs.count()
-    val avgdl = dl.agg(avg("dl")).head().getDouble(0)
+    // empty corpus → avg is SQL NULL (getDouble would NPE); all-empty docs
+    // → avg 0.0 (the length norm would divide by zero and null every
+    // score). 1.0 is inert in both: the result is empty / tf-driven anyway.
+    val avgRow = dl.agg(avg("dl")).head()
+    val avgdl =
+      if (avgRow.isNullAt(0) || avgRow.getDouble(0) == 0.0) 1.0
+      else avgRow.getDouble(0)
     val dfTab = tf.filter(col("term").isin(queryTerms: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(1.0) +

@@ -386,6 +386,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.getInt(1) % 2 == 0))
   }
 
+  test("frame sampling emits zero frames for sub-frame and null payloads") {
+    import spark.implicits._
+    // 10-byte payload at frameSize=16 holds ZERO complete frames — the
+    // old form emitted a spurious truncated frameIdx=0 row; null likewise
+    val media = Seq((1L, Array.fill[Byte](10)(7)), (2L, null),
+      (3L, Array.fill[Byte](33)(1))).toDF("id", "bytes")
+    val frames = Multimodal.sampleFrames(media, "id", "bytes",
+      frameSize = 16, everyN = 1).collect()
+    assert(frames.map(_.getLong(0)).toSet == Set(3L),
+      "only the 2-complete-frame payload may emit rows")
+    assert(frames.length == 2 && frames.forall(_.getAs[Array[Byte]](2).length == 16))
+    intercept[IllegalArgumentException](
+      Multimodal.sampleFrames(media, "id", "bytes", frameSize = 16, everyN = 0))
+  }
+
+  test("extractFeatures routes by declared modality, not magic bytes") {
+    import spark.implicits._
+    // a TEXT payload that happens to start with the GIF magic must go to
+    // the stand-in features, never into ImageIO's GIF header parser
+    val trap = ("GIF89a" + "ÿÿÿÿ lots of text").getBytes
+    val media = Seq(Multimodal.Media(1L, "text", trap, 0, 0)).toDS()
+    val f = Multimodal.extractFeatures(media, 4).collect().head
+    assert(f.features.length == 4) // stand-in path, no decode attempt
+  }
+
   test("real PNG decodes through ImageIO to exact pixels") {
     // hand-built 2×2 PNG: pure red/green/blue/white — known BT.601 lumas
     val img = new java.awt.image.BufferedImage(2, 2,
