@@ -207,30 +207,39 @@ object Algos {
     * the distributed triangle counts with distinct-neighbor degrees — two
     * aggregations plus one join, no new shuffle shape.
     */
-  def clusteringCoefficients(spark: SparkSession, g: PropertyGraph): DataFrame = {
+  /** Distinct-neighbor degrees over the undirected simple view — the ONE
+    * place the least/greatest+distinct dedup rule lives (shared by the
+    * clustering metrics; LinkPrediction.undirectedAdj encodes the same
+    * view as an adjacency).
+    */
+  private def undirectedDeg(g: PropertyGraph): DataFrame = {
     val ud = g.edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val deg = ud.select(col("a").as("id")).unionByName(ud.select(col("b").as("id")))
+    ud.select(col("a").as("id")).unionByName(ud.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(spark, g), Seq("id"), "left_outer")
-      .select(col("id"), col("deg"),
+  }
+
+  def clusteringCoefficients(spark: SparkSession, g: PropertyGraph): DataFrame =
+    // start from g.nodes, not the edge endpoints: the facade contract is
+    // one row per node INCLUDING isolated nodes (which score deg 0,
+    // coeff 0 — like every other per-node frame)
+    g.nodes.select(col("id")).distinct()
+      .join(undirectedDeg(g), Seq("id"), "left_outer")
+      .join(triangleCounts(spark, g), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
         when(col("deg") >= 2,
           round(coalesce(col("triangles"), lit(0L)).cast("double") * 2 /
             (col("deg") * (col("deg") - 1)), 6))
           .otherwise(lit(0.0)).as("coeff"))
-  }
 
   /** Global clustering coefficient (reference clustering.rs:248):
     * 3·triangles / wedges = Σ_v tri(v) / Σ_v deg(v)·(deg(v)−1)/2 — one row.
     */
   def globalClustering(spark: SparkSession, g: PropertyGraph): DataFrame = {
-    val ud = g.edges.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = ud.select(col("a").as("id")).unionByName(ud.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(spark, g), Seq("id"), "left_outer")
+    // edge-derived is fine here: an isolated node contributes 0 triangles
+    // and 0 wedges to the global sums either way
+    undirectedDeg(g).join(triangleCounts(spark, g), Seq("id"), "left_outer")
       .agg(round(
         sum(coalesce(col("triangles"), lit(0L))).cast("double") /
           greatest(sum(col("deg") * (col("deg") - 1)).cast("double") / 2, lit(1.0)),
@@ -244,9 +253,46 @@ object Algos {
     */
   def isDag(spark: SparkSession, g: PropertyGraph, maxIters: Int = 20): Boolean = {
     if (g.edges.filter(col("src") === col("dst")).limit(1).count() > 0) return false
-    stronglyConnectedComponents(spark, g, maxIters)
-      .groupBy("component").agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).count() == 0
+    val edges = g.edges.select(col("src"), col("dst")).persist()
+    val nodes = g.nodes.select(col("id")).distinct().persist()
+    try {
+      val maxE = LocalGraph.maxEdges(spark)
+      if (LocalGraph.atMost(edges, maxE) && LocalGraph.atMost(nodes, maxE)) {
+        // broadcast-sized: iterative Tarjan is EXACT — singleton SCCs
+        // really do prove acyclicity here
+        val eArr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val nArr = nodes.collect().map(_.getLong(0))
+        LocalGraph.scc(spark, nArr, eArr)
+          .groupBy("component").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).limit(1).count() == 0
+      } else {
+        // At scale, GraphX SCC is iteration-BOUNDED with no convergence
+        // signal: an under-merged run labels a cycle's members as
+        // singletons, so "no multi-node component" alone could answer
+        // true on a cyclic graph. Use it only as the cheap cycle SCREEN
+        // (a multi-node component is definitive), then CONFIRM the DAG
+        // claim exactly: longest-path grading converges iff no reachable
+        // cycle — topoLevels(checkConvergence = true) throws rather than
+        // guesses when the bound can't separate a deep DAG from a cycle.
+        val screened = toGraphX(g).stronglyConnectedComponents(maxIters)
+          .vertices.map { case (id, c) => (id, c) }
+        val multi = {
+          import spark.implicits._
+          screened.toDF("id", "component")
+            .groupBy("component").agg(count(lit(1)).as("n"))
+            .filter(col("n") > 1).limit(1).count() > 0
+        }
+        if (multi) false
+        else {
+          topoLevels(g, maxIters = math.max(maxIters, 256),
+            checkConvergence = true)
+          true
+        }
+      }
+    } finally {
+      edges.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
   }
 
   /** Label propagation (reference community.rs:39): synchronous rounds in
@@ -368,8 +414,14 @@ object Algos {
     * topological *grading* rather than an inherently sequential total order.
     * Iterative longest-path propagation; `maxIters` bounds DAG depth.
     */
+  /** `checkConvergence=false` (default): a frontier still live at
+    * `maxIters` truncates silently — the bounded-grading semantics every
+    * existing caller pins. `true`: the same state THROWS instead, which is
+    * what makes the grading usable as an exact acyclicity witness
+    * ([[isDag]]'s confirm pass): levels converge iff no reachable cycle.
+    */
   def topoLevels(g: PropertyGraph, maxIters: Int = 64,
-      checkConvergence: Boolean = true): DataFrame = {
+      checkConvergence: Boolean = false): DataFrame = {
     val edges = g.edges.select(col("src"), col("dst")).persist()
     val nodes = g.nodes.select(col("id")).distinct().persist()
     // Adaptive strategy: a broadcast-sized graph computes the whole grading
@@ -382,7 +434,7 @@ object Algos {
       val nArr = nodes.collect().map(_.getLong(0))
       edges.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
-      return LocalGraph.topoLevels(spark, nArr, eArr, maxIters)
+      return LocalGraph.topoLevels(spark, nArr, eArr, maxIters, checkConvergence)
     }
     // FRONTIER propagation: only nodes whose level was (re)proposed last
     // round push to their out-neighbors, so a round costs O(frontier
@@ -432,6 +484,13 @@ object Algos {
       if (pending.size >= foldEvery) fold()
       i += 1
     }
+    if (checkConvergence && n > 0) {
+      edges.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"topoLevels did not converge within $maxIters rounds - " +
+          "cyclic input or a DAG deeper than the bound")
+    }
     fold()
     val levels = acc
     edges.unpersist(blocking = false)
@@ -457,9 +516,12 @@ object Algos {
     * each iteration is one aggregation + one semi-join.
     */
   def kCore(g: PropertyGraph, k: Int, maxIters: Int = 100): DataFrame = {
+    // persisted: referenced by every peel iteration — unpersisted, each of
+    // up to maxIters rounds would re-run the union+distinct shuffle over
+    // the whole edge table (the sibling loops all persist their `und`)
     val und = g.edges.select(col("src"), col("dst"))
       .unionByName(g.edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct().persist()
     var alive = und.select(col("src").as("id")).distinct().localCheckpoint()
     var aliveCount = alive.count()
     var changed = true
@@ -478,6 +540,7 @@ object Algos {
       alive = keep
       i += 1
     }
+    und.unpersist(blocking = false)
     alive
   }
 
@@ -528,7 +591,17 @@ object Algos {
     // filter therefore replaces the anti-join against the (growing) visited
     // set; per-iteration work stays frontier-sized and total work O(V).
     var frontier = Seq((start, "")).toDF("id", "path").localCheckpoint()
-    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    // levels hold DISJOINT id sets (each tree node appears exactly once),
+    // so the running accumulator is a plain union — folded every few
+    // rounds like topoLevels' buffer, or a deep chain would pin one
+    // checkpoint frame per level AND build a maxDepth-wide terminal union
+    var acc = frontier
+    val pending = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val foldEvery = 8
+    def fold(): Unit = if (pending.nonEmpty) {
+      acc = (acc +: pending.toSeq).reduce(_ unionByName _).localCheckpoint()
+      pending.clear()
+    }
     var depth = 0
     var n = 1L
     while (n > 0 && depth < maxDepth) {
@@ -551,7 +624,8 @@ object Algos {
         .filter(col("id") =!= start)
         .localCheckpoint()
       n = frontier.count()
-      if (n > 0) levels += frontier
+      if (n > 0) pending += frontier
+      if (pending.size >= foldEvery) fold()
       depth += 1
     }
     // a still-live frontier at the cap means nodes would be silently MISSING
@@ -560,7 +634,7 @@ object Algos {
     require(n == 0,
       s"dfsPreorder: traversal deeper than maxDepth=$maxDepth - raise maxDepth")
     edges.unpersist(blocking = false)
-    val acc = levels.reduce(_ unionByName _)
+    fold()
     // distributed rank: range-sorted partitions + per-partition offsets
     val ranked = acc.orderBy("path").select(col("id")).rdd
       .zipWithIndex()

@@ -20,16 +20,26 @@ object BoundedAlgos {
 
   private def collectSubgraph(g: PropertyGraph, nodeFilter: org.apache.spark.sql.Column,
       maxNodes: Int): (Array[Long], Array[(Long, Long, Double)]) = {
-    val nodes = g.nodes.filter(nodeFilter).select(col("id"))
+    // persisted: the filtered node frame is consumed by the count, the
+    // collect, AND (as the semi-join side) twice below — on a computed/
+    // join-derived node frame that is four full evaluations without it
+    val nodes = g.nodes.filter(nodeFilter).select(col("id")).persist()
     val n = nodes.count()
-    require(n <= maxNodes,
-      s"induced subgraph has $n nodes > bound $maxNodes — refusing driver-side run")
+    if (n > maxNodes) {
+      nodes.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"induced subgraph has $n nodes > bound $maxNodes — refusing driver-side run")
+    }
     val ids = nodes.collect().map(_.getLong(0))
+    nodes.unpersist(blocking = false)
     // induce edges DISTRIBUTIVELY before collecting: semi-join both endpoints
-    // against the bounded node set (broadcast — it is <= maxNodes by the
-    // guard above); collecting the full edge table would OOM the driver on a
-    // large graph regardless of the node bound
-    val idDf = nodes.select(col("id"))
+    // against the bounded node set (broadcast from the ALREADY-COLLECTED
+    // ids — a LocalRelation, zero further evaluations of the filter);
+    // collecting the full edge table would OOM the driver on a large graph
+    // regardless of the node bound
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val idDf = ids.toSeq.toDF("id")
     val edges = g.edges
       .select(col("src"), col("dst"), coalesce(col("weight"), lit(1.0)).as("w"))
       .join(broadcast(idDf), col("src") === col("id"), "left_semi")
@@ -45,10 +55,18 @@ object BoundedAlgos {
   def betweenness(spark: SparkSession, g: PropertyGraph,
       nodeFilter: org.apache.spark.sql.Column, maxNodes: Int = 2000): DataFrame = {
     val (ids, edges) = collectSubgraph(g, nodeFilter, maxNodes)
+    // Brandes runs on the undirected SIMPLE view (like every other
+    // undirected kernel here): reciprocal directed edges must collapse to
+    // one neighbor entry, or sigma through the doubled neighbor inflates
+    // and skews the dependency split; self-loops never lie on a shortest
+    // path between distinct nodes
     val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    val seen = mutable.Set.empty[(Long, Long)]
     edges.foreach { case (s, d, _) =>
-      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
-      adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
+      if (s != d && seen.add((math.min(s, d), math.max(s, d)))) {
+        adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+        adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
+      }
     }
     val bc = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
     for (s <- ids) {
@@ -156,44 +174,60 @@ object BoundedAlgos {
       source: Long, sink: Long, costOf: (Long, Long) => Double,
       maxNodes: Int = 2000): (Double, Double) = {
     val (_, edges) = collectSubgraph(g, nodeFilter, maxNodes)
-    val cap = mutable.Map.empty[(Long, Long), Double].withDefaultValue(0.0)
-    val cost = mutable.Map.empty[(Long, Long), Double].withDefaultValue(0.0)
+    // ARC-indexed residual network (successive shortest paths): each
+    // directed edge is arc 2i with its residual twin 2i+1 (cap 0, cost −c).
+    // Keying cap/cost by (u, v) PAIRS — the previous form — clobbered
+    // antiparallel inputs: with both (s,d) and (d,s) present, whichever
+    // edge loaded last overwrote the other's (even negated) cost, and a
+    // residual arc shared its key with the real reverse edge, conflating
+    // flow cancellation with real capacity.
+    val from = mutable.ArrayBuffer.empty[Long]
+    val to = mutable.ArrayBuffer.empty[Long]
+    val cap = mutable.ArrayBuffer.empty[Double]
+    val cost = mutable.ArrayBuffer.empty[Double]
     val nodes = mutable.LinkedHashSet.empty[Long]
     edges.foreach { case (s, d, w) =>
-      cap((s, d)) += w
-      cost((s, d)) = costOf(s, d)
-      cost((d, s)) = -costOf(s, d)
+      from += s; to += d; cap += w; cost += costOf(s, d)
+      from += d; to += s; cap += 0.0; cost += -costOf(s, d)
       nodes += s += d
     }
-    val arcs = cap.keys.toSeq ++ edges.map { case (s, d, _) => (d, s) }
     var totalFlow = 0.0
     var totalCost = 0.0
     var augmenting = true
     while (augmenting) {
       // Bellman-Ford over residual arcs (handles the negative back-arcs)
       val dist = mutable.Map.empty[Long, Double].withDefaultValue(Double.MaxValue)
-      val prev = mutable.Map.empty[Long, Long]
+      val prevArc = mutable.Map.empty[Long, Int]
       dist(source) = 0.0
       var changed = true
       var rounds = 0
       while (changed && rounds <= nodes.size) {
         changed = false
-        for ((u, v) <- arcs if cap((u, v)) > 1e-12 && dist(u) < Double.MaxValue) {
-          val nd = dist(u) + cost((u, v))
-          if (nd < dist(v) - 1e-12) { dist(v) = nd; prev(v) = u; changed = true }
+        var i = 0
+        while (i < from.length) {
+          if (cap(i) > 1e-12 && dist(from(i)) < Double.MaxValue) {
+            val nd = dist(from(i)) + cost(i)
+            if (nd < dist(to(i)) - 1e-12) {
+              dist(to(i)) = nd; prevArc(to(i)) = i; changed = true
+            }
+          }
+          i += 1
         }
         rounds += 1
       }
-      if (!prev.contains(sink)) augmenting = false
+      if (!prevArc.contains(sink)) augmenting = false
       else {
         var bottleneck = Double.MaxValue
         var v = sink
-        while (v != source) { bottleneck = math.min(bottleneck, cap((prev(v), v))); v = prev(v) }
+        while (v != source) {
+          val a = prevArc(v); bottleneck = math.min(bottleneck, cap(a)); v = from(a)
+        }
         v = sink
         while (v != source) {
-          cap((prev(v), v)) -= bottleneck
-          cap((v, prev(v))) += bottleneck
-          v = prev(v)
+          val a = prevArc(v)
+          cap(a) -= bottleneck
+          cap(a ^ 1) += bottleneck // the paired twin, by construction
+          v = from(a)
         }
         totalFlow += bottleneck
         totalCost += bottleneck * dist(sink)
@@ -209,31 +243,39 @@ object BoundedAlgos {
   def articulation(g: PropertyGraph, nodeFilter: org.apache.spark.sql.Column,
       maxNodes: Int = 2000): (Set[Long], Set[(Long, Long)]) = {
     val (ids, edges) = collectSubgraph(g, nodeFilter, maxNodes)
+    // undirected simple view (reciprocal directed edges = one undirected
+    // edge; self-loops never separate a graph)
     val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    val seen = mutable.Set.empty[(Long, Long)]
     edges.foreach { case (s, d, _) =>
-      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
-      adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
+      if (s != d && seen.add((math.min(s, d), math.max(s, d)))) {
+        adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+        adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
+      }
     }
     val disc = mutable.Map.empty[Long, Int]
     val low = mutable.Map.empty[Long, Int]
     val aps = mutable.Set.empty[Long]
     val bridges = mutable.Set.empty[(Long, Long)]
     var timer = 0
-    def dfs(u: Long, parent: Long): Unit = {
+    // parent as Option: a -1L sentinel collides with node id -1, which is
+    // a legal id (negative ids are exercised inputs) — a vertex whose DFS
+    // parent is node -1 would take the root rule and be misclassified
+    def dfs(u: Long, parent: Option[Long]): Unit = {
       disc(u) = timer; low(u) = timer; timer += 1
       var children = 0
       for (v <- adj.getOrElse(u, Nil)) {
         if (!disc.contains(v)) {
           children += 1
-          dfs(v, u)
+          dfs(v, Some(u))
           low(u) = math.min(low(u), low(v))
-          if (parent != -1L && low(v) >= disc(u)) aps += u
+          if (parent.isDefined && low(v) >= disc(u)) aps += u
           if (low(v) > disc(u)) bridges += ((math.min(u, v), math.max(u, v)))
-        } else if (v != parent) low(u) = math.min(low(u), disc(v))
+        } else if (!parent.contains(v)) low(u) = math.min(low(u), disc(v))
       }
-      if (parent == -1L && children > 1) aps += u
+      if (parent.isEmpty && children > 1) aps += u
     }
-    for (id <- ids if !disc.contains(id)) dfs(id, -1L)
+    for (id <- ids if !disc.contains(id)) dfs(id, None)
     (aps.toSet, bridges.toSet)
   }
 

@@ -202,7 +202,8 @@ object LocalGraph {
     * Returns (id: Long, level: Int).
     */
   def topoLevels(spark: SparkSession, nodeIds: Array[Long],
-      edges: Array[(Long, Long)], maxIters: Int): DataFrame = {
+      edges: Array[(Long, Long)], maxIters: Int,
+      checkConvergence: Boolean = false): DataFrame = {
     import spark.implicits._
     val level = new java.util.HashMap[Long, Int]()
     nodeIds.foreach(level.put(_, 0))
@@ -218,6 +219,10 @@ object LocalGraph {
       }
       i += 1
     }
+    if (checkConvergence && changed)
+      throw new IllegalStateException(
+        s"topoLevels did not converge within $maxIters rounds - " +
+          "cyclic input or a DAG deeper than the bound")
     nodeIds.map(id => (id, level.getOrDefault(id, 0))).toSeq.toDF("id", "level")
   }
 

@@ -85,6 +85,49 @@ class ArticulationSpec extends AnyFunSuite {
   import org.apache.spark.sql.functions._
   import spark.implicits._
 
+  private def mkGraph(edges: Seq[(Long, Long)],
+      w: Long => Double = _ => 1.0): PropertyGraph = {
+    val e = edges.zipWithIndex.map { case ((s, d), i) => (s, d, w(i)) }
+      .toDF("src", "dst", "weight").withColumn("rel", lit("E"))
+    val n = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id")
+      .withColumn("labels", array(lit("N")))
+    PropertyGraph(n, e)
+  }
+
+  test("betweenness ignores reciprocal duplicates of an undirected edge") {
+    // diamond 1-{2,3}-4: sigma(1→4) = 2 split evenly, bc(2) = bc(3) = 1.
+    // storing the 1-2 relation as BOTH directed edges must not double
+    // node 2's path count (the undirected simple view collapses them)
+    val g = mkGraph(Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    val bc = graft.algos.BoundedAlgos.betweenness(spark, g, lit(true))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc(2L) == bc(3L), s"reciprocal edge skewed the split: $bc")
+  }
+
+  test("min-cost flow prices antiparallel edges independently") {
+    // source 1 → sink 2 directly (cap 1, cost 5) and via 3 (cap 1, cost
+    // 1+1); edge (2,1) exists with cost 9 — under the old (u,v)-keyed cost
+    // map it clobbered the residual of (1,2), corrupting prices
+    val g = mkGraph(Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 2L)),
+      w = _ => 1.0)
+    val costs = Map((1L, 2L) -> 5.0, (2L, 1L) -> 9.0,
+      (1L, 3L) -> 1.0, (3L, 2L) -> 1.0)
+    val (flow, cost) = graft.algos.BoundedAlgos.minCostMaxFlow(
+      g, lit(true), 1L, 2L, (s, d) => costs((s, d)))
+    assert(flow == 2.0, s"flow $flow")
+    assert(cost == 7.0, s"cheap path first (2) then direct (5): got $cost")
+  }
+
+  test("articulation handles node id -1 (no parent-sentinel collision)") {
+    // path  -1 — 7 — 8: node 7 is the cut vertex; with the old -1L parent
+    // sentinel, 7 (whose DFS parent can be node -1) took the root rule
+    // and was missed
+    val g = mkGraph(Seq((-1L, 7L), (7L, 8L)))
+    val (aps, bridges) = graft.algos.BoundedAlgos.articulation(g, lit(true))
+    assert(aps == Set(7L), s"aps $aps")
+    assert(bridges == Set((-1L, 7L), (7L, 8L)))
+  }
+
   test("articulation points and bridges on a barbell graph") {
     // triangle 1-2-3 + bridge 3-4 + triangle 4-5-6
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))

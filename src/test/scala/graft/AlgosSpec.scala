@@ -55,6 +55,20 @@ class AlgosSpec extends AnyFunSuite {
     assert(graft.algos.Algos.isDag(spark, mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L)))))
     assert(!graft.algos.Algos.isDag(spark, mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L)))))
     assert(!graft.algos.Algos.isDag(spark, mkGraph(Seq((1L, 2L), (2L, 2L)))))
+    // forced-distributed: GraphX SCC is iteration-bounded, so the DAG
+    // answer must come from the exact topo-convergence confirm, and a
+    // cycle must still read false even when the SCC screen under-merges
+    val prev = spark.conf.getOption(graft.graph.LocalGraph.MaxEdgesKey)
+    spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, "0")
+    try {
+      assert(graft.algos.Algos.isDag(spark,
+        mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L)))))
+      assert(!graft.algos.Algos.isDag(spark,
+        mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L)))))
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, v)
+      case None    => spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
+    }
   }
 
   test("dfsPreorder visits ascending neighbors depth-first") {

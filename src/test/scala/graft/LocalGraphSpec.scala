@@ -117,6 +117,15 @@ class LocalGraphSpec extends AnyFunSuite {
     }
     assert(dc.keySet == Set(1L, 2L, 3L, 4L) && lc.keySet == dc.keySet)
     assert(dc.values.forall(_ <= 12) && lc.values.forall(_ <= 12))
+    // with checkConvergence the same truncation THROWS on both branches —
+    // the exact acyclicity witness isDag's at-scale confirm relies on
+    val (de, le) = bothStrategies {
+      intercept[IllegalStateException](
+        Algos.topoLevels(cyc, maxIters = 12, checkConvergence = true)
+          .collect())
+    }
+    assert(de.getMessage.contains("did not converge") &&
+      le.getMessage.contains("did not converge"))
   }
 
   test("scc: local and distributed paths agree exactly") {
