@@ -250,7 +250,22 @@ object Algos {
     * self-loop and every strongly connected component is a singleton.
     * Built on the same SCC primitive as q_scc — Kahn peeling would take
     * O(longest path) synchronous rounds, pathological on chain graphs.
+    *
+    * At scale (past the broadcast threshold) the answer is screened by
+    * iteration-bounded GraphX SCC and CONFIRMED by longest-path grading:
+    * the confirm bound scales with the node count (a DAG's longest path is
+    * < n, so within that bound non-convergence *proves* a cycle), capped at
+    * [[isDagConfirmCap]] rounds. For the pathological case of a graph with
+    * more than the cap's worth of nodes whose grading is still moving at
+    * the cap — a legitimate DAG deeper than 8192 levels, or a cycle the
+    * SCC screen under-merged — this method THROWS IllegalStateException
+    * rather than guess; callers needing a total answer must catch it.
     */
+  /** Hard cap on the isDag confirm pass's synchronous rounds (~65 ms/round
+    * job floor → ~9 min worst case on an adversarial input).
+    */
+  val isDagConfirmCap: Int = 8192
+
   def isDag(spark: SparkSession, g: PropertyGraph, maxIters: Int = 20): Boolean = {
     if (g.edges.filter(col("src") === col("dst")).limit(1).count() > 0) return false
     val edges = g.edges.select(col("src"), col("dst")).persist()
@@ -284,9 +299,20 @@ object Algos {
         }
         if (multi) false
         else {
-          topoLevels(g, maxIters = math.max(maxIters, 256),
-            checkConvergence = true)
-          true
+          // Confirm bound from a graph-size hint: a DAG with n nodes grades
+          // in < n rounds, so a bound ≥ n makes non-convergence an exact
+          // cycle proof (return false), not a guess. Past the cap the throw
+          // inside topoLevels stands — documented in the scaladoc above.
+          val n = nodes.count()
+          val bound = math.max(math.max(maxIters.toLong, 256L),
+            math.min(n, isDagConfirmCap.toLong)).toInt
+          try {
+            topoLevels(g, maxIters = bound, checkConvergence = true)
+            true
+          } catch {
+            case _: IllegalStateException if bound >= n =>
+              false // pigeonhole: no DAG on n nodes needs ≥ n rounds
+          }
         }
       }
     } finally {

@@ -129,8 +129,13 @@ object CypherUpdates {
         }
         val srcVar = path.head.v.getOrElse(throw Unsupported)
         val dstVar = dstPat.v.getOrElse(throw Unsupported)
+        // OPTIONAL MATCH can bind either endpoint to null; CREATE writes no
+        // edge for those rows (same as nodeIdsOf), and a null (src,dst) here
+        // would null-safe-match another transaction's null-bound CREATE of
+        // the same rel type — a spurious write-write abort
         edgeSets += bindings.select(col(srcVar).cast("long").as("src"),
           col(dstVar).cast("long").as("dst")).withColumn("rel", lit(relType))
+          .where(col("src").isNotNull && col("dst").isNotNull)
       case SetClause(items) => items.foreach {
         case SetProp(Expr.Prop(v, k), _) =>
           if (isEdgeVar(bindings, v)) {

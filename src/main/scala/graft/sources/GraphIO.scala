@@ -45,9 +45,41 @@ object GraphIO {
     // shrink saves on diff-shaped feed frames. Analyzed estimates skip
     // column pruning, so they only ever read LARGER → fewer shrinks, never
     // a wrong one.
-    val est = df.queryExecution.analyzed.stats.sizeInBytes
+    // Two plan shapes are known to UNDER-estimate (the "only ever larger"
+    // premise above holds for pruning, not for these): Generate (explode)
+    // keeps the child's size while multiplying rows — never shrink those —
+    // and width-based non-leaf estimates price Array/Map columns at
+    // defaultSize, undercounting wide embedding frames by orders of
+    // magnitude. An unshrunk small frame costs a few extra footers; a
+    // shrunk large frame serializes the whole upstream chain onto one
+    // task, so frames carrying array/map columns must clear a 4×-tighter
+    // budget (tiny epoch snapshots with a `labels` array still clear it;
+    // a corpus-scale embedding frame does not).
+    val analyzed = df.queryExecution.analyzed
+    val hasGenerate = analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
+      case _ => false
+    }
+    if (hasGenerate) return df
+    val hasWideCol = df.schema.exists(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => true
+      case _: org.apache.spark.sql.types.MapType   => true
+      case _ => false
+    })
+    val est = analyzed.stats.sizeInBytes
     val split = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
-    if (est > 0 && est < split / 4) df.coalesce(1) else df
+    // "Provably tiny" means TINY: width-ratio analyzed estimates run well
+    // under actual row width (measured 3.4 MB est for the full sf0.1 node
+    // set — ~190k rows that serialize to far more), so a split-relative
+    // budget alone let whole sf0.1 graph saves collapse to one task (the
+    // r15 q_graph_snapshot +0.3 s regression). Cap the budget at 1 MiB
+    // (256 KiB for array/map schemas, whose defaultSize pricing
+    // undercounts hardest): epoch deltas and claim sidecars — KB-scale
+    // frames, the writes this shrink exists for — still clear it; any
+    // corpus-shaped frame keeps full write parallelism.
+    val cap = if (hasWideCol) 256L * 1024 else 1024L * 1024
+    val budget = math.min(split / 4, cap)
+    if (est > 0 && est < budget) df.coalesce(1) else df
   }
 
   // ---- property-graph snapshot ----

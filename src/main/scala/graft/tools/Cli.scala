@@ -43,6 +43,13 @@ import graft.sources.GraphIO
   * claims newer than the head suggest a live writer, compact refuses
   * unless `--force` acknowledges the exclusivity contract.
   */
+/** Bad command-line input — caught by [[Cli.main]] and rendered as a
+  * one-line usage message (exit 1). A dedicated type so that
+  * IllegalArgumentExceptions thrown by deep library/Spark code propagate
+  * with their stack trace instead of masquerading as usage errors.
+  */
+final class UsageError(msg: String) extends RuntimeException(msg)
+
 object Cli {
 
   private def session(): SparkSession = {
@@ -90,9 +97,12 @@ object Cli {
     val code =
       try run(spark, pos.toSeq, json, limit, flag, flagVal)
       catch {
-        // bad arguments are a usage error, not a crash: message + exit 1
-        // (the house convention — commands throw IllegalArgumentException)
-        case e: IllegalArgumentException =>
+        // bad arguments are a usage error, not a crash: message + exit 1.
+        // ONLY the dedicated UsageError is caught — an
+        // IllegalArgumentException surfacing from deep library/Spark code
+        // is a genuine bug whose stack trace must not be swallowed, so it
+        // propagates and crashes loudly like any other exception.
+        case e: UsageError =>
           System.err.println(s"[cli] error: ${e.getMessage}"); 1
       }
       finally spark.stop()
@@ -146,7 +156,7 @@ object Cli {
         case "gql"     => sess.gql(q)
         case "gremlin" => sess.gremlin(q)
         case "graphql" => sess.graphql(q)
-        case other => throw new IllegalArgumentException(s"unknown lang '$other'")
+        case other => throw new UsageError(s"unknown lang '$other'")
       }
       render(df, json, limit)
       0
@@ -181,7 +191,7 @@ object Cli {
         case "jsonl" =>
           g.nodes.write.mode(SaveMode.Overwrite).json(s"$out/nodes")
           g.edges.write.mode(SaveMode.Overwrite).json(s"$out/edges")
-        case other => throw new IllegalArgumentException(s"unknown format '$other'")
+        case other => throw new UsageError(s"unknown format '$other'")
       }
       println(s"[cli] dumped to $out")
       0
@@ -190,7 +200,7 @@ object Cli {
       val g = flagVal("format").getOrElse("parquet") match {
         case "parquet" => GraphIO.load(spark, input)
         case "csv"     => GraphIO.fromCsv(spark, s"$input/nodes", s"$input/edges")
-        case other => throw new IllegalArgumentException(s"unknown format '$other'")
+        case other => throw new UsageError(s"unknown format '$other'")
       }
       val epoch = GraphIO.Epochs.commit(g, store)
       println(s"[cli] loaded $input as epoch $epoch of $store")
@@ -294,7 +304,7 @@ object Cli {
       val opts = flagVal("options").map(_.split(",").toSeq.map { kv =>
         kv.split("=", 2) match {
           case Array(k, v) => s"$k $v"
-          case _ => throw new IllegalArgumentException(
+          case _ => throw new UsageError(
             s"--options entry '$kv' is not key=value")
         }
       }.mkString(", ")).map(o => s" OPTIONS($o)").getOrElse("")
@@ -303,7 +313,7 @@ object Cli {
       val vectors = g.nodesWithLabel(label)
         .filter(col(prop).isNotNull).select(col("id"), col(prop))
       if (vectors.isEmpty)
-        throw new IllegalArgumentException(
+        throw new UsageError(
           s"no $label nodes with a non-null $prop to index")
       val sess = new graft.GraftSession(spark, g)
       val summary = sess.createVectorIndex(ddl, vectors, "id")
