@@ -75,13 +75,20 @@ object Bench {
     }.min
     // ... and a shuffle-shaped probe: the pure range-sum is CPU-bound and
     // blind to the memory-bandwidth/scheduling contention that actually
-    // moves Spark stage times between host windows.
-    val calibShuffle = (1 to 3).map { _ =>
+    // moves Spark stage times between host windows. Probed at window START
+    // and again at window END (r15 post-mortem: two single-probe windows
+    // disagreed about host speed by ~12% — more than the round-over-round
+    // delta the normalization exists to measure — producing a raw-faster/
+    // normalized-slower split-brain). The artifact records both; blessing
+    // requires they AGREE (host speed stable across the whole window) and
+    // normalization divides by their mean.
+    def shuffleProbe(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       spark.range(20000000L).selectExpr("id % 1000000 as k")
         .groupBy("k").count().selectExpr("sum(count)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    val calibShuffleStart = shuffleProbe()
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     var lastClean = System.nanoTime()
     // Per-query time = min over `reps` back-to-back executions. One-shot
@@ -190,20 +197,34 @@ object Bench {
       "\"" + n + "\":" + (math.rint(s * 100) / 100)
     }.mkString("{", ",", "}")
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // machine-drift-normalized total: the shuffle calibration probe tracks
+    // END-of-window probe: same job, measured after the catalog ran, in a
+    // GC-cleaned context so catalog residue doesn't masquerade as host
+    // slowdown.
+    cleanContext()
+    val calibShuffleEnd = shuffleProbe()
+    // machine-drift-normalized total: the shuffle calibration probes track
     // the host co-tenancy factor (same binary measured 96.7-153 s across
     // windows in r12), so totals are comparable across rounds as
-    // total × (REF / calib_shuffle) against the pinned healthy-window
+    // total × (REF / mean(start, end)) against the pinned healthy-window
     // reference probe time (~1.0 s on this machine class)
     val CalibShuffleRef = 1.0
+    val calibShuffle = (calibShuffleStart + calibShuffleEnd) / 2
     val valueNormalized = total * CalibShuffleRef / math.max(calibShuffle, 1e-9)
+    // probe agreement: if host speed moved >10% WITHIN the window, no
+    // single number describes the window and neither raw nor normalized
+    // totals are comparable across rounds — refuse the blessing
+    val calibAgree = {
+      val (lo, hi) = (math.min(calibShuffleStart, calibShuffleEnd),
+        math.max(calibShuffleStart, calibShuffleEnd))
+      hi / math.max(lo, 1e-9) <= 1.10
+    }
     // canonical-artifact health gate: an artifact measured in a degraded
-    // host window (shuffle probe > 1.2x the pinned healthy reference) must
-    // not become the committed record — normalization makes it COMPARABLE,
-    // but per-query raw numbers from a bad window still mislead round-over-
-    // round reads. The run still reports (stdout + /tmp) so the caller can
-    // retry in a healthier window.
-    val calibHealthy = calibShuffle <= 1.2 * CalibShuffleRef
+    // host window (mean probe > 1.2x the pinned healthy reference) or an
+    // UNSTABLE one (start/end probes disagree >10%) must not become the
+    // committed record — normalization makes a slow-but-stable window
+    // COMPARABLE, but nothing rescues a window whose speed moved mid-run.
+    // The run still reports (stdout + /tmp) so the caller can retry.
+    val calibHealthy = calibShuffle <= 1.2 * CalibShuffleRef && calibAgree
     // environment fingerprint: rep count + machine state, so future rounds
     // can tell methodology/noise from genuine regression without forensics
     // (r11's committed 117.9 s vs snapshot 124.7 s was exactly that gap)
@@ -215,7 +236,7 @@ object Bench {
     // line mid-JSON, so the compact form carries only the COUNT; the full
     // committed artifact carries the names and per-query spreads
     val envJson =
-      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb,"calib_sec":${math.rint(calib * 1000) / 1000},"calib_shuffle_sec":${math.rint(calibShuffle * 1000) / 1000},"calib_shuffle_ref":$CalibShuffleRef,"calib_healthy":$calibHealthy,"value_normalized":${math.rint(valueNormalized * 1000) / 1000},"spread_flagged_n":${flagged.size}"""
+      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb,"calib_sec":${math.rint(calib * 1000) / 1000},"calib_shuffle_sec":${math.rint(calibShuffle * 1000) / 1000},"calib_start":${math.rint(calibShuffleStart * 1000) / 1000},"calib_end":${math.rint(calibShuffleEnd * 1000) / 1000},"calib_agree":$calibAgree,"calib_shuffle_ref":$CalibShuffleRef,"calib_healthy":$calibHealthy,"value_normalized":${math.rint(valueNormalized * 1000) / 1000},"spread_flagged_n":${flagged.size}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$envJson,"spread_flagged":$flaggedJson,"spreads":$spreadJson,"sf":"$sfDir"}"""
     // The driver captures only a ~2000-char tail of stdout, so a full
@@ -250,8 +271,10 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_latest.json"), fullLine)
       catch { case _: Throwable => }
     else if (only.isEmpty)
-      System.err.println(f"[bench] calib_shuffle $calibShuffle%.3f exceeds " +
-        f"1.2x ref ($CalibShuffleRef) - bench_latest.json NOT updated; " +
+      System.err.println(f"[bench] unhealthy window (mean probe " +
+        f"$calibShuffle%.3f vs ref $CalibShuffleRef; start " +
+        f"$calibShuffleStart%.3f / end $calibShuffleEnd%.3f, " +
+        f"agree=$calibAgree) - bench_latest.json NOT updated; " +
         "re-run in a healthier window")
     spark.stop()
   }
