@@ -71,8 +71,34 @@ final case class TripleGraph(triples: DataFrame) {
     * documented order).
     */
   def modify(where: Seq[TriplePattern], deleteTpl: Seq[TriplePattern],
-      insertTpl: Seq[TriplePattern]): TripleGraph = {
-    val bindings = bgp(where).persist()
+      insertTpl: Seq[TriplePattern]): TripleGraph =
+    modifyWithDelta(where, deleteTpl, insertTpl)._1
+
+  /** [[modify]] plus the EXACT change sets the operation induces —
+    * the SPARQL-update→CDC primitive: the delta frames feed
+    * [[graft.sources.GraphIO.Epochs.commitTriplesDelta]] directly, so an
+    * update's epoch commit writes O(changed rows) with no corpus
+    * anti-join (the templates instantiated over the WHERE bindings
+    * already name every candidate row; membership against the store
+    * reduces them to the true delta).
+    *
+    * With final = (T − D) ∪ I:  adds = I − T (inserted and not already
+    * present); removes = (D ∩ T) − I (present, deleted, not re-inserted).
+    *
+    * The returned delta frames are BAGS: a template instantiated from
+    * multiple bindings can repeat a row (deduping each here would cost an
+    * exchange per side; [[graft.sources.GraphIO.Epochs.commitTriplesDelta]]
+    * dedups once on the tagged union). Callers needing sets apply
+    * `.distinct()` themselves.
+    */
+  def modifyWithDelta(where: Seq[TriplePattern], deleteTpl: Seq[TriplePattern],
+      insertTpl: Seq[TriplePattern]): (TripleGraph, DataFrame, DataFrame) = {
+    // persist only multi-leg WHEREs: a single-pattern binding set is one
+    // pruned scan — re-evaluating it per consumer costs the same as a
+    // cache read and skips the materialization stage (measured 2 jobs per
+    // delta commit); a join-shaped BGP is real compute, evaluated once
+    val bindings =
+      if (where.size > 1) bgp(where).persist() else bgp(where)
     def instantiate(tpl: TriplePattern): DataFrame = {
       def term(t: Term): Column = t match {
         case V(n) => col(n).cast("string")
@@ -80,19 +106,29 @@ final case class TripleGraph(triples: DataFrame) {
       }
       bindings.select(term(tpl.s).as("s"), term(tpl.p).as("p"), term(tpl.o).as("o"))
     }
+    val key = Seq("s", "p", "o")
+    val empty = triples.select(col("s"), col("p"), col("o")).limit(0)
+    // no per-template distinct: anti/semi-join right sides dedup
+    // inherently, and `after`'s terminal distinct covers the insert union
+    // — each distinct here would cost its own exchange (a whole AQE stage
+    // on a tiny frame; measured as the job-count floor of delta commits)
     val toDelete = deleteTpl.map(instantiate).reduceOption(_ unionByName _)
-      .map(_.distinct())
     val toInsert = insertTpl.map(instantiate).reduceOption(_ unionByName _)
-      .map(_.distinct())
     val afterDelete = toDelete match {
-      case Some(d) => triples.join(d, Seq("s", "p", "o"), "left_anti")
+      case Some(d) => triples.join(d, key, "left_anti")
       case None => triples
     }
     val after = toInsert match {
       case Some(ins) => afterDelete.unionByName(ins).distinct()
       case None => afterDelete
     }
-    TripleGraph(after)
+    val adds = toInsert.map(_.join(triples, key, "left_anti"))
+      .getOrElse(empty)
+    val removes = toDelete.map { d =>
+      val present = d.join(triples, key, "left_semi")
+      toInsert.map(i => present.join(i, key, "left_anti")).getOrElse(present)
+    }.getOrElse(empty)
+    (TripleGraph(after), adds, removes)
   }
 }
 

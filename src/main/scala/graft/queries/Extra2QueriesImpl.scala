@@ -205,11 +205,18 @@ object Extra2QueriesImpl {
       val path = java.nio.file.Files.createTempDirectory("graft_rdf_cdf").toString
       val seg = TripleGraph(TpchRdf(s, dir).triples.filter(col("p") === "segment"))
       val e0 = graft.sources.GraphIO.Epochs.commitTriples(seg, path)
-      val retagged = seg.modify(
+      // Re-root the update on e0's PARQUET data (the derivation lineage is
+      // a many-leg union whose every re-evaluation pays the full scan
+      // fan-out), and commit e1 as a DELTA epoch fed by modifyWithDelta's
+      // exact change sets: the update's commit writes O(changed rows) with
+      // no corpus anti-join, and diffTriples' adjacent-delta fast path
+      // reads the stored delta AS the feed — no snapshot replay.
+      val seg0 = graft.sources.GraphIO.Epochs.asOfTriples(s, path, e0)
+      val (_, adds, removes) = seg0.modifyWithDelta(
         where = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
         deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
         insertTpl = Seq(TriplePattern(V("c"), L("segment"), L("RETAIL"))))
-      val e1 = graft.sources.GraphIO.Epochs.commitTriples(retagged, path)
+      val e1 = graft.sources.GraphIO.Epochs.commitTriplesDelta(s, path, adds, removes)
       graft.sources.GraphIO.Epochs.diffTriples(s, path, e0, e1)
         .groupBy("change", "o").agg(count(lit(1)).as("n"))
         .orderBy("change")

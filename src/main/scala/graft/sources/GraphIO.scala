@@ -564,11 +564,18 @@ object GraphIO {
         s"delta epoch needs a base epoch at $path")
       claimAndPublish(spark, path) { dir =>
         // single write action: both change sets land in one pass over the
-        // store (two separate writes would evaluate the diff twice)
+        // store (two separate writes would evaluate the diff twice). ONE
+        // distinct over the tagged union — a duplicated add row would
+        // double-apply on replay, and deduping here (chg in the key, so
+        // sides can't collapse into each other) costs one exchange instead
+        // of one per side, letting producers hand over bag-semantics
+        // deltas (e.g. TripleGraph.modifyWithDelta) without their own
+        // distinct.
         shrinkForWrite(
           adds.select(lit("add").as("chg"), col("s"), col("p"), col("o"))
             .unionByName(removes.select(
-              lit("remove").as("chg"), col("s"), col("p"), col("o"))))
+              lit("remove").as("chg"), col("s"), col("p"), col("o")))
+            .distinct())
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/delta")
         val f = fs(spark, path)
         f.create(new org.apache.hadoop.fs.Path(s"$dir/_delta"), true).close()
