@@ -151,27 +151,28 @@ object Extra2QueriesImpl {
         |)
         |ORDER BY epoch NULLS FIRST""".stripMargin) { (s, dir) =>
       val path = java.nio.file.Files.createTempDirectory("graft_rdf_inc").toString
-      // Each commit's diff anti-joins AND the next commit's base evaluate
-      // the mutated store — checkpoint each (tiny) store once so its
-      // modify() join chain runs once, not once per consumer.
+      // NO store-wide localCheckpoints (the r15 shape checkpointed seg, m1
+      // AND m2 — three O(store) materializations, the steepest decade
+      // curve in the epoch family at sf10): each update re-roots on the
+      // STORE's parquet (asOfTriples — a pruned scan plus a tiny-delta
+      // replay) and commits exactly the change sets modifyWithDelta
+      // derives, so every post-e0 step is O(changed rows) writes over
+      // parquet-backed reads.
       val seg = TripleGraph(TpchRdf(s, dir).triples
-        .filter(col("p") === "segment").localCheckpoint())
+        .filter(col("p") === "segment"))
       val e0 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(seg, path)
-      val m1 = TripleGraph(seg.modify(
+      val seg0 = graft.sources.GraphIO.Epochs.asOfTriples(s, path, e0)
+      val (_, adds1, removes1) = seg0.modifyWithDelta(
         where = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
         deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("BUILDING"))),
         insertTpl = Seq(TriplePattern(V("c"), L("segment"), L("RETAIL"))))
-        .triples.localCheckpoint())
-      // each commit diffs against the caller's checkpointed copy of the
-      // head instead of re-reading + replaying it from parquet
-      val e1 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(m1, path,
-        prevTriples = Some(seg))
-      val m2 = TripleGraph(m1.modify(
+      val e1 = graft.sources.GraphIO.Epochs.commitTriplesDelta(s, path, adds1, removes1)
+      val m1 = graft.sources.GraphIO.Epochs.asOfTriples(s, path, e1)
+      val (_, adds2, removes2) = m1.modifyWithDelta(
         where = Seq(TriplePattern(V("c"), L("segment"), L("MACHINERY"))),
         deleteTpl = Seq(TriplePattern(V("c"), L("segment"), L("MACHINERY"))),
-        insertTpl = Seq.empty).triples.localCheckpoint())
-      val e2 = graft.sources.GraphIO.Epochs.commitTriplesIncremental(m2, path,
-        prevTriples = Some(m1))
+        insertTpl = Seq.empty)
+      val e2 = graft.sources.GraphIO.Epochs.commitTriplesDelta(s, path, adds2, removes2)
       // All nine counts in ONE union+group-by job: each epoch's replayed
       // chain is tagged and unioned, so the delta replay runs once per
       // epoch inside a single action (the per-epoch count loop was 12
