@@ -70,6 +70,19 @@ object OptimisticTx {
     val epochs = Epochs.list(spark, path)
     val head = epochs.lastOption.getOrElse(
       throw new IllegalStateException(s"no committed epoch at $path"))
+    // compact (WAL-checkpoint truncation, reference wal/mod.rs:1-14) prunes
+    // every epoch before the folded head — sidecars included, because they
+    // live inside `e<N>/`. A transaction whose BASE was pruned cannot
+    // validate: the interval (base, head] is no longer enumerable (the
+    // folded epoch records no write set and the snapshot-diff fallback
+    // would need asOf(base), which is gone). That is a retryable conflict
+    // with the store's history, not a crash: surface it as the same
+    // exception a write-write conflict raises, so callers' retry loops
+    // rebase on the current head exactly as they would after losing a race.
+    if (!epochs.contains(base))
+      throw new WriteConflictException(
+        s"base epoch $base was pruned (compact ran since this transaction " +
+          s"began); retry from the current head $head")
     var toPublish = staged
     var publishedWriteSet: Option[(DataFrame, DataFrame)] = None
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

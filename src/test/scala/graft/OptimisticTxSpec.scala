@@ -288,4 +288,77 @@ class OptimisticTxSpec extends AnyFunSuite {
       .nodes.orderBy("id").select("score").as[Double].collect().toSeq
       == Seq(11.0, 20.0, 33.0))
   }
+
+  test("null-bound OPTIONAL CREATE endpoints don't poison the edge write set") {
+    // mirror of the node test for CREATE: OPTIONAL MATCH binds an endpoint
+    // to null, CREATE writes no edge for those rows — a null (src,dst)
+    // tracked key would null-safe-match the OTHER transaction's null row
+    // on the same rel type and spuriously abort two disjoint commits
+    val (sess, path) = freshStore()
+    val tx1 = sess.beginTransaction(path)
+    val tx2 = sess.beginTransaction(path)
+    tx1.cypherUpdate("MATCH (n:Person {name: 'ann'}) " +
+      "OPTIONAL MATCH (n)-[:NOPE]->(m) CREATE (n)-[:LIKES]->(m)")
+    tx2.cypherUpdate("MATCH (n:Person {name: 'cat'}) " +
+      "OPTIONAL MATCH (n)-[:NOPE]->(m) CREATE (n)-[:LIKES]->(m)")
+    val e1 = tx1.commitEpochChecked()
+    val ws = graft.sources.GraphIO.Epochs.epochWriteSet(spark, path, e1)
+    ws.foreach { case (_, edgeKeys) =>
+      assert(edgeKeys.filter(col("src").isNull || col("dst").isNull).isEmpty,
+        "no null endpoint row may enter the tracked edge keys")
+    }
+    tx2.commitEpochChecked() // disjoint → must NOT conflict
+  }
+
+  test("compact prunes the base: contended commit aborts retryably, retry succeeds") {
+    // commit chain → compact → the pre-compact transaction's base (and
+    // every sidecar before the folded head) is gone. The interval
+    // (base, head] is no longer enumerable, so the commit must abort with
+    // the SAME retryable exception a write-write conflict raises — the
+    // WAL-checkpoint-truncation semantics — never pass unvalidated and
+    // never die inside asOf(prunedBase).
+    val (sess, path) = freshStore()
+    val txOld = sess.beginTransaction(path) // base = e0
+    txOld.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 11.0")
+    // an intervening committed chain, then compact folds it away
+    val tx2 = sess.beginTransaction(path)
+    tx2.cypherUpdate("MATCH (n:Person {name: 'bob'}) SET n.score = 22.0")
+    tx2.commitEpochChecked()
+    val rc = graft.tools.Cli.run(spark, Seq("compact", path), json = false,
+      limit = 20, flag = _ => false, flagVal = _ => None)
+    assert(rc == 0)
+    val folded = graft.sources.GraphIO.Epochs.list(spark, path)
+    assert(folded.size == 1, "compact must leave exactly the folded head")
+    val e = intercept[OptimisticTx.WriteConflictException](txOld.commitEpochChecked())
+    assert(e.getMessage.contains("pruned"),
+      s"the abort must name the pruned base, got: ${e.getMessage}")
+    // rebase on the post-compact head: the same update now commits and
+    // lands on top of the folded state (tx2's write underneath)
+    val txRetry = sess.beginTransaction(path)
+    txRetry.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 11.0")
+    val eNew = txRetry.commitEpochChecked()
+    val g = graft.sources.GraphIO.Epochs.asOf(spark, path, eNew)
+    assert(g.nodes.orderBy("id").select("score").as[Double].collect().toSeq
+      == Seq(11.0, 22.0, 30.0))
+  }
+
+  test("post-compact chain validates via the snapshot-diff fallback") {
+    // after compact, the folded head records no write set; a transaction
+    // based on it that races a sidecar-less full commit must fall back to
+    // the snapshot diff (both asOf endpoints exist) and still detect the
+    // genuine conflict
+    val (sess, path) = freshStore()
+    val rc = graft.tools.Cli.run(spark, Seq("compact", path), json = false,
+      limit = 20, flag = _ => false, flagVal = _ => None)
+    assert(rc == 0)
+    val tx1 = sess.beginTransaction(path) // base = folded head
+    tx1.cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 11.0")
+    // a plain full commit with NO sidecar lands after tx1's base
+    val mutated = new GraftSession(spark,
+      graft.sources.GraphIO.Epochs.latest(spark, path))
+      .cypherUpdate("MATCH (n:Person {name: 'ann'}) SET n.score = 50.0")
+    graft.sources.GraphIO.Epochs.commit(mutated, path)
+    val e = intercept[OptimisticTx.WriteConflictException](tx1.commitEpochChecked())
+    assert(e.getMessage.contains("write-write"))
+  }
 }
