@@ -133,6 +133,52 @@ object VectorIndexes {
       Seq((name, method, buckets.count())).toDF("index_name", "method", "entries")
     }
 
+    /** Sampled recall@`k` of this index against exact brute force: the
+      * build-time self-check the reference documents as ef-tuning guidance
+      * (performance.md:124-131). `nQueries` indexed vectors query their own
+      * corpus; the overlap of the index's top-k with the exact top-k is the
+      * estimate. Distributed (one broadcast-sample scan of the corpus per
+      * side) and bounded: only the ≤ nQueries·k (qid, nid) pairs collect.
+      */
+    def estimateRecall(nQueries: Int = 100, k: Int = 10): Double = {
+      val qs = vectors.select(col(idCol).as("rqid"), col(prop).as("rqvec"))
+        .limit(nQueries)
+      def pairs(df: DataFrame): Set[(Long, Long)] =
+        df.select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val m = metric match {
+        case "l2" | "euclidean" => Knn.Euclidean
+        case "dot" | "ip"       => Knn.Dot
+        case _                  => Knn.Cosine
+      }
+      val truth = pairs(Knn.bruteForceTopK(qs, "rqid", "rqvec",
+        vectors, idCol, prop, k, m))
+      if (truth.isEmpty) 1.0
+      else (truth & pairs(search(qs, "rqid", "rqvec", k))).size.toDouble / truth.size
+    }
+
+    /** Tuning advice when a measured recall is below `floor` — the
+      * CLI prints this at `index create` so a user who picked LSH defaults
+      * on isotropic embeddings (measured recall@10 as low as 0.07,
+      * scale/RECALL.txt) learns it at BUILD time, not in production.
+      */
+    def recallAdvice(recall: Double, floor: Double = 0.9): Option[String] =
+      if (recall >= floor) None
+      else Some(f"estimated recall@10 = $recall%.2f is below $floor%.2f. " + (method match {
+        case "lsh" =>
+          val t = options.getOrElse("tables", 3)
+          s"LSH on isotropic embeddings needs more tables/probes (try " +
+            s"tables ${t * 4}, probes 1) or fewer bits; for high recall " +
+            "use --method=hnsw (measured recall@10 = 1.0 at efsearch 64)"
+        case "ivf" =>
+          val np = options.getOrElse("nprobe", 3)
+          s"increase nprobe (try ${math.max(np * 2, 8)}) or lower nlist; " +
+            "for high recall use --method=hnsw"
+        case _ =>
+          val ef = options.getOrElse("efsearch", 64)
+          s"increase efsearch (try ${ef * 2}) or m/efconstruction"
+      }))
+
     /** db.vector_search over this registered index (reference
       * database.rs:1128; batch form database.rs:1220 — a multi-row `queries`
       * frame IS the batch). Output contract matches [[Knn.bruteForceTopK]]:

@@ -31,7 +31,7 @@ import graft.sources.GraphIO
   *   graft.tools.Cli wal status <store>
   *   graft.tools.Cli wal checkpoint <store>
   *   graft.tools.Cli compact <store> [--dry-run] [--force]
-  *   graft.tools.Cli index create <store> <name> <label> <prop> [--method=hnsw|lsh|ivf] [--options=k=v,…]
+  *   graft.tools.Cli index create <store> <name> <label> <prop> [--method=hnsw|lsh|ivf] [--options=k=v,…] [--no-recall-check]
   *   graft.tools.Cli index list <store>
   *   graft.tools.Cli index stats <store>
   *
@@ -317,8 +317,19 @@ object Cli {
           s"no $label nodes with a non-null $prop to index")
       val sess = new graft.GraftSession(spark, g)
       val summary = sess.createVectorIndex(ddl, vectors, "id")
-      graft.frontends.gql.VectorIndexes.save(
-        sess.vectorIndex(name).get, s"$store/_indexes/$name")
+      val idx = sess.vectorIndex(name).get
+      graft.frontends.gql.VectorIndexes.save(idx, s"$store/_indexes/$name")
+      // build-time recall self-check (reference performance.md:124-131
+      // documents ef-tuning for exactly this): a sampled estimate against
+      // brute force, with tuning advice when the configuration measures
+      // low — skippable for huge corpora via --no-recall-check
+      if (!flag("no-recall-check")) {
+        val recall = idx.estimateRecall()
+        idx.recallAdvice(recall) match {
+          case Some(advice) => System.err.println(s"[cli] index $name: WARNING - $advice")
+          case None => println(f"[cli] index $name: estimated recall@10 = $recall%.2f")
+        }
+      }
       render(summary, json, limit)
       0
 

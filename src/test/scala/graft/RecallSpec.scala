@@ -69,4 +69,30 @@ class RecallSpec extends AnyFunSuite {
     info(f"ivf clustered recall@10 = $r%.4f")
     assert(r >= 0.95, f"ivf recall $r%.4f below the 0.95 floor")
   }
+
+  test("index create surfaces a recall warning for a low-recall configuration") {
+    // LSH at narrow defaults on the ISOTROPIC corpus is the documented
+    // footgun (recall@10 as low as 0.07, scale/RECALL.txt): the build-time
+    // estimate must measure it and recallAdvice must fire with concrete
+    // tuning guidance; the same surface stays quiet for HNSW (recall 1.0)
+    import graft.frontends.gql.{GqlFrontend, GqlCreateVectorIndex, VectorIndexes}
+    val vectors = emb.limit(400).withColumnRenamed("vec_id", "id")
+    def build(ddl: String): VectorIndexes.VectorIndex =
+      VectorIndexes.create(
+        GqlFrontend.parseStatement(ddl).asInstanceOf[GqlCreateVectorIndex],
+        vectors, "id")
+    val lsh = build("CREATE VECTOR INDEX r_lsh ON Doc(embedding) USING LSH " +
+      "OPTIONS(bits 12, tables 1)")
+    val rLsh = lsh.estimateRecall(nQueries = 40)
+    info(f"lsh bits=12 tables=1 estimated recall@10 = $rLsh%.4f")
+    assert(rLsh < 0.9, f"expected a low-recall estimate, got $rLsh%.4f")
+    val advice = lsh.recallAdvice(rLsh)
+    assert(advice.isDefined && advice.get.contains("hnsw"),
+      s"advice must point at the high-recall method, got $advice")
+    val hnsw = build("CREATE VECTOR INDEX r_hnsw ON Doc(embedding) USING HNSW")
+    val rHnsw = hnsw.estimateRecall(nQueries = 40)
+    info(f"hnsw estimated recall@10 = $rHnsw%.4f")
+    assert(rHnsw >= 0.95 && hnsw.recallAdvice(rHnsw).isEmpty,
+      f"hnsw must measure high recall with no advice, got $rHnsw%.4f")
+  }
 }
