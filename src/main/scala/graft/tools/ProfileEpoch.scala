@@ -53,6 +53,8 @@ object ProfileEpoch {
         base.nodes.filter(array_contains(col("labels"), "Customer")),
         base.edges.limit(0))
       val sess = new graft.GraftSession(spark, customers)
+      println(s"[epoch]   customers nodes est=${customers.nodes.queryExecution.analyzed.stats.sizeInBytes} " +
+        s"shrunk=${graft.sources.GraphIO.shrinkForWrite(customers.nodes) ne customers.nodes}")
 
       // q_tx_conflict shape
       val path = java.nio.file.Files.createTempDirectory("graft_pe_tx").toString
