@@ -29,11 +29,16 @@ import graft.sources.GraphIO.Epochs
   * band-joins the new signatures against the persisted signature store
   * (candidates = pairs with ≥1 changed member — old×old pairs were
   * emitted by earlier batches), verifies with exact Jaccard, and appends.
-  * All state is append-only parquet versioned by micro-batch id
-  * (`sigs/`, `pairs/`, `tombstones/`); liveness at read time is
-  * "no tombstone for the id from a LATER batch", so document updates
-  * (remove + add of the same id in one epoch) retire the stale signature
-  * and stale pairs and re-pair the new text in the same pass.
+  * All state is append-only parquet versioned by the EPOCH each row came
+  * from (`sigs/`, `pairs/`, `tombstones/`; the epoch is recovered from the
+  * outbox file names, so state stays correct even when Trigger.AvailableNow
+  * drains several commits into one micro-batch); liveness at read time is
+  * "no tombstone for the id from a STRICTLY later epoch", so document
+  * updates (remove + add of the same id in one epoch) retire the stale
+  * signature and stale pairs and re-pair the new text in the same pass,
+  * and only each id's FINAL text in the drained window ever signs or
+  * pairs. (State dirs written by the pre-r16 batch-id-versioned format
+  * must be rebuilt - mixed version units would misorder tombstones.)
   * [[nearDupPairs]] of the consumed feed ≡ the batch recompute on the
   * epoch head — asserted in CdcStreamsSpec and oracle-checked by
   * q_cdc_neardup.
@@ -391,19 +396,38 @@ object CdcStreams {
         r
       }
     val spark = batch.sparkSession
+    // Trigger.AvailableNow can drain SEVERAL commits into ONE micro-batch,
+    // so rows must be versioned by their EPOCH, not the batch id: an id
+    // updated across two drained epochs has two `add` rows and a tombstone
+    // in the same batch — batch-id versioning cannot order them (an
+    // arbitrary text won the dedup and the same-batch tombstone spared the
+    // stale signature; found by this round's review). Every outbox file
+    // name carries its epoch (`f<N>_part-*` staged promote, `e<N>_part-*`
+    // delta copy) — recover it per row from the file name.
     // ONE pass over the batch files decides everything the control flow
     // needs (tombstone write needed? delta small enough to broadcast?) and
     // warms the cache every derived frame reads — the alternative is one
     // scan per decision plus one per consumer
-    val b = batch.persist()
+    val b = batch.withColumn("__e",
+      regexp_extract(element_at(split(input_file_name(), "/"), -1),
+        "^[ef](\\d+)_", 1).cast("long"))
+      .persist()
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val stats = t("batch counts") {
       b.groupBy("change")
-        .agg(count(lit(1)).as("n"), sum(length(col(textCol))).as("bytes"))
+        .agg(count(lit(1)).as("n"), sum(length(col(textCol))).as("bytes"),
+          count(when(col("__e").isNull, 1)).as("bad"))
         .collect()
     }
     val counts = stats.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a feed row whose file name carries no epoch would silently version as
+    // null and break tombstone ordering — the outbox contract is violated,
+    // stop loudly (re-bootstrap the outbox rather than corrupt the state)
+    if (stats.exists(_.getLong(3) > 0))
+      throw new IllegalStateException(
+        "CDC feed file without an f<epoch>_/e<epoch>_ name prefix - " +
+          "unrecognized outbox layout; rebuild the outbox dir")
     // total text bytes of the ADD side, from the same single pass — feeds
     // the fused-broadcast byte estimate below
     val addTextBytes = stats.collectFirst {
@@ -436,9 +460,14 @@ object CdcStreams {
       estFusedBytes <= fuseMaxBytes
     def narrow(df: DataFrame) = if (smallDelta) df.coalesce(1) else df
 
+    // latest text per id (max_by over the epoch): an id re-added by a later
+    // drained epoch must sign its NEWEST text — ids are unique per epoch,
+    // so the max_by has no ties
     val adds = b.filter(col("change") === "add")
-      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
-      .dropDuplicates("__id")
+      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"),
+        col("__e"))
+      .groupBy("__id")
+      .agg(expr("max_by(__text, __e)").as("__text"), max("__e").as("__e"))
     // narrow BEFORE persist: a cached plan keeps its shuffle's partition
     // count (AQE may not re-shape cached output partitioning), so a
     // small-delta signature cache left at spark.sql.shuffle.partitions
@@ -446,23 +475,32 @@ object CdcStreams {
     // profiled at ~0.1-0.3 s of fixed per-task overhead each, the
     // dominant cost of the whole batch at CDC delta sizes.
     val newSigs = narrow(adds
-      .select(col("__id"), Dedup.shingles(col("__text"), n).as("__grams"))
+      .select(col("__id"), Dedup.shingles(col("__text"), n).as("__grams"),
+        col("__e"))
       .select(col("__id"), col("__grams"),
         graft.functions.TextHashExpressions
           .minHashSig(col("__grams"), numHashes, seed).as("__sig"),
-        lit(batchId).as("__b")))
+        col("__e").as("__b")))
       .persist()
 
     if (hasRemoves)
       narrow(b.filter(col("change") === "remove")
-        .select(col(idCol).cast("long").as("__id")).distinct()
-        .withColumn("__b", lit(batchId)))
+        .select(col(idCol).cast("long").as("__id"), col("__e"))
+        .groupBy("__id").agg(max("__e").as("__b")))
         .write.mode(SaveMode.Append).parquet(s"$workDir/tombstones")
 
     // live prior signatures (updates/removes up to and incl. this batch)
     val store = pruneDeadAt(spark,
       readOrEmpty(spark, s"$workDir/sigs", sigSchema),
       s"$workDir/tombstones", Seq("__id"))
+    // an id whose FINAL state in the drained window is removed (added at
+    // epoch E, removed at E' > E, never re-added) must neither pair nor
+    // enter the store — the head-state recompute has no such document.
+    // Same-epoch remove+add (an update) survives: the prune is strictly-
+    // later, and the add carries the update's own epoch.
+    val liveNew =
+      if (hasRemoves) pruneDeadAt(spark, newSigs, s"$workDir/tombstones", Seq("__id"))
+      else newSigs
 
     // steady-state CDC: the DELTA is small relative to the store, so the
     // delta-derived side (banded new signatures — bounded by the delta) is
@@ -473,8 +511,8 @@ object CdcStreams {
     // candidates = band-key matches with ≥1 NEW member (old×old pairs were
     // found when their later member arrived); least/greatest + distinct
     // canonicalizes the asymmetric new×all join
-    val all = store.unionByName(newSigs)
-    def banded(df: DataFrame) = df.select(col("__id"),
+    val all = store.unionByName(liveNew)
+    def banded(df: DataFrame) = df.select(col("__id"), col("__b"),
       explode(Dedup.bandKeys(col("__sig"), numHashes, bands)).as("__bk"))
     // the pair verification and the signature-store append both hang off
     // the persisted newSigs and write to distinct dirs — overlap them
@@ -489,13 +527,17 @@ object CdcStreams {
         // band matches recompute it (≤ `bands`×, trivial at delta size)
         // and collapse in the final dedup.
         def bandedG(df: DataFrame) = df.select(col("__id"), col("__grams"),
-          explode(Dedup.bandKeys(col("__sig"), numHashes, bands)).as("__bk"))
-        broadcast(bandedG(newSigs)).as("l")
+          col("__b"), explode(Dedup.bandKeys(col("__sig"), numHashes, bands)).as("__bk"))
+        // pair version = newest member epoch: both texts are current as of
+        // it, and any future change to either member commits at a strictly
+        // later epoch, so the strictly-later tombstone prune retires right
+        broadcast(bandedG(liveNew)).as("l")
           .join(bandedG(all).as("r"),
             col("l.__bk") === col("r.__bk") && col("l.__id") =!= col("r.__id"))
           .select(least(col("l.__id"), col("r.__id")).as("id1"),
             greatest(col("l.__id"), col("r.__id")).as("id2"),
-            round(Dedup.jaccard(col("l.__grams"), col("r.__grams")), 6).as("jac"))
+            round(Dedup.jaccard(col("l.__grams"), col("r.__grams")), 6).as("jac"),
+            greatest(col("l.__b"), col("r.__b")).as("__b"))
           .filter(col("jac") >= threshold)
           .dropDuplicates("id1", "id2")
       } else {
@@ -505,25 +547,26 @@ object CdcStreams {
         // the id-only broadcast gate still broadcast the (id, band-key)
         // side and the canonical pair set (both delta-bounded, bytes-tiny
         // without grams); genuinely bulk loads fall back to shuffles.
-        val candidates = bcastIfSmall(banded(newSigs)).as("l")
+        val candidates = bcastIfSmall(banded(liveNew)).as("l")
           .join(banded(all).as("r"),
             col("l.__bk") === col("r.__bk") && col("l.__id") =!= col("r.__id"))
           .select(least(col("l.__id"), col("r.__id")).as("id1"),
-            greatest(col("l.__id"), col("r.__id")).as("id2"))
+            greatest(col("l.__id"), col("r.__id")).as("id2"),
+            greatest(col("l.__b"), col("r.__b")).as("__b"))
           .distinct()
         val g1 = all.select(col("__id").as("id1"), col("__grams").as("__g1"))
         val g2 = all.select(col("__id").as("id2"), col("__grams").as("__g2"))
         bcastIfSmall(candidates).join(g1, "id1").join(g2, "id2")
           .select(col("id1"), col("id2"),
-            round(Dedup.jaccard(col("__g1"), col("__g2")), 6).as("jac"))
+            round(Dedup.jaccard(col("__g1"), col("__g2")), 6).as("jac"),
+            col("__b"))
           .filter(col("jac") >= threshold)
       }
-      narrow(verified)
-        .withColumn("__b", lit(batchId))
+      narrow(verified.select(pairSchema.fieldNames.map(col): _*))
         .write.mode(SaveMode.Append).parquet(s"$workDir/pairs")
     }}
     val fSigs = Future { t("sigs write") {
-      narrow(newSigs.select(sigSchema.fieldNames.map(col): _*))
+      narrow(liveNew.select(sigSchema.fieldNames.map(col): _*))
         .write.mode(SaveMode.Append).parquet(s"$workDir/sigs")
     }}
     Await.result(Future.sequence(Seq(fPairs, fSigs)),

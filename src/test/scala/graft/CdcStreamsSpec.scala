@@ -203,4 +203,35 @@ class CdcStreamsSpec extends AnyFunSuite {
     assert(CdcStreams.nearDupPairs(spark, work).isEmpty,
       "rewritten doc 2 must retire the 1-2 near-dup pair")
   }
+
+  test("several epochs drained in ONE micro-batch still equal the batch recompute") {
+    // Trigger.AvailableNow coalesces every unconsumed commit into one
+    // micro-batch: an id UPDATED across those commits has two add rows and
+    // a tombstone in the same batch (batch-id versioning signed an
+    // arbitrary text — the r16 review find), and an id added then removed
+    // must neither sign nor pair. Rows are versioned by the epoch in their
+    // outbox file name, so only each id's FINAL text survives.
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_store6").toString
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_work6").toString
+    // epoch 0: base; epoch 1: doc 2 rewritten TO a near-dup of doc 3 and a
+    // transient doc 7 added; epoch 2: doc 7 removed and doc 2 rewritten
+    // AGAIN back to a near-dup of doc 1 — the arbitrary-pick bug pairs 2-3
+    // (stale middle text) about half the runs; the final state pairs 1-2
+    val v1 = baseDocs.map {
+      case (2L, _) => 2L -> "completely different text about spark structured streaming node"
+      case d => d
+    } :+ (7L -> "a transient document that exists for exactly one epoch only")
+    val v2 = baseDocs // back to the original near-dup structure, doc 7 gone
+    CdcStreams.commitWithFeed(docGraph(baseDocs), store)
+    CdcStreams.commitWithFeed(docGraph(v1), store,
+      prevGraph = Some(docGraph(baseDocs)))
+    CdcStreams.commitWithFeed(docGraph(v2), store, prevGraph = Some(docGraph(v1)))
+    // ONE consumer run drains all three epochs
+    CdcStreams.incrementalNearDupRun(spark, store, work)
+    assertSame(CdcStreams.nearDupPairs(spark, work), batchPairs(v2))
+    // the transient doc's signature must not survive in the live store
+    val liveSigs = spark.read.parquet(s"$work/sigs")
+    assert(!CdcStreams.nearDupPairs(spark, work).collect()
+      .exists(r => r.getLong(0) == 7L || r.getLong(1) == 7L))
+  }
 }
