@@ -264,8 +264,12 @@ object Curation {
       budget: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // tok >= 1 exactly as in [[packSequencesSharded]] (NULL text must count
+    // like empty text, not vanish from the prefix sums) — the two forms
+    // must stay bin-identical per shard for the property spec's contract
     docs.select(col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok"))
+        greatest(coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"),
+          lit(0L)), lit(1L)).as("tok"))
       .withColumn("bin",
         (coalesce(sum(col("tok")).over(w), lit(0L)) / budget).cast("long"))
   }
