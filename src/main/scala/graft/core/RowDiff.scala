@@ -61,10 +61,22 @@ object RowDiff {
     */
   def antiRows(left: DataFrame, right: DataFrame): DataFrame = {
     val (l, r) = align(left, right)
-    val types = l.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lTypes = l.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rTypes = r.schema.fields.map(f => f.name -> f.dataType).toMap
     val rr = r.select(r.columns.map(c => col(c).as(s"__r_$c")): _*)
     val cond = l.columns.map { c =>
-      canonExpr(l(c), types(c)) <=> canonExpr(rr(s"__r_$c"), types(c))
+      if (lTypes(c) == rTypes(c))
+        canonExpr(l(c), lTypes(c)) <=> canonExpr(rr(s"__r_$c"), lTypes(c))
+      else {
+        // a shared column whose TYPE differs between the sides (a property
+        // re-typed across epochs): plain comparison would coerce — double
+        // 20.0 <=> string "20.0" reads equal and the type change vanishes
+        // from the diff (for OCC that is UNDER-detection, a lost update).
+        // Compare the type-tagged JSON encoding instead: 20.0 → 20.0,
+        // "20.0" → "20.0" quoted — values are equal only when type AND
+        // content agree. Nulls: to_json(struct(null)) = "{}" both sides.
+        to_json(struct(l(c).as("v"))) <=> to_json(struct(rr(s"__r_$c").as("v")))
+      }
     }.reduce(_ && _)
     l.join(rr, cond, "left_anti")
   }
