@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 0..999 bucket from an integral key: (key * 2654435761) mod the prime
-    * 1e9+7, mod 1000. Key magnitudes up to ~2^31 stay exact in int64
-    * (no overflow before the first mod).
+  /** 0..999 bucket from an integral key: ((key mod p) * 2654435761) mod
+    * the prime p = 1e9+7, mod 1000. The key is reduced mod p BEFORE the
+    * multiply, so the product is bounded by (p-1)·2654435761 ≈ 2^61.3 and
+    * stays exact in int64 for EVERY int64 key — the unreduced form
+    * overflowed past ~2^32 keys, which a >2^31-document corpus reaches
+    * (silent wraparound non-ANSI; a job-killing ARITHMETIC_OVERFLOW under
+    * ANSI). Reduction first is a ring homomorphism, so for keys < p the
+    * bucket is unchanged (oracle parity holds on the test corpora).
     */
   def bucketOf(key: Column): Column =
-    pmod(pmod(key.cast("long") * lit(2654435761L), lit(1000000007L)), lit(1000))
+    pmod(pmod(key.cast("long"), lit(1000000007L)) * lit(2654435761L) % lit(1000000007L),
+      lit(1000))
 
   /** Keep ~`permille`/1000 of rows, deterministically by key. Applied
     * uniformly the hash is stratum-blind: each stratum keeps ~the same
