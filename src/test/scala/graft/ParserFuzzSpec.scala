@@ -440,6 +440,74 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("sparql: 250 property-path round-trips (precedence | < / < ^ < postfix)") {
+    import graft.frontends.sparql.{SparqlAst, SparqlFrontend}
+    import SparqlAst._
+    // minimal-paren printer mirroring parsePathAlt/Seq/Unary:
+    // alt(1) < seq(2) < inverse(3) < postfix(4) < primary(5).
+    // ^ applies to a POSTFIXED primary (SPARQL PathEltOrInverse), so
+    // PInv(PClosure(p)) prints ^p* bare while PClosure(PInv(p)) needs (^p)*.
+    def pprec(e: PathE): Int = e match {
+      case _: PAlt              => 1
+      case _: PSeq              => 2
+      case _: PInv              => 3
+      case _: PClosure | _: POpt => 4
+      case _                    => 5
+    }
+    def pr(e: PathE, min: Int): String = {
+      val s = prender(e)
+      if (pprec(e) < min) s"($s)" else s
+    }
+    def prender(e: PathE): String = e match {
+      case PLink(w)            => w
+      case PAlt(l, r)          => s"${pr(l, 1)}|${pr(r, 2)}"
+      case PSeq(l, r)          => s"${pr(l, 2)}/${pr(r, 3)}"
+      case PInv(x)             => s"^${pr(x, 4)}"
+      case PClosure(x, true)   => s"${pr(x, 4)}*"
+      case PClosure(x, false)  => s"${pr(x, 4)}+"
+      case POpt(x)             => s"${pr(x, 4)}?"
+      case PNeg(fwd, inv) =>
+        val members = fwd.map(identity) ++ inv.map("^" + _)
+        if (members.size == 1) s"!${members.head}"
+        else s"!(${members.mkString("|")})"
+    }
+    val preds = Seq("knows", "inNation", "segment", "child", "rdf:type")
+    def genPath(depth: Int): PathE =
+      if (depth <= 0) PLink(pick(preds))
+      else rnd.nextInt(8) match {
+        case 0 | 1 => PAlt(genPath(depth - 1), genPath(depth - 1))
+        case 2 | 3 => PSeq(genPath(depth - 1), genPath(depth - 1))
+        case 4     => PInv(genPath(depth - 1))
+        case 5     => PClosure(genPath(depth - 1), rnd.nextBoolean())
+        case 6     => POpt(genPath(depth - 1))
+        case _ =>
+          val fwd = Seq.fill(rnd.nextInt(3))(pick(preds)).distinct
+          val inv = Seq.fill(rnd.nextInt(2))(pick(preds)).distinct
+          if (fwd.isEmpty && inv.isEmpty) PNeg(Seq(pick(preds)), Nil)
+          else PNeg(fwd, inv)
+      }
+    var tried = 0
+    while (tried < 250) {
+      val path = genPath(3)
+      // a bare link parses as a plain BGP triple, not a PathP — skip those
+      if (!path.isInstanceOf[PLink]) {
+        tried += 1
+        val text = s"SELECT * WHERE { ?s ${prender(path)} ?o }"
+        val q =
+          try SparqlFrontend.parse(text)
+          catch {
+            case e: Throwable =>
+              fail(s"parse failed\n  text: $text\n  ast: $path\n  err: ${e.getMessage}")
+          }
+        q.where match {
+          case PathP(graft.graph.V("s"), got, graft.graph.V("o")) =>
+            assert(got == path, s"\n  text:   $text\n  wanted: $path\n  got:    $got")
+          case other => fail(s"expected PathP for: $text, got $other")
+        }
+      }
+    }
+  }
+
   test("gql: 60 INSERT mutation round-trips") {
     for (_ <- 1 to 60) {
       // INSERT takes comma-separated node patterns → one CreateClause each
