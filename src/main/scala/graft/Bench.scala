@@ -40,26 +40,13 @@ object Bench {
       spark.conf.set("spark.graft.cypher.cycleSplit", v)
     }
 
-    // Warm-up: JVM/codegen/shuffle machinery + parquet footers of every table.
+    // Warm-up: JVM/codegen/shuffle machinery.
     spark.range(1000000).selectExpr("sum(id)").collect()
     // ... and the noop sink every measured query writes through: its first
     // use pays datasource/committer class-init that would otherwise land on
     // whichever query runs first (alphabetically q1_agg — measured ~0.1 s
     // inflation vs its isolated time)
     spark.range(1000).write.format("noop").mode("overwrite").save()
-    graft.core.Tables.all.foreach { t =>
-      try graft.core.Tables(spark, sfDir, t).limit(1).collect()
-      catch { case _: Throwable => }
-    }
-    // Materialize the persisted fixture graphs too: otherwise the first
-    // catalog query to touch each fixture (alphabetical order) pays its full
-    // build+cache cost and the per-query numbers misattribute it.
-    try {
-      graft.graph.TpchGraph(spark, sfDir).nodes.count()
-      graft.graph.TpchGraph(spark, sfDir).edges.count()
-      graft.graph.TpchGraph.partDag(spark, sfDir).nodes.count()
-      graft.graph.TpchGraph.partDag(spark, sfDir).edges.count()
-    } catch { case _: Throwable => }
 
     val startLoadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -81,14 +68,34 @@ object Bench {
     // delta the normalization exists to measure — producing a raw-faster/
     // normalized-slower split-brain). The artifact records both; blessing
     // requires they AGREE (host speed stable across the whole window) and
-    // normalization divides by their mean.
+    // normalization divides by their mean. Probe-context parity matters as
+    // much as timing: both probes run against an EMPTY block manager (start
+    // = before the fixture caches build; end = after the terminal
+    // double-GC drain) and both take the min over two 3-sample rounds —
+    // otherwise probe-context bias (cache occupancy, JIT depth) reads as
+    // host drift and healthy windows are refused.
     def shuffleProbe(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       spark.range(20000000L).selectExpr("id % 1000000 as k")
         .groupBy("k").count().selectExpr("sum(count)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val calibShuffleStart = shuffleProbe()
+    val calibShuffleStart = math.min(shuffleProbe(), shuffleProbe())
+
+    // Fixture warm-up AFTER the start probe (probe-context parity — see
+    // above): parquet footers of every table, then the persisted fixture
+    // graphs, so the first catalog query to touch each fixture doesn't pay
+    // its build+cache cost.
+    graft.core.Tables.all.foreach { t =>
+      try graft.core.Tables(spark, sfDir, t).limit(1).collect()
+      catch { case _: Throwable => }
+    }
+    try {
+      graft.graph.TpchGraph(spark, sfDir).nodes.count()
+      graft.graph.TpchGraph(spark, sfDir).edges.count()
+      graft.graph.TpchGraph.partDag(spark, sfDir).nodes.count()
+      graft.graph.TpchGraph.partDag(spark, sfDir).edges.count()
+    } catch { case _: Throwable => }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     var lastClean = System.nanoTime()
     // Per-query time = min over `reps` back-to-back executions. One-shot
