@@ -47,10 +47,20 @@ object SparqlLexer {
         while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
         out += VarT(q.substring(start, i))
       } else if (c == '<') {
+        // '<' is an IRI opener OR the less-than operator. Found by the r16
+        // parser fuzz: the unconditional IRI branch swallowed everything up
+        // to the next '>' (FILTER(?a <= 5 && ?b > 3) lexed "= 5 && ?b " as
+        // an IRI), so any </<= comparison mis-parsed. Disambiguate like the
+        // SPARQL grammar's IRIREF production: '<…>' is an IRI only when the
+        // body contains no whitespace and no nested '<' (IRIREF excludes
+        // both); '<=' and everything else is the operator.
         val end = q.indexOf('>', i)
-        require(end > 0, s"unterminated IRI at $i")
-        out += Word(q.substring(i + 1, end))
-        i = end + 1
+        val body = if (end > 0) q.substring(i + 1, end) else ""
+        if (i + 1 < n && q(i + 1) == '=') { out += Sym("<="); i += 2 }
+        else if (end > 0 && !body.exists(ch => ch.isWhitespace || ch == '<')) {
+          out += Word(body)
+          i = end + 1
+        } else { out += Sym("<"); i += 1 }
       } else if (c == '\'' || c == '"') {
         val sb = new StringBuilder
         i += 1

@@ -508,6 +508,83 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("sparql: 250 FILTER expression round-trips") {
+    import graft.frontends.sparql.{SparqlAst, SparqlFrontend}
+    // SPARQL's tiers differ from Cypher's: || < && < ! < cmp < add < mul,
+    // the comparison tier is NON-CHAINING (a = b = c is a parse error, so a
+    // cmp child of cmp parenthesizes on BOTH sides), and mul's right
+    // operand is a bare atom. Negative numeric literals lex as one token
+    // only when '-' directly precedes a digit — the printer's spaced
+    // operators keep `a - 5` and `a + -5` distinct.
+    val sCmp = Set("=", "<>", "<", "<=", ">", ">=")
+    def sprec(e: Expr.E): Int = e match {
+      case Expr.Bin("or", _, _)          => 1
+      case Expr.Bin("and", _, _)         => 2
+      case Expr.Not(_)                   => 3
+      case Expr.Bin(op, _, _) if sCmp(op) => 4
+      case Expr.Bin("+" | "-", _, _)     => 5
+      case Expr.Bin("*" | "/", _, _)     => 6
+      case _                             => 7
+    }
+    def sp(e: Expr.E, min: Int): String = {
+      val s = srender(e)
+      if (sprec(e) < min) s"($s)" else s
+    }
+    def srender(e: Expr.E): String = e match {
+      case Expr.Lit(true)      => "TRUE"
+      case Expr.Lit(false)     => "FALSE"
+      case Expr.Lit(l: Long)   => l.toString
+      case Expr.Lit(d: Double) => d.toString
+      case Expr.Lit(s: String) => s"'${esc(s)}'"
+      case Expr.Var(n)         => s"?$n"
+      case Expr.Not(x)         => s"!${sp(x, 3)}"
+      case Expr.Bin("or", l, r)  => s"${sp(l, 1)} || ${sp(r, 2)}"
+      case Expr.Bin("and", l, r) => s"${sp(l, 2)} && ${sp(r, 3)}"
+      case Expr.Bin(op, l, r) if sCmp(op) =>
+        val opTxt = if (op == "<>") "!=" else op
+        s"${sp(l, 5)} $opTxt ${sp(r, 5)}"
+      case Expr.Bin(op @ ("+" | "-"), l, r) => s"${sp(l, 5)} $op ${sp(r, 6)}"
+      case Expr.Bin(op @ ("*" | "/"), l, r) => s"${sp(l, 6)} $op ${sp(r, 7)}"
+      case Expr.Func(name, args, false) =>
+        s"$name(${args.map(srender).mkString(", ")})"
+      case other => fail(s"unprintable sparql expression $other")
+    }
+    def sAtom(): Expr.E = rnd.nextInt(6) match {
+      case 0 => Expr.Var(ident())
+      case 1 => Expr.Lit(rnd.nextInt(2000).toLong - 1000L) // incl. negatives
+      case 2 => Expr.Lit(pick(doublePool))
+      case 3 => Expr.Lit(pick(strPool))
+      case 4 => Expr.Lit(rnd.nextBoolean())
+      case _ => Expr.Var(ident())
+    }
+    def sGen(depth: Int): Expr.E =
+      if (depth <= 0) sAtom()
+      else rnd.nextInt(10) match {
+        case 0 | 1 => Expr.Bin(pick(Seq("or", "and")), sGen(depth - 1), sGen(depth - 1))
+        case 2 | 3 => Expr.Bin(pick(sCmp.toSeq), sGen(depth - 1), sGen(depth - 1))
+        case 4 | 5 => Expr.Bin(pick(Seq("+", "-", "*", "/")), sGen(depth - 1), sGen(depth - 1))
+        case 6     => Expr.Not(sGen(depth - 1))
+        case 7     => Expr.Func(pick(Seq("strlen", "lcase", "ucase", "str")),
+          Seq(sGen(depth - 1)), distinct = false)
+        case _     => sAtom()
+      }
+    for (_ <- 1 to 250) {
+      val e = sGen(3)
+      val text = s"SELECT * WHERE { ?s knows ?o FILTER(${srender(e)}) }"
+      val q =
+        try SparqlFrontend.parse(text)
+        catch {
+          case ex: Throwable =>
+            fail(s"parse failed\n  text: $text\n  ast: $e\n  err: ${ex.getMessage}")
+        }
+      q.where match {
+        case SparqlAst.FilterP(_, got) =>
+          assert(got == e, s"\n  text:   $text\n  wanted: $e\n  got:    $got")
+        case other => fail(s"expected FilterP for: $text, got $other")
+      }
+    }
+  }
+
   test("gql: 60 INSERT mutation round-trips") {
     for (_ <- 1 to 60) {
       // INSERT takes comma-separated node patterns → one CreateClause each
