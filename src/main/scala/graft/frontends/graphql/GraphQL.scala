@@ -38,7 +38,12 @@ object GraphQLFrontend {
         case '"' =>
           val sb = new StringBuilder
           i += 1
-          while (i < n && q(i) != '"') { sb += q(i); i += 1 }
+          // backslash escapes (GraphQL spec StringValue), matching the
+          // Cypher/SPARQL/Gremlin lexers
+          while (i < n && q(i) != '"') {
+            if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+            else { sb += q(i); i += 1 }
+          }
           if (i >= n) fail("unterminated string")
           i += 1
           sb.toString

@@ -51,7 +51,12 @@ object GremlinFrontend {
           val quote = q(i)
           val sb = new StringBuilder
           i += 1
-          while (i < n && q(i) != quote) { sb += q(i); i += 1 }
+          // backslash escapes, same as the Cypher/SPARQL lexers — a quote
+          // inside a property value must not terminate the literal
+          while (i < n && q(i) != quote) {
+            if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+            else { sb += q(i); i += 1 }
+          }
           if (i >= n) fail("unterminated string")
           i += 1
           sb.toString

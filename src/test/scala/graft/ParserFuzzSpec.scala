@@ -404,16 +404,17 @@ class ParserFuzzSpec extends AnyFunSuite {
     // surface: step names, string/long/double/bool args, and P./TextP.
     // predicate calls (printed in both prefixed and bare spellings)
     def renderArg(a: Any): String = a match {
-      case s: String  => s"'${s.flatMap { case '\'' => "\\'"; case c => c.toString }}'"
+      case s: String  => s"'${s.flatMap { case '\'' => "\\'"; case '\\' => "\\\\"; case c => c.toString }}'"
       case l: Long    => l.toString
       case d: Double  => d.toString
       case b: Boolean => b.toString
       case other      => fail(s"unprintable gremlin arg $other")
     }
-    def genArg(): Any = rnd.nextInt(4) match {
+    def genArg(): Any = rnd.nextInt(5) match {
       case 0 => ident()
       case 1 => rnd.nextInt(2000).toLong - 1000L
       case 2 => pick(doublePool)
+      case 3 => pick(strPool) // incl. quotes/backslashes - escape handling
       case _ => rnd.nextBoolean()
     }
     val stepNames = Seq("V", "hasLabel", "has", "out", "in", "both", "values",
