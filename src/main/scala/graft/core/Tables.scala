@@ -20,14 +20,28 @@ object Tables {
   // (measured ~0.13 s per load — 0.4 s of pure driver time just to
   // CONSTRUCT a three-table lineage). DataFrames are immutable, so
   // returning the same instance is safe, and a stable plan object also
-  // lets downstream plan caches hit. WeakHashMap on the session: a
-  // stopped session's entries vanish with it instead of pinning it.
+  // lets downstream plan caches hit. NOT a WeakHashMap: a cached DataFrame
+  // strongly references its SparkSession, so weak KEYS whose values point
+  // back at them are never collectable — the exact leak weak-keying was
+  // supposed to prevent. Instead: access-ordered LRU bounded to a handful
+  // of sessions, with stopped sessions (and their stale plans) evicted on
+  // every access, so multi-session processes neither leak nor get handed
+  // frames from a dead context.
+  private val MaxSessions = 8
   private val memo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[(String, String), DataFrame]]
+    new java.util.LinkedHashMap[SparkSession, scala.collection.mutable.Map[(String, String), DataFrame]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, scala.collection.mutable.Map[(String, String), DataFrame]]): Boolean =
+        size() > MaxSessions
+    }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     memo.synchronized {
-      memo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+      val it = memo.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+      if (spark.sparkContext.isStopped) load(spark, dir, name) // fails loudly downstream; never cache a dead session
+      else memo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
         .getOrElseUpdate((dir, name), load(spark, dir, name))
     }
 

@@ -51,7 +51,7 @@ object CypherLexer {
         val sb = new StringBuilder
         i += 1
         while (i < n && q(i) != quote) {
-          if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+          if (q(i) == '\\') i = graft.frontends.Lexing.readEscape(q, i, sb)
           else { sb += q(i); i += 1 }
         }
         i += 1

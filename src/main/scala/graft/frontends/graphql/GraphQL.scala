@@ -41,7 +41,7 @@ object GraphQLFrontend {
           // backslash escapes (GraphQL spec StringValue), matching the
           // Cypher/SPARQL/Gremlin lexers
           while (i < n && q(i) != '"') {
-            if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+            if (q(i) == '\\') i = graft.frontends.Lexing.readEscape(q, i, sb)
             else { sb += q(i); i += 1 }
           }
           if (i >= n) fail("unterminated string")

@@ -54,7 +54,7 @@ object GremlinFrontend {
           // backslash escapes, same as the Cypher/SPARQL lexers — a quote
           // inside a property value must not terminate the literal
           while (i < n && q(i) != quote) {
-            if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+            if (q(i) == '\\') i = graft.frontends.Lexing.readEscape(q, i, sb)
             else { sb += q(i); i += 1 }
           }
           if (i >= n) fail("unterminated string")

@@ -52,12 +52,19 @@ object SparqlLexer {
         // to the next '>' (FILTER(?a <= 5 && ?b > 3) lexed "= 5 && ?b " as
         // an IRI), so any </<= comparison mis-parsed. Disambiguate like the
         // SPARQL grammar's IRIREF production: '<…>' is an IRI only when the
-        // body contains no whitespace and no nested '<' (IRIREF excludes
-        // both); '<=' and everything else is the operator.
+        // body contains none of the characters IRIREF excludes (whitespace,
+        // nested '<', '"', '{', '}', '|', '^', '`', '\') AND does not start
+        // with '?'/'$' — a variable can never open an IRI, which covers
+        // space-free operator chains like FILTER(?x<?y&&?z>5) whose body
+        // '?y&&?z' passes the character screen (ADVICE r16). '<=' and
+        // everything else is the operator.
         val end = q.indexOf('>', i)
         val body = if (end > 0) q.substring(i + 1, end) else ""
+        val irirefExcluded: Char => Boolean =
+          ch => ch.isWhitespace || "<\"{}|^`\\".contains(ch)
         if (i + 1 < n && q(i + 1) == '=') { out += Sym("<="); i += 2 }
-        else if (end > 0 && !body.exists(ch => ch.isWhitespace || ch == '<')) {
+        else if (end > 0 && !body.exists(irirefExcluded) &&
+            !body.headOption.exists(h => h == '?' || h == '$')) {
           out += Word(body)
           i = end + 1
         } else { out += Sym("<"); i += 1 }
@@ -65,7 +72,7 @@ object SparqlLexer {
         val sb = new StringBuilder
         i += 1
         while (i < n && q(i) != c) {
-          if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+          if (q(i) == '\\') i = graft.frontends.Lexing.readEscape(q, i, sb)
           else { sb += q(i); i += 1 }
         }
         i += 1

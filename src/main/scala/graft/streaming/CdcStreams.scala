@@ -38,7 +38,10 @@ import graft.sources.GraphIO.Epochs
   * signature and stale pairs and re-pair the new text in the same pass,
   * and only each id's FINAL text in the drained window ever signs or
   * pairs. (State dirs written by the pre-r16 batch-id-versioned format
-  * must be rebuilt - mixed version units would misorder tombstones.)
+  * must be rebuilt — mixed version units would misorder tombstones — and
+  * that is ENFORCED: a `_format` version marker is written on first use
+  * and a state dir lacking it, or carrying an older version, is refused
+  * with an IllegalStateException rather than silently mixed.)
   * [[nearDupPairs]] of the consumed feed ≡ the batch recompute on the
   * epoch head — asserted in CdcStreamsSpec and oracle-checked by
   * q_cdc_neardup.
@@ -333,6 +336,45 @@ object CdcStreams {
       .withColumnRenamed("chg", "change")
   }
 
+  /** Near-dup state format version. "2" = rows versioned by EPOCH in `__b`
+    * (r16+). The pre-r16 format versioned by micro-batch id — numerically
+    * indistinguishable from epochs row-by-row, so mixing the two units in
+    * one state dir silently misorders the strictly-later tombstone prune.
+    * A `_format` marker makes the version explicit; state dirs carrying
+    * rows but no marker (or an older version) are refused loudly, mirroring
+    * the IllegalStateException for unrecognized outbox file names.
+    */
+  private val NearDupStateFormat = "2"
+
+  private def checkNearDupStateFormat(spark: SparkSession, workDir: String,
+      create: Boolean): Unit = {
+    val fs = hfs(spark, workDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$workDir/_format")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val bytes = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+      in.readFully(bytes); in.close()
+      val v = new String(bytes, "UTF-8").trim
+      if (v != NearDupStateFormat)
+        throw new IllegalStateException(
+          s"$workDir near-dup state is format '$v' (expected '$NearDupStateFormat'): " +
+            "versioning units changed (batch-id -> epoch); rebuild the state dir " +
+            "(delete it and re-run the consumer from a fresh checkpoint)")
+    } else if (Seq("sigs", "tombstones", "pairs")
+        .exists(d => fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/$d")))) {
+      throw new IllegalStateException(
+        s"$workDir carries near-dup state but no _format marker - written by the " +
+          "pre-epoch-versioned format, whose batch-id `__b` units would misorder " +
+          "tombstones against epochs; rebuild the state dir (delete it and re-run " +
+          "the consumer from a fresh checkpoint)")
+    } else if (create) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(workDir))
+      val out = fs.create(marker, true)
+      out.write(NearDupStateFormat.getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
   private def sigSchema: StructType = StructType(Seq(
     StructField("__id", LongType), StructField("__grams", ArrayType(StringType)),
     StructField("__sig", ArrayType(LongType)), StructField("__b", LongType)))
@@ -372,6 +414,7 @@ object CdcStreams {
       workDir: String, idCol: String = "id", textCol: String = "text",
       n: Int = 2, numHashes: Int = 16, bands: Int = 16,
       threshold: Double = 0.5, seed: Long = 42L): Unit = {
+    checkNearDupStateFormat(spark, workDir, create = true)
     val q = nodeFeed(spark, storePath)
       .writeStream
       .option("checkpointLocation", s"$workDir/_chk")
@@ -580,8 +623,10 @@ object CdcStreams {
     * tombstones. Equals [[Dedup.minHashNearDuplicates]] on the epoch head
     * (same parameters), having signed each document once.
     */
-  def nearDupPairs(spark: SparkSession, workDir: String): DataFrame =
+  def nearDupPairs(spark: SparkSession, workDir: String): DataFrame = {
+    checkNearDupStateFormat(spark, workDir, create = false)
     pruneDeadAt(spark, readOrEmpty(spark, s"$workDir/pairs", pairSchema),
         s"$workDir/tombstones", Seq("id1", "id2"))
       .select(col("id1"), col("id2"), col("jac"))
+  }
 }

@@ -234,4 +234,44 @@ class CdcStreamsSpec extends AnyFunSuite {
     assert(!CdcStreams.nearDupPairs(spark, work).collect()
       .exists(r => r.getLong(0) == 7L || r.getLong(1) == 7L))
   }
+
+  test("pre-epoch-versioned state dirs are refused loudly, not silently mixed") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_store5").toString
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_work5").toString
+    CdcStreams.commitWithFeed(docGraph(baseDocs), store)
+
+    // a fresh run writes the _format marker; subsequent reads accept it
+    CdcStreams.incrementalNearDupRun(spark, store, work)
+    val fmt = new java.io.File(s"$work/_format")
+    assert(fmt.exists(), "first run must write the _format version marker")
+    assert(CdcStreams.nearDupPairs(spark, work).count() >= 0)
+
+    // a state dir CARRYING rows but LACKING the marker is the pre-r16
+    // batch-id-versioned format: its __b units would misorder the
+    // strictly-later tombstone prune against epochs — refuse, both faces
+    // (drop the LocalFileSystem's sidecar checksum with the file, so the
+    // later direct rewrite below doesn't trip a stale-crc read instead)
+    assert(fmt.delete())
+    new java.io.File(s"$work/._format.crc").delete()
+    val eRun = intercept[IllegalStateException] {
+      CdcStreams.incrementalNearDupRun(spark, store, work)
+    }
+    assert(eRun.getMessage.contains("_format"))
+    val eRead = intercept[IllegalStateException] {
+      CdcStreams.nearDupPairs(spark, work)
+    }
+    assert(eRead.getMessage.contains("_format"))
+
+    // an explicit FUTURE/UNKNOWN version is refused too (forward-compat:
+    // state written by a newer format must not be reinterpreted)
+    val w = new java.io.PrintWriter(fmt); w.print("99"); w.close()
+    val eVer = intercept[IllegalStateException] {
+      CdcStreams.nearDupPairs(spark, work)
+    }
+    assert(eVer.getMessage.contains("99"))
+
+    // an EMPTY dir with no marker is just a fresh start — never refused
+    val fresh = java.nio.file.Files.createTempDirectory("graft_cdc_fresh5").toString
+    assert(CdcStreams.nearDupPairs(spark, fresh).isEmpty)
+  }
 }
