@@ -134,11 +134,20 @@ object Admin {
     */
   def validate(g: PropertyGraph): DataFrame = {
     val ids = g.nodes.select(col("id"))
-    def dangling(endpoint: String, code: String): DataFrame =
-      g.edges.select(col(endpoint).as("id"))
-        .join(ids, Seq("id"), "left_anti")
-        .select(lit("error").as("kind"), lit(code).as("code"))
-        .groupBy("kind", "code").agg(count(lit(1)).as("n"))
+    // BOTH endpoint checks in ONE pass: explode each edge to
+    // (code, endpoint-id) and anti-join against the node ids once. The
+    // former per-endpoint formulation scanned the edge table twice and
+    // shuffled two separate anti-joins — same answer, double the exchange
+    // volume and double the fixed job count (r16 q_db_validate ledger
+    // item). Multiplicity is the point here: the reference counts dangling
+    // EDGE INSTANCES (database.rs:1440,1449), so no dedup before the join.
+    val endpoints = g.edges.select(explode(array(
+        struct(lit("DANGLING_SRC").as("code"), col("src").as("id")),
+        struct(lit("DANGLING_DST").as("code"), col("dst").as("id")))).as("x"))
+      .select(col("x.code"), col("x.id"))
+    val dangling = endpoints.join(ids, Seq("id"), "left_anti")
+      .groupBy("code").agg(count(lit(1)).as("n"))
+      .select(lit("error").as("kind"), col("code"), col("n"))
     // groupBy on a constant yields NO row when the side is empty — union
     // a zero row per code so the result always carries all codes.
     def zero(kind: String, code: String): DataFrame =
@@ -150,8 +159,7 @@ object Admin {
       .select(lit("warning").as("kind"), lit("NO_EDGES").as("code"),
         when(col("nc") > 0 && col("ec") === 0, 1L).otherwise(0L).as("n"))
 
-    dangling("src", "DANGLING_SRC").unionByName(zero("error", "DANGLING_SRC"))
-      .unionByName(dangling("dst", "DANGLING_DST"))
+    dangling.unionByName(zero("error", "DANGLING_SRC"))
       .unionByName(zero("error", "DANGLING_DST"))
       .unionByName(noEdges)
       .groupBy("kind", "code").agg(max(col("n")).as("n"))

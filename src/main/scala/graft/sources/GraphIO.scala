@@ -341,13 +341,21 @@ object GraphIO {
       * sidecar write fails the whole commit while the epoch is still
       * unpublished (a skipped claim number, safe to retry), never a
       * published epoch whose sidecar silently vanished.
+      *
+      * `flat` is the [[flatKeys]]-layout key frame. It is written AS GIVEN:
+      * no dedup, no extra shuffle — duplicates are harmless to every
+      * consumer (validation/merge are semi/anti joins, which ignore key
+      * multiplicity), and keeping the plan shuffle-free is what holds a
+      * tracked commit's sidecar to ONE job under AQE (the r16 `.distinct()`
+      * pair here cost two shuffle-stage jobs per commit — the measured
+      * q_tx_conflict regression).
       */
     def commitWithWriteSet(g: PropertyGraph, path: String,
-        nodeKeys: DataFrame, edgeKeys: DataFrame): Long =
+        flat: DataFrame): Long =
       claimAndPublish(g.nodes.sparkSession, path) { dir =>
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
-        val ws = Future(flatKeys(nodeKeys, edgeKeys).coalesce(1)
+        val ws = Future(flat.coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/writeset"))
         save(g, dir) // overlaps its own nodes/edges writes
         Await.result(ws, scala.concurrent.duration.Duration.Inf)
@@ -373,6 +381,35 @@ object GraphIO {
       * diff for intervals containing one. Returns (node ids as `id`,
       * edge keys as `src, dst, rel`).
       */
+    /** [[epochWriteSet]] in the flat [[flatKeys]] layout — the validator's
+      * working shape (one overlap join over all kinds). Skips the
+      * per-kind split/re-union round trip, and skips dedup entirely: every
+      * consumer is a semi/anti join, for which key multiplicity is
+      * irrelevant, and a dedup would cost a shuffle per validated epoch.
+      */
+    def epochFlatWriteSet(spark: SparkSession, path: String,
+        epoch: Long): Option[DataFrame] = {
+      val dir = s"$path/e$epoch"
+      val f = fs(spark, path)
+      def ex(p: String) = f.exists(new org.apache.hadoop.fs.Path(p))
+      import org.apache.spark.sql.types._
+      if (ex(s"$dir/writeset/_SUCCESS")) {
+        val schema = StructType(Seq(
+          StructField("kind", StringType), StructField("id", LongType),
+          StructField("src", LongType), StructField("dst", LongType),
+          StructField("rel", StringType)))
+        Some(spark.read.schema(schema).parquet(s"$dir/writeset"))
+      } else if (ex(s"$dir/_delta")) {
+        def side(name: String) = {
+          val schema = readSchema(spark, s"$dir/_schema_$name.json").getOrElse(
+            throw new IllegalStateException(s"missing $name schema manifest at $dir"))
+          spark.read.schema(schema).parquet(s"$dir/$name")
+        }
+        Some(flatKeys(side("nodes_delta").select("id"),
+          side("edges_delta").select("src", "dst", "rel")))
+      } else None
+    }
+
     def epochWriteSet(spark: SparkSession, path: String,
         epoch: Long): Option[(DataFrame, DataFrame)] = {
       val dir = s"$path/e$epoch"

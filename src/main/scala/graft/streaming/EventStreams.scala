@@ -89,8 +89,22 @@ object EventStreams {
     // merge hint makes the benchmarked shape the 100-TB shape and spreads
     // the per-user pair expansion across the cluster. Stream-stream joins
     // plan their own stateful hash exchange; the hint is batch-only.
-    val r = if (right.isStreaming) r0 else r0.hint("merge")
-    l.join(r,
+    //
+    // The exchange width is PINNED (repartition with an explicit count):
+    // the join's range condition multiplies rows AFTER the shuffle, so
+    // AQE's bytes-based partition coalescing — blind to downstream fan-out
+    // — collapsed the modest pre-join shuffle to 2 tasks and serialized
+    // the whole per-user pair expansion onto them (measured: 2×0.25 s
+    // tasks vs a ~0.1 s spread join). An explicit count is exactly what
+    // AQE contracts never to rewrite; the value is the session's
+    // configured shuffle parallelism, so deployments tune it the same
+    // way they tune every other exchange.
+    val (lb, r) = if (right.isStreaming) (l, r0) else {
+      val n = left.sparkSession.sessionState.conf.numShufflePartitions
+      (l.repartition(n, col("user_id")),
+        r0.repartition(n, col("r_user")).hint("merge"))
+    }
+    lb.join(r,
         col("user_id") === col("r_user") &&
           col("r_ts") >= col("l_ts") &&
           col("r_ts") <= col("l_ts") + expr(s"INTERVAL $gap") &&

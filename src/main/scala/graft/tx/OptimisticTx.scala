@@ -84,7 +84,7 @@ object OptimisticTx {
         s"base epoch $base was pruned (compact ran since this transaction " +
           s"began); retry from the current head $head")
     var toPublish = staged
-    var publishedWriteSet: Option[(DataFrame, DataFrame)] = None
+    var publishedWriteSet: Option[DataFrame] = None
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // `trackedWriteSet`: touched-entity keys the TRANSACTION recorded as it
     // staged (the reference's record_write model) — a conservative superset
@@ -92,19 +92,30 @@ object OptimisticTx {
     // never under-detects) and the merge-publish routes identical rows for
     // keys that were touched but unchanged. With it, NO path here ever
     // diffs two corpus snapshots to learn what this transaction wrote.
-    def myKeys(): (DataFrame, DataFrame) =
-      trackedWriteSet.map { case (n, e) => (n.distinct(), e.distinct()) }
-        .getOrElse(writeSet(baseGraph, staged))
+    //
+    // NO dedup anywhere on these key frames (r17): every consumer —
+    // validation overlap, merge anti/semi joins, the sidecar readers — is
+    // a semi/anti join, for which key multiplicity changes nothing, while
+    // the r16 `.distinct()` pair planned a shuffle each and cost two extra
+    // AQE stage jobs per commit (the measured q_tx_conflict regression).
+    def myFlat(): DataFrame =
+      trackedWriteSet.map { case (n, e) => Epochs.flatKeys(n, e) }
+        .getOrElse {
+          val (n, e) = writeSet(baseGraph, staged)
+          Epochs.flatKeys(n, e)
+        }
     if (head > base) {
-      // the write-set key frames are consumed up to four times on this
-      // path (the validation semi-join, the merge's anti+semi joins, the
-      // sidecar write) — cache them once; coalesce(1) first because a
-      // cached plan keeps its shuffle partitioning and entity-key frames
-      // are tiny relative to the work of recomputing the diff
-      val (myNodesRaw, myEdgesRaw) = myKeys()
-      val myNodes = myNodesRaw.coalesce(1).persist()
-      val myEdges = myEdgesRaw.coalesce(1).persist()
-      cached += myNodes += myEdges
+      // the key frame is consumed up to four times on this path (the
+      // validation semi-join, the merge's anti+semi joins ×2 kinds, the
+      // sidecar write) — cache ONE flat frame; coalesce(1) first because
+      // a cached plan keeps its partitioning and entity-key frames are
+      // tiny relative to the work of recomputing them
+      val mine = myFlat().coalesce(1).persist()
+      cached += mine
+      // the per-kind faces of the SAME cached frame: narrow filters, no
+      // recompute, no second cache
+      val myNodes = mine.filter(col("kind") === "n").select("id")
+      val myEdges = mine.filter(col("kind") === "e").select("src", "dst", "rel")
       // entities touched by ANY later epoch: prefer each epoch's recorded
       // write-set keys (the OCC sidecar a contended merge-publish leaves
       // behind, or a delta epoch's own change rows) — O(changed keys) —
@@ -113,24 +124,25 @@ object OptimisticTx {
       // nothing. At corpus scale the sidecar path is what keeps commit
       // validation from re-scanning the store.
       val later = epochs.filter(e => e > base && e <= head)
-      val sidecars = later.map(e => Epochs.epochWriteSet(spark, path, e))
-      val (theirNodes, theirEdges) =
-        if (sidecars.forall(_.isDefined))
-          (sidecars.flatMap(_.map(_._1)).reduce(_ unionByName _),
-            sidecars.flatMap(_.map(_._2)).reduce(_ unionByName _))
-        else
-          writeSet(Epochs.asOf(spark, path, base), Epochs.asOf(spark, path, head))
+      val sidecars = later.map(e => Epochs.epochFlatWriteSet(spark, path, e))
+      val theirs =
+        if (sidecars.forall(_.isDefined)) sidecars.flatten.reduce(_ unionByName _)
+        else {
+          val (n, e) = writeSet(Epochs.asOf(spark, path, base),
+            Epochs.asOf(spark, path, head))
+          Epochs.flatKeys(n, e)
+        }
       // one overlap pass for BOTH kinds (two sequential isEmpty actions
-      // were two scheduler round-trips for one boolean each): flatten to
-      // the writeset sidecar layout and null-safe-join on all key columns
-      // — kinds can't cross-match ('n' rows never equal 'e' rows)
+      // were two scheduler round-trips for one boolean each): both sides
+      // already in the flat sidecar layout, null-safe-join on all key
+      // columns — kinds can't cross-match ('n' rows never equal 'e' rows)
       locally {
-        val mine = Epochs.flatKeys(myNodes, myEdges).alias("m")
-        val theirs = Epochs.flatKeys(theirNodes, theirEdges).alias("t")
+        val m = mine.alias("m")
+        val t = theirs.alias("t")
         val on = col("m.kind") === col("t.kind") &&
           col("m.id") <=> col("t.id") && col("m.src") <=> col("t.src") &&
           col("m.dst") <=> col("t.dst") && col("m.rel") <=> col("t.rel")
-        val hitKinds = mine.join(theirs, on, "left_semi")
+        val hitKinds = m.join(t, on, "left_semi")
           .select("kind").distinct().collect().map(_.getString(0)).toSet
         if (hitKinds("n"))
           throw new WriteConflictException(
@@ -140,6 +152,8 @@ object OptimisticTx {
             s"write-write conflict: epochs ($base, $head] touched edges this transaction also wrote")
       }
       if (isolation == Serializable) {
+        val theirNodes = theirs.filter(col("kind") === "n").select("id")
+        val theirEdges = theirs.filter(col("kind") === "e").select("src", "dst", "rel")
         readNodes.foreach { rn =>
           if (nonEmpty(rn.select(col(rn.columns.head).as("id")).distinct()
               .join(theirNodes, Seq("id"), "left_semi")))
@@ -167,7 +181,7 @@ object OptimisticTx {
           .unionByName(
             staged.edges.drop("eid").join(myEdges, Seq("src", "dst", "rel"), "left_semi"),
             allowMissingColumns = true))
-      publishedWriteSet = Some((myNodes, myEdges))
+      publishedWriteSet = Some(mine)
     } else trackedWriteSet.foreach { _ =>
       // uncontended commit with TRACKED keys: the write set cost nothing
       // to learn (no diff ran), so always leave the sidecar — the next
@@ -176,12 +190,13 @@ object OptimisticTx {
       // tracking, recording here would require a base-vs-staged diff per
       // quiet commit, which measured strictly worse — that path still
       // skips the sidecar.) Consumed exactly once (the sidecar write),
-      // so no persist.
-      publishedWriteSet = Some(myKeys())
+      // so no persist — and with no dedup the whole sidecar is ONE
+      // shuffle-free write job.
+      publishedWriteSet = Some(myFlat())
     }
     // the write set is already in hand — publish it as the epoch's sidecar
     // so the NEXT transaction in the chain validates against keys instead
-    // of a corpus diff. myNodes/myEdges are a conservative superset of the
+    // of a corpus diff. The keys are a conservative superset of the
     // published change (staged rows equal to the head's count as written)
     // — safe for OCC, which may only over-detect, never under-detect. The
     // sidecar rides the commit's own write wave BEFORE publish: if it
@@ -189,8 +204,8 @@ object OptimisticTx {
     // fall back to the snapshot diff only for epochs that genuinely have
     // no committed sidecar.
     try publishedWriteSet match {
-      case Some((n, e)) => Epochs.commitWithWriteSet(toPublish, path, n, e)
-      case None         => Epochs.commit(toPublish, path)
+      case Some(flat) => Epochs.commitWithWriteSet(toPublish, path, flat)
+      case None       => Epochs.commit(toPublish, path)
     } finally cached.foreach(_.unpersist())
   }
 }
