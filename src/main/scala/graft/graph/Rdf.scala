@@ -122,12 +122,29 @@ final case class TripleGraph(triples: DataFrame) {
       case Some(ins) => afterDelete.unionByName(ins).distinct()
       case None => afterDelete
     }
-    val adds = toInsert.map(_.join(triples, key, "left_anti"))
-      .getOrElse(empty)
-    val removes = toDelete.map { d =>
-      val present = d.join(triples, key, "left_semi")
+    // The presence checks behind `adds`/`removes` prune the STORE side by
+    // each template's literal terms before joining: every instantiated row
+    // carries exactly those literals, so store rows with any other value
+    // in a literal position can never match — the filter is
+    // answer-preserving, reaches the parquet scan (PushedFilters), and
+    // shrinks the join's store side from the corpus to the matched slice
+    // (usually broadcast-size). Without it each delta commit shuffled the
+    // FULL store twice — the measured O(store) term that dominated the
+    // epoch family's sf10 decade (r17; e0's one-time snapshot write is
+    // then the only super-constant cost left).
+    def litPred(tpl: TriplePattern): Column =
+      Seq(tpl.s -> "s", tpl.p -> "p", tpl.o -> "o").collect {
+        case (L(v), c) => col(c) === lit(v)
+      }.reduceOption(_ && _).getOrElse(lit(true))
+    val adds = insertTpl.map { tpl =>
+      instantiate(tpl).join(
+        triples.filter(litPred(tpl)).select(key.map(col): _*), key, "left_anti")
+    }.reduceOption(_ unionByName _).getOrElse(empty)
+    val removes = deleteTpl.map { tpl =>
+      val present = instantiate(tpl).join(
+        triples.filter(litPred(tpl)).select(key.map(col): _*), key, "left_semi")
       toInsert.map(i => present.join(i, key, "left_anti")).getOrElse(present)
-    }.getOrElse(empty)
+    }.reduceOption(_ unionByName _).getOrElse(empty)
     (TripleGraph(after), adds, removes)
   }
 }
