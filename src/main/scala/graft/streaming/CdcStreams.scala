@@ -460,7 +460,8 @@ object CdcStreams {
     val stats = t("batch counts") {
       b.groupBy("change")
         .agg(count(lit(1)).as("n"), sum(length(col(textCol))).as("bytes"),
-          count(when(col("__e").isNull, 1)).as("bad"))
+          count(when(col("__e").isNull, 1)).as("bad"),
+          min("__e").as("emin"), max("__e").as("emax"))
         .collect()
     }
     val counts = stats.map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -471,6 +472,14 @@ object CdcStreams {
       throw new IllegalStateException(
         "CDC feed file without an f<epoch>_/e<epoch>_ name prefix - " +
           "unrecognized outbox layout; rebuild the outbox dir")
+    // the common steady state — a consumer that runs after every commit —
+    // drains exactly ONE epoch per micro-batch, and within one epoch ids
+    // are unique per change side (whole-row diff semantics: an update is
+    // one remove + one add). The max_by/max de-duplication groupBys below
+    // exist only to order MULTI-epoch drains; skipping them in the
+    // single-epoch case removes two shuffles from every steady-state batch.
+    val singleEpoch = stats.nonEmpty &&
+      stats.map(_.getLong(4)).min == stats.map(_.getLong(5)).max
     // total text bytes of the ADD side, from the same single pass — feeds
     // the fused-broadcast byte estimate below
     val addTextBytes = stats.collectFirst {
@@ -505,12 +514,15 @@ object CdcStreams {
 
     // latest text per id (max_by over the epoch): an id re-added by a later
     // drained epoch must sign its NEWEST text — ids are unique per epoch,
-    // so the max_by has no ties
-    val adds = b.filter(col("change") === "add")
+    // so the max_by has no ties. Single-epoch drains skip the groupBy:
+    // uniqueness within the epoch makes it the identity.
+    val addRows = b.filter(col("change") === "add")
       .select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"),
         col("__e"))
-      .groupBy("__id")
-      .agg(expr("max_by(__text, __e)").as("__text"), max("__e").as("__e"))
+    val adds =
+      if (singleEpoch) addRows
+      else addRows.groupBy("__id")
+        .agg(expr("max_by(__text, __e)").as("__text"), max("__e").as("__e"))
     // narrow BEFORE persist: a cached plan keeps its shuffle's partition
     // count (AQE may not re-shape cached output partitioning), so a
     // small-delta signature cache left at spark.sql.shuffle.partitions
@@ -526,11 +538,14 @@ object CdcStreams {
         col("__e").as("__b")))
       .persist()
 
-    if (hasRemoves)
-      narrow(b.filter(col("change") === "remove")
-        .select(col(idCol).cast("long").as("__id"), col("__e"))
-        .groupBy("__id").agg(max("__e").as("__b")))
-        .write.mode(SaveMode.Append).parquet(s"$workDir/tombstones")
+    if (hasRemoves) {
+      val removeRows = b.filter(col("change") === "remove")
+        .select(col(idCol).cast("long").as("__id"), col("__e").as("__b"))
+      val tombs =
+        if (singleEpoch) removeRows
+        else removeRows.groupBy("__id").agg(max("__b").as("__b"))
+      narrow(tombs).write.mode(SaveMode.Append).parquet(s"$workDir/tombstones")
+    }
 
     // live prior signatures (updates/removes up to and incl. this batch)
     val store = pruneDeadAt(spark,

@@ -623,6 +623,88 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("graphql: 150 document round-trips (nested selections, args, mutations)") {
+    import graft.frontends.graphql.GraphQLFrontend
+    import GraphQLFrontend.Field
+    // printer: spec-escape strings (the parser decodes standard escapes, so
+    // the printer must emit them — raw control characters are not legal in
+    // a GraphQL StringValue)
+    def renderStr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c => c.toString
+    } + "\""
+    def renderVal(v: Any): String = v match {
+      case s: String  => renderStr(s)
+      case l: Long    => l.toString
+      case d: Double  => d.toString
+      case b: Boolean => b.toString
+      case null       => "null"
+      case other      => fail(s"unprintable graphql value $other")
+    }
+    // enum-style bare idents must dodge the parser's keyword values
+    def enumIdent(): String = {
+      val w = ident(); if (Set("true", "false", "null")(w)) "EnumV" else w
+    }
+    val gqlStrPool = strPool ++ Seq("tab\there", "line\nbreak", "cr\rend")
+    def genVal(): Any = rnd.nextInt(6) match {
+      case 0 => pick(gqlStrPool)
+      case 1 => rnd.nextInt(2000).toLong - 1000L
+      case 2 => pick(doublePool)
+      case 3 => rnd.nextBoolean()
+      case 4 => null
+      case _ => enumIdent()
+    }
+    def genField(depth: Int): Field = {
+      val nSel =
+        if (depth >= 3) 0
+        else if (depth == 0) 1 + rnd.nextInt(3)
+        else rnd.nextInt(3)
+      Field(ident().capitalize,
+        Seq.fill(rnd.nextInt(3))((ident(), genVal())),
+        Seq.fill(nSel)(genField(depth + 1)))
+    }
+    // enum values parse back as plain strings — normalize the expectation
+    def norm(f: Field): Field = f.copy(
+      args = f.args.map { case (k, v) => (k, v) },
+      selections = f.selections.map(norm))
+    def render(f: Field, sb: StringBuilder): Unit = {
+      sb.append(f.name)
+      if (f.args.nonEmpty) {
+        sb.append('(')
+        sb.append(f.args.map { case (k, v) => s"$k: ${renderVal(v)}" }
+          .mkString(if (rnd.nextBoolean()) ", " else " "))
+        sb.append(')')
+      }
+      if (f.selections.nonEmpty) {
+        sb.append(" { ")
+        f.selections.foreach { s => render(s, sb); sb.append(' ') }
+        sb.append("} ")
+      }
+    }
+    for (k <- 1 to 150) {
+      val root = genField(0)
+      val sb = new StringBuilder
+      val mutation = k % 3 == 0
+      if (mutation) sb.append(if (k % 6 == 0) "mutation {" else "mutation{")
+      else sb.append("{ ")
+      render(root, sb)
+      sb.append('}')
+      val text = sb.toString
+      val (isMut, parsed) =
+        try GraphQLFrontend.parseDocument(text)
+        catch {
+          case e: Throwable =>
+            fail(s"parse failed\n  text: $text\n  err: ${e.getMessage}")
+        }
+      assert(isMut == mutation, s"\n  text: $text")
+      assert(parsed == norm(root), s"\n  text:   $text\n  wanted: $root\n  got:    $parsed")
+    }
+  }
+
   test("gql: 60 INSERT mutation round-trips") {
     for (_ <- 1 to 60) {
       // INSERT takes comma-separated node patterns → one CreateClause each
