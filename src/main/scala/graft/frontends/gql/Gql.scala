@@ -286,6 +286,47 @@ object VectorIndexes {
     }
   }
 
+  /** Auto-tune an LSH build from its own measured recall curve (reference
+    * documents the manual version of this loop as ef-tuning guidance,
+    * performance.md:124-131; r16 added the measurement + advice — this is
+    * the advice APPLIED). Each step re-builds with recall-raising moves in
+    * the directions the curve responds to — halve the hyperplane bits
+    * (wider buckets → more true neighbors collide) and double the table
+    * count (more independent chances to collide) — measures, and stops at
+    * the first configuration clearing `floor`, returning the best seen
+    * otherwise. Bounded: ≤ maxSteps+1 builds, each recall estimate samples
+    * nQueries vectors (never the corpus). Behind the CLI's `--auto-tune`
+    * flag — an explicit opt-in, because each step re-bucketing a 100 TB
+    * corpus is a real cost the user must choose.
+    */
+  def autoTuneLsh(stmt: GqlCreateVectorIndex, vectors: DataFrame,
+      idCol: String, floor: Double = 0.9, maxSteps: Int = 3)
+      : (VectorIndex, Double, Seq[(Int, Int, Double)]) = {
+    require(stmt.method == "lsh", s"autoTuneLsh got method '${stmt.method}'")
+    var bits = stmt.options.getOrElse("bits", 12)
+    var tables = stmt.options.getOrElse("tables", 3)
+    val history = Vector.newBuilder[(Int, Int, Double)]
+    var best: (VectorIndex, Double) = null
+    var step = 0
+    var done = false
+    while (!done) {
+      val idx = create(stmt.copy(options =
+        stmt.options + ("bits" -> bits) + ("tables" -> tables)), vectors, idCol)
+      val r = idx.estimateRecall()
+      history += ((bits, tables, r))
+      if (best == null || r > best._2) {
+        if (best != null) best._1.buckets.unpersist()
+        best = (idx, r)
+      } else idx.buckets.unpersist()
+      done = r >= floor || step >= maxSteps ||
+        (bits == 2 && tables >= 32) // the curve has nowhere left to move
+      bits = math.max(bits / 2, 2)
+      tables = math.min(tables * 2, 32)
+      step += 1
+    }
+    (best._1, best._2, history.result())
+  }
+
   /** Persist a registered index — the durable half of the
     * `CREATE VECTOR INDEX` lifecycle across PROCESSES (the reference
     * serializes its indexes with the database, vector/index.rs; the

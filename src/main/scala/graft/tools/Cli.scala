@@ -31,7 +31,7 @@ import graft.sources.GraphIO
   *   graft.tools.Cli wal status <store>
   *   graft.tools.Cli wal checkpoint <store>
   *   graft.tools.Cli compact <store> [--dry-run] [--force]
-  *   graft.tools.Cli index create <store> <name> <label> <prop> [--method=hnsw|lsh|ivf] [--options=k=v,…] [--no-recall-check]
+  *   graft.tools.Cli index create <store> <name> <label> <prop> [--method=hnsw|lsh|ivf] [--options=k=v,…] [--no-recall-check] [--auto-tune]
   *   graft.tools.Cli index list <store>
   *   graft.tools.Cli index stats <store>
   *
@@ -316,14 +316,30 @@ object Cli {
         throw new UsageError(
           s"no $label nodes with a non-null $prop to index")
       val sess = new graft.GraftSession(spark, g)
-      val summary = sess.createVectorIndex(ddl, vectors, "id")
+      // --auto-tune (LSH only): apply the recall advice instead of just
+      // printing it — re-build along the measured curve (fewer bits, more
+      // tables) until the sampled recall clears 0.9 or the step budget
+      // runs out. Explicit opt-in: each step re-buckets the corpus.
+      val summary = if (flag("auto-tune") && method == "lsh") {
+        val stmt = graft.frontends.gql.GqlFrontend.parseStatement(ddl)
+          .asInstanceOf[graft.frontends.gql.GqlCreateVectorIndex]
+        val (idx, recall, hist) = graft.frontends.gql.VectorIndexes
+          .autoTuneLsh(stmt, vectors, "id")
+        sess.registerVectorIndex(idx)
+        hist.foreach { case (b, t, r) =>
+          println(f"[cli] index $name: auto-tune bits=$b tables=$t -> recall@10 $r%.2f")
+        }
+        println(f"[cli] index $name: tuned to bits=${idx.options("bits")} " +
+          f"tables=${idx.options("tables")} (recall@10 $recall%.2f)")
+        idx.summary
+      } else sess.createVectorIndex(ddl, vectors, "id")
       val idx = sess.vectorIndex(name).get
       graft.frontends.gql.VectorIndexes.save(idx, s"$store/_indexes/$name")
       // build-time recall self-check (reference performance.md:124-131
       // documents ef-tuning for exactly this): a sampled estimate against
       // brute force, with tuning advice when the configuration measures
       // low — skippable for huge corpora via --no-recall-check
-      if (!flag("no-recall-check")) {
+      if (!flag("no-recall-check") && !flag("auto-tune")) {
         val recall = idx.estimateRecall()
         idx.recallAdvice(recall) match {
           case Some(advice) => System.err.println(s"[cli] index $name: WARNING - $advice")

@@ -95,4 +95,28 @@ class RecallSpec extends AnyFunSuite {
     assert(rHnsw >= 0.95 && hnsw.recallAdvice(rHnsw).isEmpty,
       f"hnsw must measure high recall with no advice, got $rHnsw%.4f")
   }
+
+  test("auto-tune walks the LSH curve from a low-recall start to a better config") {
+    import graft.frontends.gql.{GqlFrontend, GqlCreateVectorIndex, VectorIndexes}
+    // the clustered corpus: auto-tune from the narrow footgun config must
+    // measurably improve recall by moving along the documented curve
+    // (fewer bits, more tables) and must return the BEST config tried
+    val vectors = clustered.limit(600).withColumnRenamed("vec_id", "id")
+    val stmt = GqlFrontend.parseStatement(
+      "CREATE VECTOR INDEX r_tuned ON Doc(embedding) USING LSH " +
+        "OPTIONS(bits 16, tables 1)").asInstanceOf[GqlCreateVectorIndex]
+    val (idx, recall, hist) = VectorIndexes.autoTuneLsh(stmt, vectors, "id",
+      floor = 0.9, maxSteps = 3)
+    info(s"auto-tune history: ${hist.map { case (b, t, r) => f"($b,$t)->$r%.2f" }.mkString(" ")}")
+    assert(hist.nonEmpty && hist.size <= 4, "bounded step budget")
+    assert(recall == hist.map(_._3).max, "must return the best measured config")
+    assert(recall > hist.head._3 || hist.head._3 >= 0.9,
+      f"tuning must improve on the narrow start (start ${hist.head._3}%.2f, best $recall%.2f)")
+    // each step moved in the curve's direction: bits never rise, tables never fall
+    hist.sliding(2).foreach {
+      case Seq((b1, t1, _), (b2, t2, _)) => assert(b2 <= b1 && t2 >= t1)
+      case _ => ()
+    }
+    assert(idx.options("bits") <= 16 && idx.options("tables") >= 1)
+  }
 }
