@@ -73,9 +73,16 @@ object CypherUpdates {
       case Some((out, touchedEdges)) =>
         (seal(out), Some((gEid.nodes.select(col("id").cast("long").as("id")).limit(0),
           touchedEdges)))
-      case None =>
-        val out = actions.foldLeft(gEid)((g, a) => apply(spark, compiler, g, bindings, a))
-        (seal(out), touchedKeys(spark, compiler, gEid, bindings, actions))
+      case None => pushdownNodeSet(gEid, readPrefix, actions) match {
+        case Some((out, touchedNodes)) =>
+          (seal(out), Some((touchedNodes,
+            gEid.edges.select(col("src").cast("long").as("src"),
+              col("dst").cast("long").as("dst"),
+              col("rel").cast("string").as("rel")).limit(0))))
+        case None =>
+          val out = actions.foldLeft(gEid)((g, a) => apply(spark, compiler, g, bindings, a))
+          (seal(out), touchedKeys(spark, compiler, gEid, bindings, actions))
+      }
     }
   }
 
@@ -191,6 +198,123 @@ object CypherUpdates {
 
   private object Unsupported extends RuntimeException
 
+  // ---- row-local expression analysis shared by the pushdown fast paths ----
+  // Every property key an expression touches must be a TYPED column of the
+  // table it will run against — a dynamic (props-map) key resolves only
+  // through the compiler, so it must take the generic path; an unguarded
+  // col(k) would fail analysis instead of falling back.
+  private def refKeys(e: Expr.E): Set[String] = e match {
+    case Expr.Prop(_, k)   => Set(k)
+    case Expr.Not(x)       => refKeys(x)
+    case Expr.Bin(_, l, r) => refKeys(l) ++ refKeys(r)
+    case _                 => Set.empty
+  }
+  private def requireCols(e: Expr.E, cols: Array[String]): Unit =
+    if (!refKeys(e).subsetOf(cols.toSet)) throw Unsupported
+  private def refVars(e: Expr.E): Set[String] = e match {
+    case Expr.Lit(_)        => Set.empty
+    case Expr.Prop(v, _)    => Set(v)
+    case Expr.Not(x)        => refVars(x)
+    case Expr.Bin(_, l, r)  => refVars(l) ++ refVars(r)
+    case _                  => throw Unsupported // Var/Func/subqueries
+  }
+  // expression → Column over the referenced entity's own columns
+  private def toCol(e: Expr.E): Column = e match {
+    case Expr.Lit(v)     => lit(v)
+    case Expr.Prop(_, k) => col(k)
+    case Expr.Not(x)     => !toCol(x)
+    case Expr.Bin(op, l, r) =>
+      val (cl, cr) = (toCol(l), toCol(r))
+      op match {
+        case "="   => cl === cr
+        case "<>"  => cl =!= cr
+        case "<"   => cl < cr
+        case "<="  => cl <= cr
+        case ">"   => cl > cr
+        case ">="  => cl >= cr
+        case "and" => cl && cr
+        case "or"  => cl || cr
+        case "+"   => cl + cr
+        case "-"   => cl - cr
+        case "*"   => cl * cr
+        case "/"   => cl / cr
+        case "%"   => cl % cr
+        case "startswith" => cl.startsWith(cr)
+        case "endswith"   => cl.endsWith(cr)
+        case "contains"   => cl.contains(cr)
+        case _ => throw Unsupported
+      }
+    case _ => throw Unsupported
+  }
+  private def conjuncts(e: Expr.E): Seq[Expr.E] = e match {
+    case Expr.Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Single-node SET pushdown: `MATCH (v:L {…}) [WHERE row-local-on-v]
+    * SET v.p = expr, …` — the whole mutation is ONE conditional projection
+    * over the node table. The generic path materializes the matched id set
+    * and flag-joins it back (a distinct shuffle + a broadcast exchange per
+    * commit-time evaluation); here the MATCH predicate itself becomes the
+    * flag, so the plan is map-only — at corpus scale a predicate update
+    * touches one scan instead of shuffling an id set, and the tracked OCC
+    * write set is the same predicate as a filter projection. Falls back
+    * (None) for anything not provably row-local: multi-pattern matches,
+    * expansions, dynamic props-map keys, key-column rewrites, label items.
+    */
+  private def pushdownNodeSet(g: PropertyGraph, readPrefix: Seq[Clause],
+      actions: Seq[Clause]): Option[(PropertyGraph, DataFrame)] = {
+    val (pat, where) = readPrefix match {
+      case Seq(MatchClause(Seq(PathPat(h, Seq(), None, None, false)), w, false)) =>
+        (h, w)
+      case _ => return None
+    }
+    // single action, same re-derivation argument as the edge pushdown
+    if (actions.size != 1) return None
+    val v = pat.v.getOrElse(return None)
+    try {
+      val labelPreds = (pat.label.toSeq ++ pat.extraLabels)
+        .map(l => array_contains(col("labels"), l))
+      val inline = pat.props.map { case (k, value) =>
+        if (!g.nodes.columns.contains(k)) throw Unsupported
+        if (!refVars(value).subsetOf(Set(v))) throw Unsupported
+        requireCols(value, g.nodes.columns)
+        col(k) === toCol(value)
+      }
+      val wherePreds = where.toSeq.flatMap(conjuncts).map { c =>
+        if (!refVars(c).subsetOf(Set(v))) throw Unsupported
+        requireCols(c, g.nodes.columns)
+        toCol(c)
+      }
+      val cond = (labelPreds ++ inline ++ wherePreds)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val props = actions.head match {
+        case SetClause(items) => items.map {
+          case SetProp(Expr.Prop(`v`, k), value)
+              if refVars(value).subsetOf(Set(v)) =>
+            // id rewrites change entity identity (tracked set would miss
+            // the renamed row); dynamic keys route to the props map —
+            // both keep the generic path
+            if (k == "id" || !g.nodes.columns.contains(k)) throw Unsupported
+            requireCols(value, g.nodes.columns)
+            k -> toCol(value)
+          case _ => throw Unsupported
+        }
+        case _ => throw Unsupported
+      }
+      // same in-order fold as Mutations.setNodeFieldsByIds: a later item
+      // sees an earlier item's rewrite of the same row
+      val mutated = props.foldLeft(g.nodes) { case (df, (k, value)) =>
+        df.withColumn(k, when(cond, value).otherwise(col(k)))
+      }
+      // tracked OCC write set = the matched ids, from the PRE-mutation state
+      val touched = g.nodes.filter(cond)
+        .select(col("id").cast("long").as("id"))
+        .where(col("id").isNotNull)
+      Some((g.copy(nodes = mutated), touched))
+    } catch { case Unsupported => None }
+  }
+
   /** Predicate-pushdown fast path for rel-var mutations: a single-hop
     * `MATCH (a:A)-[r:T]->(b:B) WHERE …` whose WHERE splits into per-endpoint
     * / per-edge conjuncts, followed only by mutations of `r`, compiles to
@@ -234,58 +358,6 @@ object CypherUpdates {
     // list is fine; a rel var REUSED as a node var, or node vars referenced
     // by the mutations, is not — checked structurally below.
     try {
-      // which vars does a supported expression reference (None = unsupported)
-      // every property key an expression touches must be a TYPED column of
-      // the table it will run against — a dynamic (props-map) key resolves
-      // only through the compiler, so it must take the generic path; an
-      // unguarded col(k) would fail analysis instead of falling back
-      def refKeys(e: Expr.E): Set[String] = e match {
-        case Expr.Prop(_, k)   => Set(k)
-        case Expr.Not(x)       => refKeys(x)
-        case Expr.Bin(_, l, r) => refKeys(l) ++ refKeys(r)
-        case _                 => Set.empty
-      }
-      def requireCols(e: Expr.E, cols: Array[String]): Unit =
-        if (!refKeys(e).subsetOf(cols.toSet)) throw Unsupported
-      def refVars(e: Expr.E): Set[String] = e match {
-        case Expr.Lit(_)        => Set.empty
-        case Expr.Prop(v, _)    => Set(v)
-        case Expr.Not(x)        => refVars(x)
-        case Expr.Bin(_, l, r)  => refVars(l) ++ refVars(r)
-        case _                  => throw Unsupported // Var/Func/subqueries
-      }
-      // expression → Column over the referenced entity's own columns
-      def toCol(e: Expr.E): Column = e match {
-        case Expr.Lit(v)     => lit(v)
-        case Expr.Prop(_, k) => col(k)
-        case Expr.Not(x)     => !toCol(x)
-        case Expr.Bin(op, l, r) =>
-          val (cl, cr) = (toCol(l), toCol(r))
-          op match {
-            case "="   => cl === cr
-            case "<>"  => cl =!= cr
-            case "<"   => cl < cr
-            case "<="  => cl <= cr
-            case ">"   => cl > cr
-            case ">="  => cl >= cr
-            case "and" => cl && cr
-            case "or"  => cl || cr
-            case "+"   => cl + cr
-            case "-"   => cl - cr
-            case "*"   => cl * cr
-            case "/"   => cl / cr
-            case "%"   => cl % cr
-            case "startswith" => cl.startsWith(cr)
-            case "endswith"   => cl.endsWith(cr)
-            case "contains"   => cl.contains(cr)
-            case _ => throw Unsupported
-          }
-        case _ => throw Unsupported
-      }
-      def conjuncts(e: Expr.E): Seq[Expr.E] = e match {
-        case Expr.Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
-        case other => Seq(other)
-      }
       // route each WHERE conjunct to the single entity it references
       var srcPreds = Vector.empty[Column]
       var dstPreds = Vector.empty[Column]

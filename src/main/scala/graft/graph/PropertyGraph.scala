@@ -74,6 +74,17 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   // directory, so every session over the same graph shares one eid plan
   @transient private lazy val edgeIdGraph: PropertyGraph = {
     import org.apache.spark.sql.expressions.Window
+    // provably-empty edge side (limit(0) fixtures, node-only graphs): skip
+    // the bucket/window machinery entirely — besides being wasted plan, the
+    // Window node hides the analyzer's maxRows=0 proof, which downstream
+    // zero-job empty-side writes (GraphIO.save) rely on
+    if (edges.queryExecution.analyzed.maxRows.contains(0L))
+      PropertyGraph(nodes, edges.withColumn("eid", lit(-1L)))
+    else edgeIdGraphFull
+  }
+
+  @transient private lazy val edgeIdGraphFull: PropertyGraph = {
+    import org.apache.spark.sql.expressions.Window
     val b = edges.sparkSession.conf
       .getOption("spark.graft.edgeid.buckets").map(_.toInt).getOrElse(1024)
     val others = edges.columns.filterNot(c => c == "src" || c == "dst" || c == "rel")

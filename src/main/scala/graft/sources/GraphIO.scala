@@ -113,6 +113,24 @@ object GraphIO {
     }
   }
 
+  /** A frame the ANALYZER can prove empty (e.g. `limit(0)`, an empty
+    * local relation): its write needs no Spark job at all — the schema
+    * manifest carries the schema and a data dir with no part files reads
+    * back as empty under an explicit schema. Committing a nodes-only
+    * graph (or an empty delta side) otherwise pays a full write job per
+    * empty side per commit — pure fixed overhead on the tx/epoch paths.
+    */
+  private def provablyEmpty(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.maxRows.contains(0L)
+
+  private def writeEmptyDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true) // Overwrite semantics, like the write it replaces
+    f.mkdirs(p)
+    f.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
+  }
+
   def save(g: PropertyGraph, path: String): Unit = {
     val spark = g.nodes.sparkSession
     // independent writes to distinct dirs — overlap them (same pattern as
@@ -120,11 +138,15 @@ object GraphIO {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     Await.result(Future.sequence(Seq(
-      Future(shrinkForWrite(g.nodes).write.mode(SaveMode.Overwrite)
-        .parquet(s"$path/nodes")),
-      Future(shrinkForWrite(g.edges).write.mode(SaveMode.Overwrite)
-        // cluster by rel: expand(rel=…) reloads prune whole files
-        .partitionBy("rel").parquet(s"$path/edges")))),
+      Future(
+        if (provablyEmpty(g.nodes)) writeEmptyDir(spark, s"$path/nodes")
+        else shrinkForWrite(g.nodes).write.mode(SaveMode.Overwrite)
+          .parquet(s"$path/nodes")),
+      Future(
+        if (provablyEmpty(g.edges)) writeEmptyDir(spark, s"$path/edges")
+        else shrinkForWrite(g.edges).write.mode(SaveMode.Overwrite)
+          // cluster by rel: expand(rel=…) reloads prune whole files
+          .partitionBy("rel").parquet(s"$path/edges")))),
       scala.concurrent.duration.Duration.Inf)
     writeSchema(spark, s"$path/_schema_nodes.json", g.nodes.schema)
     writeSchema(spark, s"$path/_schema_edges.json", g.edges.schema)
