@@ -206,6 +206,7 @@ object CypherUpdates {
   private def refKeys(e: Expr.E): Set[String] = e match {
     case Expr.Prop(_, k)   => Set(k)
     case Expr.Not(x)       => refKeys(x)
+    case Expr.Neg(x)       => refKeys(x)
     case Expr.Bin(_, l, r) => refKeys(l) ++ refKeys(r)
     case _                 => Set.empty
   }
@@ -215,6 +216,7 @@ object CypherUpdates {
     case Expr.Lit(_)        => Set.empty
     case Expr.Prop(v, _)    => Set(v)
     case Expr.Not(x)        => refVars(x)
+    case Expr.Neg(x)        => refVars(x)
     case Expr.Bin(_, l, r)  => refVars(l) ++ refVars(r)
     case _                  => throw Unsupported // Var/Func/subqueries
   }
@@ -223,6 +225,7 @@ object CypherUpdates {
     case Expr.Lit(v)     => lit(v)
     case Expr.Prop(_, k) => col(k)
     case Expr.Not(x)     => !toCol(x)
+    case Expr.Neg(x)     => -toCol(x)
     case Expr.Bin(op, l, r) =>
       val (cl, cr) = (toCol(l), toCol(r))
       op match {
