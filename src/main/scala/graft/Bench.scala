@@ -32,6 +32,15 @@ object Bench {
       hi / math.max(lo, 1e-9) <= 1.10
     }
     val healthy: Boolean = mean <= 1.2 * ref && agree
+    /** Second tier (r17 verdict): a window that passes `healthy` but with a
+      * mean probe >1.1× the reference is blessable yet NOT a clean anchor
+      * for cross-round normalized comparisons — the r17 blessing sat at
+      * mean 1.174 and its "18% normalized improvement" was mostly the probe
+      * divisor. The artifact carries this flag so round summaries must
+      * quote it instead of presenting a degraded-window number as a
+      * like-for-like ledger entry.
+      */
+    val degraded: Boolean = mean > 1.1 * ref
   }
 
   /** bless = write bench_latest.json: full catalog only (a filtered run's
@@ -274,7 +283,7 @@ object Bench {
     // line mid-JSON, so the compact form carries only the COUNT; the full
     // committed artifact carries the names and per-query spreads
     val envJson =
-      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb,"calib_sec":${math.rint(calib * 1000) / 1000},"calib_shuffle_sec":${math.rint(calibShuffle * 1000) / 1000},"calib_start":${math.rint(calibShuffleStart * 1000) / 1000},"calib_end":${math.rint(calibShuffleEnd * 1000) / 1000},"calib_agree":$calibAgree,"calib_shuffle_ref":$CalibShuffleRef,"calib_healthy":$calibHealthy,"value_normalized":${math.rint(valueNormalized * 1000) / 1000},"spread_flagged_n":${flagged.size}"""
+      s""""reps":$reps,"cpus":$cpus,"load_avg_start":${math.rint(startLoadAvg * 100) / 100},"load_avg_end":${math.rint(loadAvg * 100) / 100},"heap_gb":$heapGb,"calib_sec":${math.rint(calib * 1000) / 1000},"calib_shuffle_sec":${math.rint(calibShuffle * 1000) / 1000},"calib_start":${math.rint(calibShuffleStart * 1000) / 1000},"calib_end":${math.rint(calibShuffleEnd * 1000) / 1000},"calib_agree":$calibAgree,"calib_shuffle_ref":$CalibShuffleRef,"calib_healthy":$calibHealthy,"calib_degraded":${calibration.degraded},"value_normalized":${math.rint(valueNormalized * 1000) / 1000},"spread_flagged_n":${flagged.size}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$envJson,"spread_flagged":$flaggedJson,"spreads":$spreadJson,"sf":"$sfDir"}"""
     // The driver captures only a ~2000-char tail of stdout, so a full

@@ -36,8 +36,14 @@ object Lexing {
       case 'u' if i + 5 < n && (i + 2 to i + 5).forall(j => isHex(q(j))) =>
         sb += Integer.parseInt(q.substring(i + 2, i + 6), 16).toChar
         i + 6
-      case 'U' if i + 9 < n && (i + 2 to i + 9).forall(j => isHex(q(j))) =>
-        sb ++= new String(Character.toChars(Integer.parseInt(q.substring(i + 2, i + 10), 16)))
+      case 'U' if i + 9 < n && (i + 2 to i + 9).forall(j => isHex(q(j))) &&
+          Character.isValidCodePoint(
+            java.lang.Long.parseLong(q.substring(i + 2, i + 10), 16).min(Int.MaxValue).toInt) =>
+        // parse as Long: 8 hex digits can exceed Int.MaxValue, and values
+        // past U+10FFFF (or surrogates) fall through to lenient pass-through
+        // below instead of throwing out of Character.toChars
+        sb ++= new String(Character.toChars(
+          java.lang.Long.parseLong(q.substring(i + 2, i + 10), 16).toInt))
         i + 10
       case c => sb += c; i + 2
     }

@@ -305,11 +305,17 @@ object CypherUpdates {
         }
         case _ => throw Unsupported
       }
-      // same in-order fold as Mutations.setNodeFieldsByIds: a later item
-      // sees an earlier item's rewrite of the same row
-      val mutated = props.foldLeft(g.nodes) { case (df, (k, value)) =>
-        df.withColumn(k, when(cond, value).otherwise(col(k)))
-      }
+      // Materialize the match ONCE as a flag column, like
+      // Mutations.setNodeFieldsByIds' __hit: the fold below rewrites node
+      // columns, so re-resolving `cond` against the mutated frame would
+      // un-match rows whose predicate column an earlier item rewrote
+      // (WHERE c.x > 5 SET c.x = 0, c.y = 'z' must still set c.y). A later
+      // item's VALUE expression still sees earlier writes — same in-order
+      // semantics as the generic path. Still map-only: one extra projection.
+      val flagged = g.nodes.withColumn("__hit", cond)
+      val mutated = props.foldLeft(flagged) { case (df, (k, value)) =>
+        df.withColumn(k, when(col("__hit"), value).otherwise(col(k)))
+      }.drop("__hit")
       // tracked OCC write set = the matched ids, from the PRE-mutation state
       val touched = g.nodes.filter(cond)
         .select(col("id").cast("long").as("id"))

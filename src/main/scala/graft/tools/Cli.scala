@@ -320,6 +320,11 @@ object Cli {
       // printing it — re-build along the measured curve (fewer bits, more
       // tables) until the sampled recall clears 0.9 or the step budget
       // runs out. Explicit opt-in: each step re-buckets the corpus.
+      // Rejecting --auto-tune for other methods keeps the recall self-check
+      // gate below honest: the skip only fires when the tuner actually ran.
+      if (flag("auto-tune") && method != "lsh")
+        throw new UsageError(
+          s"--auto-tune only supports --method=lsh (got --method=$method)")
       val summary = if (flag("auto-tune") && method == "lsh") {
         val stmt = graft.frontends.gql.GqlFrontend.parseStatement(ddl)
           .asInstanceOf[graft.frontends.gql.GqlCreateVectorIndex]

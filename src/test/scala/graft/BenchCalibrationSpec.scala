@@ -39,6 +39,22 @@ class BenchCalibrationSpec extends AnyFunSuite {
     assert(math.abs(c.normalized(131.0) - 131.0 / 1.31) < 1e-9)
   }
 
+  test("degraded tier: blessable 1.1-1.2x windows carry the flag") {
+    // the r17 blessed window (mean 1.174): valid by the gate, but its
+    // normalized total must not anchor cross-round claims unquoted
+    val r17 = Calibration(1.222, 1.125)
+    assert(r17.healthy && shouldBless(fullCatalog = true, r17))
+    assert(r17.degraded, "mean 1.174 > 1.1 must carry degraded=true")
+    // a near-1.0 window is the clean anchor: blessed AND not degraded
+    val clean = Calibration(0.98, 1.01)
+    assert(clean.healthy && !clean.degraded)
+    // boundary: exactly 1.1 is NOT degraded; just over is
+    assert(!Calibration(1.1, 1.1).degraded)
+    assert(Calibration(1.101, 1.101).degraded)
+    // a refused window can also be degraded — flags are independent
+    assert(Calibration(1.30, 1.32).degraded)
+  }
+
   test("filtered runs never bless, however healthy the window") {
     val c = Calibration(0.95, 0.96)
     assert(c.healthy)

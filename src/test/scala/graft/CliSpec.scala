@@ -184,5 +184,14 @@ class CliSpec extends AnyFunSuite {
       .orderBy("rank").select("nid").as[Long].collect().toSeq
     assert(got == Seq(0L, 1L),
       s"persisted HNSW must return the true top-2 neighbors, got $got")
+
+    // --auto-tune only runs for LSH; for any other method it must fail
+    // loudly instead of silently skipping both the tuner AND the recall
+    // self-check (r17 ADVICE). main() maps UsageError to exit 1.
+    val e = intercept[graft.tools.UsageError] {
+      cli("index", "create", store, "ix2", "Doc", "emb",
+        "--method=hnsw", "--auto-tune")
+    }
+    assert(e.getMessage.contains("auto-tune"))
   }
 }

@@ -35,6 +35,17 @@ class LexingSpec extends AnyFunSuite {
     assert(decode("tail\\") == "tail\\")
   }
 
+  test("readEscape: out-of-range \\U degrades leniently instead of throwing") {
+    // r17 ADVICE: 8 hex digits can exceed Int.MaxValue (NumberFormatException
+    // via Integer.parseInt) or U+10FFFF (IllegalArgumentException via
+    // Character.toChars) — both must take the documented pass-through
+    assert(decode("\\UFFFFFFFF") == "UFFFFFFFF")
+    assert(decode("\\U00110000") == "U00110000")
+    assert(decode("\\U7FFFFFFF") == "U7FFFFFFF")
+    // boundary: the largest valid code point still decodes
+    assert(decode("\\U0010FFFF") == new String(Character.toChars(0x10FFFF)))
+  }
+
   test("cypher string literals decode spec escapes end-to-end") {
     val s = new GraftSession(spark, graft.graph.TpchGraph(spark, sf))
     val row = s.cypher("RETURN 'a\\nb' AS x, '\\u0041\\\\' AS y").collect().head

@@ -53,6 +53,27 @@ class NodeSetPushdownSpec extends AnyFunSuite {
     assert(math.abs(mm - 2 * mo) < 1e-9)
   }
 
+  test("earlier item rewriting a WHERE column does not un-match later items") {
+    // The match flag must be materialized from PRE-mutation values: setting
+    // acctbal = 0.0 first must not stop category = 'VIP' from applying
+    // (r17 ADVICE high finding).
+    val out = run(
+      "MATCH (c:Customer) WHERE c.acctbal > 5000.0 SET c.acctbal = 0.0, c.category = 'VIP'")
+    assert(!hasJoin(out.nodes), "still the join-free fast path")
+    val expected = g.nodes.filter(array_contains(col("labels"), "Customer") &&
+      col("acctbal") > 5000.0).count()
+    assert(expected > 0)
+    val vips = out.nodes.filter(col("category") === "VIP")
+    assert(vips.count() == expected, "later SET item must apply to all matched rows")
+    assert(vips.filter(col("acctbal") =!= 0.0).count() == 0)
+    // and the generic path agrees value-for-value
+    val generic = graft.graph.Mutations.setNodeFieldsByIds(g,
+      g.nodes.filter(array_contains(col("labels"), "Customer") &&
+        col("acctbal") > 5000.0).select(col("id")),
+      Seq("acctbal" -> lit(0.0), "category" -> lit("VIP")))
+    assert(generic.nodes.filter(col("category") === "VIP").count() == expected)
+  }
+
   test("unsupported shapes fall back to the generic flag-join path") {
     // expansion in the pattern -> generic
     val out1 = run(
