@@ -104,6 +104,11 @@ object OptimisticTx {
           val (n, e) = writeSet(baseGraph, staged)
           Epochs.flatKeys(n, e)
         }
+    // the try/finally spans VALIDATION too, not just the publish: a
+    // write-write conflict throws after `mine` is persisted, and leaving
+    // it cached leaked one tiny key frame per aborted commit (executor
+    // storage that only a driver GC would eventually reclaim)
+    try {
     if (head > base) {
       // the key frame is consumed up to four times on this path (the
       // validation semi-join, the merge's anti+semi joins ×2 kinds, the
@@ -203,9 +208,10 @@ object OptimisticTx {
     // fails, the commit fails unpublished (safe retry), and validators
     // fall back to the snapshot diff only for epochs that genuinely have
     // no committed sidecar.
-    try publishedWriteSet match {
+    publishedWriteSet match {
       case Some(flat) => Epochs.commitWithWriteSet(toPublish, path, flat)
       case None       => Epochs.commit(toPublish, path)
+    }
     } finally cached.foreach(_.unpersist())
   }
 }

@@ -235,6 +235,55 @@ class CdcStreamsSpec extends AnyFunSuite {
       .exists(r => r.getLong(0) == 7L || r.getLong(1) == 7L))
   }
 
+  test("small-delta drains plan their dedups exchange-free (r18)") {
+    // The multi-epoch small-delta drain narrows to one partition BEFORE
+    // the ordering groupBys / pair dedup, so SinglePartition satisfies the
+    // aggregates' distribution and NO shuffle exchange plans. First pin
+    // the Spark behavior the optimization relies on...
+    val agg = spark.range(100)
+      .select((col("id") % 10).as("k"), col("id").as("v"))
+      .coalesce(1).groupBy("k").agg(max("v"))
+    agg.collect()
+    val hasExchange = agg.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.exists {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(!hasExchange,
+      "coalesce(1) -> groupBy must plan no exchange; the CDC small-delta " +
+        "drain's exchange-free dedups depend on it")
+
+    // ...then pin the whole drain's job budget: a 2-epoch small-delta
+    // catch-up (the q_cdc_neardup shape) is load-invariant in job count,
+    // so a regrown shuffle/action on this path fails here even when
+    // wall-clock noise would hide it.
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_store7").toString
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_work7").toString
+    CdcStreams.commitWithFeed(docGraph(baseDocs), store)
+    val v1 = baseDocs :+ (9L -> "the quick brown fox jumps over the lazy dog near the river side")
+    CdcStreams.commitWithFeed(docGraph(v1), store,
+      prevGraph = Some(docGraph(baseDocs)))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      CdcStreams.incrementalNearDupRun(spark, store, work)
+      Thread.sleep(100)
+      assert(jobs.get <= 12,
+        s"2-epoch small-delta drain ran ${jobs.get} jobs (budget 12)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the answer is still right
+    assertSame(CdcStreams.nearDupPairs(spark, work), batchPairs(v1))
+  }
+
   test("pre-epoch-versioned state dirs are refused loudly, not silently mixed") {
     val store = java.nio.file.Files.createTempDirectory("graft_cdc_store5").toString
     val work = java.nio.file.Files.createTempDirectory("graft_cdc_work5").toString
