@@ -267,57 +267,68 @@ object Algos {
   val isDagConfirmCap: Int = 8192
 
   def isDag(spark: SparkSession, g: PropertyGraph, maxIters: Int = 20): Boolean = {
+    val maxE = LocalGraph.maxEdges(spark)
+    // Broadcast-sized fast path: probe-and-collect in one job per frame
+    // (LocalGraph.collectIfAtMost), then EVERYTHING — self-loop screen,
+    // iterative Tarjan, multi-node-component check — runs on the driver with
+    // zero further Spark jobs. Two jobs total, down from six (self-loop
+    // count, two atMost probes, two collects, one parallelize+shuffle to
+    // re-aggregate the already-local component labels).
+    LocalGraph.collectIfAtMost(g.edges.select(col("src"), col("dst")), maxE) match {
+      case Some(eRows) =>
+        val eArr = eRows.map(r => (r.getLong(0), r.getLong(1)))
+        if (eArr.exists(e => e._1 == e._2)) return false
+        LocalGraph.collectIfAtMost(g.nodes.select(col("id")).distinct(), maxE) match {
+          case Some(nRows) =>
+            val nArr = nRows.map(_.getLong(0))
+            // broadcast-sized: iterative Tarjan is EXACT — singleton SCCs
+            // really do prove acyclicity here
+            val comp = LocalGraph.sccLocal(nArr, eArr)
+            val sizes = new java.util.HashMap[Long, Int]()
+            var multi = false
+            nArr.foreach { id =>
+              val c = comp.getOrDefault(id, id)
+              val n = sizes.merge(c, 1, (a, b) => a + b)
+              if (n > 1) multi = true
+            }
+            return !multi
+          case None => () // node set over threshold: fall through
+        }
+      case None => () // edge set over threshold: fall through
+    }
     if (g.edges.filter(col("src") === col("dst")).limit(1).count() > 0) return false
-    val edges = g.edges.select(col("src"), col("dst")).persist()
-    val nodes = g.nodes.select(col("id")).distinct().persist()
-    try {
-      val maxE = LocalGraph.maxEdges(spark)
-      if (LocalGraph.atMost(edges, maxE) && LocalGraph.atMost(nodes, maxE)) {
-        // broadcast-sized: iterative Tarjan is EXACT — singleton SCCs
-        // really do prove acyclicity here
-        val eArr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val nArr = nodes.collect().map(_.getLong(0))
-        LocalGraph.scc(spark, nArr, eArr)
-          .groupBy("component").agg(count(lit(1)).as("n"))
-          .filter(col("n") > 1).limit(1).count() == 0
-      } else {
-        // At scale, GraphX SCC is iteration-BOUNDED with no convergence
-        // signal: an under-merged run labels a cycle's members as
-        // singletons, so "no multi-node component" alone could answer
-        // true on a cyclic graph. Use it only as the cheap cycle SCREEN
-        // (a multi-node component is definitive), then CONFIRM the DAG
-        // claim exactly: longest-path grading converges iff no reachable
-        // cycle — topoLevels(checkConvergence = true) throws rather than
-        // guesses when the bound can't separate a deep DAG from a cycle.
-        val screened = toGraphX(g).stronglyConnectedComponents(maxIters)
-          .vertices.map { case (id, c) => (id, c) }
-        val multi = {
-          import spark.implicits._
-          screened.toDF("id", "component")
-            .groupBy("component").agg(count(lit(1)).as("n"))
-            .filter(col("n") > 1).limit(1).count() > 0
-        }
-        if (multi) false
-        else {
-          // Confirm bound from a graph-size hint: a DAG with n nodes grades
-          // in < n rounds, so a bound ≥ n makes non-convergence an exact
-          // cycle proof (return false), not a guess. Past the cap the throw
-          // inside topoLevels stands — documented in the scaladoc above.
-          val n = nodes.count()
-          val bound = math.max(math.max(maxIters.toLong, 256L),
-            math.min(n, isDagConfirmCap.toLong)).toInt
-          try {
-            topoLevels(g, maxIters = bound, checkConvergence = true)
-            true
-          } catch {
-            case _: IllegalStateException if bound >= n =>
-              false // pigeonhole: no DAG on n nodes needs ≥ n rounds
-          }
-        }
+    // At scale, GraphX SCC is iteration-BOUNDED with no convergence
+    // signal: an under-merged run labels a cycle's members as
+    // singletons, so "no multi-node component" alone could answer
+    // true on a cyclic graph. Use it only as the cheap cycle SCREEN
+    // (a multi-node component is definitive), then CONFIRM the DAG
+    // claim exactly: longest-path grading converges iff no reachable
+    // cycle — topoLevels(checkConvergence = true) throws rather than
+    // guesses when the bound can't separate a deep DAG from a cycle.
+    val screened = toGraphX(g).stronglyConnectedComponents(maxIters)
+      .vertices.map { case (id, c) => (id, c) }
+    val multi = {
+      import spark.implicits._
+      screened.toDF("id", "component")
+        .groupBy("component").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count() > 0
+    }
+    if (multi) false
+    else {
+      // Confirm bound from a graph-size hint: a DAG with n nodes grades
+      // in < n rounds, so a bound ≥ n makes non-convergence an exact
+      // cycle proof (return false), not a guess. Past the cap the throw
+      // inside topoLevels stands — documented in the scaladoc above.
+      val n = g.nodes.select(col("id")).distinct().count()
+      val bound = math.max(math.max(maxIters.toLong, 256L),
+        math.min(n, isDagConfirmCap.toLong)).toInt
+      try {
+        topoLevels(g, maxIters = bound, checkConvergence = true)
+        true
+      } catch {
+        case _: IllegalStateException if bound >= n =>
+          false // pigeonhole: no DAG on n nodes needs ≥ n rounds
       }
-    } finally {
-      edges.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
     }
   }
 

@@ -33,6 +33,19 @@ object LocalGraph {
   def atMost(df: DataFrame, n: Long): Boolean =
     df.limit(math.min(n + 1, Int.MaxValue).toInt).count() <= n
 
+  /** Probe and fetch in ONE job: `Some(rows)` when `df` has at most `n` rows,
+    * `None` otherwise. The adaptive algorithms' `atMost(df) + df.collect()`
+    * pair costs two scheduler round-trips for frames that are about to be
+    * collected anyway; this halves the fixed job floor on the broadcast-sized
+    * branch. The over-limit case pulls up to n+1 rows to the driver before
+    * discarding them — acceptable because `n` is the broadcast threshold
+    * (≤500k keys ≈ a few MB), the same bound the success path collects.
+    */
+  def collectIfAtMost(df: DataFrame, n: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    val rows = df.limit(math.min(n + 1, Int.MaxValue).toInt).collect()
+    if (rows.length <= n) Some(rows) else None
+  }
+
   /** Broadcast adjacency from a 2-column (src, dst) frame. Bounded by the
     * caller's `atMost` guard.
     */
@@ -387,6 +400,18 @@ object LocalGraph {
   def scc(spark: SparkSession, nodeIds: Array[Long],
       edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
+    val comp = sccLocal(nodeIds, edges)
+    nodeIds.map(id => (id, comp.getOrDefault(id, id))).toSeq.toDF("id", "component")
+  }
+
+  /** The driver-side half of [[scc]]: node → component (smallest member id),
+    * no Spark job at all. Callers that only need a driver-side predicate of
+    * the components (e.g. `isDag`'s "any multi-node component?") use this
+    * directly instead of paying a parallelize + shuffle to re-aggregate data
+    * that was already local.
+    */
+  def sccLocal(nodeIds: Array[Long],
+      edges: Array[(Long, Long)]): java.util.HashMap[Long, Long] = {
     val adj = new java.util.HashMap[Long, ArrayBuffer[Long]]()
     edges.foreach { case (s, d) => adj.computeIfAbsent(s, _ => new ArrayBuffer[Long]()) += d }
     val index = new java.util.HashMap[Long, Int]()
@@ -444,6 +469,6 @@ object LocalGraph {
         }
       }
     }
-    nodeIds.map(id => (id, comp.getOrDefault(id, id))).toSeq.toDF("id", "component")
+    comp
   }
 }

@@ -92,6 +92,27 @@ object RecallCheck {
     recallC("ivf nlist=8 nprobe=3",
       pairs(Ivf.topK(m2, queries, "vec_id", "embedding",
         corpus2, "vec_id", "embedding", k, nprobe = 3)))
+
+    // Auto-tune standing on the REAL corpus shape (not the clustered toy the
+    // suite pins): start from the documented footgun config and let
+    // autoTuneLsh walk the measured curve — the row RECALL.txt publishes is
+    // the history plus the best config's recall, proving the walk behaves on
+    // data whose distances concentrate (reference analog: the ef-tuning
+    // table, performance.md:124-131).
+    {
+      import graft.frontends.gql.{GqlFrontend, GqlCreateVectorIndex, VectorIndexes}
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      val stmt = GqlFrontend.parseStatement(
+        "CREATE VECTOR INDEX recall_tuned ON Doc(embedding) USING LSH " +
+          "OPTIONS(bits 16, tables 1)").asInstanceOf[GqlCreateVectorIndex]
+      val (idx, best, hist) = VectorIndexes.autoTuneLsh(stmt, corpus, "id",
+        floor = 0.9, maxSteps = 3)
+      val walk = hist.map { case (b, t, r) => f"($b,$t)->$r%.2f" }.mkString(" ")
+      println(f"[recall] lsh auto-tune walk: $walk%s")
+      println(f"[recall] lsh auto-tuned bits=${idx.options("bits")}%d " +
+        f"tables=${idx.options("tables")}%d recall@$k = $best%.4f (uniform)")
+      idx.buckets.unpersist()
+    }
     spark.stop()
   }
 }

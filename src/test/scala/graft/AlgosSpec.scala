@@ -71,6 +71,30 @@ class AlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("isDag broadcast-sized fast path stays within its 2-job budget") {
+    // r18: the local branch probes-and-collects edges then nodes in one
+    // CollectLimit job each (LocalGraph.collectIfAtMost); the self-loop
+    // screen, Tarjan, and the multi-node-component check all run on the
+    // driver. This census is the regression guard — a reintroduced count,
+    // separate atMost probe, or parallelize+shuffle re-aggregation of the
+    // already-local component labels fails here load-invariantly.
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    g.edges.count(); g.nodes.count() // warm fixture outside the census
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(graft.algos.Algos.isDag(spark, g))
+      Thread.sleep(100)
+      assert(jobs.get <= 2,
+        s"local isDag ran ${jobs.get} jobs, budget 2 - an action regrew")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("dfsPreorder visits ascending neighbors depth-first") {
     //     1 → {2, 5}; 2 → {3, 4}; 5 → {6}
     val g = mkGraph(Seq((1L, 5L), (1L, 2L), (2L, 4L), (2L, 3L), (5L, 6L)))
