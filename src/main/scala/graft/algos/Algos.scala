@@ -49,9 +49,13 @@ object Algos {
     // job with the identical synchronous recursion (LocalGraph.pageRank);
     // the per-iteration join loop below is the at-scale path.
     val maxE = LocalGraph.maxEdges(spark)
-    if (LocalGraph.atMost(edges0, maxE) && LocalGraph.atMost(nodes, maxE)) {
-      val nArr = nodes.collect().map(_.getLong(0))
-      val eArr = edges0.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // probe-and-collect in one job per frame (collectIfAtMost): the former
+    // atMost + collect pair cost two scheduler round-trips per frame
+    val eOpt = LocalGraph.collectIfAtMost(edges0, maxE)
+    val nOpt = if (eOpt.isDefined) LocalGraph.collectIfAtMost(nodes, maxE) else None
+    if (eOpt.isDefined && nOpt.isDefined) {
+      val nArr = nOpt.get.map(_.getLong(0))
+      val eArr = eOpt.get.map(r => (r.getLong(0), r.getLong(1)))
       Seq(nodes, edges0).foreach(_.unpersist(blocking = false))
       return LocalGraph.pageRank(spark, nArr, eArr, iters, damping)
     }
@@ -120,10 +124,12 @@ object Algos {
     // Adaptive strategy (same gate as pageRankDF): a broadcast-sized graph
     // runs every iteration in one job with the identical integer recursion.
     val maxE = LocalGraph.maxEdges(spark)
-    if (LocalGraph.atMost(adj, maxE) && LocalGraph.atMost(nodes, maxE)) {
+    val aOpt = LocalGraph.collectIfAtMost(adj, maxE)
+    val nOpt = if (aOpt.isDefined) LocalGraph.collectIfAtMost(nodes, maxE) else None
+    if (aOpt.isDefined && nOpt.isDefined) {
       import spark.implicits._
-      val nArr = nodes.collect().map(_.getLong(0))
-      val aArr = adj.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nArr = nOpt.get.map(_.getLong(0))
+      val aArr = aOpt.get.map(r => (r.getLong(0), r.getLong(1)))
       Seq(nodes, adj).foreach(_.unpersist(blocking = false))
       val dmax = aArr.groupBy(_._1).valuesIterator
         .foldLeft(0L)((m, g) => math.max(m, g.size.toLong))
@@ -347,9 +353,11 @@ object Algos {
     // with the identical most-frequent/lowest-label update (LocalGraph).
     val nodes0 = g.nodes.select(col("id")).persist()
     val maxE = LocalGraph.maxEdges(spark)
-    if (LocalGraph.atMost(und, maxE) && LocalGraph.atMost(nodes0, maxE)) {
-      val nArr = nodes0.collect().map(_.getLong(0))
-      val eArr = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val uOpt = LocalGraph.collectIfAtMost(und, maxE)
+    val n0Opt = if (uOpt.isDefined) LocalGraph.collectIfAtMost(nodes0, maxE) else None
+    if (uOpt.isDefined && n0Opt.isDefined) {
+      val nArr = n0Opt.get.map(_.getLong(0))
+      val eArr = uOpt.get.map(r => (r.getLong(0), r.getLong(1)))
       Seq(und, nodes0).foreach(_.unpersist(blocking = false))
       return LocalGraph.labelPropagation(spark, nArr, eArr, iters)
     }
@@ -385,10 +393,12 @@ object Algos {
     // bit-identical to the Pregel supersteps.
     val we = g.edges.select(col("src"), col("dst"),
       coalesce(col("weight"), lit(1.0)).cast("double").as("w")).persist()
-    if (LocalGraph.atMost(we, LocalGraph.maxEdges(spark))) {
-      val eArr = we.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      we.unpersist(blocking = false)
-      return LocalGraph.sssp(spark, eArr, source, maxHops)
+    LocalGraph.collectIfAtMost(we, LocalGraph.maxEdges(spark)) match {
+      case Some(eRows) =>
+        val eArr = eRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        we.unpersist(blocking = false)
+        return LocalGraph.sssp(spark, eArr, source, maxHops)
+      case None => ()
     }
     we.unpersist(blocking = false)
     val graph = toGraphX(g).mapVertices((id, _) =>
@@ -433,9 +443,11 @@ object Algos {
     val nodes = g.nodes.select(col("id")).distinct().persist()
     try {
       val maxE = LocalGraph.maxEdges(spark)
-      if (LocalGraph.atMost(edges, maxE) && LocalGraph.atMost(nodes, maxE)) {
-        val eArr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val nArr = nodes.collect().map(_.getLong(0))
+      val eOpt = LocalGraph.collectIfAtMost(edges, maxE)
+      val nOpt = if (eOpt.isDefined) LocalGraph.collectIfAtMost(nodes, maxE) else None
+      if (eOpt.isDefined && nOpt.isDefined) {
+        val eArr = eOpt.get.map(r => (r.getLong(0), r.getLong(1)))
+        val nArr = nOpt.get.map(_.getLong(0))
         LocalGraph.scc(spark, nArr, eArr)
       } else
         toGraphX(g).stronglyConnectedComponents(maxIters)
@@ -466,9 +478,11 @@ object Algos {
     // the propagation loop below is the at-scale path.
     val spark = g.nodes.sparkSession
     val maxE = LocalGraph.maxEdges(spark)
-    if (LocalGraph.atMost(edges, maxE) && LocalGraph.atMost(nodes, maxE)) {
-      val eArr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val nArr = nodes.collect().map(_.getLong(0))
+    val eOpt = LocalGraph.collectIfAtMost(edges, maxE)
+    val nOpt = if (eOpt.isDefined) LocalGraph.collectIfAtMost(nodes, maxE) else None
+    if (eOpt.isDefined && nOpt.isDefined) {
+      val eArr = eOpt.get.map(r => (r.getLong(0), r.getLong(1)))
+      val nArr = nOpt.get.map(_.getLong(0))
       edges.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
       return LocalGraph.topoLevels(spark, nArr, eArr, maxIters, checkConvergence)

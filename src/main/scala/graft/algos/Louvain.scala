@@ -27,10 +27,13 @@ object Louvain {
     // with the identical gain/tie-break rule (LocalGraph.louvain) — exact
     // parity on integer-weight graphs, where all sums are exact in doubles.
     val spark = g.edges.sparkSession
-    if (graft.graph.LocalGraph.atMost(und, graft.graph.LocalGraph.maxEdges(spark))) {
-      val eArr = und.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      und.unpersist(blocking = false)
-      return graft.graph.LocalGraph.louvain(spark, eArr, maxIters)
+    graft.graph.LocalGraph.collectIfAtMost(und,
+        graft.graph.LocalGraph.maxEdges(spark)) match {
+      case Some(eRows) =>
+        val eArr = eRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        und.unpersist(blocking = false)
+        return graft.graph.LocalGraph.louvain(spark, eArr, maxIters)
+      case None => ()
     }
     val degrees = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("k")).persist()
     val m2 = und.agg(sum(col("w"))).collect()(0).getDouble(0) // = 2m

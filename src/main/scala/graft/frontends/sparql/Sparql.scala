@@ -733,19 +733,21 @@ final class SparqlCompiler(graph: TripleGraph,
       // Adaptive strategy: a broadcast-sized base relation runs the whole
       // closure as one job (LocalGraph BFS per seed, seeds distributed);
       // the frontier loop below is the at-scale path.
-      if (LocalGraph.atMost(base, LocalGraph.maxEdges(spark))) {
-        val seedPairs = seed match {
-          case Some(v) => spark.range(1).select(lit(v).as("__ps"), lit(v).as("__po"))
-          case None => base.select(col("__ps")).distinct()
-            .select(col("__ps"), col("__ps").as("__po"))
-        }
-        val reached = LocalGraph.bfs(base, seedPairs, Int.MaxValue)
-          .select("__ps", "__po")
-        base.unpersist(blocking = false)
-        // `*` adds each origin's zero-length pair; a cycle can also reach
-        // (v,v) at depth >= 1, hence the dedup
-        return if (minZero) reached.unionByName(seedPairs).dropDuplicates("__ps", "__po")
-          else reached
+      LocalGraph.collectIfAtMost(base, LocalGraph.maxEdges(spark)) match {
+        case Some(bRows) =>
+          val seedPairs = seed match {
+            case Some(v) => spark.range(1).select(lit(v).as("__ps"), lit(v).as("__po"))
+            case None => base.select(col("__ps")).distinct()
+              .select(col("__ps"), col("__ps").as("__po"))
+          }
+          val reached = LocalGraph.bfs(bRows, seedPairs, Int.MaxValue)
+            .select("__ps", "__po")
+          base.unpersist(blocking = false)
+          // `*` adds each origin's zero-length pair; a cycle can also reach
+          // (v,v) at depth >= 1, hence the dedup
+          return if (minZero) reached.unionByName(seedPairs).dropDuplicates("__ps", "__po")
+            else reached
+        case None => ()
       }
       val seeds = seed match {
         case Some(v) => graph.triples.sparkSession.range(1)

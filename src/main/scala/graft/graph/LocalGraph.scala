@@ -46,12 +46,14 @@ object LocalGraph {
     if (rows.length <= n) Some(rows) else None
   }
 
-  /** Broadcast adjacency from a 2-column (src, dst) frame. Bounded by the
-    * caller's `atMost` guard.
+  /** Broadcast adjacency from pre-collected 2-column (src, dst) rows —
+    * callers fetch them via [[collectIfAtMost]], so the broadcast-size probe
+    * and the fetch share one job. Bounded by that guard.
     */
-  private def adjacency(edges: DataFrame): java.util.HashMap[Any, ArrayBuffer[Any]] = {
+  private def adjacency(edgeRows: Array[org.apache.spark.sql.Row])
+      : java.util.HashMap[Any, ArrayBuffer[Any]] = {
     val adj = new java.util.HashMap[Any, ArrayBuffer[Any]]()
-    edges.collect().foreach { r =>
+    edgeRows.foreach { r =>
       adj.computeIfAbsent(r.get(0), _ => new ArrayBuffer[Any]()) += r.get(1)
     }
     adj
@@ -64,9 +66,10 @@ object LocalGraph {
     * BFS is embarrassingly parallel across executors; only the adjacency is
     * centralized, and the caller guarantees it is broadcast-sized.
     */
-  def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
-    val spark = edges.sparkSession
-    val bc = spark.sparkContext.broadcast(adjacency(edges))
+  def bfs(edgeRows: Array[org.apache.spark.sql.Row], seeds: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val spark = seeds.sparkSession
+    val bc = spark.sparkContext.broadcast(adjacency(edgeRows))
     val schema = StructType(seeds.schema.fields :+ StructField("dist", IntegerType, nullable = false))
     val rows = seeds.rdd.mapPartitions { it =>
       val adj = bc.value
@@ -106,12 +109,12 @@ object LocalGraph {
     * `edges`: (src, dst) Long pairs; `seeds`: (origin, start) Long pairs.
     * Output: (origin, dst, dist, path) with dist >= 1.
     */
-  def bfsPaths(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
-      all: Boolean): DataFrame = {
-    val spark = edges.sparkSession
+  def bfsPaths(edgeRows: Array[org.apache.spark.sql.Row], seeds: DataFrame,
+      maxDepth: Int, all: Boolean): DataFrame = {
+    val spark = seeds.sparkSession
     import spark.implicits._
     val adj = new java.util.HashMap[Long, ArrayBuffer[Long]]()
-    edges.collect().foreach { r =>
+    edgeRows.foreach { r =>
       adj.computeIfAbsent(r.getLong(0), _ => new ArrayBuffer[Long]()) += r.getLong(1)
     }
     val bc = spark.sparkContext.broadcast(adj)
@@ -173,12 +176,12 @@ object LocalGraph {
     * `seeds`: (origin, start) Long pairs.
     * Output: (origin, dst, hops, path) with path the full node-id walk.
     */
-  def simplePaths(edges: DataFrame, seeds: DataFrame, minHops: Int,
-      cap: Int, edgeUnique: Boolean = false): DataFrame = {
-    val spark = edges.sparkSession
+  def simplePaths(edgeRows: Array[org.apache.spark.sql.Row], seeds: DataFrame,
+      minHops: Int, cap: Int, edgeUnique: Boolean = false): DataFrame = {
+    val spark = seeds.sparkSession
     import spark.implicits._
     val adj = new java.util.HashMap[Long, ArrayBuffer[(Long, Long)]]()
-    edges.collect().foreach { r =>
+    edgeRows.foreach { r =>
       val eid = if (edgeUnique) r.getLong(2) else 0L
       adj.computeIfAbsent(r.getLong(0), _ => new ArrayBuffer[(Long, Long)]()) +=
         ((r.getLong(1), eid))

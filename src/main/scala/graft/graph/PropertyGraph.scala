@@ -329,12 +329,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     // enumeration can legitimately run to `cap` hops on chain graphs, which
     // made the loop 50x slower than the work itself on small graphs. The
     // distributed loop below is the at-scale path.
-    if (LocalGraph.atMost(ep, LocalGraph.maxEdges(sources.sparkSession))) {
-      val seeds = sources.select(col(srcCol).cast("long").as("__origin"),
-        col(srcCol).cast("long").as("__start")).distinct()
-      val res = LocalGraph.simplePaths(ep, seeds, minHops, cap, edgeUnique)
-      ep.unpersist(blocking = false)
-      return res.select(col("origin").as(srcCol), col("dst"), col("hops"), col("path"))
+    LocalGraph.collectIfAtMost(ep, LocalGraph.maxEdges(sources.sparkSession)) match {
+      case Some(eRows) =>
+        val seeds = sources.select(col(srcCol).cast("long").as("__origin"),
+          col(srcCol).cast("long").as("__start")).distinct()
+        val res = LocalGraph.simplePaths(eRows, seeds, minHops, cap, edgeUnique)
+        ep.unpersist(blocking = false)
+        return res.select(col("origin").as(srcCol), col("dst"), col("hops"), col("path"))
+      case None => ()
     }
     val batch = 3
     var frontier = sources.select(
@@ -412,11 +414,13 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     // one job over a broadcast adjacency (LocalGraph) — a frontier loop pays
     // a scheduler round-trip per level, pure overhead at that size. The
     // distributed loop below is the at-scale path.
-    if (LocalGraph.atMost(ep, LocalGraph.maxEdges(sources.sparkSession))) {
-      val seeds = sources.select(col(srcCol).as("__origin"), col(srcCol).as("__node")).distinct()
-      val res = LocalGraph.bfs(ep, seeds, maxDepth)
-      ep.unpersist(blocking = false)
-      return res.select(col("__origin").as(srcCol), col("__node").as("dst"), col("dist"))
+    LocalGraph.collectIfAtMost(ep, LocalGraph.maxEdges(sources.sparkSession)) match {
+      case Some(eRows) =>
+        val seeds = sources.select(col(srcCol).as("__origin"), col(srcCol).as("__node")).distinct()
+        val res = LocalGraph.bfs(eRows, seeds, maxDepth)
+        ep.unpersist(blocking = false)
+        return res.select(col("__origin").as(srcCol), col("__node").as("dst"), col("dist"))
+      case None => ()
     }
     // Visited is a buffer of checkpointed per-batch frames (re-checkpointing
     // the whole set each round is O(depth × |closure|) write amplification);
@@ -484,13 +488,15 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   def bfsPaths(sources: DataFrame, srcCol: String, rels: Seq[String],
       maxDepth: Int, dir: Direction = Out, all: Boolean = false): DataFrame = {
     val ep = directedEdges(rels, dir).persist()
-    if (LocalGraph.atMost(ep, LocalGraph.maxEdges(sources.sparkSession))) {
-      val seeds = sources.select(col(srcCol).cast("long").as("__origin"),
-        col(srcCol).cast("long").as("__start")).distinct()
-      val res = LocalGraph.bfsPaths(ep, seeds, maxDepth, all)
-      ep.unpersist(blocking = false)
-      return res.select(col("origin").as(srcCol), col("dst"),
-        col("dist").as("hops"), col("path"))
+    LocalGraph.collectIfAtMost(ep, LocalGraph.maxEdges(sources.sparkSession)) match {
+      case Some(eRows) =>
+        val seeds = sources.select(col(srcCol).cast("long").as("__origin"),
+          col(srcCol).cast("long").as("__start")).distinct()
+        val res = LocalGraph.bfsPaths(eRows, seeds, maxDepth, all)
+        ep.unpersist(blocking = false)
+        return res.select(col("origin").as(srcCol), col("dst"),
+          col("dist").as("hops"), col("path"))
+      case None => ()
     }
     // Distributed loop, the `bfs` shape with a path column. Per level the
     // frontier joins the edge set and anti-joins the materialized visited
