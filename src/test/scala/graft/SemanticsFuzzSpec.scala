@@ -227,4 +227,121 @@ class SemanticsFuzzSpec extends AnyFunSuite {
       check(s"union#$i", q, SparqlFrontend.run(rdf, q), expected)
     }
   }
+
+  // ---------- Gremlin (r18: extend the differential instrument to the
+  // remaining front-ends — each has its own lexer/parser, so syntax-only
+  // round-trips leave the same "parses but means the wrong thing" gap the
+  // r16 Cypher/SPARQL lexer bugs lived in) ----------
+
+  // a has-step predicate over the CURRENT traverser rendered BOTH as
+  // Gremlin text and as a Column against the prefixed expected-side frame
+  private def genGremlinHas(rnd: scala.util.Random,
+      c: String => Column): (String, Column) = rnd.nextInt(7) match {
+    case 0 => val k = rnd.nextInt(7); (s".has('x', gt($k))", c("x") > k)
+    case 1 => val k = rnd.nextInt(7); (s".has('x', gte($k))", c("x") >= k)
+    case 2 => val k = rnd.nextInt(7); (s".has('x', lt($k))", c("x") < k)
+    case 3 => val k = rnd.nextInt(7); (s".has('x', lte($k))", c("x") <= k)
+    case 4 => val k = rnd.nextInt(7); (s".has('x', neq($k))", c("x") =!= k)
+    case 5 => val k = rnd.nextInt(5); (s".has('y', $k)", c("y") === k)
+    case _ => val k = "s" + rnd.nextInt(3); (s".has('s', '$k')", c("s") === k)
+  }
+
+  test("gremlin: hasLabel/has chains filter exactly, values projects") {
+    val rnd = new scala.util.Random(Seed + 8)
+    for (i <- 1 to CasesPerKind) {
+      val l = labelOf(rnd)
+      val (h1, p1) = genGremlinHas(rnd, k => col(s"a_$k"))
+      val (h2, p2) = genGremlinHas(rnd, k => col(s"a_$k"))
+      val q = s"g.V().hasLabel('$l')$h1$h2.values('x')"
+      val expected = nodesWith(l, "a").filter(p1 && p2).select(col("a_x"))
+      check(s"ghas#$i", q, session.gremlin(q), expected)
+    }
+  }
+
+  test("gremlin: out/in/both steps traverse with bag multiplicity") {
+    val rnd = new scala.util.Random(Seed + 9)
+    for (i <- 1 to CasesPerKind) {
+      val la = labelOf(rnd)
+      val t = if (rnd.nextBoolean()) "R" else "S"
+      val (h, p) = genGremlinHas(rnd, k => col(s"a_$k"))
+      val dir = rnd.nextInt(3)
+      val step = Seq("out", "in", "both")(dir)
+      val q = s"g.V().hasLabel('$la')$h.$step('$t').values('x')"
+      val src = nodesWith(la, "a").filter(p)
+      val et = g.edges.filter(col("rel") === t)
+      val fwd = et.select(col("src").as("from"), col("dst").as("to"))
+      val rev = et.select(col("dst").as("from"), col("src").as("to"))
+      val hops = dir match {
+        case 0 => fwd
+        case 1 => rev
+        case _ => fwd.unionByName(rev)
+      }
+      val expected = src.join(hops, col("a_id") === col("from"))
+        .join(g.nodes.select(col("id").as("to"), col("x")), Seq("to"))
+        .select(col("x"))
+      check(s"gstep#$i", q, session.gremlin(q), expected)
+    }
+  }
+
+  test("gremlin: groupCount and dedup mean groupBy-count and distinct") {
+    val rnd = new scala.util.Random(Seed + 10)
+    for (i <- 1 to CasesPerKind) {
+      val l = labelOf(rnd)
+      val (h, p) = genGremlinHas(rnd, k => col(s"a_$k"))
+      val base = nodesWith(l, "a").filter(p)
+      if (rnd.nextBoolean()) {
+        val q = s"g.V().hasLabel('$l')$h.groupCount().by('s')"
+        val expected = base.groupBy(col("a_s")).agg(count(lit(1)).as("count"))
+        check(s"ggrp#$i", q, session.gremlin(q), expected)
+      } else {
+        val q = s"g.V().hasLabel('$l')$h.values('y').dedup()"
+        val expected = base.select(col("a_y")).distinct()
+        check(s"gdedup#$i", q, session.gremlin(q), expected)
+      }
+    }
+  }
+
+  // ---------- GQL (shares the core grammar with Cypher but lexes and
+  // parses through its own front-end — the differential check covers that
+  // stack end-to-end with the same generators) ----------
+
+  test("gql: filtered scans and one-hop patterns mean what they say") {
+    val rnd = new scala.util.Random(Seed + 11)
+    for (i <- 1 to CasesPerKind) {
+      if (rnd.nextBoolean()) {
+        val l = labelOf(rnd)
+        val p = genPred(rnd, "a", k => col(s"a_$k"))
+        val q = s"MATCH (a:$l) WHERE ${p.cy} RETURN a.x AS x, a.s AS s"
+        val expected = nodesWith(l, "a").filter(p.col)
+          .select(col("a_x").as("x"), col("a_s").as("s"))
+        check(s"gqlscan#$i", q, session.gql(q), expected)
+      } else {
+        val (la, lb) = (labelOf(rnd), labelOf(rnd))
+        val t = if (rnd.nextBoolean()) "R" else "S"
+        val pa = genPred(rnd, "a", k => col(s"a_$k"), 1)
+        val q = s"MATCH (a:$la)-[r:$t]->(b:$lb) WHERE ${pa.cy} " +
+          "RETURN a.x AS ax, b.y AS by2, r.w AS w"
+        val expected = g.edges.filter(col("rel") === t)
+          .join(nodesWith(la, "a"), col("src") === col("a_id"))
+          .join(nodesWith(lb, "b"), col("dst") === col("b_id"))
+          .filter(pa.col)
+          .select(col("a_x").as("ax"), col("b_y").as("by2"), col("w"))
+        check(s"gqlhop#$i", q, session.gql(q), expected)
+      }
+    }
+  }
+
+  test("gql: grouped aggregates match direct groupBy") {
+    val rnd = new scala.util.Random(Seed + 12)
+    for (i <- 1 to CasesPerKind) {
+      val l = labelOf(rnd)
+      val p = genPred(rnd, "a", k => col(s"a_$k"), 1)
+      val q = s"MATCH (a:$l) WHERE ${p.cy} RETURN a.s AS grp, " +
+        "count(*) AS n, sum(a.x) AS t, avg(a.y) AS m"
+      val expected = nodesWith(l, "a").filter(p.col)
+        .groupBy(col("a_s").as("grp"))
+        .agg(count(lit(1)).as("n"), sum("a_x").as("t"), avg("a_y").as("m"))
+      check(s"gqlagg#$i", q, session.gql(q), expected)
+    }
+  }
 }
