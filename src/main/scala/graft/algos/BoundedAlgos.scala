@@ -20,18 +20,16 @@ object BoundedAlgos {
 
   private def collectSubgraph(g: PropertyGraph, nodeFilter: org.apache.spark.sql.Column,
       maxNodes: Int): (Array[Long], Array[(Long, Long, Double)]) = {
-    // persisted: the filtered node frame is consumed by the count, the
-    // collect, AND (as the semi-join side) twice below — on a computed/
-    // join-derived node frame that is four full evaluations without it
-    val nodes = g.nodes.filter(nodeFilter).select(col("id")).persist()
-    val n = nodes.count()
-    if (n > maxNodes) {
-      nodes.unpersist(blocking = false)
+    // probe-and-collect in ONE CollectLimit job (r18, same fusion as
+    // LocalGraph.collectIfAtMost): the former count + collect pair cost two
+    // scheduler round-trips, and the semi-join sides below broadcast the
+    // ALREADY-COLLECTED ids, so nothing else evaluates the filtered frame
+    val probe = g.nodes.filter(nodeFilter).select(col("id"))
+      .limit(math.min(maxNodes.toLong + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length > maxNodes)
       throw new IllegalArgumentException(
-        s"induced subgraph has $n nodes > bound $maxNodes — refusing driver-side run")
-    }
-    val ids = nodes.collect().map(_.getLong(0))
-    nodes.unpersist(blocking = false)
+        s"induced subgraph has > $maxNodes nodes — refusing driver-side run")
+    val ids = probe.map(_.getLong(0))
     // induce edges DISTRIBUTIVELY before collecting: semi-join both endpoints
     // against the bounded node set (broadcast from the ALREADY-COLLECTED
     // ids — a LocalRelation, zero further evaluations of the filter);
