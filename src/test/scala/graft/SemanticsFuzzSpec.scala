@@ -331,6 +331,46 @@ class SemanticsFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // ---------- GraphQL (5th front-end: root field = label scan, arguments
+  // = equality filters, nested fields = inner out-expands along the rel
+  // type the field names, flattened prefixed columns) ----------
+
+  test("graphql: argument filters and nested expansions mean scan-filter-join") {
+    val rnd = new scala.util.Random(Seed + 13)
+    for (i <- 1 to CasesPerKind) {
+      val l = labelOf(rnd)
+      rnd.nextInt(3) match {
+        case 0 => // scalar selections with typed equality arguments
+          val y = rnd.nextInt(5)
+          val sv = "s" + rnd.nextInt(3)
+          val q = s"""{ $l(y: $y, s: "$sv") { x s } }"""
+          val expected = nodesWith(l, "a")
+            .filter(col("a_y") === y && col("a_s") === sv)
+            .select(col("a_x"), col("a_s"))
+          check(s"gqlql#$i", q, session.graphql(q), expected)
+        case 1 => // nested expansion: one row per out-edge of the named type
+          val t = if (rnd.nextBoolean()) "R" else "S"
+          val y = rnd.nextInt(5)
+          val q = s"{ $l(y: $y) { x $t { s } } }"
+          val expected = nodesWith(l, "a").filter(col("a_y") === y)
+            .join(g.edges.filter(col("rel") === t), col("a_id") === col("src"))
+            .join(g.nodes.select(col("id").as("dst"), col("s")), Seq("dst"))
+            .select(col("a_x"), col("s"))
+          check(s"gqlql#$i", q, session.graphql(q), expected)
+        case _ => // argument on the NESTED field filters the target node
+          val t = if (rnd.nextBoolean()) "R" else "S"
+          val y = rnd.nextInt(5)
+          val q = s"{ $l { x $t(y: $y) { s } } }"
+          val expected = nodesWith(l, "a")
+            .join(g.edges.filter(col("rel") === t), col("a_id") === col("src"))
+            .join(g.nodes.select(col("id").as("dst"), col("y"), col("s")), Seq("dst"))
+            .filter(col("y") === y)
+            .select(col("a_x"), col("s"))
+          check(s"gqlql#$i", q, session.graphql(q), expected)
+      }
+    }
+  }
+
   test("gql: grouped aggregates match direct groupBy") {
     val rnd = new scala.util.Random(Seed + 12)
     for (i <- 1 to CasesPerKind) {
