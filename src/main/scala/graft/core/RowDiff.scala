@@ -85,7 +85,79 @@ object RowDiff {
     * changed in either direction between `a` and `b`.
     */
   def changedKeys(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
-    antiRows(b, a).select(keys.map(col): _*)
-      .unionByName(antiRows(a, b).select(keys.map(col): _*))
-      .distinct()
+    diffTagged(a, b, bagExact = false).select(keys.map(col): _*).distinct()
+
+  /** BOTH diff directions in ONE shuffle: the add rows are exactly
+    * `antiRows(b, a)` (every copy, bag-exact) and the remove rows exactly
+    * `antiRows(a, b)`, tagged in a `chg` column ("add" | "remove", first
+    * column). Every two-directional consumer (epoch delta commits, change
+    * data feeds, OCC write sets) previously paid two whole-row anti-joins —
+    * four side-exchanges plus two joins; this is one tagged union, one
+    * grouped count per canonical row, and a copy re-expansion:
+    *
+    *   union(a tagged (1,0), b tagged (0,1))
+    *     groupBy canonical row → (nA, nB)
+    *     nA = 0 → "add" × nB copies;  nB = 0 → "remove" × nA copies
+    *
+    * (a group with both sides present is an unchanged row — the anti-joins
+    * emit nothing for it either, regardless of copy counts, because every
+    * copy has a match.) Grouping keys are the same canonical encodings the
+    * anti-join condition uses (maps via key-sorted JSON), and group-key null
+    * handling matches `<=>`: null keys group together. Map columns ride
+    * along as payload (any copy within a group carries a logically equal
+    * map). Provably-empty sides short-circuit WITHOUT a shuffle — and keep
+    * the analyzer's maxRows=0 proof when both sides are empty, which the
+    * zero-job empty-side save (GraphIO.save) relies on.
+    *
+    * Falls back to the two anti-joins when a shared column's TYPE differs
+    * between the sides — those outputs cannot union into one frame anyway.
+    */
+  def diffTagged(a: DataFrame, b: DataFrame, chgCol: String = "chg",
+      addLabel: String = "add", removeLabel: String = "remove",
+      bagExact: Boolean = true): DataFrame = {
+    def tagAll(d: DataFrame, lbl: String): DataFrame =
+      d.select(lit(lbl).as(chgCol) +: d.columns.map(col): _*)
+    def viaAnti(): DataFrame = {
+      val adds = antiRows(b, a)
+      tagAll(adds, addLabel).unionByName(tagAll(antiRows(a, b), removeLabel))
+    }
+    val aEmpty = a.queryExecution.analyzed.maxRows.contains(0L)
+    val bEmpty = b.queryExecution.analyzed.maxRows.contains(0L)
+    val (l, r) = align(a, b)
+    if (aEmpty || bEmpty) {
+      // nothing to compare against: the non-empty side IS the diff (and two
+      // empty sides stay a provably-empty frame — no job is ever scheduled)
+      return tagAll(if (aEmpty) r else l.limit(0), addLabel)
+        .unionByName(tagAll(if (bEmpty) l else r.limit(0), removeLabel))
+    }
+    val lT = l.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rT = r.schema.fields.map(f => f.name -> f.dataType).toMap
+    if (l.columns.exists(c => lT(c) != rT(c))) return viaAnti()
+    val cols = l.columns.toSeq
+    val isMap = cols.map(c => c -> lT(c).isInstanceOf[MapType]).toMap
+    def prep(d: DataFrame, na: Long, nb: Long) = d.select(
+      cols.map(c => canonExpr(col(c), lT(c)).as(s"__dk_$c")) ++
+        cols.filter(isMap).map(c => col(c).as(s"__dm_$c")) ++
+        Seq(lit(na).as("__diffa__"), lit(nb).as("__diffb__")): _*)
+    val aggs =
+      Seq(sum("__diffa__").as("__diffa__"), sum("__diffb__").as("__diffb__")) ++
+        cols.filter(isMap).map(c => first(col(s"__dm_$c")).as(s"__dm_$c"))
+    val changed = prep(l, 1L, 0L).unionByName(prep(r, 0L, 1L))
+      .groupBy(cols.map(c => col(s"__dk_$c")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("__diffa__") === 0 || col("__diffb__") === 0)
+      .select(
+        when(col("__diffa__") === 0, lit(addLabel)).otherwise(lit(removeLabel))
+          .as(chgCol) +:
+        greatest(col("__diffa__"), col("__diffb__")).cast("int").as("__diffn__") +:
+        cols.map(c => col(if (isMap(c)) s"__dm_$c" else s"__dk_$c").as(c)): _*)
+    // bagExact = antiRows parity (every input copy re-emitted); set mode
+    // (bagExact = false) emits one row per distinct changed row — what a
+    // downstream `.distinct()` would produce, minus its exchange
+    (if (bagExact)
+      changed.withColumn("__diffr__",
+          explode(array_repeat(lit(true), col("__diffn__"))))
+        .drop("__diffr__")
+    else changed).drop("__diffn__")
+  }
 }

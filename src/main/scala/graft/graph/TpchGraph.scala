@@ -39,6 +39,13 @@ object TpchGraph {
 
   private def partitioned(g: PropertyGraph): PropertyGraph = {
     val p = g.nodes.sparkSession.sparkContext.defaultParallelism
+    // NOT clustered by rel inside partitions: a sortWithinPartitions("rel")
+    // before the persist (to let InMemoryTableScan batch-prune the `rel = X`
+    // filter every hop opens with) was measured r18 with a same-JVM A/B
+    // (tools/ProfileRelCluster) — steady-state scan and 1-hop times were
+    // 0.87-1.18x, i.e. noise: at this cache size the scans are job-floor-
+    // bound, not decompression-bound, so the extra build-time sort buys
+    // nothing the bench can see.
     PropertyGraph(
       g.nodes.repartition(p, col("id")).persist(),
       g.edges.repartition(p, col("src")).persist())

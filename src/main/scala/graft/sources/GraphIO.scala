@@ -475,15 +475,26 @@ object GraphIO {
     def commitGraphDelta(spark: SparkSession, path: String,
         nodeAdds: DataFrame, nodeRemoves: DataFrame,
         edgeAdds: DataFrame, edgeRemoves: DataFrame): Long = {
-      require(list(spark, path).nonEmpty,
-        s"delta epoch needs a base epoch at $path")
       def tag(add: DataFrame, remove: DataFrame): DataFrame =
         add.select(lit("add").as("chg") +: add.columns.map(col): _*)
           .unionByName(remove.select(
             lit("remove").as("chg") +: remove.columns.map(col): _*))
+      commitGraphDeltaTagged(spark, path,
+        tag(nodeAdds, nodeRemoves), tag(edgeAdds, edgeRemoves))
+    }
+
+    /** [[commitGraphDelta]] taking each side already in the stored tagged
+      * layout (`chg` first column) — the [[commitIncremental]] path hands
+      * over [[graft.core.RowDiff.diffTagged]] output directly, so each
+      * side's diff is ONE grouped pass instead of two anti-joins.
+      */
+    def commitGraphDeltaTagged(spark: SparkSession, path: String,
+        nodeDelta: DataFrame, edgeDelta: DataFrame): Long = {
+      require(list(spark, path).nonEmpty,
+        s"delta epoch needs a base epoch at $path")
       claimAndPublish(spark, path) { dir =>
-        val nd = tag(nodeAdds, nodeRemoves)
-        val ed = tag(edgeAdds, edgeRemoves)
+        val nd = nodeDelta
+        val ed = edgeDelta
         // node and edge delta writes are independent jobs — run them
         // concurrently (the diffs are each a pair of anti-joins; serial
         // execution just stacks their fixed job latencies)
@@ -526,12 +537,12 @@ object GraphIO {
         // RowDiff: null-safe whole-row diffs that tolerate map-typed props
         // columns and schema evolution between epochs (both sides are
         // aligned to the union of columns, so the delta parquet carries
-        // the evolved schema and replay stays consistent)
-        commitGraphDelta(spark, path,
-          nodeAdds = graft.core.RowDiff.antiRows(g.nodes, prev.nodes),
-          nodeRemoves = graft.core.RowDiff.antiRows(prev.nodes, g.nodes),
-          edgeAdds = graft.core.RowDiff.antiRows(g.edges, prev.edges),
-          edgeRemoves = graft.core.RowDiff.antiRows(prev.edges, g.edges))
+        // the evolved schema and replay stays consistent). diffTagged
+        // computes BOTH directions of each side in one grouped pass —
+        // half the exchanges of the former per-direction anti-join pairs.
+        commitGraphDeltaTagged(spark, path,
+          nodeDelta = graft.core.RowDiff.diffTagged(prev.nodes, g.nodes),
+          edgeDelta = graft.core.RowDiff.diffTagged(prev.edges, g.edges))
       }
     }
 
@@ -585,13 +596,8 @@ object GraphIO {
 
     /** add|remove-tagged change rows a → b via [[graft.core.RowDiff]]
       * (map-props-safe, schema-evolution-safe, null-safe) */
-    private def cdf(a: DataFrame, b: DataFrame): DataFrame = {
-      val adds = graft.core.RowDiff.antiRows(b, a).withColumn("change", lit("add"))
-      val k = adds.columns.filterNot(_ == "change").toSeq
-      adds.unionByName(
-          graft.core.RowDiff.antiRows(a, b).withColumn("change", lit("remove")))
-        .select(col("change") +: k.map(col): _*)
-    }
+    private def cdf(a: DataFrame, b: DataFrame): DataFrame =
+      graft.core.RowDiff.diffTagged(a, b, chgCol = "change")
 
     /** Epoch-commit an RDF triple store — Delta-style time travel for the
       * SPARQL side: each LOAD/Modify result lands as an immutable epoch,
@@ -621,20 +627,32 @@ object GraphIO {
         adds: DataFrame, removes: DataFrame): Long = {
       require(list(spark, path).nonEmpty,
         s"delta epoch needs a base epoch at $path")
+      // single write action: both change sets land in one pass over the
+      // store (two separate writes would evaluate the diff twice). ONE
+      // distinct over the tagged union — a duplicated add row would
+      // double-apply on replay, and deduping here (chg in the key, so
+      // sides can't collapse into each other) costs one exchange instead
+      // of one per side, letting producers hand over bag-semantics
+      // deltas (e.g. TripleGraph.modifyWithDelta) without their own
+      // distinct.
+      commitTriplesDeltaTagged(spark, path,
+        adds.select(lit("add").as("chg"), col("s"), col("p"), col("o"))
+          .unionByName(removes.select(
+            lit("remove").as("chg"), col("s"), col("p"), col("o")))
+          .distinct())
+    }
+
+    /** [[commitTriplesDelta]] taking the delta already tagged AND already
+      * distinct per (chg, s, p, o) — [[commitTriplesIncremental]]'s grouped
+      * diff is distinct by construction, so routing it here skips the
+      * tagged union's distinct exchange.
+      */
+    private def commitTriplesDeltaTagged(spark: SparkSession, path: String,
+        delta: DataFrame): Long = {
+      require(list(spark, path).nonEmpty,
+        s"delta epoch needs a base epoch at $path")
       claimAndPublish(spark, path) { dir =>
-        // single write action: both change sets land in one pass over the
-        // store (two separate writes would evaluate the diff twice). ONE
-        // distinct over the tagged union — a duplicated add row would
-        // double-apply on replay, and deduping here (chg in the key, so
-        // sides can't collapse into each other) costs one exchange instead
-        // of one per side, letting producers hand over bag-semantics
-        // deltas (e.g. TripleGraph.modifyWithDelta) without their own
-        // distinct.
-        shrinkForWrite(
-          adds.select(lit("add").as("chg"), col("s"), col("p"), col("o"))
-            .unionByName(removes.select(
-              lit("remove").as("chg"), col("s"), col("p"), col("o")))
-            .distinct())
+        shrinkForWrite(delta)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/delta")
         val f = fs(spark, path)
         f.create(new org.apache.hadoop.fs.Path(s"$dir/_delta"), true).close()
@@ -659,10 +677,12 @@ object GraphIO {
         // single-writer contract; a stale prev produces a wrong delta)
         val prev = prevTriples.map(_.triples)
           .getOrElse(asOfTriples(spark, path, es.last).triples)
-        val key = Seq("s", "p", "o")
-        commitTriplesDelta(spark, path,
-          adds = g.triples.join(prev, key, "left_anti"),
-          removes = prev.join(g.triples, key, "left_anti"))
+        // one grouped pass for both directions, distinct by construction
+        // (set emission) — was two (s,p,o) anti-joins plus the tagged
+        // union's distinct: three exchanges of the corpus down to one
+        commitTriplesDeltaTagged(spark, path,
+          graft.core.RowDiff.diffTagged(prev.select("s", "p", "o"),
+            g.triples.select("s", "p", "o"), bagExact = false))
       }
     }
 

@@ -102,9 +102,9 @@ object CdcStreams {
           val p = prevGraph.getOrElse(Epochs.asOf(spark, path, prev))
           val cur = prevOf(PropertyGraph(g.nodes, g.edges))
           val old = prevOf(p)
-          graft.core.RowDiff.antiRows(cur, old).withColumn("chg", lit("add"))
-            .unionByName(graft.core.RowDiff.antiRows(old, cur)
-              .withColumn("chg", lit("remove")))
+          // one grouped pass for both directions (RowDiff.diffTagged) —
+          // was a pair of whole-row anti-joins per feed side
+          graft.core.RowDiff.diffTagged(old, cur)
             .select(col("chg") +: cur.columns.map(col): _*)
         case None => allAdd(full)
       }
