@@ -567,12 +567,24 @@ object Algos {
     * each iteration is one aggregation + one semi-join.
     */
   def kCore(g: PropertyGraph, k: Int, maxIters: Int = 100): DataFrame = {
+    val spark = g.nodes.sparkSession
+    val rawUnd = g.edges.select(col("src"), col("dst"))
+      .unionByName(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+    // Adaptive strategy (same gate as the sibling loops): a broadcast-sized
+    // graph peels every round in one job — up to maxIters × (join + agg +
+    // count) scheduler round-trips otherwise, the worst job-count/work
+    // ratio in the catalog. The raw (pre-distinct) pair list is what gets
+    // probed, so the dedup happens on the driver, not in a shuffle.
+    LocalGraph.collectIfAtMost(rawUnd, LocalGraph.maxEdges(spark)) match {
+      case Some(rows) =>
+        return LocalGraph.kCore(spark,
+          rows.map(r => (r.getLong(0), r.getLong(1))), k, maxIters)
+      case None =>
+    }
     // persisted: referenced by every peel iteration — unpersisted, each of
     // up to maxIters rounds would re-run the union+distinct shuffle over
     // the whole edge table (the sibling loops all persist their `und`)
-    val und = g.edges.select(col("src"), col("dst"))
-      .unionByName(g.edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+    val und = rawUnd.distinct().persist()
     var alive = und.select(col("src").as("id")).distinct().localCheckpoint()
     var aliveCount = alive.count()
     var changed = true

@@ -273,6 +273,38 @@ object LocalGraph {
     nodeIds.map(v => (v, rank.get(v).doubleValue())).toSeq.toDF("id", "rank")
   }
 
+  /** k-core peel in one job — identical semantics to `Algos.kCore`'s
+    * DataFrame loop: dedup the doubled pair list (the distributed und is
+    * `.distinct()`), alive starts as every endpoint, each round keeps the
+    * nodes whose alive-to-alive degree is ≥ k, until fixpoint or maxIters.
+    * Collapses up to maxIters × (join+agg+count) scheduler round-trips into
+    * one CollectLimit probe for broadcast-sized graphs.
+    */
+  def kCore(spark: SparkSession, undEdges: Array[(Long, Long)], k: Int,
+      maxIters: Int): DataFrame = {
+    import spark.implicits._
+    val pairs = undEdges.distinct
+    val alive = new java.util.HashSet[Long]()
+    pairs.foreach(p => alive.add(p._1))
+    var changed = true
+    var i = 0
+    while (changed && i < maxIters) {
+      val deg = new java.util.HashMap[Long, Long]()
+      pairs.foreach { case (s, d) =>
+        if (alive.contains(s) && alive.contains(d))
+          deg.merge(s, 1L, (a, b) => a + b)
+      }
+      val keep = new java.util.HashSet[Long]()
+      deg.forEach((v, c) => if (c >= k) keep.add(v))
+      changed = keep.size != alive.size
+      alive.clear()
+      alive.addAll(keep)
+      i += 1
+    }
+    val ids = alive.toArray(Array.empty[java.lang.Long]).map(_.longValue()).sorted
+    ids.toSeq.toDF("id")
+  }
+
   /** Label propagation, synchronous rounds in one job — identical semantics
     * to `Algos.labelPropagation`: adopt the most frequent neighbor label,
     * ties to the lowest label, isolated nodes keep theirs. `undEdges` is the

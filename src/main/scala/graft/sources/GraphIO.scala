@@ -186,12 +186,20 @@ object GraphIO {
       buckets: Int = 32): Unit = {
     val spark = g.nodes.sparkSession
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
-    g.nodes.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"$db.nodes")
-    g.edges.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "src").sortBy("src").saveAsTable(s"$db.edges")
-    g.edges.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "dst").sortBy("dst").saveAsTable(s"$db.edges_by_dst")
+    // three independent tables — overlap the writes (same pattern as
+    // GraphIO.save: serial execution just stacks fixed job+commit
+    // latencies, and at scale the next write's tasks back-fill executors
+    // freed by the previous write's tail)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(g.nodes.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"$db.nodes")),
+      Future(g.edges.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "src").sortBy("src").saveAsTable(s"$db.edges")),
+      Future(g.edges.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "dst").sortBy("dst").saveAsTable(s"$db.edges_by_dst")))),
+      scala.concurrent.duration.Duration.Inf)
   }
 
   /** Reload; the returned graph carries the dst-clustered mirror (when the

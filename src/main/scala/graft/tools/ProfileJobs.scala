@@ -10,11 +10,11 @@ import scala.collection.mutable
   * job-count overhead vs a genuinely expensive stage vs single-partition
   * serialization).
   *
-  * Usage: runMain graft.tools.ProfileJobs <query> [sfDir] [reps]
+  * Usage: runMain graft.tools.ProfileJobs <query>[,<query>...] [sfDir] [reps]
   */
 object ProfileJobs {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,6 +25,12 @@ object ProfileJobs {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies session confs so
+    // join-strategy/AQE candidates can be measured without a code edit
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("WARN")
 
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -64,8 +70,7 @@ object ProfileJobs {
       }
     }
 
-    val fn = graft.SparkEntry.queries(name)
-    for (r <- 1 to reps) {
+    for (name <- names; fn = graft.SparkEntry.queries(name); r <- 1 to reps) {
       stages.clear(); jobs.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()

@@ -207,4 +207,29 @@ class AlgosSpec extends AnyFunSuite {
     val core = Algos.kCore(g, k = 3).collect().map(_.getLong(0)).toSet
     assert(core == Set(1L, 2L, 3L, 4L))
   }
+
+  test("kCore local kernel ≡ distributed loop (same graph, gate forced off)") {
+    // nested cores + duplicate/self-loop edges so the dedup and the
+    // alive-to-alive degree count are both exercised: 4-clique (3-core),
+    // a triangle hanging off it (2-core), a pendant chain, a self-loop
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val extra = Seq((4L, 7L), (7L, 8L), (8L, 4L), // triangle on node 4
+      (8L, 9L), (9L, 10L), // chain
+      (1L, 2L), (2L, 1L), // duplicate edge, both directions
+      (9L, 9L)) // self-loop
+    val g = mkGraph(clique ++ extra)
+    val local = Algos.kCore(g, k = 2).collect().map(_.getLong(0)).toSet
+    val prev = spark.conf.getOption(graft.graph.LocalGraph.MaxEdgesKey)
+    spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, "0")
+    try {
+      val dist = Algos.kCore(g, k = 2).collect().map(_.getLong(0)).toSet
+      assert(local == dist)
+      // 9 survives at k=2: the self-loop plus the edge to 8 give it
+      // alive-to-alive degree 2 in both branches once 10 is peeled
+      assert(local == Set(1L, 2L, 3L, 4L, 7L, 8L, 9L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, v)
+      case None    => spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
+    }
+  }
 }
