@@ -199,12 +199,36 @@ object Algos {
       .vertices.map { case (id, c) => (id, c) }.toDF("id", "component")
   }
 
-  /** Triangle counts per vertex via GraphX (reference clustering.rs:130). */
+  /** Triangle counts per vertex via GraphX (reference clustering.rs:130).
+    * Adaptive strategy (same gate as the iterative loops): broadcast-sized
+    * graphs count on the driver in one probe job — the GraphX pipeline
+    * (RDD conversion + partitionBy + triangleCount) costs ~10 fixed stages
+    * regardless of size. Integer counts, so the branches agree exactly.
+    */
   def triangleCounts(spark: SparkSession, g: PropertyGraph): DataFrame = {
     import spark.implicits._
+    localNodesEdges(spark, g) match {
+      case Some((nArr, eArr)) =>
+        return LocalGraph.triangleCounts(spark, nArr, eArr)
+      case None =>
+    }
     toGraphX(g).partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
       .triangleCount()
       .vertices.map { case (id, n) => (id, n.toLong) }.toDF("id", "triangles")
+  }
+
+  /** Probe-and-collect the (nodes, edges) pair under the broadcast gate —
+    * `None` when either side exceeds it (the caller stays distributed).
+    */
+  private def localNodesEdges(spark: SparkSession, g: PropertyGraph)
+      : Option[(Array[Long], Array[(Long, Long)])] = {
+    val maxE = LocalGraph.maxEdges(spark)
+    val eOpt = LocalGraph.collectIfAtMost(g.edges.select(col("src"), col("dst")), maxE)
+    val nOpt =
+      if (eOpt.isDefined) LocalGraph.collectIfAtMost(g.nodes.select(col("id")), maxE)
+      else None
+    for (e <- eOpt; n <- nOpt) yield
+      (n.map(_.getLong(0)), e.map(r => (r.getLong(0), r.getLong(1))))
   }
 
   /** Local clustering coefficients (reference clustering.rs:162,199):
@@ -226,7 +250,16 @@ object Algos {
       .groupBy("id").agg(count(lit(1)).as("deg"))
   }
 
-  def clusteringCoefficients(spark: SparkSession, g: PropertyGraph): DataFrame =
+  def clusteringCoefficients(spark: SparkSession, g: PropertyGraph): DataFrame = {
+    // Broadcast-sized graphs compute deg/tri/coeff on the driver in one
+    // probe job (identical formula + Spark rounding, LocalGraph.round6);
+    // the distributed composition below otherwise pays the GraphX triangle
+    // pipeline plus two join shuffles.
+    localNodesEdges(spark, g) match {
+      case Some((nArr, eArr)) =>
+        return LocalGraph.clusteringCoefficients(spark, nArr, eArr)
+      case None =>
+    }
     // start from g.nodes, not the edge endpoints: the facade contract is
     // one row per node INCLUDING isolated nodes (which score deg 0,
     // coeff 0 — like every other per-node frame)
@@ -238,11 +271,21 @@ object Algos {
           round(coalesce(col("triangles"), lit(0L)).cast("double") * 2 /
             (col("deg") * (col("deg") - 1)), 6))
           .otherwise(lit(0.0)).as("coeff"))
+  }
 
   /** Global clustering coefficient (reference clustering.rs:248):
     * 3·triangles / wedges = Σ_v tri(v) / Σ_v deg(v)·(deg(v)−1)/2 — one row.
     */
   def globalClustering(spark: SparkSession, g: PropertyGraph): DataFrame = {
+    // broadcast-sized graphs: one probe job + driver sums (exact integers,
+    // same rounding) instead of the GraphX pipeline + a join + an agg
+    LocalGraph.collectIfAtMost(g.edges.select(col("src"), col("dst")),
+        LocalGraph.maxEdges(spark)) match {
+      case Some(rows) =>
+        return LocalGraph.globalClustering(spark,
+          rows.map(r => (r.getLong(0), r.getLong(1))))
+      case None =>
+    }
     // edge-derived is fine here: an isolated node contributes 0 triangles
     // and 0 wedges to the global sums either way
     undirectedDeg(g).join(triangleCounts(spark, g), Seq("id"), "left_outer")

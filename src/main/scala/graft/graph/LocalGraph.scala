@@ -273,6 +273,105 @@ object LocalGraph {
     nodeIds.map(v => (v, rank.get(v).doubleValue())).toSeq.toDF("id", "rank")
   }
 
+  /** Canonical undirected simple view plus the per-vertex triangle and
+    * distinct-neighbor degree maps — the shared core of the local
+    * clustering kernels. Semantics match GraphX TriangleCount after its
+    * canonicalization (self-loops dropped, parallel edges and orientations
+    * merged) and `Algos.undirectedDeg` (distinct neighbors). tri(v) is
+    * accumulated as Σ_{edges (v,u)} |N(v)∩N(u)| and halved at the end —
+    * each triangle contributes exactly 2 per member vertex, so the halves
+    * are exact integers.
+    */
+  private def triangleAndDegree(edges: Array[(Long, Long)])
+      : (java.util.HashMap[Long, Long], java.util.HashMap[Long, Long]) = {
+    val ud = new java.util.HashSet[(Long, Long)]()
+    edges.foreach { case (s, d) =>
+      if (s != d) ud.add(if (s < d) (s, d) else (d, s))
+    }
+    val adj = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+    ud.forEach { p =>
+      adj.computeIfAbsent(p._1, _ => new java.util.HashSet[Long]()).add(p._2)
+      adj.computeIfAbsent(p._2, _ => new java.util.HashSet[Long]()).add(p._1)
+    }
+    val acc = new java.util.HashMap[Long, Long]()
+    ud.forEach { p =>
+      val na = adj.get(p._1)
+      val nb = adj.get(p._2)
+      val (small, big) = if (na.size <= nb.size) (na, nb) else (nb, na)
+      var c = 0L
+      val it = small.iterator()
+      while (it.hasNext) { if (big.contains(it.next())) c += 1 }
+      if (c > 0) {
+        acc.merge(p._1, c, (x, y) => x + y)
+        acc.merge(p._2, c, (x, y) => x + y)
+      }
+    }
+    val tri = new java.util.HashMap[Long, Long]()
+    acc.forEach((v, c) => tri.put(v, c / 2))
+    val deg = new java.util.HashMap[Long, Long]()
+    adj.forEach((v, ns) => deg.put(v, ns.size.toLong))
+    (tri, deg)
+  }
+
+  /** Spark's `round(x, 6)` on doubles (Round expression: BigDecimal
+    * HALF_UP), replicated so local coefficients are bit-identical.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Per-vertex triangle counts in one job — vertex set is nodes plus edge
+    * endpoints, like `Algos.toGraphX` (the Graph constructor adds endpoint
+    * vertices missing from the node RDD).
+    */
+  def triangleCounts(spark: SparkSession, nodeIds: Array[Long],
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val (tri, deg) = triangleAndDegree(edges)
+    val vs = new java.util.LinkedHashSet[Long]()
+    nodeIds.foreach(vs.add)
+    deg.keySet().forEach(v => vs.add(v))
+    edges.foreach { case (s, d) => vs.add(s); vs.add(d) } // self-loop-only endpoints
+    vs.toArray(Array.empty[java.lang.Long])
+      .map(v => (v.longValue(), tri.getOrDefault(v.longValue(), 0L)))
+      .toSeq.toDF("id", "triangles")
+  }
+
+  /** Local clustering coefficients in one job — one row per distinct node
+    * id (isolated nodes score deg 0 / coeff 0), identical formula and
+    * rounding to `Algos.clusteringCoefficients`.
+    */
+  def clusteringCoefficients(spark: SparkSession, nodeIds: Array[Long],
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val (tri, deg) = triangleAndDegree(edges)
+    nodeIds.distinct.map { v =>
+      val d = deg.getOrDefault(v, 0L)
+      val c =
+        if (d >= 2) round6(tri.getOrDefault(v, 0L).toDouble * 2 / (d * (d - 1)))
+        else 0.0
+      (v, d, c)
+    }.toSeq.toDF("id", "deg", "coeff")
+  }
+
+  /** Global clustering coefficient in one job — same sums and rounding as
+    * `Algos.globalClustering` (edge-derived vertex set).
+    */
+  def globalClustering(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val (tri, deg) = triangleAndDegree(edges)
+    var sumTri = 0L
+    var wedges2 = 0L
+    val it = deg.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      sumTri += tri.getOrDefault(e.getKey, 0L)
+      wedges2 += e.getValue * (e.getValue - 1)
+    }
+    Seq(round6(sumTri.toDouble / math.max(wedges2.toDouble / 2, 1.0)))
+      .toDF("global_coeff")
+  }
+
   /** k-core peel in one job — identical semantics to `Algos.kCore`'s
     * DataFrame loop: dedup the doubled pair list (the distributed und is
     * `.distinct()`), alive starts as every endpoint, each round keeps the

@@ -208,6 +208,39 @@ class AlgosSpec extends AnyFunSuite {
     assert(core == Set(1L, 2L, 3L, 4L))
   }
 
+  test("clustering local kernels ≡ GraphX/DataFrame branches (gate forced off)") {
+    // two triangles sharing an edge, plus a self-loop, a duplicate edge in
+    // both orientations, an isolated node (in nodes but not edges), and an
+    // edge endpoint missing from the node frame (id 9)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 3L),
+      (1L, 1L), (2L, 1L), (1L, 2L), (4L, 9L)).toDF("src", "dst")
+      .withColumn("rel", lit("E")).withColumn("weight", lit(1.0))
+    val n = Seq(1L, 2L, 3L, 4L, 7L).toDF("id")
+      .withColumn("labels", array(lit("N")))
+    val g = PropertyGraph(n, e)
+    def all() = (
+      Algos.triangleCounts(spark, g).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      Algos.clusteringCoefficients(spark, g).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap,
+      Algos.globalClustering(spark, g).collect().head.getDouble(0))
+    val (triL, ccL, gcL) = all()
+    val prev = spark.conf.getOption(graft.graph.LocalGraph.MaxEdgesKey)
+    spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, "0")
+    try {
+      val (triD, ccD, gcD) = all()
+      assert(triL == triD)
+      assert(ccL == ccD)
+      assert(gcL == gcD)
+      assert(triL(1L) == 1L && triL(2L) == 2L && triL(9L) == 0L)
+      assert(ccL(7L) == ((0L, 0.0))) // isolated node: deg 0, coeff 0
+      assert(!ccL.contains(9L)) // coefficients are per declared node
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.graph.LocalGraph.MaxEdgesKey, v)
+      case None    => spark.conf.unset(graft.graph.LocalGraph.MaxEdgesKey)
+    }
+  }
+
   test("kCore local kernel ≡ distributed loop (same graph, gate forced off)") {
     // nested cores + duplicate/self-loop edges so the dedup and the
     // alive-to-alive degree count are both exercised: 4-clique (3-core),
